@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Headline-query benchmark.
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from travelpulse_spark_stream_tourism_analytics_spark.plans import all_queries
+from travelpulse_spark_stream_tourism_analytics_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_customers",
+    "regional_revenue",
+    "orders_with_late_items",
+    "events_per_minute",
+    "top_users_daily",
+    "sliding_event_counts",
+    "event_value_percentiles",
+    "latest_event_per_user",
+    "docs_exact_dedup",
+    "docs_token_stats",
+    "embedding_knn",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("travelpulse-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    catalog = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = catalog[name]
+        t0 = time.perf_counter()
+        _ = len(fn(spark, sf_dir).collect())  # full materialization
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

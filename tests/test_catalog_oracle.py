@@ -1,0 +1,43 @@
+"""Every catalog query must match its DuckDB oracle — the same gate the
+driver applies at sf0.01 (run here at sf0.001 for speed; set
+SPARK_GRAFT_ORACLE_SF=sf0.01 to run the full size locally)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import TESTDATA
+from tests.oracle_harness import compare, duck_connection
+from travelpulse_spark_stream_tourism_analytics_spark.plans import (
+    all_oracles,
+    all_queries,
+)
+
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.001")
+SF_DIR = f"{TESTDATA}/{SF}"
+
+_queries = all_queries()
+_oracles = all_oracles()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(_queries))
+def test_query_matches_oracle(name, spark, duck):
+    if name not in _oracles:
+        # Non-SQL-expressible op: weaker check — query must run.
+        df = _queries[name](spark, SF_DIR)
+        assert df.columns
+        df.limit(1).collect()
+        return
+    spark_df = _queries[name](spark, SF_DIR)
+    oracle_df = duck.sql(_oracles[name]).df()
+    errors = compare(spark_df, oracle_df, name)
+    assert not errors, "\n".join(errors)

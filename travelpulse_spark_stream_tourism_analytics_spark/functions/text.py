@@ -1,0 +1,85 @@
+"""Text Column expressions: accent folding, slugs, tokens, hashes.
+
+All built-in (``lower``/``translate``/``regexp_replace``/lambda
+higher-order functions) — no Python UDFs, so everything stays inside
+whole-stage codegen. The fold/slug semantics mirror the reference's
+NFKD normalizers (scripts/build_hotels_yaml.py:20-33,
+scripts/rebuild_and_merge_cities_it.py:81-92,
+scripts/merge_cities_all.py:12-25) via an explicit accent map, which is
+exact for the Italian/Latin charset the reference processes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 1:1 accent fold pairs (translate cannot expand æ/œ-style ligatures;
+# the reference corpus never contains them post-lowercase).
+_ACCENT_PAIRS = {
+    "a": "àáâãäåāăą",
+    "e": "èéêëēĕėęě",
+    "i": "ìíîïĩīĭį",
+    "o": "òóôõöōŏőø",
+    "u": "ùúûüũūŭůűų",
+    "c": "çćĉčċ",
+    "n": "ñńņň",
+    "s": "šśşŝ",
+    "z": "žźż",
+    "y": "ýÿ",
+    "g": "ĝğġģ",
+    "l": "ĺļľł",
+    "r": "ŕŗř",
+    "t": "ţťŧ",
+    "d": "ďđ",
+    "w": "ŵ",
+}
+ACCENT_SRC = "".join("".join(v) for v in _ACCENT_PAIRS.values())
+ACCENT_DST = "".join(k * len(v) for k, v in _ACCENT_PAIRS.items())
+
+
+def fold_accents(col: Column) -> Column:
+    """Lowercase, fold accents, drop apostrophes, punctuation->space,
+    collapse/trim whitespace."""
+    c = F.lower(col)
+    c = F.translate(c, ACCENT_SRC, ACCENT_DST)
+    c = F.regexp_replace(c, "['`’]", "")
+    c = F.regexp_replace(c, "[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def slugify(col: Column, max_len: int = 40) -> Column:
+    """fold -> spaces to '-' -> truncate (reference slug: 40 chars)."""
+    c = fold_accents(col)
+    c = F.regexp_replace(c, " +", "-")
+    return F.substring(c, 1, max_len)
+
+
+def words_of(col: Column) -> Column:
+    """Split to lowercase word tokens, dropping empties."""
+    toks = F.split(F.lower(col), "[^a-z0-9]+")
+    return F.filter(toks, lambda x: x != F.lit(""))
+
+
+def word_ngrams(words: Column, n: int) -> Column:
+    """Contiguous word n-grams ('shingles') of an array<string>.
+
+    Expressed with sequence/transform/slice so it shuffles nothing and
+    runs codegen'd; yields an empty array when there are fewer than n
+    words.
+    """
+    count = F.size(words) - F.lit(n - 1)
+    idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+
+
+def hash_hex(col: Column) -> Column:
+    """Portable deterministic hash: md5 hex string (same in any engine)."""
+    return F.md5(col)
+
+
+def hash_u60(col: Column) -> Column:
+    """First 15 hex digits of md5 as a non-negative int64 (60 bits)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

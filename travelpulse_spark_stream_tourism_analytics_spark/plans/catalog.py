@@ -1,0 +1,102 @@
+"""Query catalog: named (Spark transform, DuckDB oracle SQL) pairs.
+
+Every operator the engine implements (SURVEY.md §2 inventory plus the
+LLM-data-pipeline extensions) registers here as a named query over the
+driver's synthetic tables. The driver runs the Spark side and the
+oracle side-by-side at sf=0.01 and compares row count + schema +
+order-insensitive value hash, so:
+
+- column names must match exactly (alias both sides identically);
+- floating-point results must be bit-identical: money sums go through
+  ``decimal(18,2)`` accumulation (exact in both engines) before the
+  final cast to double; ratios/trig are rounded to a fixed number of
+  decimals on both sides;
+- top-N / dedup orderings carry explicit tiebreaker keys so
+  ``row_number`` is deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a catalog query, optionally with its DuckDB oracle SQL."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_registered()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_registered()
+    return dict(_ORACLES)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan; Catalyst prunes columns / pushes filters.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS) which Spark reads
+    (under ``spark.sql.legacy.parquet.nanosAsLong``) as a long of
+    nanoseconds; we truncate to microseconds and expose TIMESTAMP_NTZ so
+    window/date semantics are timezone-free and match the DuckDB oracle
+    (which also truncates ns -> us on ``::TIMESTAMP``).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # Integer `div`, not `/`: double division loses precision at
+        # 1e18-nanosecond magnitudes.
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+_REGISTERED = False
+
+
+def _ensure_registered() -> None:
+    """Import all modules that contain @query registrations."""
+    global _REGISTERED
+    if _REGISTERED:
+        return
+    # Imported for their registration side effects.
+    from travelpulse_spark_stream_tourism_analytics_spark.plans import (  # noqa: F401
+        events_queries,
+        functions_queries,
+        relational_queries,
+        text_queries,
+    )
+
+    _REGISTERED = True

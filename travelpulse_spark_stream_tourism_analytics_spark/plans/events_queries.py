@@ -1,0 +1,303 @@
+"""KPI queries over the ``events`` stream table.
+
+Batch expressions of the reference's streaming KPIs (SURVEY.md §2.5,
+§2.8): every transform here is a pure DataFrame function, so the same
+logic is reused by ``streaming/`` over a readStream input. Windows are
+epoch-aligned tumbling/sliding buckets exactly like ``F.window``;
+oracles use DuckDB ``time_bucket`` with a 1970-01-01 origin.
+
+Scale notes: all aggregations are partial-aggregatable (map-side
+combine before the shuffle); top-N per group is a single window
+function over the aggregated (small) intermediate, not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from travelpulse_spark_stream_tourism_analytics_spark.functions.numeric import (
+    money_sum,
+    safe_ratio,
+)
+from travelpulse_spark_stream_tourism_analytics_spark.functions.temporal import tumbling
+from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+    load_table,
+    query,
+)
+
+_MINUTE_BUCKET = (
+    "time_bucket(INTERVAL '1 minute', ts::TIMESTAMP, TIMESTAMP '1970-01-01')"
+)
+
+
+@query(
+    "events_per_minute",
+    oracle=f"""
+    SELECT {_MINUTE_BUCKET} AS window_start,
+           {_MINUTE_BUCKET} + INTERVAL '1 minute' AS window_end,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-minute event counts (reference A2,
+    spark/kafka_to_metrics.py:224-225)."""
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling(ev, "ts", "1 minute").groupBy("window_start", "window_end").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+@query(
+    "event_type_minute_rates",
+    oracle=f"""
+    SELECT {_MINUTE_BUCKET} AS window_start,
+           count(*) AS n_total,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+           round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS error_share
+    FROM events
+    GROUP BY 1
+    """,
+)
+def event_type_minute_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window conditional counts + guarded ratio (reference A3/A7,
+    spark/kafka_to_metrics.py:229,431)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        tumbling(ev, "ts", "1 minute")
+        .groupBy("window_start")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("n_error"),
+        )
+    )
+    return agg.withColumn(
+        "error_share",
+        safe_ratio(F.col("n_error").cast("double"), F.col("n_total")),
+    )
+
+
+@query(
+    "top_users_daily",
+    oracle="""
+    WITH agg AS (
+        SELECT date_trunc('day', ts::TIMESTAMP) AS day,
+               user_id,
+               count(*) AS n_purchases,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT * FROM (
+        SELECT day, user_id, n_purchases, spend,
+               row_number() OVER (
+                   ORDER BY day, n_purchases DESC, spend DESC, user_id
+               ) AS rn_global,
+               row_number() OVER (
+                   PARTITION BY day
+                   ORDER BY n_purchases DESC, spend DESC, user_id
+               ) AS rank_in_day
+        FROM agg
+    ) WHERE rank_in_day <= 5
+    """,
+)
+def top_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: per-day top-5 purchasers by (count, spend).
+
+    The per-group top-N done right: ``row_number() over (partition by
+    window ...)`` instead of the reference's global orderBy+limit that
+    mixes windows inside one micro-batch (documented quirk, SURVEY.md
+    §4.3 item 2; reference spark/kafka_to_metrics.py:293-301).
+    rn_global exercises an un-partitioned window (single-reducer — fine
+    on the tiny aggregated set, never on raw events).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            money_sum("value", "spend"),
+        )
+    )
+    in_day = Window.partitionBy("day").orderBy(
+        F.desc("n_purchases"), F.desc("spend"), F.asc("user_id")
+    )
+    global_w = Window.orderBy(
+        F.asc("day"), F.desc("n_purchases"), F.desc("spend"), F.asc("user_id")
+    )
+    return (
+        agg.withColumn("rn_global", F.row_number().over(global_w).cast("long"))
+        .withColumn("rank_in_day", F.row_number().over(in_day).cast("long"))
+        .filter(F.col("rank_in_day") <= 5)
+    )
+
+
+@query(
+    "today_user_spend",
+    oracle="""
+    SELECT ts::DATE AS day, user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
+    FROM events
+    WHERE ts::DATE = (SELECT max(ts::DATE) FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def today_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Today' snapshot (reference W9/P6, spark/kafka_to_metrics.py:265-269)
+    with an injectable as-of day (here: max event day) so it is
+    deterministic — the reference's ``current_date()`` version is
+    documented as untestable without a clock fixture (SURVEY.md §7.3)."""
+    ev = load_table(spark, sf_dir, "events")
+    today = ev.agg(F.max(F.to_date("ts")).alias("__today"))
+    return (
+        ev.join(F.broadcast(today), F.to_date("ts") == F.col("__today"), "inner")
+        .groupBy(F.to_date("ts").alias("day"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum("value", "spend"),
+        )
+    )
+
+
+@query(
+    "sliding_event_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP, TIMESTAMP '1970-01-01')
+               - k * INTERVAL '5 minutes' AS window_start,
+           time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP, TIMESTAMP '1970-01-01')
+               - k * INTERVAL '5 minutes' + INTERVAL '10 minutes' AS window_end,
+           event_type,
+           count(*) AS n_events
+    FROM events, (VALUES (0), (1)) shifts(k)
+    GROUP BY 1, 2, 3
+    """,
+)
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min / 5 min) — an engine extension; the
+    reference only has tumbling windows (SURVEY.md §2.8 W2)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        tumbling(ev, "ts", "10 minutes", "5 minutes")
+        .groupBy("window_start", "window_end", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "event_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(quantile_cont(value, 0.10), 6) AS p10,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.90), 6) AS p90
+    FROM events
+    GROUP BY 1
+    """,
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles per key (reference A8 uses percentile_approx,
+    spark/kafka_to_metrics.py:458-472; the catalog checks the *exact*
+    interpolated percentile for oracle parity — approx sketches are
+    exercised in streaming/season score)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.10)"), 6).alias("p10"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.90)"), 6).alias("p90"),
+    )
+
+
+@query(
+    "hourly_value_stats",
+    oracle="""
+    SELECT date_trunc('hour', ts::TIMESTAMP) AS hour,
+           count(*) AS n_events,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+               AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def hourly_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup: null-aware avg via exact decimal sum / count
+    (reference A4/A6, spark/kafka_to_metrics.py:230,234)."""
+    ev = load_table(spark, sf_dir, "events")
+    dec_sum = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        dec_sum.alias("sum_value"),
+        (dec_sum / F.count("value")).alias("avg_value"),
+    )
+
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, ts::TIMESTAMP AS last_ts, event_type AS last_type,
+           event_id AS last_event_id
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key temporal dedup (reference T3, SURVEY.md §2.6)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("event_id").alias("last_event_id"),
+        )
+    )
+
+
+@query(
+    "props_json_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
+               AS avg_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload decode (reference S2 from_json,
+    spark/kafka_to_metrics.py:174-179) + aggregation over the extracted
+    field."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )

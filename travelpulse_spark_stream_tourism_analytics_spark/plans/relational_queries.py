@@ -1,0 +1,451 @@
+"""Relational operator catalog over the TPC-H-ish tables.
+
+Covers the reference's batch/relational surface (SURVEY.md §2.2-§2.7):
+joins J1/J4/J6 + the semi/anti forms the reference implies, aggregation
+forms A1-A14, top-K/dedup T1-T6, pivot A10, set ops. Each query is
+written the way it should run at 100 TB: dimension joins broadcast,
+aggregations partial-aggregate before the shuffle, top-N is
+TakeOrderedAndProject or a per-group window over a reduced
+intermediate — never a global sort of the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from travelpulse_spark_stream_tourism_analytics_spark.functions.numeric import (
+    money_sum,
+)
+from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+    load_table,
+    query,
+)
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)))
+               AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+               AS DECIMAL(26,6))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: conditional/derived sums and
+    averages with exact decimal accumulation (reference A3/A4/A6).
+
+    Per-row double products are rounded into decimals before the sum so
+    the aggregate is associative — identical under any partitioning.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz")
+    )
+    dec = lambda c, t: F.sum(c.cast(t)).cast("double")  # noqa: E731
+    qty = dec(F.col("l_quantity"), "decimal(18,2)")
+    price = dec(F.col("l_extendedprice"), "decimal(18,2)")
+    disc_price = dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), "decimal(22,4)"
+    )
+    charge = dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+        "decimal(26,6)",
+    )
+    disc = dec(F.col("l_discount"), "decimal(18,2)")
+    n = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        qty.alias("sum_qty"),
+        price.alias("sum_base_price"),
+        disc_price.alias("sum_disc_price"),
+        charge.alias("sum_charge"),
+        (qty / n).alias("avg_qty"),
+        (price / n).alias("avg_price"),
+        (disc / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "top_revenue_customers",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim joins + global top-N (reference J1 broadcast join +
+    T1 orderBy/limit -> Catalyst plans TakeOrderedAndProject, no full
+    sort; nation is explicitly broadcast like the reference's 20-row
+    geo lookup, spark/kafka_to_metrics.py:396-400)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(money_sum("o_totalprice", "revenue"), F.count("*").alias("n_orders"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "regional_revenue",
+    oracle="""
+    SELECT r_name,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake dim chain (customer->nation->region, both dims
+    broadcast) + count(distinct) — a re-aggregation the reference
+    delegates to PromQL ``sum by`` (SURVEY.md §2.5 note)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            money_sum("o_totalprice", "revenue"),
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "orders_with_late_items",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY 1
+    """,
+)
+def orders_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — the join form SURVEY.md §2.4 says the
+    engine must expose even though the reference approximates it with
+    merge+isna (scripts/rebuild_and_merge_cities_it.py:217-222)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "parts_not_from_supplier1",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_partkey = p_partkey AND l_suppkey = 1
+    )
+    """,
+)
+def parts_not_from_supplier1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) over a pushed-down filtered fact."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") == 1)
+    return part.join(
+        li, F.col("l_partkey") == F.col("p_partkey"), "left_anti"
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+@query(
+    "best_supplier_per_nation",
+    oracle="""
+    SELECT s_nationkey, s_suppkey, s_name, s_acctbal
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY s_nationkey
+                   ORDER BY s_acctbal DESC, s_suppkey
+               ) AS rn
+        FROM supplier
+    ) WHERE rn = 1
+    """,
+)
+def best_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup (reference T2: sort + drop_duplicates,
+    scripts/clean_cities_geonames.py:89-90) as a per-group window."""
+    sup = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        sup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("s_nationkey", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@query(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS last_orderkey,
+           o_orderdate AS last_orderdate, o_totalprice AS last_totalprice
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key (reference T3: sort+tail(1),
+    scripts/rebuild_and_merge_cities_it.py:164)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+            F.col("o_totalprice").alias("last_totalprice"),
+        )
+    )
+
+
+@query(
+    "order_status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot with explicit values (reference A10,
+    scripts/clean_istat_abitazioni.py:35-36). Passing the value list
+    avoids the extra distinct-values job — mandatory at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@query(
+    "mktsegment_weighted_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+           sum(CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END) AS n_rich,
+           round(CAST(sum(CAST(c_acctbal * (c_nationkey + 1) AS DECIMAL(20,2)))
+                      AS DOUBLE)
+                 / sum(c_nationkey + 1), 6) AS weighted_acctbal
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def mktsegment_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered sums + weighted mean Σ(w·x)/Σw (reference A9,
+    scripts/clean_istat_famiglie.py:41-49)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = F.col("c_nationkey") + 1
+    return cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        money_sum("c_acctbal", "sum_acctbal"),
+        F.sum(F.when(F.col("c_acctbal") >= 5000, 1).otherwise(0)).alias("n_rich"),
+        F.round(
+            F.sum((F.col("c_acctbal") * w).cast("decimal(20,2)")).cast("double")
+            / F.sum(w),
+            6,
+        ).alias("weighted_acctbal"),
+    )
+
+
+@query(
+    "nation_keys_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def nation_keys_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union (SURVEY.md §2.7 — the reference only concatenates;
+    union/intersect/except are exposed because they are free)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+@query(
+    "nation_keys_except",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def nation_keys_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s)  # EXCEPT DISTINCT, same as SQL EXCEPT
+
+
+@query(
+    "nation_keys_intersect",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def nation_keys_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@query(
+    "nearest_acctbal_match",
+    oracle="""
+    SELECT s_suppkey, c_custkey, round(abs(c_acctbal - s_acctbal), 2) AS diff
+    FROM (
+        SELECT s_suppkey, c_custkey, c_acctbal, s_acctbal,
+               row_number() OVER (
+                   PARTITION BY s_suppkey
+                   ORDER BY abs(c_acctbal - s_acctbal), c_custkey
+               ) AS rn
+        FROM supplier CROSS JOIN customer
+    ) WHERE rn = 1
+    """,
+)
+def nearest_acctbal_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN theta join: argmin distance via broadcast cross join +
+    per-key window (reference J6 nearest-city fallback,
+    scripts/build_hotels_yaml.py:237-257). The probe side streams; only
+    the small dim is broadcast — at 100 TB you'd bucket by a spatial
+    cell first, which is what operators/similarity.py does for
+    embeddings."""
+    sup = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("s_suppkey").orderBy(
+        F.abs(F.col("c_acctbal") - F.col("s_acctbal")), F.asc("c_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(sup))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "s_suppkey",
+            "c_custkey",
+            F.round(F.abs(F.col("c_acctbal") - F.col("s_acctbal")), 2).alias("diff"),
+        )
+    )
+
+
+@query(
+    "global_counts",
+    oracle="""
+    SELECT count(*) AS n_lineitem,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem
+    """,
+)
+def global_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global count, no keys (reference A1,
+    spark/kafka_to_metrics.py:217-221) + distinct counts (A12)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_lineitem"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@query(
+    "unique_brand_type_parts",
+    oracle="""
+    SELECT p_brand, p_type, min(p_partkey) AS p_partkey
+    FROM part
+    GROUP BY 1, 2
+    HAVING count(*) = 1
+    """,
+)
+def unique_brand_type_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ambiguity filter: keep keys that occur exactly once (reference
+    T6, scripts/merge_istat_cities.py:58-61)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand", "p_type")
+        .agg(F.count("*").alias("__n"), F.min("p_partkey").alias("p_partkey"))
+        .filter(F.col("__n") == 1)
+        .select("p_brand", "p_type", "p_partkey")
+    )

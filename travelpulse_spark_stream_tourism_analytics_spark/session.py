@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the engine.
+
+The reference hardcodes ``spark.sql.shuffle.partitions=4`` for its toy
+cluster (reference spark/kafka_to_metrics.py:148). We instead enable
+AQE so Spark coalesces/splits shuffle partitions at runtime — the same
+code then scales from local[32] test runs to a 1000-executor cluster
+without retuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "travelpulse-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-ready defaults.
+
+    - AQE on: runtime partition coalescing, skew-join splitting and
+      dynamic join-strategy switching replace hand-tuned partition
+      counts.
+    - UTC session timezone: deterministic window/date semantics
+      regardless of host locale (events carry naive UTC timestamps).
+    - Arrow on: vectorized pandas interchange for the few Pandas-UDF
+      operators.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Driver testdata stores events.ts as parquet TIMESTAMP(NANOS),
+        # which Spark cannot read natively; read as long and convert in
+        # the loader (plans/catalog.py load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    )
+    return builder.getOrCreate()
