@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the north star:
+- brute-force cosine top-k: broadcast the bounded query set, stream
+  the corpus — exact, O(corpus × queries), the correctness baseline;
+- random-hyperplane LSH buckets: O(corpus) bucketing then per-bucket
+  pairwise — the 100 TB path (bucket join replaces the cross join).
+
+Hyperplane weights are generated driver-side from a seeded hash so the
+same literals can be embedded into oracle SQL; they are plan constants
+(broadcast with the closure), not data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _seeded_unit(seed: str) -> float:
+    """Deterministic value in [-1, 1) from md5(seed)."""
+    h = hashlib.md5(seed.encode()).digest()
+    (v,) = struct.unpack("<Q", h[:8])
+    return (v / 2**63) - 1.0
+
+
+def hyperplanes(n_planes: int, dim: int, seed: str = "tp") -> list[list[float]]:
+    """n_planes deterministic pseudo-random hyperplanes of `dim`."""
+    return [
+        [_seeded_unit(f"{seed}:{p}:{d}") for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column, scale: int = 6) -> Column:
+    """Cosine similarity rounded so summation-order ulps can't flip
+    downstream rankings."""
+    return F.round(dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))), scale)
+
+
+def as_double_vec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket key: one char per hyperplane ('1' if v·p >= 0)."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(w) for w in p])) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    vec_col: str = "v",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine; queries broadcast, corpus streamed."""
+    from pyspark.sql.window import Window
+
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("qv"), F.col(vec_col)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def lsh_neardup_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    min_cosine: float = 0.99,
+) -> DataFrame:
+    """Near-duplicate pairs via hyperplane-LSH bucketing + in-bucket
+    exact cosine. The equi-join on bucket replaces the all-pairs cross
+    join; collisions fall out of recall, not correctness."""
+    with_bucket = emb.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    a = with_bucket.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = with_bucket.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -23,6 +23,11 @@ from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
     word_ngrams,
     words_of,
 )
+from travelpulse_spark_stream_tourism_analytics_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
 from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
     load_table,
     query,
@@ -187,3 +192,326 @@ def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection (MinHash+LSH, SimHash, Jaccard verify)
+#
+# The synthetic corpus has no natural near-dups, so each query plants
+# mutated copies (doc_id+1000000, text || ' zzz') on BOTH sides — the
+# operators then have something real to find.
+# ---------------------------------------------------------------------------
+
+_K_MINHASH = 12
+_LSH_BANDS, _LSH_ROWS = 4, 3
+
+_PLANTED_SQL = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' zzz' AS text
+        FROM documents WHERE doc_id < 25
+"""
+
+# DuckDB mirrors of operators/dedup.py, generated from the same params.
+_SHINGLED_SQL = f"""
+    corpus AS ({_PLANTED_SQL}),
+    shingled AS (
+        SELECT doc_id, unnest(list_distinct(ngrams)) AS shingle
+        FROM (SELECT doc_id,
+                     {_NGRAMS3_SQL.format(w=_WORDS_SQL.format(c="text"))} AS ngrams
+              FROM corpus)
+    )
+"""
+_SIG_COLS = ", ".join(
+    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(_K_MINHASH)
+)
+_BANDS_SQL = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_idx, md5({cat}) AS band_hash FROM sig".format(
+        b=b,
+        cat=" || '|' || ".join(f"h{b * _LSH_ROWS + r}" for r in range(_LSH_ROWS)),
+    )
+    for b in range(_LSH_BANDS)
+)
+
+
+def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+@query(
+    "docs_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SHINGLED_SQL},
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM shingled GROUP BY doc_id),
+    bands AS ({_BANDS_SQL})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id
+    """,
+)
+def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=12) + LSH(4 bands x 3 rows) candidate pairs: the
+    shuffle-cheap near-dup path (shingle explode -> one groupBy ->
+    band equi-join; no all-pairs stage anywhere)."""
+    corpus = _planted_docs(spark, sf_dir)
+    shingled = dedup.exploded_shingles(corpus, "doc_id", "text", 3)
+    sigs = dedup.minhash_signatures(shingled, "doc_id", _K_MINHASH)
+    bands = dedup.lsh_bands(sigs, "doc_id", _LSH_BANDS, _LSH_ROWS)
+    return dedup.lsh_candidate_pairs(bands, "doc_id")
+
+
+@query(
+    "docs_neardup_jaccard",
+    oracle=f"""
+    WITH {_SHINGLED_SQL},
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM shingled GROUP BY doc_id),
+    bands AS ({_BANDS_SQL}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, count(*) AS n_inter
+        FROM pairs p
+        JOIN shingled sa ON sa.doc_id = p.id_a
+        JOIN shingled sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           round(n_inter / (na.n + nb.n - n_inter)::DOUBLE, 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    WHERE n_inter / (na.n + nb.n - n_inter)::DOUBLE >= 0.5
+    """,
+)
+def docs_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verify stage over LSH candidates only."""
+    corpus = _planted_docs(spark, sf_dir)
+    shingled = dedup.exploded_shingles(corpus, "doc_id", "text", 3)
+    sigs = dedup.minhash_signatures(shingled, "doc_id", _K_MINHASH)
+    bands = dedup.lsh_bands(sigs, "doc_id", _LSH_BANDS, _LSH_ROWS)
+    pairs = dedup.lsh_candidate_pairs(bands, "doc_id")
+    jac = dedup.pair_jaccard(pairs, shingled, "doc_id")
+    return jac.filter(F.col("jaccard") >= 0.5)
+
+
+_SIMHASH_BITSUMS = ", ".join(
+    "sum((strpos('0123456789abcdef', substr(md5(w), {p}, 1)) - 1) % 2) AS s{j}".format(
+        p=j + 1, j=j
+    )
+    for j in range(16)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"CASE WHEN 2 * s{j} > n_words THEN {1 << j} ELSE 0 END" for j in range(16)
+)
+
+
+@query(
+    "docs_simhash",
+    oracle=f"""
+    WITH wordsets AS (
+        SELECT doc_id, unnest(list_distinct({_WORDS_SQL.format(c="text")})) AS w
+        FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, count(*) AS n_words, {_SIMHASH_BITSUMS}
+        FROM wordsets GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM bits
+    """,
+)
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (portable hex-digit
+    parity bits; one shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash16(docs, "doc_id", "text")
+
+
+@query(
+    "docs_simhash_neardups",
+    oracle=f"""
+    WITH corpus AS ({_PLANTED_SQL}),
+    wordsets AS (
+        SELECT doc_id, unnest(list_distinct({_WORDS_SQL.format(c="text")})) AS w
+        FROM corpus
+    ),
+    bits AS (
+        SELECT doc_id, count(*) AS n_words, {_SIMHASH_BITSUMS}
+        FROM wordsets GROUP BY doc_id
+    ),
+    sims AS (
+        SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM bits
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sims a
+    JOIN sims b ON a.simhash // 256 = b.simhash // 256 AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def docs_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, bucketed on the high byte so the join is
+    an equi-join (recall trade documented in operators/dedup.py)."""
+    corpus = _planted_docs(spark, sf_dir)
+    sims = dedup.simhash16(corpus, "doc_id", "text")
+    return dedup.simhash_neardup_pairs(sims, "doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding LSH (random hyperplanes) — the scale path for similarity
+# ---------------------------------------------------------------------------
+
+_PLANES = similarity.hyperplanes(n_planes=8, dim=64, seed="tp")
+
+
+def _plane_sql(p: list[float]) -> str:
+    return "[" + ", ".join(repr(w) for w in p) + "]"
+
+
+_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN list_dot_product(v, {_plane_sql(p)}) >= 0 "
+    "THEN '1' ELSE '0' END)"
+    for p in _PLANES
+)
+
+
+@query(
+    "embedding_lsh_neardups",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < 10
+    ),
+    bucketed AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM corpus)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM bucketed a
+    JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.99
+    """,
+)
+def embedding_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed near-duplicate vectors: bucket equi-join
+    + in-bucket exact cosine (planted exact copies give cosine 1.0).
+    This is the join shape that survives 100 TB — no cross join."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.as_double_vec(F.col("embedding")).alias("v")
+    )
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "v"
+    )
+    corpus = emb.unionByName(planted)
+    return similarity.lsh_neardup_pairs(corpus, "vec_id", "v", _PLANES, 0.99)
+
+
+# ---------------------------------------------------------------------------
+# Language ID + multimodal plumbing
+# ---------------------------------------------------------------------------
+
+_EN_BIGRAMS = ["th", "he", "in", "er", "an", "re", "on", "at"]
+_IT_BIGRAMS = ["di", "la", "to", "ia", "ta", "ra", "no", "le"]
+
+
+def _profile_sql(profile: list[str]) -> str:
+    return "[" + ", ".join(f"'{b}'" for b in profile) + "]"
+
+
+@query(
+    "docs_lang_id",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, lang,
+               list_transform(generate_series(1, greatest(length(lower(text)) - 1, 0)),
+                              i -> substr(lower(text), i, 2)) AS bg
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(bg, x -> list_contains({_profile_sql(_EN_BIGRAMS)}, x)))
+                   AS en_hits,
+               len(list_filter(bg, x -> list_contains({_profile_sql(_IT_BIGRAMS)}, x)))
+                   AS it_hits
+        FROM grams
+    )
+    SELECT lang,
+           CASE WHEN en_hits >= it_hits THEN 'en' ELSE 'it' END AS guessed_lang,
+           count(*) AS n_docs
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram-profile language ID heuristic, aggregated
+    against the labeled lang column (the corpus is synthetic English
+    word salad, so this checks the operator's determinism, not
+    linguistic accuracy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    count = F.greatest(F.length(lowered) - 1, F.lit(0))
+    idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bg = F.transform(idx, lambda i: lowered.substr(i, F.lit(2)))
+    en_arr = F.array(*[F.lit(b) for b in _EN_BIGRAMS])
+    it_arr = F.array(*[F.lit(b) for b in _IT_BIGRAMS])
+    scored = docs.select(
+        "lang",
+        F.size(F.filter(bg, lambda x: F.array_contains(en_arr, x))).alias("en_hits"),
+        F.size(F.filter(bg, lambda x: F.array_contains(it_arr, x))).alias("it_hits"),
+    )
+    return (
+        scored.select(
+            "lang",
+            F.when(F.col("en_hits") >= F.col("it_hits"), F.lit("en"))
+            .otherwise(F.lit("it"))
+            .alias("guessed_lang"),
+        )
+        .groupBy("lang", "guessed_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "multimodal_blob_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           'text/plain' AS mime
+    FROM documents
+    """,
+)
+def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata: multimodal columns are opaque binary +
+    typed metadata structs (north-star multimodal surface)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobbed = multimodal.attach_blob(docs)
+    return blobbed.select(
+        "doc_id",
+        F.col("meta.n_bytes").cast("long").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+@query("multimodal_blob_features")  # mapInPandas: rows-only check (no SQL twin)
+def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary
+    payloads (decode step stubbed deterministically — container has no
+    codec libs; see operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_blob_features(multimodal.attach_blob(docs))
