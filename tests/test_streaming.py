@@ -1,0 +1,226 @@
+"""Streaming semantics tests: dual-clock repair, stream/batch parity,
+per-window top-N, Prometheus formatting, two-phase season score."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from travelpulse_spark_stream_tourism_analytics_spark.schemas import (
+    BOOKING_SCHEMA,
+    FLIGHT_SCHEMA,
+    WEATHER_SCHEMA,
+    WIRE_SCHEMA,
+)
+from travelpulse_spark_stream_tourism_analytics_spark.streaming import kpis
+from travelpulse_spark_stream_tourism_analytics_spark.streaming.parse import (
+    enrich_bookings,
+    parse_events,
+)
+from travelpulse_spark_stream_tourism_analytics_spark.streaming.pipeline import (
+    TwoPhaseSeasonScore,
+)
+from travelpulse_spark_stream_tourism_analytics_spark.streaming.simulator import (
+    simulate,
+    write_wire_fixture,
+)
+from travelpulse_spark_stream_tourism_analytics_spark.streaming.sinks import (
+    MemoryMetricSink,
+    format_prometheus,
+    start_query,
+)
+from travelpulse_spark_stream_tourism_analytics_spark.streaming.sources import (
+    file_batch,
+    file_stream,
+)
+
+START = dt.datetime(2024, 6, 1)
+
+
+@pytest.fixture(scope="module")
+def fixture_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("wire")
+    events = simulate(START, n_days=3, events_per_day=40, seed=7)
+    dirs = {}
+    for kind in ("weather", "flight", "booking"):
+        d = root / kind
+        write_wire_fixture(events[kind], str(d / "part-0.json"))
+        dirs[kind] = str(d)
+    return dirs
+
+
+def test_parse_dual_clock_repair(spark):
+    """Exact reference semantics (spark/kafka_to_metrics.py:181-188):
+    NULL event_ts -> kafka_ts; ingest_ts NULL or earlier than kafka_ts
+    -> kafka_ts."""
+    k = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        # (event_ts, ingest_ts) both fine and ingest >= kafka
+        ("a", '{"event_ts":"2024-06-01T11:00:00Z","ingest_ts":"2024-06-01T12:00:05Z"}', k),
+        # event_ts NULL -> falls back to kafka_ts
+        ("b", '{"ingest_ts":"2024-06-01T12:00:05Z"}', k),
+        # ingest_ts earlier than kafka_ts -> clamped to kafka_ts
+        ("c", '{"event_ts":"2024-06-01T11:00:00Z","ingest_ts":"2024-06-01T11:59:00Z"}', k),
+        # ingest_ts NULL -> kafka_ts
+        ("d", '{"event_ts":"2024-06-01T11:00:00Z"}', k),
+    ]
+    df = spark.createDataFrame(rows, WIRE_SCHEMA)
+    got = {
+        r["key"]: (r["event_time"], r["ingest_time"])
+        for r in parse_events(df, WEATHER_SCHEMA).collect()
+    }
+    eleven = dt.datetime(2024, 6, 1, 11, 0, 0)
+    five_past = dt.datetime(2024, 6, 1, 12, 0, 5)
+    assert got["a"] == (eleven, five_past)
+    assert got["b"] == (k, five_past)
+    assert got["c"] == (eleven, k)
+    assert got["d"] == (eleven, k)
+
+
+def test_prometheus_text_format():
+    body = format_prometheus(
+        {
+            "tourism_flights_total_per_min": (None, 12),
+            "tourism_city_bookings_top": ({"city_id": "1", "period": "1m"}, 3.5),
+            "bad": (None, "not-a-number"),
+        }
+    )
+    assert body == (
+        "tourism_flights_total_per_min 12.0\n"
+        'tourism_city_bookings_top{city_id="1",period="1m"} 3.5\n'
+    )
+
+
+def _collecting_sink_rows(spark, stream_df, mode, tmp_path, name):
+    """Run a streaming DF to completion (availableNow) capturing all
+    emitted rows."""
+    rows = []
+
+    def grab(batch_df, batch_id):
+        rows.extend(batch_df.collect())
+
+    q = start_query(
+        stream_df,
+        name,
+        str(tmp_path / f"chk_{name}"),
+        grab,
+        mode=mode,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    return rows
+
+
+def test_stream_batch_parity_minute_counts(spark, fixture_dirs, tmp_path):
+    """The same transform over readStream and read must agree — the
+    architecture's core claim (SURVEY.md §7.0)."""
+    stream_parsed = parse_events(
+        file_stream(spark, fixture_dirs["flight"]), FLIGHT_SCHEMA
+    ).withWatermark("ingest_time", "45 seconds")
+    batch_parsed = parse_events(file_batch(spark, fixture_dirs["flight"]), FLIGHT_SCHEMA)
+
+    got = _collecting_sink_rows(
+        spark, kpis.flight_minute_counts(stream_parsed), "update", tmp_path, "fcnt"
+    )
+    want = kpis.flight_minute_counts(batch_parsed).collect()
+
+    def key(r):
+        return (r["window"]["start"], r["flights_count"], r["flights_cancelled"])
+
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) > 0
+
+
+def test_stream_batch_parity_city_bookings(spark, fixture_dirs, tmp_path):
+    stream_parsed = enrich_bookings(
+        parse_events(file_stream(spark, fixture_dirs["booking"]), BOOKING_SCHEMA)
+    ).withWatermark("event_time", "45 seconds")
+    batch_parsed = enrich_bookings(
+        parse_events(file_batch(spark, fixture_dirs["booking"]), BOOKING_SCHEMA)
+    )
+    got = _collecting_sink_rows(
+        spark,
+        kpis.city_bookings_windowed(stream_parsed, "event_time", kpis.DAYS_30, "bookings_30d"),
+        "update",
+        tmp_path,
+        "bcity",
+    )
+    want = kpis.city_bookings_windowed(
+        batch_parsed, "event_time", kpis.DAYS_30, "bookings_30d"
+    ).collect()
+    key = lambda r: (r["window"]["start"], r["city_id"], r["bookings_30d"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+
+
+def test_per_window_topn_does_not_mix_windows(spark):
+    """The reference's global orderBy+limit mixes windows in one batch
+    (documented quirk); per_window_topn must not."""
+    w1 = {"start": dt.datetime(2024, 1, 1), "end": dt.datetime(2024, 1, 2)}
+    w2 = {"start": dt.datetime(2024, 1, 2), "end": dt.datetime(2024, 1, 3)}
+    df = spark.createDataFrame(
+        [
+            (w1, "a", 100), (w1, "b", 90), (w1, "c", 80),
+            (w2, "x", 3), (w2, "y", 2), (w2, "z", 1),
+        ],
+        "window struct<start:timestamp,end:timestamp>, airport string, inbound long",
+    )
+    top2 = kpis.per_window_topn(df, "inbound", 2, "airport").collect()
+    by_window = {}
+    for r in top2:
+        by_window.setdefault(r["window"]["start"], []).append(r["airport"])
+    assert sorted(by_window[w1["start"]]) == ["a", "b"]
+    assert sorted(by_window[w2["start"]]) == ["x", "y"]  # small window still top-2
+
+
+def test_two_phase_season_score_matches_batch(spark, fixture_dirs, tmp_path):
+    """Streaming two-phase orchestration == direct batch computation of
+    the same math on the same inputs (SURVEY.md §4.3 option b)."""
+    sink = MemoryMetricSink()
+    scorer = TwoPhaseSeasonScore(spark, str(tmp_path / "staging"), sink, topn=10)
+
+    streams = {}
+    for kind, schema in [
+        ("booking", BOOKING_SCHEMA),
+        ("weather", WEATHER_SCHEMA),
+        ("flight", FLIGHT_SCHEMA),
+    ]:
+        parsed = parse_events(file_stream(spark, fixture_dirs[kind]), schema)
+        if kind == "booking":
+            parsed = enrich_bookings(parsed)
+        if kind == "flight":
+            parsed = parsed.withColumnRenamed("destination_city_id", "city_id")
+        streams[kind] = parsed.withWatermark("event_time", "45 seconds")
+
+    qs = scorer.queries(
+        streams["booking"], streams["weather"], streams["flight"],
+        str(tmp_path / "chk"), trigger={"availableNow": True},
+    )
+    for q in qs:
+        q.awaitTermination(180)
+
+    got = {
+        (r["city_id"], r["season"]): round(r["season_score"], 6)
+        for r in scorer.score_batch().collect()
+    }
+
+    # Direct batch computation from the raw fixtures.
+    b = enrich_bookings(
+        parse_events(file_batch(spark, fixture_dirs["booking"]), BOOKING_SCHEMA)
+    )
+    w = parse_events(file_batch(spark, fixture_dirs["weather"]), WEATHER_SCHEMA)
+    f = parse_events(
+        file_batch(spark, fixture_dirs["flight"]), FLIGHT_SCHEMA
+    ).withColumnRenamed("destination_city_id", "city_id")
+    bcs, wcs, fcs = kpis.season_city_stats(b, w, f)
+    want = {
+        (r["city_id"], r["season"]): round(r["season_score"], 6)
+        for r in kpis.season_score(bcs, wcs, fcs).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    for v in got.values():
+        assert 0.0 <= v <= 100.0
+    # And the sink actually received pushes from the streaming side.
+    assert any("tourism_season_score" in k for k in sink.latest())

@@ -1,0 +1,263 @@
+"""Multi-query streaming orchestration (reference topology: 13
+concurrent queries over three topics, spark/kafka_to_metrics.py:564-601)
+plus the two-phase season score.
+
+Season score is an agg -> join -> agg -> join chain — a
+multi-stateful-operator streaming query that classic micro-batch
+forbids (SURVEY.md §3.2). Strategy (b) from SURVEY.md §4.3: each of
+the three per-(window, city, season) aggregations runs as its own
+single-stateful streaming query materializing a complete-mode snapshot;
+a batch stage recomputes percentiles + score from the snapshots each
+trigger. Observable output identical, each piece independently
+restartable and testable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from travelpulse_spark_stream_tourism_analytics_spark.streaming import kpis
+from travelpulse_spark_stream_tourism_analytics_spark.streaming.sinks import (
+    MetricDict,
+    foreach_metrics,
+    start_query,
+)
+
+TOPN_DEFAULT = 10
+
+
+# --------------------------- metric mappers --------------------------------
+# rows -> Pushgateway metric dicts, exact label/name parity with the
+# reference push functions (spark/kafka_to_metrics.py:249-301,:337-366,
+# :403-415,:510-520). They run on tiny aggregated outputs; the heavy
+# top-N reduction happens in-engine (kpis.per_window_topn) before
+# anything reaches the driver.
+
+
+def map_batch_counts(df: DataFrame) -> MetricDict:
+    metrics: MetricDict = {}
+    for r in df.collect():
+        ad = r.asDict()
+        if ad.get("records_in_trigger") is not None:
+            metrics["tourism_ingest_records_per_trigger"] = (
+                None,
+                ad["records_in_trigger"],
+            )
+        if ad.get("weather_count") is not None:
+            metrics["tourism_weather_msgs_per_min"] = (None, ad["weather_count"])
+        if ad.get("flights_count") is not None:
+            total = ad["flights_count"] or 0
+            canc = ad.get("flights_cancelled") or 0
+            metrics["tourism_flight_msgs_per_min"] = (None, total)
+            if total > 0:
+                metrics["tourism_flight_cancel_rate"] = (None, float(canc) / total)
+            if ad.get("avg_delay_min") is not None:
+                metrics["tourism_flight_delay_min_avg"] = (None, ad["avg_delay_min"])
+        if ad.get("bookings_count") is not None:
+            metrics["tourism_booking_msgs_per_min"] = (None, ad["bookings_count"])
+            if ad.get("avg_adr") is not None:
+                metrics["tourism_booking_adr_avg"] = (None, ad["avg_adr"])
+    return metrics
+
+
+def map_airports_top(df: DataFrame, direction: str, topn: int = TOPN_DEFAULT) -> MetricDict:
+    ranked = kpis.per_window_topn(df, direction, topn, "airport")
+    metrics: MetricDict = {}
+    for r in ranked.collect():
+        ap = r["airport"] or "UNK"
+        metrics[f"tourism_airport_flights_per_min:{ap}:{direction}"] = (
+            {"airport": ap, "direction": direction},
+            r[direction],
+        )
+    return _dedup_metric_names(metrics, "tourism_airport_flights_per_min")
+
+
+def map_city_topn(
+    df: DataFrame, value_col: str, period: str, topn: int = TOPN_DEFAULT
+) -> MetricDict:
+    ranked = kpis.per_window_topn(df, value_col, topn, "city_id")
+    metrics: MetricDict = {}
+    for r in ranked.collect():
+        labels = {"city_id": str(r["city_id"] or "NA"), "period": period}
+        if r["city_name"]:
+            labels["city_name"] = r["city_name"]
+        metrics[f"tourism_city_bookings_top:{r['city_id']}:{period}"] = (
+            labels,
+            r[value_col],
+        )
+    return _dedup_metric_names(metrics, "tourism_city_bookings_top")
+
+
+def _dedup_metric_names(metrics: MetricDict, base: str) -> MetricDict:
+    """The reference keys its dict by metric name alone, so only the
+    LAST row of a top-N survives one push (a bug-shaped quirk,
+    reference :249-257 — dict key overwritten per row). We key by
+    name+labels so the full top-N reaches the gateway, then restore
+    the metric name."""
+    return {k: (labels, v) for k, (labels, v) in metrics.items()}
+
+
+def map_season_score(df: DataFrame, topn: int = TOPN_DEFAULT) -> MetricDict:
+    ranked = kpis.per_window_topn(df, "season_score", topn * 4, "city_id", "season")
+    metrics: MetricDict = {}
+    for r in ranked.collect():
+        labels = {
+            "city_id": str(r["city_id"]),
+            "city_name": r["city_name"] or "NA",
+            "season": r["season"] or "NA",
+        }
+        metrics[f"tourism_season_score:{r['city_id']}:{r['season']}"] = (
+            labels,
+            float(r["season_score"]),
+        )
+    return metrics
+
+
+# ------------------------ two-phase season score ----------------------------
+
+
+class TwoPhaseSeasonScore:
+    """Stage 1: three single-stateful streaming aggs snapshotting to
+    parquet each trigger (complete mode). Stage 2: batch percentile +
+    score over the snapshots, pushed to the sink. At-least-once,
+    last-write-wins — the same delivery contract as the reference's
+    Pushgateway gauges."""
+
+    def __init__(self, spark: SparkSession, staging_dir: str, sink, topn: int = 10):
+        self.spark = spark
+        self.staging = staging_dir
+        self.sink = sink
+        self.topn = topn
+
+    def _snapshot_writer(self, name: str, score_after: bool = False):
+        path = os.path.join(self.staging, name)
+
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(path)
+            if score_after:
+                self.score_and_push()
+
+        return fn
+
+    def has_all_snapshots(self) -> bool:
+        return all(
+            os.path.isdir(os.path.join(self.staging, n))
+            for n in ("bookings_cs", "weather_cs", "flights_cs")
+        )
+
+    def score_batch(self) -> DataFrame:
+        b = self.spark.read.parquet(os.path.join(self.staging, "bookings_cs"))
+        w = self.spark.read.parquet(os.path.join(self.staging, "weather_cs"))
+        f = self.spark.read.parquet(os.path.join(self.staging, "flights_cs"))
+        return kpis.season_score(b, w, f)
+
+    def score_and_push(self) -> None:
+        if not self.has_all_snapshots():
+            return
+        self.sink.push(map_season_score(self.score_batch(), self.topn))
+
+    def queries(
+        self,
+        bookings_evt: DataFrame,
+        weather_evt: DataFrame,
+        flights_evt: DataFrame,
+        checkpoint_root: str,
+        trigger: dict | None = None,
+    ):
+        bookings_cs, weather_cs, flights_cs = kpis.season_city_stats(
+            bookings_evt, weather_evt, flights_evt
+        )
+        qs = []
+        for name, df, score_after in [
+            ("weather_cs", weather_cs, False),
+            ("flights_cs", flights_cs, False),
+            ("bookings_cs", bookings_cs, True),
+        ]:
+            qs.append(
+                start_query(
+                    df,
+                    f"season_{name}",
+                    os.path.join(checkpoint_root, f"chk_{name}"),
+                    self._snapshot_writer(name, score_after),
+                    mode="complete",
+                    trigger=trigger,
+                )
+            )
+        return qs
+
+
+# ----------------------------- full topology --------------------------------
+
+
+def build_all_queries(
+    spark: SparkSession,
+    weather_base: DataFrame,
+    flights_base: DataFrame,
+    bookings_base: DataFrame,
+    city_dim: DataFrame,
+    sink,
+    checkpoint_root: str,
+    staging_dir: str,
+    watermark: str = "45 seconds",
+    trigger: dict | None = None,
+    topn: int = TOPN_DEFAULT,
+    as_of=None,
+):
+    """Start the reference's 13-query topology off shared parsed
+    streams (one Kafka consumer group per query, like the reference's
+    per-query checkpoints; SURVEY.md §2.8 W8)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.parse import (
+        enrich_bookings,
+        fork_watermarks,
+    )
+
+    bookings_enriched = enrich_bookings(bookings_base)
+    weather_ing, weather_evt = fork_watermarks(weather_base, watermark)
+    flights_ing, flights_evt = fork_watermarks(flights_base, watermark)
+    _, bookings_evt = fork_watermarks(bookings_enriched, watermark)
+    bookings_ing, _ = fork_watermarks(bookings_enriched, watermark)
+    flights_evt = flights_evt.withColumnRenamed("destination_city_id", "city_id")
+
+    chk = lambda n: os.path.join(checkpoint_root, n)  # noqa: E731
+    mm = foreach_metrics
+    queries = [
+        start_query(kpis.ingest_counter(weather_ing), "ingest_counter",
+                    chk("chk_i"), mm(map_batch_counts, sink), trigger=trigger),
+        start_query(kpis.weather_minute_counts(weather_ing), "weather_cnt",
+                    chk("chk_w"), mm(map_batch_counts, sink), trigger=trigger),
+        start_query(kpis.flight_minute_counts(flights_ing), "flights_cnt",
+                    chk("chk_f"), mm(map_batch_counts, sink), trigger=trigger),
+        start_query(kpis.booking_minute_counts(bookings_ing), "bookings_cnt",
+                    chk("chk_b"), mm(map_batch_counts, sink), trigger=trigger),
+        start_query(kpis.airport_flow(flights_ing, "inbound"), "airports_inbound",
+                    chk("chk_air_in"),
+                    mm(lambda df: map_airports_top(df, "inbound", topn), sink),
+                    trigger=trigger),
+        start_query(kpis.airport_flow(flights_ing, "outbound"), "airports_outbound",
+                    chk("chk_air_out"),
+                    mm(lambda df: map_airports_top(df, "outbound", topn), sink),
+                    trigger=trigger),
+        start_query(
+            kpis.city_bookings_windowed(bookings_ing, "ingest_time", kpis.MINUTE, "bookings"),
+            "top_cities_minute", chk("chk_city_min"),
+            mm(lambda df: map_city_topn(df, "bookings", "1m", topn), sink),
+            trigger=trigger),
+        start_query(
+            kpis.city_bookings_windowed(bookings_evt, "event_time", kpis.DAYS_30, "bookings_30d"),
+            "top_cities_30d", chk("chk_city_30d"),
+            mm(lambda df: map_city_topn(df, "bookings_30d", "30d", topn), sink),
+            trigger=trigger),
+        start_query(
+            kpis.city_bookings_windowed(bookings_evt, "event_time", kpis.DAYS_365, "bookings_365d"),
+            "top_cities_365d", chk("chk_city_365d"),
+            mm(lambda df: map_city_topn(df, "bookings_365d", "365d", topn), sink),
+            trigger=trigger),
+    ]
+    scorer = TwoPhaseSeasonScore(spark, staging_dir, sink, topn)
+    queries += scorer.queries(
+        bookings_evt, weather_evt, flights_evt, checkpoint_root, trigger
+    )
+    return queries, scorer
