@@ -1,0 +1,188 @@
+"""ETL operator tests: messy-file readers, staged merges, spatial
+dedup, dimension builders — hand-computable fixtures throughout."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from travelpulse_spark_stream_tourism_analytics_spark.etl.cities import (
+    build_airports,
+    build_cities,
+    build_hotels,
+)
+from travelpulse_spark_stream_tourism_analytics_spark.etl.spatial import radius_dedup
+from travelpulse_spark_stream_tourism_analytics_spark.operators.joins import (
+    remap_keys,
+    staged_fallback_merge,
+    still_missing,
+    suffixed_join,
+)
+from travelpulse_spark_stream_tourism_analytics_spark.sources.readers import (
+    GEONAMES_SCHEMA,
+    read_csv_auto,
+    read_geojsonl,
+    read_tsv_positional,
+    sniff_encoding,
+    sniff_sep,
+)
+
+
+def test_sniff_sep_and_encoding(tmp_path):
+    p = tmp_path / "istat.csv"
+    # cp1252 'è' byte + semicolons, the classic ISTAT shape
+    p.write_bytes("codice;comune;valore\n001;Perugi\xe8;1.234,5\n".encode("cp1252"))
+    assert sniff_sep(str(p)) == ";"
+    assert sniff_encoding(str(p)) == "cp1252"
+
+
+def test_read_csv_auto_semicolon_cp1252(spark, tmp_path):
+    p = tmp_path / "istat.csv"
+    p.write_bytes(
+        "codice;comune;valore\n001;Perugi\xe8;1.234,5\n002;Roma;10\n".encode("cp1252")
+    )
+    df = read_csv_auto(spark, str(p))
+    rows = {r["codice"]: r for r in df.collect()}
+    assert rows["001"]["comune"] == "Perugiè"
+    assert rows["001"]["valore"] == "1.234,5"  # all-string contract
+
+
+def test_read_tsv_positional(spark, tmp_path):
+    p = tmp_path / "IT.txt"
+    line = "\t".join(
+        [
+            "3165524", "Roma", "Roma", "Rome,Rom", "41.89193", "12.51133",
+            "P", "PPLC", "IT", "", "07", "RM", "", "", "2318895", "20", "37",
+            "Europe/Rome", "2023-01-01",
+        ]
+    )
+    p.write_text(line + "\n")
+    df = read_tsv_positional(spark, str(p), GEONAMES_SCHEMA)
+    r = df.collect()[0]
+    assert r["geonameid"] == 3165524
+    assert r["feature_code"] == "PPLC"
+    assert r["population"] == 2318895
+    assert abs(r["latitude"] - 41.89193) < 1e-9
+
+
+def test_read_geojsonl(spark, tmp_path):
+    p = tmp_path / "hotels.geojsonl"
+    p.write_text(
+        '{"geometry":{"type":"Point","coordinates":[12.49,41.90]},'
+        '"properties":{"name":"Hotel Röma","addr:city":"Roma","tourism":"hotel","@id":"node/1"}}\n'
+        '{"geometry":{"type":"Point","coordinates":[9.19,45.46]},'
+        '"properties":{"name":"Casa Milano","addr:city":"Milano","tourism":"hotel","@id":"node/2"}}\n'
+    )
+    df = read_geojsonl(spark, str(p))
+    rows = {r["osm_id"]: r for r in df.collect()}
+    assert rows["node/1"]["name"] == "Hotel Röma"
+    assert abs(rows["node/1"]["lat"] - 41.90) < 1e-9
+    assert rows["node/2"]["addr_city"] == "Milano"
+
+
+def test_staged_fallback_merge_precedence(spark):
+    """Earlier (precise) key matches must never be overwritten by later
+    (loose) ones; unmatched rows surface via still_missing."""
+    left = spark.createDataFrame(
+        [(1, "k1", "loose"), (2, "zzz", "loose"), (3, "zzz", "none")],
+        "id long, k_exact string, k_loose string",
+    )
+    right = spark.createDataFrame(
+        [("k1", "exact-payload"), ("loose", "loose-payload")],
+        "k string, payload string",
+    )
+    out = staged_fallback_merge(
+        left, right, [("k_exact", "k"), ("k_loose", "k")], ["payload"]
+    )
+    got = {r["id"]: r["payload"] for r in out.collect()}
+    assert got == {1: "exact-payload", 2: "loose-payload", 3: None}
+    assert [r["id"] for r in still_missing(out, ["payload"]).collect()] == [3]
+
+
+def test_suffixed_join_and_remap(spark):
+    left = spark.createDataFrame([("a", 1)], "k string, v long")
+    right = spark.createDataFrame([("a", 2)], "k string, v long")
+    out = suffixed_join(left, right, "k", "_hh")
+    assert set(out.columns) == {"k", "v", "v_hh"}
+
+    mapping = spark.createDataFrame([("alias", "canonical")], "src string, dst string")
+    df = spark.createDataFrame([("alias",), ("other",)], "k string")
+    remapped = {r["k"] for r in remap_keys(df, mapping, "k", "src", "dst").collect()}
+    assert remapped == {"canonical", "other"}
+
+
+def test_radius_dedup_greedy_keep_first(spark):
+    """Hand-computed: A(0m) kept; B(+50m) dropped (near A); C(+300m)
+    kept (far from A); D(+350m) dropped (within 150m of C)."""
+    base = 41.0
+    deg = lambda m: m / 111_000.0  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            ("g", 1, base, 12.0),
+            ("g", 2, base + deg(50), 12.0),
+            ("g", 3, base + deg(300), 12.0),
+            ("g", 4, base + deg(350), 12.0),
+        ],
+        "grp string, id long, lat double, lon double",
+    )
+    kept = sorted(
+        r["id"] for r in radius_dedup(df, ["grp"], "id", radius_m=150.0).collect()
+    )
+    assert kept == [1, 3]
+
+
+@pytest.fixture()
+def geonames_fixture(spark):
+    rows = [
+        # (id, name, ascii, alt, lat, lon, fclass, fcode, cc, cc2, adm1, ...)
+        (1, "Roma", "Roma", "", 41.9, 12.5, "P", "PPLC", "IT", "", "12",
+         "RM", "", "", 2800000, "", "", "Europe/Rome", ""),
+        (2, "Roma", "Roma", "", 41.0, 12.0, "P", "PPL", "IT", "", "12",
+         "", "", "", 100, "", "", "Europe/Rome", ""),  # dup name, smaller
+        (3, "Milano", "Milano", "", 45.46, 9.19, "P", "PPLA", "IT", "", "3",
+         "", "", "", 1300000, "", "", "Europe/Rome", ""),  # admin1 needs lpad
+        (4, "Monte Bianco", "Monte Bianco", "", 45.8, 6.8, "T", "MT", "IT",
+         "", "02", "", "", "", 0, "", "", "Europe/Rome", ""),  # not P class
+        (5, "Ghost", "Ghost", "", 40.0, 10.0, "P", "PPL", "IT", "", "09",
+         "", "", "", 0, "", "", "Europe/Rome", ""),  # zero population
+    ]
+    return spark.createDataFrame(rows, GEONAMES_SCHEMA)
+
+
+def test_build_cities(spark, geonames_fixture):
+    out = build_cities(geonames_fixture).collect()
+    by_id = {r["city_id"]: r for r in out}
+    assert set(by_id) == {1, 3}  # dedup kept largest Roma; filters dropped rest
+    assert by_id[1]["region"] == "Lazio"
+    assert by_id[3]["region"] == "Lombardia"  # lpad('3') -> '03'
+    assert by_id[1]["city_name_norm"] == "roma"
+
+
+def test_build_hotels_name_and_spatial_fallback(spark, geonames_fixture):
+    cities = build_cities(geonames_fixture)
+    hotels = spark.createDataFrame(
+        [
+            ("Hotel Colosseo", "ROMA", "hotel", "node/10", 41.91, 12.49),
+            ("Albergo Duomo", None, "hotel", "node/20", 45.47, 9.20),  # spatial
+        ],
+        "name string, addr_city string, kind string, osm_id string, lat double, lon double",
+    )
+    out = {r["osm_id"]: r for r in build_hotels(hotels, cities).collect()}
+    assert out["node/10"]["matched_city_id"] == 1  # name match (fold: ROMA->roma)
+    assert out["node/20"]["matched_city_id"] == 3  # nearest city = Milano
+    assert out["node/10"]["hotel_uid"].startswith("1-hotel-colosseo-")
+
+
+def test_build_airports_keep_largest(spark):
+    airports = spark.createDataFrame(
+        [
+            (1, "FCO", "large_airport", 41.8, 12.25),
+            (2, "FCO", "small_airport", 41.8, 12.25),  # dup IATA, smaller
+            (3, "XX", "large_airport", 45.0, 9.0),  # bad IATA
+            (4, "MXP", "medium_airport", 45.63, 8.72),
+        ],
+        "id long, iata_code string, type string, latitude_deg double, longitude_deg double",
+    )
+    out = {r["iata_code"]: r for r in build_airports(airports).collect()}
+    assert set(out) == {"FCO", "MXP"}
+    assert out["FCO"]["id"] == 1

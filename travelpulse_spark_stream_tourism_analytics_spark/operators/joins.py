@@ -1,0 +1,130 @@
+"""Advanced join operators: the reference's merge machinery,
+re-expressed as pure DataFrame composition (SURVEY.md §2.4).
+
+- staged_fallback_merge (J5): try progressively looser key pairs; after
+  each pass fill only still-NULL payload columns — a coalescing join
+  cascade (reference scripts/rebuild_and_merge_cities_it.py:175-224).
+- suffix-disambiguated merge (J7): rename colliding right columns
+  before joining (reference scripts/merge_cities_all.py:66-69,119-146).
+- keyed remap (J8): optional mapping table rewrites join keys pre-merge
+  (reference scripts/rebuild_and_merge_cities_it.py:239-246).
+- nearest_neighbor_join (J6): argmin-distance theta join via broadcast
+  + per-key window (reference scripts/build_hotels_yaml.py:237-257).
+
+Scale: every stage is a plain left join — broadcastable when the right
+side is a dimension; the NULL-fill is a projection, so the cascade adds
+no extra shuffles beyond its joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def staged_fallback_merge(
+    left: DataFrame,
+    right: DataFrame,
+    key_pairs: Sequence[tuple[str, str]],
+    payload_cols: Sequence[str],
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Left-join `right` onto `left` trying each (left_key, right_key)
+    pair in order; each pass fills only payload columns still NULL
+    (pandas ``combine_first`` semantics, reference J5).
+
+    Rows that matched an earlier (more precise) key never get
+    overwritten by a later (looser) one.
+    """
+    out = left
+    for col in payload_cols:
+        if col not in out.columns:
+            out = out.withColumn(col, F.lit(None))
+    for lk, rk in key_pairs:
+        r = right.select(
+            F.col(rk).alias("__rk"),
+            *[F.col(c).alias(f"__tmp_{c}") for c in payload_cols],
+        )
+        # Keys can repeat on the right under loose normalization; keep a
+        # deterministic single candidate per key (first by payload) so
+        # the cascade never fans out rows.
+        r = r.groupBy("__rk").agg(
+            *[F.min(f"__tmp_{c}").alias(f"__tmp_{c}") for c in payload_cols]
+        )
+        if broadcast_right:
+            r = F.broadcast(r)
+        out = out.join(r, on=out[lk] == r["__rk"], how="left").drop("__rk")
+        for c in payload_cols:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__tmp_{c}")))
+        out = out.drop(*[f"__tmp_{c}" for c in payload_cols])
+    return out
+
+
+def still_missing(df: DataFrame, payload_cols: Sequence[str]) -> DataFrame:
+    """Rows whose payload is entirely NULL after the cascade — the
+    anti-join the reference emulates with merge+isna (J5 tail,
+    reference scripts/rebuild_and_merge_cities_it.py:217-222)."""
+    cond = None
+    for c in payload_cols:
+        term = F.col(c).isNull()
+        cond = term if cond is None else (cond & term)
+    return df.filter(cond)
+
+
+def suffixed_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    suffix: str,
+    how: str = "left",
+) -> DataFrame:
+    """Left join with colliding right columns renamed ``<col><suffix>``
+    (reference J7)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    collisions = (set(left.columns) & set(right.columns)) - set(keys)
+    r = right
+    for c in collisions:
+        r = r.withColumnRenamed(c, f"{c}{suffix}")
+    return left.join(r, on=keys, how=how)
+
+
+def remap_keys(
+    df: DataFrame, mapping: DataFrame, key: str, src: str, dst: str
+) -> DataFrame:
+    """Rewrite join keys through an optional (source -> target) mapping
+    table; unmapped keys pass through (reference J8)."""
+    m = F.broadcast(
+        mapping.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    )
+    return (
+        df.join(m, on=df[key] == m["__src"], how="left")
+        .withColumn(key, F.coalesce(F.col("__dst"), F.col(key)))
+        .drop("__src", "__dst")
+    )
+
+
+def nearest_neighbor_join(
+    probe: DataFrame,
+    dim: DataFrame,
+    probe_id: str,
+    distance: Callable[[], Column],
+    k: int = 1,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """k-NN theta join: broadcast cross join + per-probe window
+    (reference J6). `distance()` builds the metric from joined columns.
+    At larger dim sizes, prefilter by a spatial cell (geohash bucket)
+    before this — see operators/similarity.lsh_neardup_pairs for the
+    bucketed pattern."""
+    from pyspark.sql.window import Window
+
+    joined = probe.crossJoin(F.broadcast(dim)).withColumn("__dist", distance())
+    order = [F.asc("__dist")] + ([F.asc(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(probe_id).orderBy(*order)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -93,6 +93,7 @@ def _ensure_registered() -> None:
         return
     # Imported for their registration side effects.
     from travelpulse_spark_stream_tourism_analytics_spark.plans import (  # noqa: F401
+        etl_queries,
         events_queries,
         functions_queries,
         relational_queries,
