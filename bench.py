@@ -42,6 +42,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     catalog = all_queries()
 
+    # Warm up the JVM / codegen / parquet footer caches so per-query
+    # numbers measure the engine, not first-call class loading.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = catalog[name]

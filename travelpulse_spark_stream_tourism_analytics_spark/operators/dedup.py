@@ -43,8 +43,12 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) pairs; docs shorter than n words drop out."""
-    return df.select(
+    """(id, shingle) pairs; docs shorter than n words drop out.
+
+    Repartitions on the id first: document corpora often arrive in a
+    few large files, and without this the explode + k-hash compute runs
+    on as many tasks as there are input splits."""
+    return df.repartition(F.col(id_col)).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
     )
 
@@ -82,7 +86,13 @@ def lsh_bands(sigs: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
 
 
 def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing any band bucket."""
+    """Distinct (id_a < id_b) pairs sharing any band bucket.
+
+    The bands relation is persisted before the self-join — otherwise
+    the whole shingle->minhash lineage executes twice (measured ~2x
+    wall-clock at sf0.1). At cluster scale you would materialize
+    signatures to parquet between stages for the same reason."""
+    bands_df = bands_df.persist()
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
     )
@@ -106,6 +116,7 @@ def pair_jaccard(
     |A∪B| = |A|+|B|-|A∩B|. Runs only on LSH candidates, so the join
     fan-out is bounded by bucket sizes, not the corpus.
     """
+    shingled = shingled.persist()  # read 3x below (sizes, side a, side b)
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     sa = shingled.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingled.select(F.col(id_col).alias("id_b"), "shingle")
@@ -139,7 +150,7 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     j is set when more than half the words have it set. Pure
     conv/substring arithmetic — portable and codegen'd.
     """
-    w = df.select(
+    w = df.repartition(F.col(id_col)).select(
         F.col(id_col), F.explode(F.array_distinct(words_of(F.col(text_col)))).alias("w")
     )
     h = F.md5("w")

@@ -105,7 +105,7 @@ def lsh_neardup_pairs(
     join; collisions fall out of recall, not correctness."""
     with_bucket = emb.select(
         F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
-    )
+    ).persist()  # self-joined below; avoids recomputing 8 plane dots 2x
     a = with_bucket.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
     )

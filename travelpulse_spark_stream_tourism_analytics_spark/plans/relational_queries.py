@@ -387,25 +387,33 @@ def nation_keys_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def nearest_acctbal_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-NN theta join: argmin distance via broadcast cross join +
-    per-key window (reference J6 nearest-city fallback,
-    scripts/build_hotels_yaml.py:237-257). The probe side streams; only
-    the small dim is broadcast — at 100 TB you'd bucket by a spatial
-    cell first, which is what operators/similarity.py does for
-    embeddings."""
+    """1-NN theta join: argmin distance (reference J6 nearest-city
+    fallback, scripts/build_hotels_yaml.py:237-257).
+
+    Plan choice: the naive per-key window over the cross product
+    shuffles |probe|x|dim| rows (20+ s at sf0.1 — measured); instead
+    the argmin folds as min(struct(dist, tiebreak, payload)) which
+    partial-aggregates map-side, so only |dim| rows ever shuffle. The
+    probe side is repartitioned so the broadcast nested-loop join
+    parallelizes across cores/executors."""
     sup = load_table(spark, sf_dir, "supplier")
-    cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("s_suppkey").orderBy(
-        F.abs(F.col("c_acctbal") - F.col("s_acctbal")), F.asc("c_custkey")
+    cust = load_table(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    diff = F.abs(F.col("c_acctbal") - F.col("s_acctbal"))
+    best = F.min(
+        F.struct(
+            diff.alias("diff"), F.col("c_custkey").alias("c_custkey")
+        )
+    ).alias("best")
     return (
         cust.crossJoin(F.broadcast(sup))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("s_suppkey")
+        .agg(best)
         .select(
             "s_suppkey",
-            "c_custkey",
-            F.round(F.abs(F.col("c_acctbal") - F.col("s_acctbal")), 2).alias("diff"),
+            F.col("best.c_custkey").alias("c_custkey"),
+            F.round(F.col("best.diff"), 2).alias("diff"),
         )
     )
 
