@@ -98,6 +98,7 @@ def _ensure_registered() -> None:
         functions_queries,
         relational_queries,
         text_queries,
+        window_queries,
     )
 
     _REGISTERED = True

@@ -1,0 +1,184 @@
+"""Analytic window functions + multi-dimensional aggregates.
+
+Absent from the reference (SURVEY.md §2.5 notes no grouping sets /
+rollup / cube / HLL) but part of a complete engine surface — exposed
+here with full oracle parity. PromQL's ``sum by``/``sum without``
+re-aggregation semantics (the reference's serving layer) are the
+rollup/share queries below, folded back into the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+    load_table,
+    query,
+)
+
+
+@query(
+    "customer_order_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(row_number() OVER w AS BIGINT) AS order_seq,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+           lag(o_totalprice) OVER w AS prev_totalprice,
+           CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
+                AS BIGINT) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def customer_order_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals / lag / sequence per customer — analytic window
+    catalog (exact decimal accumulation keeps the running sum
+    order-independent across engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(wrows)
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_totalprice"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+@query(
+    "nation_revenue_share",
+    oracle="""
+    WITH nr AS (
+        SELECT n_name,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
+    )
+    SELECT n_name, revenue,
+           CAST(rank() OVER (ORDER BY revenue DESC) AS BIGINT) AS revenue_rank,
+           CAST(ntile(4) OVER (ORDER BY revenue DESC, n_name) AS BIGINT) AS quartile,
+           round(revenue / sum(revenue) OVER (), 6) AS revenue_share
+    FROM nr
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / ntile / share-of-total — the in-engine equivalent of the
+    PromQL `sum by` + topk serving layer (SURVEY.md §3.1)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    nr = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return nr.select(
+        "n_name",
+        "revenue",
+        F.rank().over(Window.orderBy(F.desc("revenue"))).cast("long").alias(
+            "revenue_rank"
+        ),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("revenue"), F.asc("n_name")))
+        .cast("long")
+        .alias("quartile"),
+        F.round(
+            F.col("revenue")
+            / F.sum("revenue").over(Window.partitionBy()),
+            6,
+        ).alias("revenue_share"),
+    )
+
+
+@query(
+    "region_nation_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders,
+           (CAST(grouping(r_name) AS BIGINT) * 2
+            + CAST(grouping(n_name) AS BIGINT)) AS gid
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals with grouping ids."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_orders"),
+        (
+            F.grouping("r_name").cast("long") * 2 + F.grouping("n_name").cast("long")
+        ).alias("gid"),
+    )
+
+
+@query(
+    "status_priority_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           (CAST(grouping(o_orderstatus) AS BIGINT) * 2
+            + CAST(grouping(o_orderpriority) AS BIGINT)) AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two categorical dimensions with grouping ids."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.grouping("o_orderstatus").cast("long") * 2
+            + F.grouping("o_orderpriority").cast("long")
+        ).alias("gid"),
+    )
+
+
+@query("approx_distinct_users")  # HLL sketches differ per engine: rows-only
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) per event_type — the sketch path
+    for distinct counting at 100 TB; deterministic for a given input
+    but not bit-matchable against DuckDB's HLL, hence no SQL twin
+    (exact distinct is oracle-checked in regional_revenue /
+    global_counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
