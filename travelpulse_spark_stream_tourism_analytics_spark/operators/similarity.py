@@ -118,3 +118,81 @@ def lsh_neardup_pairs(
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def ivf_index(
+    emb: DataFrame, id_col: str, vec_col: str, n_cells: int = 16, seed: int = 42
+):
+    """IVF index: KMeans centroids partition the corpus into cells
+    (coarse quantizer). Returns (corpus with `cell`, fitted model).
+
+    The scale path beyond hyperplane LSH: cells adapt to the data
+    distribution, and search probes only `n_probe` cells — the cross
+    join shrinks by ~n_cells/n_probe. Centroids are a tiny broadcast
+    model; assignment is one map-side pass.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    featurized = emb.withColumn("__features", array_to_vector(F.col(vec_col)))
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=10, featuresCol="__features"
+    ).fit(featurized)
+    assigned = (
+        model.transform(featurized)
+        .withColumnRenamed("prediction", "cell")
+        .drop("__features")
+    )
+    return assigned, model
+
+
+def ivf_knn(
+    corpus_with_cells: DataFrame,
+    model,
+    queries: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    vec_col: str = "v",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k cosine within the query's n_probe nearest cells.
+
+    Recall/cost trade: n_probe = n_cells recovers exact brute force.
+    """
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    centers = model.clusterCenters()
+
+    def cell_rank_pairs(qv_np):
+        d = [float(np.linalg.norm(qv_np - c)) for c in centers]
+        return [c for c, _ in sorted(enumerate(d), key=lambda t: t[1])[:n_probe]]
+
+    # Queries are few: compute their probe cells driver-side and
+    # broadcast (centroids are plan constants, like the LSH planes).
+    q_rows = queries.collect()
+    probe = [
+        (r[query_id_col], r["qv"], cell)
+        for r in q_rows
+        for cell in cell_rank_pairs(np.array(r["qv"]))
+    ]
+    spark = queries.sparkSession
+    q_df = spark.createDataFrame(
+        probe, f"{query_id_col} long, qv array<double>, cell int"
+    )
+    scored = (
+        corpus_with_cells.join(F.broadcast(q_df), "cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("qv"), F.col(vec_col)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

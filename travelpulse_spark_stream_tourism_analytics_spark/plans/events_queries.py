@@ -301,3 +301,45 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.round(F.avg(k), 6).alias("avg_k"),
     )
+
+
+@query(
+    "user_session_windows",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts::TIMESTAMP AS ts,
+               CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+                         OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w
+                            >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user — an engine extension;
+    the reference has only tumbling windows (SURVEY.md §2.8 W2). On a
+    stream this is ``F.session_window`` with a watermark; the oracle
+    mirrors the merge semantics via gaps-and-islands SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count("*").alias("n_events")).select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+    )

@@ -515,3 +515,21 @@ def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec libs; see operators/multimodal.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_blob_features(multimodal.attach_blob(docs))
+
+
+@query("embedding_ivf_knn")  # KMeans centroids: not SQL-expressible
+def embedding_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate kNN: KMeans-cell-partitioned search probing 4 of
+    16 cells per query (operators/similarity.ivf_index/ivf_knn) — the
+    data-adaptive scale path; brute force (embedding_knn) is its
+    oracle-checked recall baseline."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.as_double_vec(F.col("embedding")).alias("v")
+    )
+    corpus, model = similarity.ivf_index(emb, "vec_id", "v", n_cells=16)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return similarity.ivf_knn(
+        corpus, model, queries, "vec_id", "query_id", "v", k=5, n_probe=4
+    )

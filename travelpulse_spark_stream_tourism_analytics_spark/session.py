@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # Keep catalog/metastore artifacts out of the repo cwd.
+        .config("spark.sql.warehouse.dir", "/tmp/tp_warehouse")
+        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/tp_derby")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     )
     return builder.getOrCreate()
