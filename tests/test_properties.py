@@ -1,0 +1,139 @@
+"""Property-based invariants for the scalar function library
+(hypothesis-driven; each example evaluates one vectorized Spark job).
+
+Inherited from the reference's runtime asserts (SURVEY.md §5):
+normalized keys stay in their charset, ratios stay in [0,1], parses
+round-trip.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from travelpulse_spark_stream_tourism_analytics_spark.functions.geo import haversine_km
+from travelpulse_spark_stream_tourism_analytics_spark.functions.numeric import (
+    locale_numeric,
+    minmax_norm,
+)
+from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+    fold_accents,
+    slugify,
+    word_ngrams,
+    words_of,
+)
+
+SETTINGS = settings(max_examples=10, deadline=None)
+
+texts = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=60,
+)
+
+
+@SETTINGS
+@given(st.lists(texts, min_size=1, max_size=30))
+def test_fold_accents_idempotent_and_charset(spark, strings):
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    rows = df.select(
+        fold_accents(F.col("s")).alias("once"),
+        fold_accents(fold_accents(F.col("s"))).alias("twice"),
+        slugify(F.col("s")).alias("slug"),
+    ).collect()
+    for r in rows:
+        assert r["once"] == r["twice"]  # idempotent
+        assert re.fullmatch(r"[a-z0-9 ]*", r["once"]), r["once"]
+        assert re.fullmatch(r"[a-z0-9-]{0,40}", r["slug"]), r["slug"]
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.decimals(
+            min_value=0, max_value=99_999_999, places=2, allow_nan=False
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_locale_numeric_roundtrip(spark, decimals):
+    def italianize(d) -> str:
+        ip, _, frac = f"{d:.2f}".partition(".")
+        grouped = f"{int(ip):,}".replace(",", ".")
+        return f" {grouped},{frac}"
+
+    rows = [(italianize(d), float(d)) for d in decimals]
+    df = spark.createDataFrame(rows, "s string, expected double")
+    for r in df.select(locale_numeric(F.col("s")).alias("got"), "expected").collect():
+        assert r["got"] == r["expected"]
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-90, 90, allow_nan=False),
+            st.floats(-180, 180, allow_nan=False),
+            st.floats(-90, 90, allow_nan=False),
+            st.floats(-180, 180, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_haversine_symmetry_and_bounds(spark, coords):
+    df = spark.createDataFrame(
+        coords, "lat1 double, lon1 double, lat2 double, lon2 double"
+    )
+    rows = df.select(
+        haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias(
+            "ab"
+        ),
+        haversine_km(F.col("lat2"), F.col("lon2"), F.col("lat1"), F.col("lon1")).alias(
+            "ba"
+        ),
+        haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat1"), F.col("lon1")).alias(
+            "self"
+        ),
+    ).collect()
+    half_circumference = 20015.2
+    for r in rows:
+        assert abs(r["ab"] - r["ba"]) < 1e-6
+        assert -1e-9 <= r["ab"] <= half_circumference
+        assert abs(r["self"]) < 1e-6
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-1e6, 1e6, allow_nan=False),
+            st.floats(-1e6, 1e6, allow_nan=False),
+            st.floats(-1e6, 1e6, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_minmax_norm_bounded(spark, triples):
+    rows = [(x, min(lo, hi), max(lo, hi)) for x, lo, hi in triples]
+    df = spark.createDataFrame(rows, "x double, lo double, hi double")
+    for r in df.select(
+        minmax_norm(F.col("x"), F.col("lo"), F.col("hi")).alias("norm")
+    ).collect():
+        assert 0.0 <= r["norm"] <= 1.0
+
+
+@SETTINGS
+@given(st.lists(texts, min_size=1, max_size=20), st.integers(1, 5))
+def test_word_ngrams_count(spark, strings, n):
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    toks = words_of(F.col("s"))
+    rows = df.select(
+        F.size(toks).alias("n_words"),
+        F.size(word_ngrams(toks, n)).alias("n_grams"),
+    ).collect()
+    for r in rows:
+        assert r["n_grams"] == max(0, r["n_words"] - n + 1)
