@@ -122,7 +122,12 @@ def top_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     agg = (
         ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .groupBy(
+            # date_trunc returns TIMESTAMP_LTZ; keep outputs NTZ so
+            # collected values are tz-naive like the DuckDB oracle.
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+            "user_id",
+        )
         .agg(
             F.count("*").alias("n_purchases"),
             money_sum("value", "spend"),
@@ -144,7 +149,7 @@ def top_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "today_user_spend",
     oracle="""
-    SELECT ts::DATE AS day, user_id,
+    SELECT CAST(ts::DATE AS TIMESTAMP) AS day, user_id,
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
     FROM events
@@ -161,7 +166,7 @@ def today_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     today = ev.agg(F.max(F.to_date("ts")).alias("__today"))
     return (
         ev.join(F.broadcast(today), F.to_date("ts") == F.col("__today"), "inner")
-        .groupBy(F.to_date("ts").alias("day"), "user_id")
+        .groupBy(F.to_date("ts").cast("timestamp_ntz").alias("day"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
             money_sum("value", "spend"),
@@ -238,7 +243,9 @@ def hourly_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference A4/A6, spark/kafka_to_metrics.py:230,234)."""
     ev = load_table(spark, sf_dir, "events")
     dec_sum = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-    return ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour")
+    ).agg(
         F.count("*").alias("n_events"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
