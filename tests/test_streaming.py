@@ -224,3 +224,74 @@ def test_two_phase_season_score_matches_batch(spark, fixture_dirs, tmp_path):
         assert 0.0 <= v <= 100.0
     # And the sink actually received pushes from the streaming side.
     assert any("tourism_season_score" in k for k in sink.latest())
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate keys inside the watermark window must collapse."""
+    import json as _json
+
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.parse import (
+        dedup_stream,
+    )
+
+    d = tmp_path / "dupwire"
+    d.mkdir()
+    with open(d / "f0.json", "w") as f:
+        for i, (key, ts) in enumerate(
+            [("a", "12:00:00"), ("a", "12:00:10"), ("b", "12:00:20"), ("a", "12:00:25")]
+        ):
+            f.write(
+                _json.dumps(
+                    {
+                        "key": key,
+                        "value": _json.dumps(
+                            {"trace_id": key, "event_ts": f"2024-06-01T{ts}Z"}
+                        ),
+                        "kafka_ts": f"2024-06-01T{ts}.000Z",
+                    }
+                )
+                + "\n"
+            )
+    parsed = parse_events(file_stream(spark, str(d)), WEATHER_SCHEMA).withWatermark(
+        "event_time", "10 minutes"
+    )
+    got = _collecting_sink_rows(
+        spark,
+        dedup_stream(parsed, ["trace_id"]).select("trace_id"),
+        "append",
+        tmp_path,
+        "dedupq",
+    )
+    assert sorted(r["trace_id"] for r in got) == ["a", "b"]
+
+
+def test_exactly_once_parquet_sink(spark, fixture_dirs, tmp_path):
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.sinks import (
+        start_parquet_sink,
+    )
+
+    # Append mode requires the watermark on the windowed column.
+    parsed = parse_events(
+        file_stream(spark, fixture_dirs["weather"]), WEATHER_SCHEMA
+    ).withWatermark("ingest_time", "45 seconds")
+    agg = kpis.weather_minute_counts(parsed)
+    out = str(tmp_path / "sinkout")
+    q = start_parquet_sink(
+        agg, "pqsink", out, str(tmp_path / "chk_pq"), trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    # Append emits exactly the windows the final watermark
+    # (max ingest_time - 45s) has closed; open windows stay in state.
+    batch_parsed = parse_events(
+        file_batch(spark, fixture_dirs["weather"]), WEATHER_SCHEMA
+    )
+    max_ing = batch_parsed.agg(F.max("ingest_time")).collect()[0][0]
+    watermark = max_ing - dt.timedelta(seconds=45)
+    want = (
+        kpis.weather_minute_counts(batch_parsed)
+        .filter(F.col("window.end") <= F.lit(watermark))
+        .count()
+    )
+    assert back.count() == want  # closed windows committed exactly once
+    assert want > 0

@@ -83,3 +83,22 @@ def add_season(df: DataFrame, date_col) -> DataFrame:
         .when(m.isin(6, 7, 8), "summer")
         .otherwise("autumn"),
     )
+
+
+def dedup_stream(
+    df: DataFrame, keys: list[str], within_watermark: bool = True
+) -> DataFrame:
+    """Streaming exact dedup on key columns (engine extension; the
+    reference has no stream dedup — SURVEY.md §2.8 'not present').
+
+    With ``within_watermark`` (requires a watermark upstream) state for
+    a key is dropped once the watermark passes it — bounded state, the
+    only form that survives unbounded streams. The unbounded variant
+    keeps all keys forever and exists for short-lived backfills only.
+    On batch inputs both reduce to dropDuplicates (parity testing).
+    """
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    if within_watermark:
+        return df.dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)

@@ -123,3 +123,27 @@ def start_query(
     )
     w = w.trigger(**(trigger or {"processingTime": "10 seconds"}))
     return w.start()
+
+
+def start_parquet_sink(
+    df: DataFrame,
+    name: str,
+    path: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    partition_by: list[str] | None = None,
+):
+    """Exactly-once file sink: append-mode parquet with checkpointed
+    offsets + file-commit log (an upgrade over the reference's
+    at-least-once Pushgateway pushes — SURVEY.md §2.8 notes no
+    exactly-once sink exists there)."""
+    w = (
+        df.writeStream.queryName(name)
+        .format("parquet")
+        .outputMode("append")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    return w.trigger(**(trigger or {"processingTime": "10 seconds"})).start()
