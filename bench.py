@@ -50,9 +50,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = catalog[name]
-        t0 = time.perf_counter()
-        _ = len(fn(spark, sf_dir).collect())  # full materialization
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):  # min-of-2: steady-state, noise-resistant
+            t0 = time.perf_counter()
+            _rows = len(fn(spark, sf_dir).collect())  # full materialization
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(

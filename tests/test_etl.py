@@ -186,3 +186,33 @@ def test_build_airports_keep_largest(spark):
     out = {r["iata_code"]: r for r in build_airports(airports).collect()}
     assert set(out) == {"FCO", "MXP"}
     assert out["FCO"]["id"] == 1
+
+
+def test_run_dimension_build_end_to_end(spark, geonames_fixture, tmp_path):
+    import glob
+    import os
+
+    from travelpulse_spark_stream_tourism_analytics_spark.etl.pipeline import (
+        run_dimension_build,
+    )
+
+    hotels = spark.createDataFrame(
+        [
+            ("Hotel Colosseo", "ROMA", "hotel", "node/10", 41.91, 12.49),
+            ("Hotel Colosseo Due", "ROMA", "hotel", "node/11", 41.9101, 12.4901),
+            ("Albergo Duomo", None, "hotel", "node/20", 45.47, 9.20),
+        ],
+        "name string, addr_city string, kind string, osm_id string, lat double, lon double",
+    )
+    airports = spark.createDataFrame(
+        [(1, "FCO", "large_airport", 41.8, 12.25)],
+        "id long, iata_code string, type string, latitude_deg double, longitude_deg double",
+    )
+    out = str(tmp_path / "curated")
+    curated = run_dimension_build(geonames_fixture, hotels, airports, out)
+    # ~15 m apart in the same city -> spatial dedup keeps the first.
+    kept = sorted(r["osm_id"] for r in curated["hotels"].collect())
+    assert kept == ["node/10", "node/20"]
+    for artifact in ("cities_curated", "hotels_curated", "airports_curated"):
+        assert glob.glob(os.path.join(out, artifact, "part-*.csv"))
+    assert os.path.exists(os.path.join(out, "hotels.yaml"))

@@ -100,7 +100,25 @@ def orders_missingness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.select("o_orderkey", "o_totalprice", "missing_count")
 
 
-@query("spatial_radius_dedup")  # greedy keep-first: not SQL-expressible
+@query(
+    "spatial_radius_dedup",
+    # Greedy keep-first is not SQL-expressible in general, but this
+    # fixture's geometry (two >1 km clusters per brand, points within
+    # a cluster ~11-100 m apart, radius 150 m) makes the greedy result
+    # provably "min partkey per (brand, cluster)" — so the oracle can
+    # still pin the operator's output exactly.
+    oracle="""
+    SELECT p_brand, p_partkey, lat, lon FROM (
+        SELECT p_brand, p_partkey,
+               40.0 + (p_partkey % 2) * 0.01 + (p_partkey % 10) * 0.0001 AS lat,
+               12.0 + (p_partkey % 7) * 0.0001 AS lon,
+               row_number() OVER (
+                   PARTITION BY p_brand, p_partkey % 2 ORDER BY p_partkey
+               ) AS rn
+        FROM part
+    ) WHERE rn = 1
+    """,
+)
 def spatial_radius_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius-based greedy spatial dedup via applyInPandas grouped map
     (reference §2.9, scripts/build_hotels_yaml.py:261-283) over
