@@ -27,6 +27,11 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 def _configure(spark: SparkSession) -> None:
     """Apply runtime-settable engine defaults to a driver-provided session."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # AQE coalesces the default 200 shuffle partitions down to fit the
+    # data; both are runtime-settable.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
         # events.ts is parquet TIMESTAMP(NANOS); Spark needs this to scan it.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

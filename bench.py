@@ -31,6 +31,8 @@ HEADLINE = [
     "latest_event_per_user",
     "docs_exact_dedup",
     "docs_token_stats",
+    "docs_minhash_lsh_pairs",
+    "user_session_windows",
     "embedding_knn",
 ]
 

@@ -25,7 +25,8 @@ from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
     words_of,
 )
 
-SETTINGS = settings(max_examples=10, deadline=None)
+# derandomize: CI/driver re-runs must not discover new examples and flake
+SETTINGS = settings(max_examples=10, deadline=None, derandomize=True)
 
 texts = st.text(
     alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
