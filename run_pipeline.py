@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""Production entry point: start the full streaming KPI topology.
+
+The engine's equivalent of the reference's
+``spark-submit spark/kafka_to_metrics.py`` — sources are selected by
+CLI flag so the same topology runs against Kafka in production or a
+wire-JSONL directory tree (dir/{weather,flight,booking}/) anywhere
+else.
+
+  python run_pipeline.py --source file --path /tmp/wire \\
+      --pushgateway http://localhost:9091 --once
+  python run_pipeline.py --source kafka --bootstrap broker:9092
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from travelpulse_spark_stream_tourism_analytics_spark.schemas import (
+    BOOKING_SCHEMA,
+    CITY_DIM_SCHEMA,
+    FLIGHT_SCHEMA,
+    WEATHER_SCHEMA,
+)
+from travelpulse_spark_stream_tourism_analytics_spark.session import get_spark
+from travelpulse_spark_stream_tourism_analytics_spark.streaming.parse import (
+    parse_events,
+)
+from travelpulse_spark_stream_tourism_analytics_spark.streaming.pipeline import (
+    build_all_queries,
+)
+from travelpulse_spark_stream_tourism_analytics_spark.streaming.sinks import (
+    MemoryMetricSink,
+    PrometheusPushSink,
+)
+from travelpulse_spark_stream_tourism_analytics_spark.streaming.sources import (
+    file_stream,
+    kafka_stream,
+)
+
+# Reference's 20-row inline geo lookup (spark/kafka_to_metrics.py:372-394)
+# — public GeoNames ids/coordinates.
+CITY_DIM_ROWS = [
+    ("3165524", "Roma", 41.9028, 12.4964),
+    ("3173435", "Milano", 45.4642, 9.1900),
+    ("3169070", "Napoli", 40.8518, 14.2681),
+    ("3176959", "Firenze", 43.7699, 11.2556),
+    ("3164600", "Venezia", 45.4408, 12.3155),
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", choices=["kafka", "file"], default="file")
+    ap.add_argument("--path", help="wire JSONL root (file source)")
+    ap.add_argument("--bootstrap", default="localhost:9092")
+    ap.add_argument("--pushgateway", default=os.environ.get("PUSHGATEWAY_URL", ""))
+    ap.add_argument("--watermark", default=os.environ.get("WATERMARK", "45 seconds"))
+    ap.add_argument("--trigger", default=os.environ.get("TRIGGER", "10 seconds"))
+    ap.add_argument("--topn", type=int, default=int(os.environ.get("TOPN", "10")))
+    ap.add_argument(
+        "--once", action="store_true", help="availableNow: drain inputs and exit"
+    )
+    args = ap.parse_args()
+
+    spark = get_spark("travelpulse-pipeline")
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.source == "kafka":
+        wires = {
+            kind: kafka_stream(spark, topic, args.bootstrap)
+            for kind, topic in [
+                ("weather", os.environ.get("WEATHER_TOPIC", "weather.events.v1")),
+                ("flight", os.environ.get("FLIGHT_TOPIC", "flight.events.v1")),
+                ("booking", os.environ.get("BOOKING_TOPIC", "booking.events.v1")),
+            ]
+        }
+    else:
+        if not args.path:
+            ap.error("--path required for --source file")
+        wires = {
+            kind: file_stream(spark, os.path.join(args.path, kind))
+            for kind in ("weather", "flight", "booking")
+        }
+
+    weather = parse_events(wires["weather"], WEATHER_SCHEMA)
+    flights = parse_events(wires["flight"], FLIGHT_SCHEMA)
+    bookings = parse_events(wires["booking"], BOOKING_SCHEMA)
+    city_dim = spark.createDataFrame(CITY_DIM_ROWS, CITY_DIM_SCHEMA)
+
+    sink = (
+        PrometheusPushSink(args.pushgateway) if args.pushgateway else MemoryMetricSink()
+    )
+    trigger = (
+        {"availableNow": True} if args.once else {"processingTime": args.trigger}
+    )
+    work = tempfile.mkdtemp(prefix="tp_pipeline_")
+    queries, _scorer = build_all_queries(
+        spark,
+        weather,
+        flights,
+        bookings,
+        city_dim,
+        sink,
+        checkpoint_root=os.environ.get("CHECKPOINT_ROOT", os.path.join(work, "chk")),
+        staging_dir=os.path.join(work, "staging"),
+        watermark=args.watermark,
+        trigger=trigger,
+        topn=args.topn,
+    )
+    print(f">>> {len(queries)} streaming queries started ({args.source} source)")
+    if args.once:
+        for q in queries:
+            q.awaitTermination()
+        if isinstance(sink, MemoryMetricSink):
+            print(f">>> drained; {len(sink.latest())} distinct metrics computed")
+    else:
+        spark.streams.awaitAnyTermination()
+
+
+if __name__ == "__main__":
+    main()

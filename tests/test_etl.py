@@ -216,3 +216,24 @@ def test_run_dimension_build_end_to_end(spark, geonames_fixture, tmp_path):
     for artifact in ("cities_curated", "hotels_curated", "airports_curated"):
         assert glob.glob(os.path.join(out, artifact, "part-*.csv"))
     assert os.path.exists(os.path.join(out, "hotels.yaml"))
+
+
+def test_bucketed_radius_dedup_matches_unbucketed_away_from_borders(spark):
+    from travelpulse_spark_stream_tourism_analytics_spark.etl.spatial import (
+        bucketed_radius_dedup,
+    )
+
+    # Tight cluster well inside one ~0.005° cell + a far point.
+    df = spark.createDataFrame(
+        [
+            ("g", 1, 41.00200, 12.00200),
+            ("g", 2, 41.00210, 12.00210),  # ~15 m from 1 -> dropped
+            ("g", 3, 41.05000, 12.05000),  # far -> kept
+        ],
+        "grp string, id long, lat double, lon double",
+    )
+    kept = sorted(
+        r["id"]
+        for r in bucketed_radius_dedup(df, ["grp"], "id", radius_m=150.0).collect()
+    )
+    assert kept == [1, 3]

@@ -295,3 +295,28 @@ def test_exactly_once_parquet_sink(spark, fixture_dirs, tmp_path):
     )
     assert back.count() == want  # closed windows committed exactly once
     assert want > 0
+
+
+def test_parse_survives_malformed_wire_records(spark):
+    """Corrupt/truncated JSON values must degrade to NULL fields with
+    kafka_ts fallbacks, never fail the query (from_json permissive mode
+    + dual-clock repair; reference parses the same way)."""
+    k = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        ("ok", '{"event_ts":"2024-06-01T11:00:00Z","city_id":"1"}', k),
+        ("truncated", '{"event_ts":"2024-06-01T11:0', k),
+        ("not-json", "garbage%%%", k),
+        ("empty", "", k),
+        ("null-value", None, k),
+        ("wrong-types", '{"t_min":"not-a-number","event_ts":42}', k),
+    ]
+    out = parse_events(
+        spark.createDataFrame(rows, WIRE_SCHEMA), WEATHER_SCHEMA
+    ).collect()
+    assert len(out) == len(rows)  # nothing dropped, nothing raised
+    by_key = {r["key"]: r for r in out}
+    assert by_key["ok"]["event_time"] == dt.datetime(2024, 6, 1, 11, 0, 0)
+    for key in ("truncated", "not-json", "empty", "null-value"):
+        # unparseable -> event_ts NULL -> broker-timestamp fallback
+        assert by_key[key]["event_time"] == k, key
+        assert by_key[key]["ingest_time"] == k, key

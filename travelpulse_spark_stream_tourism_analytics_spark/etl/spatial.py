@@ -58,3 +58,46 @@ def radius_dedup(
         return pdf.iloc[kept_idx]
 
     return df.groupBy(*group_cols).applyInPandas(dedup_group, schema)
+
+
+def geohash_cell(lat_col, lon_col, precision_deg: float = 0.01):
+    """Coarse spatial cell key (~1.1 km grid at precision 0.01°) as a
+    codegen'd expression — the bucketing prefilter that keeps
+    radius-style operators linear at scale."""
+    from pyspark.sql import functions as F
+
+    lat_cell = F.floor(lat_col / precision_deg).cast("long")
+    lon_cell = F.floor(lon_col / precision_deg).cast("long")
+    return F.concat_ws(":", lat_cell, lon_cell)
+
+
+def bucketed_radius_dedup(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    radius_m: float = 150.0,
+) -> DataFrame:
+    """Scale path for radius_dedup: pre-bucket by a geohash cell larger
+    than the radius so each applyInPandas group is one cell's points,
+    bounding the O(n²) by cell occupancy instead of group size.
+
+    Recall trade (documented): clusters straddling a cell border are
+    deduped per cell — the same locality trade the LSH operators make.
+    Cell size is 4x the radius so straddling is rare.
+    """
+    from pyspark.sql import functions as F
+
+    precision_deg = max(4 * radius_m, 500.0) / 111_000.0
+    with_cell = df.withColumn(
+        "__cell", geohash_cell(F.col(lat_col), F.col(lon_col), precision_deg)
+    )
+    return radius_dedup(
+        with_cell,
+        group_cols=group_cols + ["__cell"],
+        id_col=id_col,
+        lat_col=lat_col,
+        lon_col=lon_col,
+        radius_m=radius_m,
+    ).drop("__cell")

@@ -29,8 +29,14 @@ def parse_events(df: DataFrame, schema: T.StructType) -> DataFrame:
         F.col("kafka_ts"),
     ).select("key", "js.*", "kafka_ts")
 
-    event_time_raw = F.to_timestamp(F.col("event_ts"))
-    ingest_time_raw = F.to_timestamp(F.col("ingest_ts"))
+    # try_to_timestamp, not to_timestamp: under ANSI mode (Spark 4
+    # default) a malformed timestamp string would otherwise kill the
+    # query; malformed -> NULL -> broker-timestamp fallback below, which
+    # is exactly the repair semantics. (The reference's plain
+    # to_timestamp crashes on such input under ANSI — a robustness fix,
+    # not a semantics change: valid inputs parse identically.)
+    event_time_raw = F.try_to_timestamp(F.col("event_ts"))
+    ingest_time_raw = F.try_to_timestamp(F.col("ingest_ts"))
     event_time = F.when(event_time_raw.isNull(), F.col("kafka_ts")).otherwise(
         event_time_raw
     )
@@ -53,7 +59,9 @@ def enrich_bookings(df: DataFrame) -> DataFrame:
             * F.coalesce(F.col("rooms"), F.lit(1))
             * F.coalesce(F.col("nights"), F.lit(1)),
         )
-        .withColumn("arrival_day", F.to_date(F.col("checkin_date")))
+        .withColumn(
+            "arrival_day", F.try_to_timestamp(F.col("checkin_date")).cast("date")
+        )
         .withColumn("event_day", F.to_date(F.col("event_time")))
     )
 
