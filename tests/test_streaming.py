@@ -91,6 +91,19 @@ def test_prometheus_text_format():
         "tourism_flights_total_per_min 12.0\n"
         'tourism_city_bookings_top{city_id="1",period="1m"} 3.5\n'
     )
+    # A top-N push keys rows by name|discriminator but emits ONE metric
+    # family with varying labels (the reference loses all but the last
+    # row here — fixed quirk).
+    topn = format_prometheus(
+        {
+            "tourism_city_bookings_top|1:1m": ({"city_id": "1"}, 5),
+            "tourism_city_bookings_top|2:1m": ({"city_id": "2"}, 3),
+        }
+    )
+    assert topn == (
+        'tourism_city_bookings_top{city_id="1"} 5.0\n'
+        'tourism_city_bookings_top{city_id="2"} 3.0\n'
+    )
 
 
 def _collecting_sink_rows(spark, stream_df, mode, tmp_path, name):

@@ -68,11 +68,11 @@ def map_airports_top(df: DataFrame, direction: str, topn: int = TOPN_DEFAULT) ->
     metrics: MetricDict = {}
     for r in ranked.collect():
         ap = r["airport"] or "UNK"
-        metrics[f"tourism_airport_flights_per_min:{ap}:{direction}"] = (
+        metrics[f"tourism_airport_flights_per_min|{ap}:{direction}"] = (
             {"airport": ap, "direction": direction},
             r[direction],
         )
-    return _dedup_metric_names(metrics, "tourism_airport_flights_per_min")
+    return metrics
 
 
 def map_city_topn(
@@ -84,20 +84,11 @@ def map_city_topn(
         labels = {"city_id": str(r["city_id"] or "NA"), "period": period}
         if r["city_name"]:
             labels["city_name"] = r["city_name"]
-        metrics[f"tourism_city_bookings_top:{r['city_id']}:{period}"] = (
+        metrics[f"tourism_city_bookings_top|{r['city_id']}:{period}"] = (
             labels,
             r[value_col],
         )
-    return _dedup_metric_names(metrics, "tourism_city_bookings_top")
-
-
-def _dedup_metric_names(metrics: MetricDict, base: str) -> MetricDict:
-    """The reference keys its dict by metric name alone, so only the
-    LAST row of a top-N survives one push (a bug-shaped quirk,
-    reference :249-257 — dict key overwritten per row). We key by
-    name+labels so the full top-N reaches the gateway, then restore
-    the metric name."""
-    return {k: (labels, v) for k, (labels, v) in metrics.items()}
+    return metrics
 
 
 def map_season_score(df: DataFrame, topn: int = TOPN_DEFAULT) -> MetricDict:
@@ -109,7 +100,7 @@ def map_season_score(df: DataFrame, topn: int = TOPN_DEFAULT) -> MetricDict:
             "city_name": r["city_name"] or "NA",
             "season": r["season"] or "NA",
         }
-        metrics[f"tourism_season_score:{r['city_id']}:{r['season']}"] = (
+        metrics[f"tourism_season_score|{r['city_id']}:{r['season']}"] = (
             labels,
             float(r["season_score"]),
         )

@@ -21,9 +21,16 @@ MetricDict = dict[str, tuple[dict[str, str] | None, float]]
 def format_prometheus(metrics: MetricDict) -> str:
     """Prometheus text exposition lines: ``name{k="v"} value``
     (exact format parity with reference spark/kafka_to_metrics.py:51-63,
-    including float coercion and label ordering)."""
+    including float coercion and label ordering).
+
+    Dict keys may carry a ``|discriminator`` suffix so one top-N push
+    can hold N rows of the same metric family (the reference keys by
+    family alone, so only the last row of a top-N survives one push —
+    a bug-shaped quirk we fix); only the part before ``|`` is emitted.
+    """
     lines: list[str] = []
-    for mname, (labels, value) in metrics.items():
+    for mkey, (labels, value) in metrics.items():
+        mname = mkey.split("|", 1)[0]
         try:
             val = float(value)
         except (TypeError, ValueError):
