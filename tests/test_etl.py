@@ -237,3 +237,27 @@ def test_bucketed_radius_dedup_matches_unbucketed_away_from_borders(spark):
         for r in bucketed_radius_dedup(df, ["grp"], "id", radius_m=150.0).collect()
     )
     assert kept == [1, 3]
+
+
+def test_connected_components_and_canonical_ids(spark):
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.components import (
+        canonical_ids,
+        connected_components,
+    )
+
+    # Components: {1,2,3,4} (a chain), {5,6}; 9 isolated in the corpus.
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 6), (6, 5)], "id_a long, id_b long"
+    )
+    comp = {
+        r["node"]: r["comp"]
+        for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+    corpus = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 6, 9)], "doc_id long")
+    canon = {
+        r["doc_id"]: r["canonical_id"]
+        for r in canonical_ids(corpus, connected_components(pairs), "doc_id").collect()
+    }
+    assert canon == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 9: 9}

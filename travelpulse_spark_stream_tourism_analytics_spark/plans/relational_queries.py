@@ -580,3 +580,34 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_yearly")
         )
     )
+
+
+@query(
+    "order_status_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, status, n FROM (
+        SELECT o_orderpriority, 'F' AS status, n_f AS n FROM wide
+        UNION ALL SELECT o_orderpriority, 'O', n_o FROM wide
+        UNION ALL SELECT o_orderpriority, 'P', n_p FROM wide
+    )
+    """,
+)
+def order_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (melt) — the inverse of A10's pivot, via the
+    stack() generator; completes the reshape surface."""
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.relational_queries import (  # noqa: E501
+        order_status_pivot,
+    )
+
+    wide = order_status_pivot(spark, sf_dir)
+    return wide.select(
+        "o_orderpriority",
+        F.expr("stack(3, 'F', n_f, 'O', n_o, 'P', n_p) AS (status, n)"),
+    )

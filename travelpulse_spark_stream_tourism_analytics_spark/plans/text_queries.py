@@ -533,3 +533,29 @@ def embedding_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_knn(
         corpus, model, queries, "vec_id", "query_id", "v", k=5, n_probe=4
     )
+
+
+@query("docs_dedup_clusters")  # iterative transitive closure: no SQL twin
+def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup endgame: LSH candidate pairs -> connected components
+    (min-label propagation, operators/components.py) -> one canonical
+    doc per duplicate cluster. Iterative, hence rows-only checked; the
+    pair stage feeding it is oracle-checked (docs_minhash_lsh_pairs)
+    and the component math is pinned exactly in tests/test_etl.py."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.components import (
+        canonical_ids,
+        connected_components,
+    )
+
+    corpus = _planted_docs(spark, sf_dir)
+    shingled = dedup.exploded_shingles(corpus, "doc_id", "text", 3)
+    sigs = dedup.minhash_signatures(shingled, "doc_id", _K_MINHASH)
+    bands = dedup.lsh_bands(sigs, "doc_id", _LSH_BANDS, _LSH_ROWS)
+    pairs = dedup.lsh_candidate_pairs(bands, "doc_id")
+    comp = connected_components(pairs)
+    return (
+        canonical_ids(corpus.select("doc_id"), comp, "doc_id")
+        .groupBy("canonical_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .filter(F.col("cluster_size") > 1)
+    )

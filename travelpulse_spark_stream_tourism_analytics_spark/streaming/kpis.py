@@ -264,3 +264,36 @@ def season_score(
         reliab_idx.alias("reliab_idx"),
         score.alias("season_score"),
     )
+
+
+def chained_window_rollup(
+    df: DataFrame, ts_col: str, inner: str = MINUTE, outer: str = "10 minutes"
+) -> DataFrame:
+    """TWO chained stateful aggregations in ONE streaming query —
+    per-inner-window counts re-aggregated into outer windows via
+    window-of-window (Spark 3.4+ multiple-stateful-operators, the
+    capability SURVEY.md §3.2 flags as the season score's blocker;
+    this is option (a) where the restricted form applies, the
+    two-phase pipeline being option (b) for the general case).
+
+    Append mode + a watermark on ts_col are required: inner windows
+    only flow to the outer aggregation once the watermark closes them.
+    """
+    inner_agg = df.groupBy(F.window(ts_col, inner)).agg(
+        F.count(F.lit(1)).alias("n_inner")
+    )
+    return (
+        inner_agg.groupBy(F.window(F.col("window"), outer))
+        .agg(
+            F.sum("n_inner").alias("n_events"),
+            F.max("n_inner").alias("max_per_inner"),
+            F.count(F.lit(1)).alias("n_inner_windows"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "max_per_inner",
+            "n_inner_windows",
+        )
+    )
