@@ -107,7 +107,76 @@ def map_season_score(df: DataFrame, topn: int = TOPN_DEFAULT) -> MetricDict:
     return metrics
 
 
+def map_city_today(df: DataFrame, topn: int = TOPN_DEFAULT) -> MetricDict:
+    """(reference :272-284)"""
+    rows = df.orderBy(F.desc("arrivals_today"), F.asc("city_id")).limit(topn).collect()
+    metrics: MetricDict = {}
+    for r in rows:
+        labels = {"city_id": str(r["city_id"] or "NA")}
+        if r["city_name"]:
+            labels["city_name"] = r["city_name"]
+        if r["arrivals_today"] is not None:
+            metrics[f"tourism_city_arrivals_today|{r['city_id']}"] = (
+                labels, r["arrivals_today"],
+            )
+        if r["spend_today_eur"] is not None:
+            metrics[f"tourism_city_spend_today_eur|{r['city_id']}"] = (
+                labels, r["spend_today_eur"],
+            )
+    return metrics
+
+
+def map_month_roll(df: DataFrame) -> MetricDict:
+    """(reference :336-346)"""
+    metrics: MetricDict = {}
+    for r in df.collect():
+        if r["arr_month"] is None:
+            continue
+        m = f"{int(r['arr_month']):02d}"
+        metrics[f"tourism_month_bookings_rolling|{m}"] = ({"month": m}, r["bookings_m"])
+        if r["spend_m_eur"] is not None:
+            metrics[f"tourism_month_spend_rolling_eur|{m}"] = (
+                {"month": m}, r["spend_m_eur"],
+            )
+    return metrics
+
+
+def map_season_roll(df: DataFrame) -> MetricDict:
+    """(reference :358-369)"""
+    metrics: MetricDict = {}
+    for r in df.collect():
+        s = r["season"]
+        if not s:
+            continue
+        metrics[f"tourism_season_bookings_rolling|{s}"] = ({"season": s}, r["bookings_s"])
+        if r["spend_s_eur"] is not None:
+            metrics[f"tourism_season_spend_rolling_eur|{s}"] = (
+                {"season": s}, r["spend_s_eur"],
+            )
+    return metrics
+
+
+def map_city_geomap(df: DataFrame, topn: int = TOPN_DEFAULT) -> MetricDict:
+    """(reference :403-415): only rows with geo coordinates, top-N per
+    window in-engine."""
+    ranked = kpis.per_window_topn(
+        df.filter(F.col("g_lat").isNotNull() & F.col("g_lon").isNotNull()),
+        "bookings", topn, "city_id",
+    )
+    metrics: MetricDict = {}
+    for r in ranked.collect():
+        labels = {
+            "city_id": str(r["city_id"]),
+            "city_name": r["g_name_final"] or (r["city_name"] or "NA"),
+            "lat": f"{float(r['g_lat']):.5f}",
+            "lon": f"{float(r['g_lon']):.5f}",
+        }
+        metrics[f"tourism_city_bookings_geo|{r['city_id']}"] = (labels, r["bookings"])
+    return metrics
+
+
 # ------------------------ two-phase season score ----------------------------
+
 
 
 class TwoPhaseSeasonScore:
@@ -246,6 +315,26 @@ def build_all_queries(
             "top_cities_365d", chk("chk_city_365d"),
             mm(lambda df: map_city_topn(df, "bookings_365d", "365d", topn), sink),
             trigger=trigger),
+    ]
+    b_city_min = kpis.city_bookings_windowed(
+        bookings_ing, "ingest_time", kpis.MINUTE, "bookings"
+    )
+    queries += [
+        start_query(
+            kpis.arrivals_today(bookings_enriched, as_of=as_of), "city_today",
+            chk("chk_city_today"),
+            mm(lambda df: map_city_today(df, topn), sink),
+            mode="complete", trigger=trigger),
+        start_query(
+            kpis.month_rollup(bookings_evt), "month_roll_365",
+            chk("chk_month_roll"), mm(map_month_roll, sink), trigger=trigger),
+        start_query(
+            kpis.season_rollup(bookings_evt), "season_roll_365",
+            chk("chk_season_roll"), mm(map_season_roll, sink), trigger=trigger),
+        start_query(
+            kpis.geo_enrich(b_city_min, city_dim), "cities_geomap",
+            chk("chk_city_geo"),
+            mm(lambda df: map_city_geomap(df, topn), sink), trigger=trigger),
     ]
     scorer = TwoPhaseSeasonScore(spark, staging_dir, sink, topn)
     queries += scorer.queries(
