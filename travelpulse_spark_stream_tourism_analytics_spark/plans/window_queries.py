@@ -182,3 +182,31 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (each dimension totaled independently —
+    the PromQL `sum without` shape) through the engine's SQL surface."""
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.sql_surface import (
+        run_sql,
+    )
+
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """,
+    )
