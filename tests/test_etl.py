@@ -261,3 +261,36 @@ def test_connected_components_and_canonical_ids(spark):
         for r in canonical_ids(corpus, connected_components(pairs), "doc_id").collect()
     }
     assert canon == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_check_constraints(spark):
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.constraints import (
+        ConstraintViolation,
+        check_constraints,
+        ratio_bounds,
+        region_whitelist,
+        unique_key,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("Lazio", 0.5, 1), ("Lazio", 1.5, 1), ("Narnia", None, 2)],
+        "region string, ratio double, k long",
+    )
+    result = check_constraints(
+        df,
+        {
+            "region_ok": region_whitelist(F.col("region"), ["Lazio", "Lombardia"]),
+            "ratio_ok": ratio_bounds(F.col("ratio")),
+            "k_positive": F.col("k") > 0,
+        },
+    )
+    assert result == {"region_ok": 1, "ratio_ok": 1, "k_positive": 0}
+    with _pytest.raises(ConstraintViolation):
+        check_constraints(
+            df, {"region_ok": region_whitelist(F.col("region"), ["Lazio"])},
+            raise_on_violation=True,
+        )
+    assert unique_key(df, "k") == 1  # k=1 appears twice

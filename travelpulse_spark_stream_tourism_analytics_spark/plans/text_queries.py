@@ -559,3 +559,26 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cluster_size"))
         .filter(F.col("cluster_size") > 1)
     )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, i AS pos, round(avg(emb[i]), 6) AS mean_v
+    FROM (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
+         generate_series(1, 64) t(i)
+    GROUP BY 1, 2
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroid (long format) — dataset
+    statistics over vector columns via posexplode; the building block
+    for class prototypes / drift monitoring in a training pipeline."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", similarity.as_double_vec(F.col("embedding")).alias("v")
+    )
+    return (
+        emb.select("label", F.posexplode("v").alias("pos0", "val"))
+        .groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(F.round(F.avg("val"), 6).alias("mean_v"))
+    )

@@ -5,8 +5,12 @@ reference has no custom state at all — SURVEY.md §2.8 'not present').
 ``running_user_totals`` keeps a per-key (count, sum) accumulator in the
 state store and emits the updated totals every micro-batch — the
 building block for running leaderboards without recomputing windows.
-On Spark 4 the same shape can move to ``transformWithStateInPandas``;
-this form is kept for 3.4+ compatibility.
+On Spark 4 the same shape could move to ``transformWithStateInPandas``
+(ValueState + timers), but in this environment its Python driver
+worker exits unexpectedly even with the RocksDB state store provider
+(probed 2026-08; "TransformWithStateInPySpark driver worker exited
+unexpectedly"), so ``applyInPandasWithState`` — stable since 3.4 — is
+the supported custom-state path here.
 """
 
 from __future__ import annotations
