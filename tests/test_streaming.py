@@ -362,3 +362,18 @@ def test_chained_stateful_window_rollup(spark, fixture_dirs, tmp_path):
     key = lambda r: (r["window_start"], r["n_events"], r["max_per_inner"], r["n_inner_windows"])  # noqa: E731
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert len(got) > 0
+
+
+def test_timewarp_clock_mapping():
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.simulator import (
+        timewarp_clock,
+    )
+
+    sim_start = dt.datetime(2024, 1, 1)
+    wall_start = dt.datetime(2026, 8, 13, 12, 0, 0)
+    to_sim = timewarp_clock(sim_start, warp=500.0)
+    # 60 wall seconds at 500x -> 30,000 simulated seconds
+    assert to_sim(wall_start + dt.timedelta(seconds=60), wall_start) == (
+        sim_start + dt.timedelta(seconds=30_000)
+    )
+    assert to_sim(wall_start, wall_start) == sim_start

@@ -350,3 +350,17 @@ def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sw.end").alias("session_end"),
         "n_events",
     )
+
+
+@query("event_value_percentiles_approx")  # sketch: not DuckDB-matchable
+def event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx — the reference's actual A8 operator
+    (spark/kafka_to_metrics.py:458-472), exposed directly (KLL-style
+    sketch; deterministic per input but not bit-matchable against
+    DuckDB's quantile, so rows-only; the exact interpolated variant is
+    oracle-checked in event_value_percentiles)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile_approx(value, 0.10)").alias("p10_approx"),
+        F.expr("percentile_approx(value, 0.90)").alias("p90_approx"),
+    )

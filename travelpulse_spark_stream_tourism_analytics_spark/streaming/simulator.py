@@ -170,3 +170,17 @@ def write_wire_fixture(events: list[dict], path: str, kafka_skew_s: int = 5) -> 
                 )
                 + "\n"
             )
+
+
+def timewarp_clock(sim_start: datetime, warp: float):
+    """Accelerated simulated clock (reference
+    producers/orchestrator_producers.py:349-366): wall-clock elapsed
+    seconds map to ``sim_start + elapsed*warp``. This is what lets
+    365-day event-time windows close in minutes of wall time
+    (SURVEY.md §1.4) — returns a callable wall_dt -> sim_dt."""
+
+    def to_sim(wall_now: datetime, wall_start: datetime) -> datetime:
+        elapsed = (wall_now - wall_start).total_seconds()
+        return sim_start + timedelta(seconds=elapsed * warp)
+
+    return to_sim
