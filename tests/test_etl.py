@@ -294,3 +294,35 @@ def test_check_constraints(spark):
             raise_on_violation=True,
         )
     assert unique_key(df, "k") == 1  # k=1 appears twice
+
+
+def test_clean_istat_long_chain(spark):
+    """Dynamic column resolution + locale coercion + latest-year +
+    dedup-max + pivot, hand-computable."""
+    from travelpulse_spark_stream_tourism_analytics_spark.etl.istat import (
+        clean_istat_long,
+        find_col,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            # code, territory, metric, period, value (Italian locale)
+            ("001", "Perugia", "POP", "Censimento 2011", "1.234,5"),
+            ("001", "Perugia", "POP", "Censimento 2021", "2.000,0"),  # newer wins
+            ("001", "Perugia", "POP", "anno 2021", "1.999,0"),  # dup year: max
+            ("001", "Perugia", "HH", "2021", " 500"),  # NBSP-ish spaces stripped
+            ("002", "Terni", "POP", "2021", "111,1"),
+            ("002", "Terni", "DROP_ME", "2021", "9"),  # filtered metric
+            ("003", "Ghost", "POP", "no year here", "7"),  # unparseable year
+        ],
+        "ITTER107 string, Territorio string, TIPO_DATO string, TIME string, Value string",
+    )
+    assert find_col(raw, ["codice"], r"^itter") == "ITTER107"
+    wide = {
+        r["code"]: r for r in clean_istat_long(raw, ["POP", "HH"]).collect()
+    }
+    assert set(wide) == {"001", "002"}
+    assert wide["001"]["POP"] == 2000.0  # latest year, max over dups
+    assert wide["001"]["HH"] == 500.0
+    assert wide["002"]["POP"] == 111.1
+    assert wide["002"]["HH"] is None

@@ -377,3 +377,17 @@ def test_timewarp_clock_mapping():
         sim_start + dt.timedelta(seconds=30_000)
     )
     assert to_sim(wall_start, wall_start) == sim_start
+
+
+def test_flight_anchor_map_roundtrips(spark, fixture_dirs):
+    """The wire's only nested type (map<string,int> flight_anchor,
+    reference schema :141) must decode and index correctly."""
+    parsed = parse_events(
+        file_batch(spark, fixture_dirs["booking"]), BOOKING_SCHEMA
+    )
+    rows = parsed.select(
+        F.element_at("flight_anchor", "delay_min").alias("anchored_delay")
+    ).collect()
+    assert len(rows) > 0
+    assert all(r["anchored_delay"] is not None for r in rows)
+    assert all(r["anchored_delay"] >= 0 for r in rows)
