@@ -508,7 +508,25 @@ def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_blob_features")  # mapInPandas: rows-only check (no SQL twin)
+@query(
+    "multimodal_blob_features",
+    # The fixture corpus is pure ASCII (verified: octet_length ==
+    # length for every doc), so the stub's byte features are
+    # SQL-expressible via codepoints — even the Python mapInPandas
+    # path gets a full oracle.
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CASE WHEN length(text) = 0 THEN -1
+                ELSE ord(substr(text, 1, 1)) END::BIGINT AS head_byte,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE round(list_sum(list_transform(
+                         generate_series(1, length(text)),
+                         i -> ord(substr(text, i, 1))))::DOUBLE
+                     / length(text), 6) END AS byte_mean
+    FROM documents
+    """,
+)
 def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary
     payloads (decode step stubbed deterministically — container has no
