@@ -600,3 +600,33 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
         .agg(F.round(F.avg("val"), 6).alias("mean_v"))
     )
+
+
+# BPE-ish subword pattern: word pieces, digit runs, punctuation runs,
+# each optionally absorbing one leading space (GPT-2-style, simplified
+# to the RE2-compatible subset — DuckDB's regex engine has no
+# lookarounds).
+_BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+@query(
+    "docs_bpe_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS n_bpe_tokens,
+           len({_WORDS_SQL.format(c="text")}) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def docs_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both ways the north star names: whitespace
+    words and a BPE-ish regex segmentation (pattern shared verbatim
+    with the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(words_of(F.col("text"))).alias("n_ws_tokens"),
+    )
