@@ -391,3 +391,37 @@ def test_flight_anchor_map_roundtrips(spark, fixture_dirs):
     assert len(rows) > 0
     assert all(r["anchored_delay"] is not None for r in rows)
     assert all(r["anchored_delay"] >= 0 for r in rows)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, fixture_dirs, tmp_path):
+    """Row-level stream-stream join with a time-range state bound must
+    produce exactly the batch join's matches once both streams drain."""
+
+    def parsed(kind, schema, stream):
+        src = file_stream(spark, fixture_dirs[kind]) if stream else file_batch(
+            spark, fixture_dirs[kind]
+        )
+        df = parse_events(src, schema)
+        if kind == "booking":
+            df = enrich_bookings(df)
+        if kind == "flight":
+            df = df.withColumnRenamed("destination_city_id", "city_id")
+        return df
+
+    got = _collecting_sink_rows(
+        spark,
+        kpis.booking_flight_interval_join(
+            parsed("booking", BOOKING_SCHEMA, True),
+            parsed("flight", FLIGHT_SCHEMA, True),
+        ),
+        "append",
+        tmp_path,
+        "ssjoin",
+    )
+    want = kpis.booking_flight_interval_join(
+        parsed("booking", BOOKING_SCHEMA, False),
+        parsed("flight", FLIGHT_SCHEMA, False),
+    ).collect()
+    key = lambda r: (r["booking_id"], r["flight_id"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) > 0

@@ -297,3 +297,41 @@ def chained_window_rollup(
             "n_inner_windows",
         )
     )
+
+
+def booking_flight_interval_join(
+    bookings_evt: DataFrame,
+    flights_evt: DataFrame,
+    max_gap: str = "2 hours",
+) -> DataFrame:
+    """Row-level stream-stream inner join: bookings matched to flights
+    into the same city within ±max_gap of event time — the join class
+    the reference lacks entirely (SURVEY.md §2.8: 'stream-stream
+    row-level joins (only agg-level)' absent).
+
+    Both sides need watermarks; the time-range predicate is what lets
+    Spark bound join state (rows age out once the other side's
+    watermark passes event_time + max_gap). flights_evt must have
+    destination_city_id already renamed to city_id.
+    """
+    b = bookings_evt.select(
+        F.col("city_id"),
+        F.col("booking_id"),
+        F.col("event_time").alias("b_time"),
+        F.col("spend_eur"),
+    ).withWatermark("b_time", "45 seconds")
+    f = flights_evt.select(
+        F.col("city_id").alias("f_city_id"),
+        F.col("flight_id"),
+        F.col("event_time").alias("f_time"),
+        F.col("status").alias("flight_status"),
+    ).withWatermark("f_time", "45 seconds")
+    cond = (
+        (F.col("city_id") == F.col("f_city_id"))
+        & (F.col("b_time") >= F.col("f_time") - F.expr(f"INTERVAL {max_gap}"))
+        & (F.col("b_time") <= F.col("f_time") + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return b.join(f, cond, "inner").select(
+        "city_id", "booking_id", "flight_id", "b_time", "f_time",
+        "spend_eur", "flight_status",
+    )
