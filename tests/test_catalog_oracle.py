@@ -41,3 +41,30 @@ def test_query_matches_oracle(name, spark, duck):
     oracle_df = duck.sql(_oracles[name]).df()
     errors = compare(spark_df, oracle_df, name)
     assert not errors, "\n".join(errors)
+
+
+def test_harness_detects_mismatches(spark, duck):
+    """Meta-test: the oracle comparison must actually fail on wrong
+    row counts, wrong values, and wrong column names."""
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+        load_table,
+    )
+
+    nation = load_table(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    ok = duck.sql("SELECT n_nationkey, n_name FROM nation").df()
+    assert compare(nation, ok, "meta") == []
+    # wrong value
+    bad_val = duck.sql(
+        "SELECT n_nationkey, upper(n_name) || 'X' AS n_name FROM nation"
+    ).df()
+    assert compare(nation, bad_val, "meta")
+    # wrong row count
+    bad_rows = duck.sql(
+        "SELECT n_nationkey, n_name FROM nation LIMIT 3"
+    ).df()
+    assert compare(nation, bad_rows, "meta")
+    # wrong column name
+    bad_cols = duck.sql(
+        "SELECT n_nationkey, n_name AS nm FROM nation"
+    ).df()
+    assert compare(nation, bad_cols, "meta")

@@ -326,3 +326,33 @@ def test_clean_istat_long_chain(spark):
     assert wide["001"]["HH"] == 500.0
     assert wide["002"]["POP"] == 111.1
     assert wide["002"]["HH"] is None
+
+
+def test_nearest_neighbor_join_k2(spark):
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.joins import (
+        nearest_neighbor_join,
+    )
+
+    probe = spark.createDataFrame([(1, 0.0), (2, 10.0)], "pid long, x double")
+    dim = spark.createDataFrame(
+        [(100, 1.0), (200, 2.0), (300, 9.0)], "did long, y double"
+    )
+    out = nearest_neighbor_join(
+        probe, dim, "pid",
+        distance=lambda: (F.col("x") - F.col("y")) ** 2,
+        k=2, tiebreak="did",
+    )
+    got = {(r["pid"], r["did"]) for r in out.collect()}
+    assert got == {(1, 100), (1, 200), (2, 300), (2, 100)} - {(2, 100)} | {(2, 200)}
+
+
+def test_any_notnull_flags(spark):
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.quality import (
+        any_notnull,
+    )
+
+    df = spark.createDataFrame(
+        [(None, None), ("x", None), (None, "y")], "a string, b string"
+    )
+    flags = [r["f"] for r in df.select(any_notnull(["a", "b"]).alias("f")).collect()]
+    assert flags == [False, True, True]
