@@ -356,3 +356,29 @@ def test_any_notnull_flags(spark):
     )
     flags = [r["f"] for r in df.select(any_notnull(["a", "b"]).alias("f")).collect()]
     assert flags == [False, True, True]
+
+
+def test_alias_key_in_merge_cascade(spark):
+    """EN exonyms resolve through the alias stage of the cascade."""
+    from travelpulse_spark_stream_tourism_analytics_spark.etl.aliases import (
+        alias_key,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "Rome"), (2, "Milano"), (3, "Atlantis")], "id long, raw_name string"
+    )
+    left = left.withColumn("k_norm", alias_key(F.col("raw_name")))
+    cities = spark.createDataFrame(
+        [("roma", "3165524"), ("milano", "3173435")], "k string, city_id string"
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.joins import (
+        staged_fallback_merge,
+    )
+
+    out = {
+        r["id"]: r["city_id"]
+        for r in staged_fallback_merge(
+            left, cities, [("k_norm", "k")], ["city_id"]
+        ).collect()
+    }
+    assert out == {1: "3165524", 2: "3173435", 3: None}

@@ -364,3 +364,49 @@ def event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFram
         F.expr("percentile_approx(value, 0.10)").alias("p10_approx"),
         F.expr("percentile_approx(value, 0.90)").alias("p90_approx"),
     )
+
+
+@query(
+    "user_day_retention",
+    oracle="""
+    WITH daily AS (
+        SELECT DISTINCT user_id, ts::DATE AS day FROM events
+    )
+    SELECT CAST(a.day AS TIMESTAMP) AS day,
+           count(*) AS n_active,
+           sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_retained,
+           round(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS retention
+    FROM daily a
+    LEFT JOIN daily b
+      ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+    GROUP BY 1
+    """,
+)
+def user_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day retention: distinct-activity self-join on (user, day+1)
+    — the cohort shape every activity pipeline needs; one dedup shuffle
+    plus one equi-join on (user_id, day)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    nxt = daily.select(
+        F.col("user_id").alias("u2"), F.date_sub("day", 1).alias("prev_day")
+    )
+    joined = daily.join(
+        nxt,
+        (F.col("user_id") == F.col("u2")) & (F.col("day") == F.col("prev_day")),
+        "left",
+    )
+    return joined.groupBy(
+        F.col("day").cast("timestamp_ntz").alias("day")
+    ).agg(
+        F.count("*").alias("n_active"),
+        F.sum(F.when(F.col("u2").isNotNull(), 1).otherwise(0)).alias("n_retained"),
+        F.round(
+            F.sum(F.when(F.col("u2").isNotNull(), 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("retention"),
+    )

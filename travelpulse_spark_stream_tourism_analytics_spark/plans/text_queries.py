@@ -553,7 +553,34 @@ def embedding_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("docs_dedup_clusters")  # iterative transitive closure: no SQL twin
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_SHINGLED_SQL.strip()},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM shingled GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u)
+SELECT comp AS canonical_id, count(*) AS cluster_size
+FROM comp GROUP BY comp HAVING count(*) > 1
+"""
+
+
+# The iterative min-label propagation has an exact SQL twin after all:
+# a recursive-CTE transitive closure (safe here — near-dup clusters are
+# tiny; at adversarial scale the closure explodes where label
+# propagation does not, which is why the engine side stays iterative).
+@query("docs_dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup endgame: LSH candidate pairs -> connected components
     (min-label propagation, operators/components.py) -> one canonical
