@@ -58,6 +58,7 @@ def main() -> None:
             _rows = len(fn(spark, sf_dir).collect())  # full materialization
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
+        spark.catalog.clearCache()  # release per-query persisted lineages
 
     total = round(sum(timings.values()), 3)
     print(

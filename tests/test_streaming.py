@@ -425,3 +425,10 @@ def test_stream_stream_interval_join_matches_batch(spark, fixture_dirs, tmp_path
     key = lambda r: (r["booking_id"], r["flight_id"])  # noqa: E731
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert len(got) > 0
+
+
+def test_prometheus_label_escaping():
+    body = format_prometheus(
+        {"m": ({"name": 'San "Marco"\nVenezia\\x'}, 1)}
+    )
+    assert body == 'm{name="San \\"Marco\\"\\nVenezia\\\\x"} 1.0\n'

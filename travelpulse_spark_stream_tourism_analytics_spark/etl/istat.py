@@ -96,10 +96,13 @@ def clean_istat_long(
         locale_numeric(F.col("value")).alias("value"),
     ).filter(F.col("metric").isin(*metrics_keep) & F.col("year").isNotNull())
 
-    latest = Window.partitionBy("code", "metric").orderBy(F.desc("year"))
-    df = df.withColumn("__rn", F.row_number().over(latest)).filter(
-        F.col("__rn") == 1
-    ).drop("__rn")
+    # max(year) filter, NOT row_number: when several rows share the
+    # latest year, all must survive into the max-collapse below (a
+    # row_number tie would keep one arbitrary row nondeterministically).
+    latest = Window.partitionBy("code", "metric")
+    df = df.withColumn("__max_year", F.max("year").over(latest)).filter(
+        F.col("year") == F.col("__max_year")
+    ).drop("__max_year")
 
     collapsed = df.groupBy("code", "name", "metric").agg(F.max("value").alias("v"))
     return (

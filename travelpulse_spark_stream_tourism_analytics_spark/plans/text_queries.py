@@ -55,10 +55,7 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy, keep lowest doc_id. At 100 TB this is
     one shuffle on a 16-byte key with map-side combine."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
-        F.min("doc_id").alias("keep_doc_id"),
-        F.count("*").alias("n_copies"),
-    )
+    return dedup.exact_dedup(docs, "text", "doc_id")
 
 
 @query(
@@ -166,32 +163,14 @@ def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 1e-6 BEFORE ranking so summation-order ulps cannot flip
     the ordering; ties break on neighbor_id."""
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id", similarity.as_double_vec(F.col("embedding")).alias("v")
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    a, b = F.col("qv"), F.col("v")
-    cosine = F.round(dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))), 6)
-    scored = (
-        emb.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("query_id", "neighbor_id", "cosine")
-    )
+    return similarity.brute_force_knn(
+        emb, queries, "vec_id", "query_id", "v", k=5
+    ).select("query_id", "neighbor_id", "cosine")
 
 
 # ---------------------------------------------------------------------------

@@ -47,9 +47,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # NOTE: deliberately NOT disabling
+        # spark.sql.streaming.statefulOperator.checkCorrectness — the
+        # engine's streaming shapes are all supported forms, and the
+        # global session must keep Spark's fail-fast guard for user
+        # queries.
         # Keep catalog/metastore artifacts out of the repo cwd.
         .config("spark.sql.warehouse.dir", "/tmp/tp_warehouse")
         .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/tp_derby")
-        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     )
     return builder.getOrCreate()

@@ -145,7 +145,11 @@ def per_window_topn(df: DataFrame, value_col: str, n: int, *extra_keys: str) -> 
 
 
 def _minmax_norm(x: Column, lo: Column, hi: Column) -> Column:
-    """Reference's guard: denom <= 1e-9 -> 0.5 (reference :478-481)."""
+    """Reference's guard: denom <= 1e-9 -> 0.5 (reference :478-481).
+
+    Deliberately distinct from functions.numeric.minmax_norm (engine
+    utility, strict `< eps` guard): this one is expression-level parity
+    with the reference's season-score math, boundary inclusive."""
     denom = hi - lo
     return F.when(denom <= F.lit(1e-9), F.lit(0.5)).otherwise(
         F.least(F.greatest((x - lo) / denom, F.lit(0.0)), F.lit(1.0))

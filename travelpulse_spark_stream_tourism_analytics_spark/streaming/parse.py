@@ -82,15 +82,13 @@ def fork_watermarks(
 
 
 def add_season(df: DataFrame, date_col) -> DataFrame:
-    """Season bucketing (reference spark/kafka_to_metrics.py:315-323)."""
-    m = F.month(date_col)
-    return df.withColumn(
-        "season",
-        F.when(m.isin(12, 1, 2), "winter")
-        .when(m.isin(3, 4, 5), "spring")
-        .when(m.isin(6, 7, 8), "summer")
-        .otherwise("autumn"),
+    """Season bucketing (reference spark/kafka_to_metrics.py:315-323);
+    delegates to the shared functions.temporal.season_of expression."""
+    from travelpulse_spark_stream_tourism_analytics_spark.functions.temporal import (
+        season_of,
     )
+
+    return df.withColumn("season", season_of(date_col))
 
 
 def dedup_stream(

@@ -56,6 +56,10 @@ def simulate(
     for d in range(n_days):
         day = start + timedelta(days=d)
         for city in CITIES:
+            # NOTE: s/wf are unused in the weather payload but the
+            # rng.gauss draw is DELIBERATE stream padding — removing it
+            # would shift the seeded sequence and change every fixture
+            # value downstream (baselines depend on it).
             s = _seasonality(rng, day, city["pop"])
             wf = min(1.0, max(0.0, rng.gauss(0.2, 0.15)))
             ts = day + timedelta(minutes=rng.randrange(0, 1440))

@@ -28,6 +28,18 @@ def format_prometheus(metrics: MetricDict) -> str:
     family alone, so only the last row of a top-N survives one push —
     a bug-shaped quirk we fix); only the part before ``|`` is emitted.
     """
+    def esc(v) -> str:
+        # Prometheus exposition requires \\ " and newline escaping in
+        # label values — data-driven labels (city/hotel names) flow
+        # straight from input, and one bad name must not make the
+        # gateway reject the whole POST body.
+        return (
+            str(v)
+            .replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+        )
+
     lines: list[str] = []
     for mkey, (labels, value) in metrics.items():
         mname = mkey.split("|", 1)[0]
@@ -36,7 +48,7 @@ def format_prometheus(metrics: MetricDict) -> str:
         except (TypeError, ValueError):
             continue
         if labels:
-            label_str = ",".join(f'{k}="{v}"' for k, v in labels.items())
+            label_str = ",".join(f'{k}="{esc(v)}"' for k, v in labels.items())
             lines.append(f"{mname}{{{label_str}}} {val}")
         else:
             lines.append(f"{mname} {val}")
