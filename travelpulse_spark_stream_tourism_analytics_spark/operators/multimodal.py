@@ -49,6 +49,15 @@ def extract_blob_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     plumbing.
     """
 
+    import math
+
+    def round6_half_up(v: float) -> float:
+        # SQL engines round half AWAY from zero; Python's round() is
+        # banker's (half-even) and disagrees on exact .xxxxxx5 ties
+        # (which really occur: integer byte sums over power-of-two
+        # lengths). Keep the Python path SQL-compatible.
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not decode_stub:
@@ -65,7 +74,9 @@ def extract_blob_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
                         lambda b: b[0] if len(b) else -1
                     ).astype("int64"),
                     "byte_mean": payloads.map(
-                        lambda b: round(sum(b) / len(b), 6) if len(b) else 0.0
+                        lambda b: round6_half_up(sum(b) / len(b))
+                        if len(b)
+                        else 0.0
                     ).astype("float64"),
                 }
             )
