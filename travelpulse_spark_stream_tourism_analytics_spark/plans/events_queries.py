@@ -410,3 +410,28 @@ def user_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("retention"),
     )
+
+
+@query(
+    "hour_weekday_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts::TIMESTAMP) AS BIGINT) AS dow_iso,
+           CAST(extract(hour FROM ts::TIMESTAMP) AS BIGINT) AS hour,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hour_weekday_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x ISO-weekday activity heatmap — the standard
+    dashboard aggregation; weekday parity pinned to ISO numbering
+    (Spark weekday() is 0=Monday, DuckDB isodow is 1=Monday)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.weekday("ts") + 1).cast("long").alias("dow_iso"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        money_sum("value", "sum_value"),
+    )
