@@ -402,3 +402,48 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_brand").rlike("^Brand#[0-9]$")
         & F.col("p_name").contains("re")
     ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+@query(
+    "fuzzy_name_match",
+    oracle="""
+    SELECT s_suppkey, s_name, c_name,
+           CAST(levenshtein(s_name, c_name) AS BIGINT) AS edit_distance
+    FROM (
+        SELECT s_suppkey, s_name, c_name,
+               row_number() OVER (
+                   PARTITION BY s_suppkey
+                   ORDER BY levenshtein(s_name, c_name), c_custkey
+               ) AS rn
+        FROM supplier
+        JOIN customer ON c_custkey BETWEEN s_suppkey * 10 AND s_suppkey * 10 + 9
+    ) WHERE rn = 1
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein fuzzy matching — the edit-distance fallback a name
+    merge cascade reaches for after exact/alias keys miss (extends the
+    reference's normalized-key joins, J4/J5). The candidate set is
+    banded (10 customers per supplier) so the quadratic distance stays
+    bounded, the same banding discipline as the LSH operators."""
+    sup = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = sup.join(
+        cust,
+        F.col("c_custkey").between(
+            F.col("s_suppkey") * 10, F.col("s_suppkey") * 10 + 9
+        ),
+    )
+    w = Window.partitionBy("s_suppkey").orderBy(
+        F.levenshtein("s_name", "c_name"), F.asc("c_custkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "c_name",
+            F.levenshtein("s_name", "c_name").cast("long").alias("edit_distance"),
+        )
+    )
