@@ -382,3 +382,42 @@ def test_alias_key_in_merge_cascade(spark):
         ).collect()
     }
     assert out == {1: "3165524", 2: "3173435", 3: None}
+
+
+def test_asof_join_ties_nulls_and_no_match(spark):
+    """asof_join: inclusive on equal ts, preserves NULL payload fields
+    of the matched row (no skip to an older row), NULLs when no prior
+    right row exists."""
+    import datetime as dt
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.joins import (
+        asof_join,
+    )
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, t("2024-01-01 00:00:05")),  # before any right row
+            (1, t("2024-01-01 00:01:00")),  # tie with right @01:00
+            (1, t("2024-01-01 00:03:00")),  # after the NULL-payload row
+            (2, t("2024-01-01 00:02:00")),  # key with no right rows
+        ],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t("2024-01-01 00:01:00"), 10.0),
+            (1, t("2024-01-01 00:02:00"), None),  # NULL payload field
+        ],
+        "k long, ts timestamp, v double",
+    )
+    out = {
+        (r.k, r.ts): (r.asof_ts, r.asof_v)
+        for r in asof_join(left, right, on="k", payload=["v"]).collect()
+    }
+    assert out[(1, t("2024-01-01 00:00:05"))] == (None, None)
+    assert out[(1, t("2024-01-01 00:01:00"))] == (t("2024-01-01 00:01:00"), 10.0)
+    # matched row exists (ts carried) but its payload field is NULL —
+    # must NOT fall back to the older 10.0
+    assert out[(1, t("2024-01-01 00:03:00"))] == (t("2024-01-01 00:02:00"), None)
+    assert out[(2, t("2024-01-01 00:02:00"))] == (None, None)

@@ -128,3 +128,60 @@ def nearest_neighbor_join(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: Sequence[str] = (),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of (most-recent-at-or-before) left join — the temporal join
+    the reference lacks (SURVEY.md §2.4 "absent: range/as-of joins").
+
+    For each left row, attach ``right_ts`` and the ``payload`` columns
+    of the right row with the greatest ``right_ts <= left_ts`` within
+    the same ``on`` key (inclusive on ties). Left rows with no prior
+    right row keep NULLs.
+
+    Scale path: instead of a range-condition join (which Spark plans as
+    a broadcast-nested-loop or an exploding theta join), both sides are
+    tagged and unioned, then a single ``last(.., ignorenulls=True)``
+    running window over (key, ts) carries the latest right payload
+    forward — one shuffle on the key, sort within partitions, no row
+    explosion; the standard sort-merge formulation of as-of.
+
+    Payload columns ride inside one struct so a NULL payload *field* on
+    a matched right row is preserved (``last(ignorenulls)`` skips NULL
+    structs, not NULL fields).
+    """
+    from pyspark.sql.window import Window
+
+    keys = [on] if isinstance(on, str) else list(on)
+    pay_struct = F.struct(
+        F.col(right_ts).alias("__ts"), *[F.col(c) for c in payload]
+    )
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias(left_ts),
+        pay_struct.alias("__pay"),
+    ).withColumn("__tag", F.lit(0))
+    l = left.withColumn("__pay", F.lit(None).cast(r.schema["__pay"].dataType))
+    l = l.withColumn("__tag", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    # Right rows sort before left rows at equal ts => inclusive (>=).
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(left_ts).asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("__last", F.last("__pay", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__tag") == 1).withColumn(
+        f"{prefix}{right_ts}", F.col("__last.__ts")
+    )
+    for c in payload:
+        out = out.withColumn(f"{prefix}{c}", F.col(f"__last.{c}"))
+    return out.drop("__pay", "__tag", "__last")

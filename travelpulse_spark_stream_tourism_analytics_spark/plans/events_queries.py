@@ -352,17 +352,29 @@ def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("event_value_percentiles_approx")  # sketch: not DuckDB-matchable
+@query(
+    "event_value_percentiles_approx",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.10) AS p10_approx,
+           quantile_disc(value, 0.90) AS p90_approx
+    FROM events
+    GROUP BY 1
+    """,
+)
 def event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx — the reference's actual A8 operator
-    (spark/kafka_to_metrics.py:458-472), exposed directly (KLL-style
-    sketch; deterministic per input but not bit-matchable against
-    DuckDB's quantile, so rows-only; the exact interpolated variant is
-    oracle-checked in event_value_percentiles)."""
+    (spark/kafka_to_metrics.py:458-472). At ``accuracy=INT_MAX`` the
+    GK sketch degenerates to the exact discrete quantile, which equals
+    DuckDB's ``quantile_disc`` — so the *same operator* the reference
+    uses becomes hash-checkable. Production accuracy is a knob: the
+    default (10000) bounds sketch memory at 100 TB; season_score
+    exercises that default path. The interpolated exact variant is
+    oracle-checked separately in event_value_percentiles."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.expr("percentile_approx(value, 0.10)").alias("p10_approx"),
-        F.expr("percentile_approx(value, 0.90)").alias("p90_approx"),
+        F.expr("percentile_approx(value, 0.10, 2147483647)").alias("p10_approx"),
+        F.expr("percentile_approx(value, 0.90, 2147483647)").alias("p90_approx"),
     )
 
 
@@ -434,4 +446,93 @@ def hour_weekday_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_events"),
         money_sum("value", "sum_value"),
+    )
+
+
+@query(
+    "clicks_asof_last_purchase",
+    oracle="""
+    SELECT c.event_id,
+           c.user_id,
+           c.ts::TIMESTAMP AS ts,
+           p.ts::TIMESTAMP AS asof_ts,
+           p.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def clicks_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the same user's most recent
+    at-or-before purchase (ts + value) — the temporal-join class the
+    reference lacks (SURVEY.md §2.4 "absent: as-of joins"), built with
+    the union + running-last formulation in operators/joins.asof_join
+    (one shuffle, no range explosion; survives 100 TB where a
+    theta-join would not)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.joins import (
+        asof_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", payload=["value"]
+    ).select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+
+
+_ROLLUP_LEVEL = """
+    SELECT '{grain}' AS grain,
+           time_bucket(INTERVAL '1 {grain}', ts::TIMESTAMP,
+                       TIMESTAMP '1970-01-01') AS bucket_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 2
+"""
+
+
+@query(
+    "event_hypertable_rollup",
+    oracle=" UNION ALL ".join(
+        _ROLLUP_LEVEL.format(grain=g) for g in ("minute", "hour", "day")
+    ),
+)
+def event_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup (minute -> hour -> day):
+    the hour level re-aggregates the *minute partials* and the day
+    level the hour partials — the continuous-aggregate shape — so the
+    raw table is scanned once and each coarser grain shuffles only the
+    already-tiny finer aggregate. Decimal partial sums keep every level
+    bit-exact and order-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket_start")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("__dec"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "bucket_start").alias("bucket_start")
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("__dec").alias("__dec"))
+    day = hour.groupBy(
+        F.date_trunc("day", "bucket_start").alias("bucket_start")
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("__dec").alias("__dec"))
+
+    def finish(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket_start",
+            "n_events",
+            F.col("__dec").cast("double").alias("total_value"),
+        )
+
+    return (
+        finish(minute, "minute")
+        .unionByName(finish(hour, "hour"))
+        .unionByName(finish(day, "day"))
     )

@@ -611,3 +611,47 @@ def order_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.expr("stack(3, 'F', n_f, 'O', n_o, 'P', n_p) AS (status, n)"),
     )
+
+
+_PRICE_BANDS = [
+    ("budget", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("premium", 150_000.0, 300_000.0),
+    ("luxury", 300_000.0, 1e12),
+]
+
+
+@query(
+    "orders_price_band_range_join",
+    oracle="""
+    SELECT b.band,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN (VALUES
+            ('budget', 0.0, 50000.0),
+            ('mid', 50000.0, 150000.0),
+            ('premium', 150000.0, 300000.0),
+            ('luxury', 300000.0, 1e12)
+         ) b(band, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY 1
+    """,
+)
+def orders_price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: orders against a banding dimension on
+    ``lo <= price < hi`` — the range-join class the reference lacks
+    (SURVEY.md §2.4). The band table is broadcast, so the non-equi
+    condition is evaluated map-side (BroadcastNestedLoopJoin over a
+    4-row build side = effectively free); no shuffle of the fact table
+    at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    joined = orders.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_orders"),
+        money_sum("o_totalprice", "revenue"),
+    )

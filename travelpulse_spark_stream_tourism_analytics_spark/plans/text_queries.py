@@ -636,3 +636,31 @@ def docs_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(words_of(F.col("text"))).alias("n_ws_tokens"),
     )
+
+
+@query(
+    "docs_stratified_sample",
+    oracle="""
+    SELECT doc_id, source, lang, n_chars
+    FROM documents
+    WHERE md5(doc_id::VARCHAR) <
+          CASE source WHEN 'src0' THEN '2' WHEN 'src1' THEN '8' ELSE '4' END
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by md5-hex threshold per
+    stratum — the reproducible training-data sampling primitive
+    (engine-portable: the hex string of md5(key) compares identically
+    in any engine, unlike Bernoulli RNG sampling). Thresholds are hex
+    prefixes: '2' keeps 2/16 of src0 docs, '8' keeps 8/16 of src1, '4'
+    keeps 4/16 of the rest. Pure filter: pushes to the scan, no
+    shuffle, trivially parallel at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    threshold = (
+        F.when(F.col("source") == "src0", F.lit("2"))
+        .when(F.col("source") == "src1", F.lit("8"))
+        .otherwise(F.lit("4"))
+    )
+    return docs.filter(
+        F.md5(F.col("doc_id").cast("string")) < threshold
+    ).select("doc_id", "source", "lang", "n_chars")
