@@ -64,3 +64,37 @@ def test_date_filters_reach_scans(spark, name):
     plan = plan_of(spark, name)
     assert "PushedFilters" in plan
     assert "Exchange" in plan  # sanity: plan rendered fully
+
+
+def test_repair_coarse_scan_trigger_and_noop(spark, tmp_path):
+    """repair_coarse_scan repartitions a big single-row-group file and
+    leaves well-partitioned (or small) inputs untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+        repair_coarse_scan,
+    )
+
+    tbl = pa.table({"x": list(range(100_000))})
+    coarse = str(tmp_path / "coarse.parquet")
+    fine = str(tmp_path / "fine.parquet")
+    pq.write_table(tbl, coarse)  # one row group
+    pq.write_table(tbl, fine, row_group_size=5_000)  # 20 row groups
+
+    cores = spark.sparkContext.defaultParallelism
+    df_c = spark.read.parquet(coarse)
+    out_c = repair_coarse_scan(spark, df_c, coarse)
+    assert out_c.rdd.getNumPartitions() == cores
+
+    df_f = spark.read.parquet(fine)
+    assert repair_coarse_scan(spark, df_f, fine) is df_f  # enough groups
+
+    small = str(tmp_path / "small.parquet")
+    pq.write_table(pa.table({"x": list(range(10))}), small)
+    df_s = spark.read.parquet(small)
+    assert repair_coarse_scan(spark, df_s, small) is df_s  # too few rows
+
+    # correctness is unchanged by the repartition
+    assert out_c.count() == 100_000
+    assert out_c.agg({"x": "sum"}).collect()[0][0] == sum(range(100_000))

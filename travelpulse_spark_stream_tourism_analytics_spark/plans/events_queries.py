@@ -536,3 +536,89 @@ def event_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(finish(hour, "hour"))
         .unionByName(finish(day, "day"))
     )
+
+
+@query(
+    "user_value_scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           ts::TIMESTAMP AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           value,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WHERE event_type = 'signup'
+    """,
+)
+def user_value_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension) interval build: each signup
+    event opens a validity interval closed by the user's next signup
+    (`lead` over (user, ts)); the open-ended row is flagged current.
+    The change-log -> versioned-dimension primitive every warehouse
+    pipeline needs; one shuffle on user_id, window sort reused for
+    both lead and the flag."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            "value",
+        )
+        .withColumn(
+            "is_current",
+            F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("long"),
+        )
+    )
+
+
+@query(
+    "signup_click_purchase_funnel",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY 1
+    )
+    SELECT count(*) AS n_users,
+           sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
+           sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                    THEN 1 ELSE 0 END) AS n_click_after_signup,
+           sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                         AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS n_full_funnel
+    FROM firsts
+    """,
+)
+def signup_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup -> first later click -> first later
+    purchase) counted per user — the sequence-analysis shape of every
+    product/conversion pipeline. One conditional-min aggregation per
+    stage (single shuffle on user_id, map-side partials), then a global
+    roll-up; no self-joins, so it scales linearly in events."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    sign = F.col("t_signup").isNotNull()
+    click = sign & (F.col("t_click") > F.col("t_signup"))
+    full = click & (F.col("t_purchase") > F.col("t_click"))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        one(sign).alias("n_signup"),
+        one(click).alias("n_click_after_signup"),
+        one(full).alias("n_full_funnel"),
+    )

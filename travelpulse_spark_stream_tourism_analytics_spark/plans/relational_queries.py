@@ -53,8 +53,21 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-row double products are rounded into decimals before the sum so
     the aggregate is associative — identical under any partitioning.
+
+    The decimal partial aggregation is the most expensive map-side work
+    in the catalog, so this query opts into the coarse-scan repair
+    (see plans/catalog.py repair_coarse_scan): when the input arrives
+    as fewer row groups than cores (local bench artifact), a round-robin
+    repartition spreads the decimal work; on real multi-row-group data
+    it is a no-op.
     """
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+        repair_coarse_scan,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    li = repair_coarse_scan(spark, li, f"{sf_dir}/lineitem.parquet")
+    li = li.filter(
         F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz")
     )
     dec = lambda c, t: F.sum(c.cast(t)).cast("double")  # noqa: E731
