@@ -664,3 +664,48 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         F.md5(F.col("doc_id").cast("string")) < threshold
     ).select("doc_id", "source", "lang", "n_chars")
+
+
+@query(
+    "docs_top_terms",
+    oracle=f"""
+    SELECT term, n_occurrences, n_docs
+    FROM (
+        SELECT term,
+               count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs,
+               row_number() OVER (
+                   ORDER BY count(*) DESC, term
+               ) AS rn
+        FROM (
+            SELECT doc_id, unnest({_WORDS_SQL.format(c="text")}) AS term
+            FROM documents
+        )
+        GROUP BY term
+    )
+    WHERE rn <= 50
+    ORDER BY n_occurrences DESC, term
+    """,
+)
+def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global heavy hitters: corpus-wide term frequency + document
+    frequency, top-50 with a deterministic term tiebreak. The
+    vocabulary/stopword-discovery primitive of every text pipeline.
+    Explode is map-side; the groupBy shuffles once on term with
+    partial aggregation, and the top-50 is TakeOrderedAndProject over
+    the (small) per-term aggregate — no global sort. At skewed corpora
+    the term key can be salted (operators/skew.py) without changing
+    results."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(words_of(F.col("text"))).alias("term")
+    )
+    agg = terms.groupBy("term").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return (
+        agg.orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(50)
+        .select("term", "n_occurrences", "n_docs")
+    )
