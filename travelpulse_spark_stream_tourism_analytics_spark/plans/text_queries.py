@@ -709,3 +709,108 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("term", "n_occurrences", "n_docs")
     )
+
+
+_IVF_SEEDED_ORACLE = """
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    seeds AS (
+        SELECT vec_id AS cell_id, v AS sv FROM base WHERE vec_id < 8
+    ),
+    assigned AS (
+        SELECT vec_id, v, cell_id FROM (
+            SELECT b.vec_id, b.v, s.cell_id,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY round(list_dot_product(b.v, s.sv)
+                                / (sqrt(list_dot_product(b.v, b.v))
+                                   * sqrt(list_dot_product(s.sv, s.sv))), 6)
+                                DESC, s.cell_id
+                   ) AS rn
+            FROM base b, seeds s
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5),
+    probes AS (
+        SELECT query_id, qv, cell_id FROM (
+            SELECT q.query_id, q.qv, s.cell_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_dot_product(q.qv, s.sv)
+                                / (sqrt(list_dot_product(q.qv, q.qv))
+                                   * sqrt(list_dot_product(s.sv, s.sv))), 6)
+                                DESC, s.cell_id
+                   ) AS rn
+            FROM q, seeds s
+        ) WHERE rn <= 2
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round(list_dot_product(p.qv, a.v)
+                     / (sqrt(list_dot_product(p.qv, p.qv))
+                        * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY round(list_dot_product(p.qv, a.v)
+                            / (sqrt(list_dot_product(p.qv, p.qv))
+                               * sqrt(list_dot_product(a.v, a.v))), 6)
+                            DESC, a.vec_id
+               ) AS rn
+        FROM probes p
+        JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+    ) WHERE rn <= 5
+"""
+
+
+@query("embedding_ivf_seeded_knn", oracle=_IVF_SEEDED_ORACLE)
+def embedding_ivf_seeded_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate kNN with a *deterministic* coarse quantizer
+    (the 8 lowest-id vectors as cell centroids) so the whole search —
+    assignment, 2-of-8 cell probe, in-cell top-5 — is hash-checkable
+    end to end. Same physical shape as production IVF: centroids are
+    broadcast (tiny), assignment is map-side, candidate search touches
+    only probed cells (an equi-join on cell_id instead of the all-pairs
+    cross join), so compute scales with corpus/cells * n_probe. The
+    KMeans-trained variant (embedding_ivf_knn) upgrades recall but its
+    iterative centroids have no SQL twin."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.as_double_vec(F.col("embedding")).alias("v")
+    )
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+
+    def nearest_cells(df, id_col, vec_col, n):
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("__cos"), F.asc("cell_id")
+        )
+        return (
+            df.crossJoin(F.broadcast(seeds))
+            .withColumn("__cos", similarity.cosine(F.col(vec_col), F.col("sv")))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .drop("sv", "__cos", "__rn")
+        )
+
+    assigned = nearest_cells(emb, "vec_id", "v", 1)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probes = nearest_cells(queries, "query_id", "qv", 2)
+    cand = probes.join(assigned, "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    topw = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            similarity.cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+        .withColumn("__rn", F.row_number().over(topw))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+    )
