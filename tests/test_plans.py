@@ -98,3 +98,24 @@ def test_repair_coarse_scan_trigger_and_noop(spark, tmp_path):
     # correctness is unchanged by the repartition
     assert out_c.count() == 100_000
     assert out_c.agg({"x": "sum"}).collect()[0][0] == sum(range(100_000))
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The as-of join must plan as one Exchange + one Window — the
+    union/running-last formulation, never a nested-loop range join."""
+    plan = plan_of(spark, "clicks_asof_last_purchase")
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert tree.count("Window (") == 1
+    assert tree.count("Exchange (") == 1  # one shuffle on user_id
+    assert "hashpartitioning(user_id" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_q5_join_broadcasts_dimensions(spark):
+    """regional_supplier_revenue: nation/region reach the join as
+    broadcasts; the date filter is pushed into the orders scan."""
+    plan = plan_of(spark, "regional_supplier_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "IsNotNull(o_orderdate)" in plan or "o_orderdate" in plan.split(
+        "PushedFilters", 1
+    )[-1]
