@@ -421,3 +421,23 @@ def test_asof_join_ties_nulls_and_no_match(spark):
     # must NOT fall back to the older 10.0
     assert out[(1, t("2024-01-01 00:03:00"))] == (t("2024-01-01 00:02:00"), None)
     assert out[(2, t("2024-01-01 00:02:00"))] == (None, None)
+
+
+def test_asof_join_duplicate_right_ts_is_deterministic(spark):
+    """Duplicate right rows at the same (key, ts) must resolve to the
+    greatest payload struct regardless of partitioning."""
+    import datetime as dt
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.joins import (
+        asof_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 1, 0)
+    left = spark.createDataFrame([(1, dt.datetime(2024, 1, 1, 0, 2))],
+                                 "k long, ts timestamp")
+    dup = [(1, t0, 5.0), (1, t0, 7.0)]
+    for perm in (dup, dup[::-1]):
+        right = spark.createDataFrame(perm, "k long, ts timestamp, v double") \
+            .repartition(4)
+        out = asof_join(left, right, on="k", payload=["v"]).collect()
+        assert out[0].asof_v == 7.0  # always the max payload struct

@@ -76,13 +76,15 @@ def test_repair_coarse_scan_trigger_and_noop(spark, tmp_path):
         repair_coarse_scan,
     )
 
+    cores = spark.sparkContext.defaultParallelism
+    if cores < 4:
+        pytest.skip("repair only triggers when row_groups*4 <= cores")
+
     tbl = pa.table({"x": list(range(100_000))})
     coarse = str(tmp_path / "coarse.parquet")
     fine = str(tmp_path / "fine.parquet")
     pq.write_table(tbl, coarse)  # one row group
     pq.write_table(tbl, fine, row_group_size=5_000)  # 20 row groups
-
-    cores = spark.sparkContext.defaultParallelism
     df_c = spark.read.parquet(coarse)
     out_c = repair_coarse_scan(spark, df_c, coarse)
     assert out_c.rdd.getNumPartitions() == cores
@@ -116,6 +118,18 @@ def test_q5_join_broadcasts_dimensions(spark):
     broadcasts; the date filter is pushed into the orders scan."""
     plan = plan_of(spark, "regional_supplier_revenue")
     assert "BroadcastHashJoin" in plan
-    assert "IsNotNull(o_orderdate)" in plan or "o_orderdate" in plan.split(
-        "PushedFilters", 1
-    )[-1]
+    # the date range must reach the orders scan as a pushed filter
+    pushed = [
+        seg.splitlines()[0]
+        for seg in plan.split("PushedFilters: ")[1:]
+    ]
+    assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_hypertable_rollup_single_scan(spark):
+    """The GROUPING SETS rollup must read the raw table exactly once
+    (Expand), not once per grain."""
+    plan = plan_of(spark, "event_hypertable_rollup")
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Expand") == 1

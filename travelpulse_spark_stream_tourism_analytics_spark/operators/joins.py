@@ -173,9 +173,18 @@ def asof_join(
     l = l.withColumn("__tag", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
     # Right rows sort before left rows at equal ts => inclusive (>=).
+    # The trailing __pay sort makes duplicate right-side (key, ts) rows
+    # deterministic: the running last() then always carries the
+    # greatest payload struct, independent of partition/shuffle order
+    # (left rows all have NULL __pay, sorted first within their slot,
+    # so their relative order never affects the carried value).
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(left_ts).asc(), F.col("__tag").asc())
+        .orderBy(
+            F.col(left_ts).asc(),
+            F.col("__tag").asc(),
+            F.col("__pay").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.withColumn("__last", F.last("__pay", ignorenulls=True).over(w))

@@ -503,47 +503,41 @@ _ROLLUP_LEVEL = """
     ),
 )
 def event_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style hierarchical rollup (minute -> hour -> day):
-    the hour level re-aggregates the *minute partials* and the day
-    level the hour partials — the continuous-aggregate shape — so the
-    raw table is scanned once and each coarser grain shuffles only the
-    already-tiny finer aggregate. Decimal partial sums keep every level
-    bit-exact and order-independent.
+    """Hypertable-style multi-grain rollup (minute / hour / day) as ONE
+    GROUPING SETS aggregation: a single scan and a single shuffle;
+    Catalyst's Expand emits one row per grain ahead of the map-side
+    partial aggregate, so the shuffle still carries only aggregated
+    buckets. Decimal partial sums keep every level bit-exact and
+    order-independent.
 
-    The minute/hour levels are persisted: DataFrame union branches do
-    NOT share common subtrees (Catalyst has no automatic CTE
-    materialization), so without the persist the raw table would be
-    scanned once per grain — verified via the executed plan's scan
-    count. Materializing each level is also exactly what a hypertable
-    continuous aggregate does."""
+    Chosen over the union-of-levels form because DataFrame union
+    branches do not share common subtrees (no automatic CTE
+    materialization — the raw table would be scanned once per grain),
+    and over persist()-chained levels because a catalog query should
+    not pin executor storage for the session. A production continuous
+    aggregate materializes each level incrementally instead — that
+    shape is the streaming chained_window_rollup."""
     ev = load_table(spark, sf_dir, "events")
-    minute = ev.groupBy(
-        F.date_trunc("minute", "ts").alias("bucket_start")
-    ).agg(
+    keyed = ev.select(
+        F.date_trunc("minute", "ts").alias("m"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        "value",
+    )
+    g = keyed.groupingSets([["m"], ["h"], ["d"]], "m", "h", "d").agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).alias("__dec"),
-    ).persist()
-    hour = minute.groupBy(
-        F.date_trunc("hour", "bucket_start").alias("bucket_start")
-    ).agg(
-        F.sum("n_events").alias("n_events"), F.sum("__dec").alias("__dec")
-    ).persist()
-    day = hour.groupBy(
-        F.date_trunc("day", "bucket_start").alias("bucket_start")
-    ).agg(F.sum("n_events").alias("n_events"), F.sum("__dec").alias("__dec"))
-
-    def finish(df: DataFrame, grain: str) -> DataFrame:
-        return df.select(
-            F.lit(grain).alias("grain"),
-            "bucket_start",
-            "n_events",
-            F.col("__dec").cast("double").alias("total_value"),
-        )
-
-    return (
-        finish(minute, "minute")
-        .unionByName(finish(hour, "hour"))
-        .unionByName(finish(day, "day"))
+        F.grouping("m").cast("int").alias("__gm"),
+        F.grouping("h").cast("int").alias("__gh"),
+    )
+    return g.select(
+        F.when(F.col("__gm") == 0, F.lit("minute"))
+        .when(F.col("__gh") == 0, F.lit("hour"))
+        .otherwise(F.lit("day"))
+        .alias("grain"),
+        F.coalesce("m", "h", "d").alias("bucket_start"),
+        "n_events",
+        F.col("__dec").cast("double").alias("total_value"),
     )
 
 
@@ -552,9 +546,10 @@ def event_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            ts::TIMESTAMP AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, value)
+               AS valid_to,
            value,
-           CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, value)
                      IS NULL THEN 1 ELSE 0 END AS is_current
     FROM events
     WHERE event_type = 'signup'
@@ -566,10 +561,11 @@ def user_value_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`lead` over (user, ts)); the open-ended row is flagged current.
     The change-log -> versioned-dimension primitive every warehouse
     pipeline needs; one shuffle on user_id, window sort reused for
-    both lead and the flag."""
+    both lead and the flag. ``value`` in the window ORDER BY (both
+    engines) keeps duplicate (user, ts) change rows deterministic."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("user_id").orderBy("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "value")
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.filter(F.col("event_type") == "signup")

@@ -774,6 +774,10 @@ def embedding_ivf_seeded_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join), so compute scales with corpus/cells * n_probe. The
     KMeans-trained variant (embedding_ivf_knn) upgrades recall but its
     iterative centroids have no SQL twin."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.joins import (
+        nearest_neighbor_join,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", similarity.as_double_vec(F.col("embedding")).alias("v")
     )
@@ -782,16 +786,16 @@ def embedding_ivf_seeded_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def nearest_cells(df, id_col, vec_col, n):
-        w = Window.partitionBy(id_col).orderBy(
-            F.desc("__cos"), F.asc("cell_id")
-        )
-        return (
-            df.crossJoin(F.broadcast(seeds))
-            .withColumn("__cos", similarity.cosine(F.col(vec_col), F.col("sv")))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= n)
-            .drop("sv", "__cos", "__rn")
-        )
+        # reuse the generic argmin theta join; cosine negated so the
+        # ascending-distance ranking picks the most similar cell
+        return nearest_neighbor_join(
+            df,
+            seeds,
+            id_col,
+            distance=lambda: -similarity.cosine(F.col(vec_col), F.col("sv")),
+            k=n,
+            tiebreak="cell_id",
+        ).drop("sv", "__dist")
 
     assigned = nearest_cells(emb, "vec_id", "v", 1)
     queries = emb.filter(F.col("vec_id") < 5).select(
