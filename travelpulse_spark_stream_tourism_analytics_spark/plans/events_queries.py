@@ -627,3 +627,63 @@ def signup_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         one(click).alias("n_click_after_signup"),
         one(full).alias("n_full_funnel"),
     )
+
+
+@query(
+    "events_pointintime_enrich",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id,
+               ts::TIMESTAMP AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, value)
+                   AS valid_to,
+               value AS signup_value
+        FROM events
+        WHERE event_type = 'signup'
+    )
+    SELECT p.event_id,
+           p.user_id,
+           p.ts::TIMESTAMP AS ts,
+           d.valid_from,
+           d.signup_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN dim d
+      ON p.user_id = d.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    """,
+)
+def events_pointintime_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment (the feature-store join): each purchase
+    gets the signup-dimension version that was valid AT ITS EVENT TIME
+    — never a future version (no leakage), never a stale one. Built as
+    SCD2 intervals (lead window) + an interval-membership join. At
+    scale the dimension side is orders of magnitude smaller than the
+    fact stream and broadcasts; the same transform applied per
+    micro-batch is the stream-static enrich pattern. Intervals are
+    half-open [valid_from, valid_to) and the version chain is
+    deterministic via the (ts, value) tiebreak."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "value")
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("d_user_id"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.col("value").alias("signup_value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    cond = (
+        (F.col("user_id") == F.col("d_user_id"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return purchases.join(F.broadcast(dim), cond, "left").select(
+        "event_id", "user_id", "ts", "valid_from", "signup_value"
+    )
