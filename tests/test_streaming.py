@@ -432,3 +432,59 @@ def test_prometheus_label_escaping():
         {"m": ({"name": 'San "Marco"\nVenezia\\x'}, 1)}
     )
     assert body == 'm{name="San \\"Marco\\"\\nVenezia\\\\x"} 1.0\n'
+
+
+def test_stream_static_pointintime_enrich(spark, fixture_dirs, tmp_path):
+    """The point-in-time join (operators/joins.pointintime_join) is
+    stateless, so enriching a STREAM of bookings against a static
+    versioned dimension must equal the batch enrichment exactly."""
+    import datetime as _dt
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.joins import (
+        pointintime_join,
+    )
+
+    # versions for every city seen in the fixture
+    cities = file_batch(spark, fixture_dirs["booking"])
+    city_ids = sorted(
+        r[0]
+        for r in parse_events(cities, BOOKING_SCHEMA)
+        .select("city_id")
+        .distinct()
+        .collect()
+        if r[0] is not None
+    )
+    rows = []
+    for c in city_ids:
+        rows.append((c, START, START + _dt.timedelta(days=1), "v1"))
+        rows.append((c, START + _dt.timedelta(days=1), None, "v2"))
+    versions = spark.createDataFrame(
+        rows,
+        "city_id string, valid_from timestamp, "
+        "valid_to timestamp, version string",
+    )
+
+    def enrich(src):
+        parsed = parse_events(src, BOOKING_SCHEMA).select(
+            "booking_id", "city_id", "event_time"
+        )
+        return pointintime_join(
+            parsed,
+            versions,
+            on="city_id",
+            fact_ts="event_time",
+        ).select("booking_id", "city_id", "event_time", "version")
+
+    got = _collecting_sink_rows(
+        spark,
+        enrich(file_stream(spark, fixture_dirs["booking"])),
+        "append",
+        tmp_path,
+        "pit",
+    )
+    want = enrich(file_batch(spark, fixture_dirs["booking"])).collect()
+    key = lambda r: (r["booking_id"], r["version"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) > 0
+    # every booking matched exactly one version (no fan-out, no leak)
+    assert len(got) == len(set(r["booking_id"] for r in got))

@@ -194,3 +194,31 @@ def asof_join(
     for c in payload:
         out = out.withColumn(f"{prefix}{c}", F.col(f"__last.{c}"))
     return out.drop("__pay", "__tag", "__last")
+
+
+def pointintime_join(
+    facts: DataFrame,
+    dim_versions: DataFrame,
+    on: str,
+    fact_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (feature-store) join: attach the dimension version
+    valid at each fact's event time — half-open [valid_from, valid_to)
+    membership, NULL valid_to meaning current — so no future version
+    ever leaks backward.
+
+    The versioned dimension is broadcast (it is the small side by
+    construction: versions, not events). Stateless, so the identical
+    transform also enriches a streaming fact DataFrame per micro-batch
+    (stream-static join).
+    """
+    d = dim_versions.withColumnRenamed(on, "__dim_key")
+    cond = (
+        (facts[on] == d["__dim_key"])
+        & (facts[fact_ts] >= d[valid_from])
+        & (d[valid_to].isNull() | (facts[fact_ts] < d[valid_to]))
+    )
+    return facts.join(F.broadcast(d), cond, how).drop("__dim_key")

@@ -660,17 +660,22 @@ def events_pointintime_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCD2 intervals (lead window) + an interval-membership join. At
     scale the dimension side is orders of magnitude smaller than the
     fact stream and broadcasts; the same transform applied per
-    micro-batch is the stream-static enrich pattern. Intervals are
-    half-open [valid_from, valid_to) and the version chain is
-    deterministic via the (ts, value) tiebreak."""
+    micro-batch is the stream-static enrich pattern (tested in
+    test_streaming.py::test_stream_static_pointintime_enrich).
+    Intervals are half-open [valid_from, valid_to) and the version
+    chain is deterministic via the (ts, value) tiebreak."""
     from pyspark.sql.window import Window
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.joins import (
+        pointintime_join,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "value")
     dim = (
         ev.filter(F.col("event_type") == "signup")
         .select(
-            F.col("user_id").alias("d_user_id"),
+            "user_id",
             F.col("ts").alias("valid_from"),
             F.lead("ts").over(w).alias("valid_to"),
             F.col("value").alias("signup_value"),
@@ -679,11 +684,6 @@ def events_pointintime_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    cond = (
-        (F.col("user_id") == F.col("d_user_id"))
-        & (F.col("ts") >= F.col("valid_from"))
-        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
-    )
-    return purchases.join(F.broadcast(dim), cond, "left").select(
+    return pointintime_join(purchases, dim, on="user_id", fact_ts="ts").select(
         "event_id", "user_id", "ts", "valid_from", "signup_value"
     )
