@@ -133,3 +133,34 @@ def test_hypertable_rollup_single_scan(spark):
     tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
     assert tree.count("Scan parquet") == 1
     assert tree.count("Expand") == 1
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    """write_parquet(partition_by=day) must let a day-filtered read
+    prune partitions at planning time — the layout contract that makes
+    100 TB fact scans touch only the queried slice."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+        load_table,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.sinks.files import (
+        write_parquet,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_day")
+    write_parquet(ev, out, partition_by=["day"])
+
+    df = spark.read.parquet(out).filter(F.col("day") == "2024-01-03")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "2024-01-03" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    # and the filtered read really returns only that day's rows
+    days = {r[0] for r in df.select("day").distinct().collect()}
+    assert len(days) <= 1
