@@ -726,3 +726,72 @@ def regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+@query(
+    "customer_balance_merge_upsert",
+    oracle="""
+    WITH agg AS (
+        SELECT o_custkey AS custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS spend_1996
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    ),
+    changes AS (
+        SELECT custkey, spend_1996 FROM agg
+        UNION ALL
+        SELECT custkey + 1000000, spend_1996 FROM agg WHERE custkey < 10
+    )
+    SELECT coalesce(c.c_custkey, ch.custkey) AS custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                WHEN ch.custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS merge_action,
+           round(coalesce(c.c_acctbal, 0.0)
+                 + coalesce(ch.spend_1996, 0.0), 2) AS new_acctbal
+    FROM customer c
+    FULL OUTER JOIN changes ch ON c.c_custkey = ch.custkey
+    """,
+)
+def customer_balance_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (CDC apply): a derived change-set (1996 spend per
+    customer) merged into the customer snapshot — matched rows update,
+    unmatched-by-source rows pass through, unmatched-by-target rows
+    insert. Expressed as one full-outer join + coalesce projection (the
+    batch formulation Delta/Iceberg MERGE INTO compiles to); a single
+    shuffle on the key, and with both sides bucketed on the key (see
+    sinks/bucketed.py) even that shuffle disappears. Streaming CDC
+    compaction is the latest_event_per_user dedup + this apply."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    agg = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(money_sum("o_totalprice", "spend_1996"))
+    )
+    # a few change rows with unseen keys so the insert arm is real
+    changes = agg.unionByName(
+        agg.filter(F.col("custkey") < 10).select(
+            (F.col("custkey") + 1000000).alias("custkey"), "spend_1996"
+        )
+    )
+    merged = cust.join(
+        changes, cust["c_custkey"] == changes["custkey"], "full_outer"
+    )
+    return merged.select(
+        F.coalesce(F.col("c_custkey"), F.col("custkey")).alias("custkey"),
+        F.when(F.col("c_custkey").isNull(), F.lit("insert"))
+        .when(F.col("custkey").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+        .alias("merge_action"),
+        F.round(
+            F.coalesce(F.col("c_acctbal"), F.lit(0.0))
+            + F.coalesce(F.col("spend_1996"), F.lit(0.0)),
+            2,
+        ).alias("new_acctbal"),
+    )
