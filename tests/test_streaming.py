@@ -488,3 +488,84 @@ def test_stream_static_pointintime_enrich(spark, fixture_dirs, tmp_path):
     assert len(got) > 0
     # every booking matched exactly one version (no fan-out, no leak)
     assert len(got) == len(set(r["booking_id"] for r in got))
+
+
+def test_watermark_finalizes_and_drops_late_rows_append_mode(spark, tmp_path):
+    """Append-mode windowed aggregation: a window finalizes exactly once
+    when the watermark passes its end, and a row arriving in a later
+    micro-batch behind the watermark is dropped — the one-directional
+    guarantee Spark gives (update mode is deliberately best-effort for
+    late input, so the reference's update-mode monitors may briefly
+    revive an old window; documented here via the append contract)."""
+    import os
+    import time as _time
+
+    def iso(ts):
+        return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    def wire(ts):
+        return {
+            "event_type": "weather",
+            "event_ts": iso(ts),
+            "ingest_ts": iso(ts),
+            "trace_id": f"t{ts.minute}{ts.second}",
+        }
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    d = tmp_path / "wm"
+    # batch 1: advances the watermark past window [12:00, 12:01)
+    write_wire_fixture(
+        [wire(base), wire(base + dt.timedelta(minutes=10))],
+        str(d / "a.json"),
+    )
+    # batch 2: fresh row, watermark moves further; 12:00 window emits
+    write_wire_fixture(
+        [wire(base + dt.timedelta(minutes=20))], str(d / "b.json")
+    )
+    # batch 3: a row behind the watermark for the ALREADY-EMITTED window
+    write_wire_fixture(
+        [
+            wire(base + dt.timedelta(seconds=30)),
+            wire(base + dt.timedelta(minutes=21)),
+        ],
+        str(d / "c.json"),
+    )
+    now = _time.time()
+    os.utime(str(d / "a.json"), (now - 200, now - 200))
+    os.utime(str(d / "b.json"), (now - 100, now - 100))
+    os.utime(str(d / "c.json"), (now, now))
+
+    parsed = parse_events(
+        file_stream(spark, str(d), maxFilesPerTrigger=1), WEATHER_SCHEMA
+    ).withWatermark("event_time", "45 seconds")
+    agg = parsed.groupBy(F.window("event_time", "1 minute")).count()
+
+    rows = []
+
+    def grab(batch_df, batch_id):
+        rows.extend(batch_df.collect())
+
+    q = start_query(
+        agg,
+        "wm_append",
+        str(tmp_path / "chk_wm"),
+        grab,
+        mode="append",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+
+    emitted = {r["window"]["start"]: r["count"] for r in rows}
+    # the 12:00 window finalized exactly once with count 1; the late
+    # 12:00:30 row arriving after finalization was dropped — append
+    # mode never emits a duplicate or revised row for a closed window
+    assert emitted[base] == 1
+    assert len([r for r in rows if r["window"]["start"] == base]) == 1
+    assert dropped == 1
+    # windows not yet passed by the watermark never emitted (no partials)
+    assert base + dt.timedelta(minutes=21) not in emitted

@@ -36,11 +36,16 @@ def kafka_stream(
     )
 
 
-def file_stream(spark: SparkSession, path: str) -> DataFrame:
+def file_stream(spark: SparkSession, path: str, **options: str) -> DataFrame:
     """JSONL directory source producing the wire contract. Each line:
     {"key": ..., "value": "<embedded event JSON>", "kafka_ts": ...}.
-    Deterministic replacement for a Kafka topic in tests."""
-    return spark.readStream.schema(WIRE_SCHEMA).json(path)
+    Deterministic replacement for a Kafka topic in tests. Extra reader
+    options pass through (e.g. maxFilesPerTrigger=1 to force micro-batch
+    boundaries so watermark progression is observable)."""
+    reader = spark.readStream.schema(WIRE_SCHEMA)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.json(path)
 
 
 def file_batch(spark: SparkSession, path: str) -> DataFrame:
