@@ -138,3 +138,47 @@ def test_word_ngrams_count(spark, strings, n):
     ).collect()
     for r in rows:
         assert r["n_grams"] == max(0, r["n_words"] - n + 1)
+
+
+_asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # key
+        st.integers(min_value=0, max_value=20),  # ts offset (seconds)
+        st.integers(min_value=0, max_value=9),   # payload
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(left=_asof_rows, right=_asof_rows)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """asof_join == the O(n*m) definition: for every left row, the
+    right row with max ts <= left.ts within the key; ties by max
+    payload (the operator's documented tiebreak)."""
+    import datetime as dt
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.joins import (
+        asof_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    ldf = spark.createDataFrame(
+        [(i, k, t(s)) for i, (k, s, _) in enumerate(left)],
+        "rid long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t(s), float(v)) for (k, s, v) in right],
+        "k long, ts timestamp, v double",
+    )
+    got = {
+        r.rid: (r.asof_ts, r.asof_v)
+        for r in asof_join(ldf, rdf, on="k", payload=["v"]).collect()
+    }
+    for i, (k, s, _) in enumerate(left):
+        cands = [(t(rs), float(rv)) for (rk, rs, rv) in right
+                 if rk == k and rs <= s]
+        want = max(cands) if cands else (None, None)
+        assert got[i] == want, (i, got[i], want)
