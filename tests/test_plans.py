@@ -164,3 +164,11 @@ def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
     # and the filtered read really returns only that day's rows
     days = {r[0] for r in df.select("day").distinct().collect()}
     assert len(days) <= 1
+
+
+def test_pointintime_join_broadcasts_dimension(spark):
+    """The PIT enrich must ship the (small) versioned dimension to the
+    fact side as a broadcast, never shuffle the fact table for it."""
+    plan = plan_of(spark, "events_pointintime_enrich")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
