@@ -41,6 +41,30 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Collapse a pandas dtype to the class the driver's value hash is
+    sensitive to.
+
+    DuckDB HUGEINT (un-cast integer ``sum()``) reaches pandas as
+    float64 while Spark's bigint arrives as int64 — numerically equal
+    values then canonicalize to different hash inputs. Local runs must
+    flag that, not paper over it with ``astype`` (ADVICE r1).
+
+    Width within a class does NOT matter: CORRECTNESS_r01 proves it —
+    ``user_value_scd2_intervals`` (spark int64 vs oracle int32) was
+    hash-green while the five int-vs-float (HUGEINT) rows failed. So
+    the mirror collapses widths and flags only class crossings."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def compare(spark_df, oracle_df: pd.DataFrame, name: str) -> list[str]:
     """Return a list of human-readable mismatch descriptions (empty = pass)."""
     errors: list[str] = []
@@ -50,6 +74,14 @@ def compare(spark_df, oracle_df: pd.DataFrame, name: str) -> list[str]:
             f"{name}: column mismatch spark={sorted(sp.columns)} "
             f"oracle={sorted(oracle_df.columns)}"
         ]
+    for c in sorted(sp.columns):
+        sc, oc = _dtype_class(sp[c]), _dtype_class(oracle_df[c])
+        if sc != oc:
+            errors.append(
+                f"{name}: column '{c}' dtype class differs pre-normalization: "
+                f"spark={sp[c].dtype} ({sc}) oracle={oracle_df[c].dtype} ({oc})"
+                " — would hash-mismatch under the driver even if values agree"
+            )
     if len(sp) != len(oracle_df):
         errors.append(f"{name}: row count spark={len(sp)} oracle={len(oracle_df)}")
     a, b = _normalize(sp), _normalize(oracle_df)

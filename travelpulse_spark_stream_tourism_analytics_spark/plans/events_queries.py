@@ -55,7 +55,8 @@ def events_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT {_MINUTE_BUCKET} AS window_start,
            count(*) AS n_total,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error,
            round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
                  / count(*)::DOUBLE, 6) AS error_share
     FROM events
@@ -290,7 +291,8 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
            round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
                AS avg_k
     FROM events
@@ -386,7 +388,8 @@ def event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFram
     )
     SELECT CAST(a.day AS TIMESTAMP) AS day,
            count(*) AS n_active,
-           sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_retained,
+           CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
            round(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
                  / count(*)::DOUBLE, 6) AS retention
     FROM daily a
@@ -594,12 +597,13 @@ def user_value_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
     )
     SELECT count(*) AS n_users,
-           sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
-           sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
-                    THEN 1 ELSE 0 END) AS n_click_after_signup,
-           sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+           CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_signup,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
                          AND t_purchase > t_click
-                    THEN 1 ELSE 0 END) AS n_full_funnel
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
     FROM firsts
     """,
 )

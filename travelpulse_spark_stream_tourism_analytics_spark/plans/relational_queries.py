@@ -304,7 +304,8 @@ def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            count(*) AS n_customers,
            CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
-           sum(CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END) AS n_rich,
+           CAST(sum(CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rich,
            round(CAST(sum(CAST(c_acctbal * (c_nationkey + 1) AS DECIMAL(20,2)))
                       AS DOUBLE)
                  / sum(c_nationkey + 1), 6) AS weighted_acctbal
@@ -526,10 +527,10 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipmode_priority_split",
     oracle="""
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'

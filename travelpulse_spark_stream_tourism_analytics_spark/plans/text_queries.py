@@ -86,7 +86,7 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id",
         "n_chars",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.length(F.concat_ws("", toks)).alias("sum_tok_len"),
         F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).alias("n_stop"),
     )
@@ -631,10 +631,10 @@ def docs_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), 0)).alias(
-            "n_bpe_tokens"
-        ),
-        F.size(words_of(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(words_of(F.col("text"))).cast("long").alias("n_ws_tokens"),
     )
 
 
