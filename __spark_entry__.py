@@ -42,7 +42,7 @@ def _configure(spark: SparkSession) -> None:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _configure(spark)
-    return all_queries()["top_users_daily"](spark, _SMOKE_SF_DIR)
+    return all_queries()["user_spend_snapshots"](spark, _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -10,13 +10,26 @@ from contextlib import redirect_stdout
 import pytest
 
 from tests.conftest import SF_SMOKE
-from travelpulse_spark_stream_tourism_analytics_spark.plans import all_queries
+from travelpulse_spark_stream_tourism_analytics_spark.plans import (
+    all_queries,
+    events_queries,
+    relational_queries,
+)
 
 _CATALOG = all_queries()
 
 
 def plan_of(spark, name: str) -> str:
-    df = _CATALOG[name](spark, SF_SMOKE)
+    """Explain a catalog query OR a de-registered constituent transform
+    (consolidated queries compose several operator plans; the plan
+    assertions stay pinned to the constituent, which is unchanged)."""
+    fn = _CATALOG.get(name)
+    if fn is None:
+        for mod in (events_queries, relational_queries):
+            fn = getattr(mod, name, None)
+            if fn is not None:
+                break
+    df = fn(spark, SF_SMOKE)
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")

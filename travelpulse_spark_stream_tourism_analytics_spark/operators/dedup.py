@@ -170,6 +170,31 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col(id_col), simhash.cast("long").alias("simhash"))
 
 
+def simhash16_expr(distinct_words: Column) -> Column:
+    """16-bit SimHash as a pure array expression over a distinct-word
+    array column — the single-pass form for wide profile projections:
+    no explode, no groupBy, no join-back, so SimHash rides along a
+    single scan with the other per-document features. Identical bit
+    semantics to :func:`simhash16` (parity of hex digit j of
+    md5(word), majority vote); an empty word set hashes to 0.
+    """
+    md5s = F.transform(distinct_words, lambda w: F.md5(w))
+    n = F.size(distinct_words)
+
+    def parity(j: int):
+        # closure factory: a 2-arg lambda (h, j=j) would be treated by
+        # F.filter as an (element, index) lambda and clobber j
+        return lambda h: (
+            F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int") % 2 == 1
+        )
+
+    sim: Column = F.lit(0)
+    for j in range(16):
+        s_j = F.size(F.filter(md5s, parity(j)))
+        sim = sim + F.when(s_j * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
+    return sim.cast("long")
+
+
 def simhash_neardup_pairs(sims: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 

@@ -50,19 +50,6 @@ def events_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "event_type_minute_rates",
-    oracle=f"""
-    SELECT {_MINUTE_BUCKET} AS window_start,
-           count(*) AS n_total,
-           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_error,
-           round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                 / count(*)::DOUBLE, 6) AS error_share
-    FROM events
-    GROUP BY 1
-    """,
-)
 def event_type_minute_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-window conditional counts + guarded ratio (reference A3/A7,
     spark/kafka_to_metrics.py:229,431)."""
@@ -83,31 +70,6 @@ def event_type_minute_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "top_users_daily",
-    oracle="""
-    WITH agg AS (
-        SELECT date_trunc('day', ts::TIMESTAMP) AS day,
-               user_id,
-               count(*) AS n_purchases,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
-        FROM events
-        WHERE event_type = 'purchase'
-        GROUP BY 1, 2
-    )
-    SELECT * FROM (
-        SELECT day, user_id, n_purchases, spend,
-               row_number() OVER (
-                   ORDER BY day, n_purchases DESC, spend DESC, user_id
-               ) AS rn_global,
-               row_number() OVER (
-                   PARTITION BY day
-                   ORDER BY n_purchases DESC, spend DESC, user_id
-               ) AS rank_in_day
-        FROM agg
-    ) WHERE rank_in_day <= 5
-    """,
-)
 def top_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP: per-day top-5 purchasers by (count, spend).
 
@@ -147,17 +109,6 @@ def top_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "today_user_spend",
-    oracle="""
-    SELECT CAST(ts::DATE AS TIMESTAMP) AS day, user_id,
-           count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
-    FROM events
-    WHERE ts::DATE = (SELECT max(ts::DATE) FROM events)
-    GROUP BY 1, 2
-    """,
-)
 def today_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Today' snapshot (reference W9/P6, spark/kafka_to_metrics.py:265-269)
     with an injectable as-of day (here: max event day) so it is
@@ -175,19 +126,6 @@ def today_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sliding_event_counts",
-    oracle="""
-    SELECT time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP, TIMESTAMP '1970-01-01')
-               - k * INTERVAL '5 minutes' AS window_start,
-           time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP, TIMESTAMP '1970-01-01')
-               - k * INTERVAL '5 minutes' + INTERVAL '10 minutes' AS window_end,
-           event_type,
-           count(*) AS n_events
-    FROM events, (VALUES (0), (1)) shifts(k)
-    GROUP BY 1, 2, 3
-    """,
-)
 def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (10 min / 5 min) — an engine extension; the
     reference only has tumbling windows (SURVEY.md §2.8 W2)."""
@@ -199,18 +137,6 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "event_value_percentiles",
-    oracle="""
-    SELECT event_type,
-           count(*) AS n,
-           round(quantile_cont(value, 0.10), 6) AS p10,
-           round(quantile_cont(value, 0.50), 6) AS p50,
-           round(quantile_cont(value, 0.90), 6) AS p90
-    FROM events
-    GROUP BY 1
-    """,
-)
 def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentiles per key (reference A8 uses percentile_approx,
     spark/kafka_to_metrics.py:458-472; the catalog checks the *exact*
@@ -225,20 +151,6 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "hourly_value_stats",
-    oracle="""
-    SELECT date_trunc('hour', ts::TIMESTAMP) AS hour,
-           count(*) AS n_events,
-           min(value) AS min_value,
-           max(value) AS max_value,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
-               AS avg_value
-    FROM events
-    GROUP BY 1
-    """,
-)
 def hourly_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly rollup: null-aware avg via exact decimal sum / count
     (reference A4/A6, spark/kafka_to_metrics.py:230,234)."""
@@ -286,19 +198,6 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "props_json_stats",
-    oracle="""
-    SELECT event_type,
-           count(*) AS n,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
-                AS BIGINT) AS sum_k,
-           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
-               AS avg_k
-    FROM events
-    GROUP BY 1
-    """,
-)
 def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload decode (reference S2 from_json,
     spark/kafka_to_metrics.py:174-179) + aggregation over the extracted
@@ -312,9 +211,7 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "user_session_windows",
-    oracle="""
+_SESSIONS_SQL = """
     WITH marked AS (
         SELECT user_id, ts::TIMESTAMP AS ts,
                CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
@@ -336,8 +233,9 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events
     FROM sess
     GROUP BY user_id, sid
-    """,
-)
+"""
+
+
 def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-minute gap) per user — an engine extension;
     the reference has only tumbling windows (SURVEY.md §2.8 W2). On a
@@ -354,16 +252,6 @@ def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "event_value_percentiles_approx",
-    oracle="""
-    SELECT event_type,
-           quantile_disc(value, 0.10) AS p10_approx,
-           quantile_disc(value, 0.90) AS p90_approx
-    FROM events
-    GROUP BY 1
-    """,
-)
 def event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx — the reference's actual A8 operator
     (spark/kafka_to_metrics.py:458-472). At ``accuracy=INT_MAX`` the
@@ -380,24 +268,6 @@ def event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query(
-    "user_day_retention",
-    oracle="""
-    WITH daily AS (
-        SELECT DISTINCT user_id, ts::DATE AS day FROM events
-    )
-    SELECT CAST(a.day AS TIMESTAMP) AS day,
-           count(*) AS n_active,
-           CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_retained,
-           round(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
-                 / count(*)::DOUBLE, 6) AS retention
-    FROM daily a
-    LEFT JOIN daily b
-      ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
-    GROUP BY 1
-    """,
-)
 def user_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-day retention: distinct-activity self-join on (user, day+1)
     — the cohort shape every activity pipeline needs; one dedup shuffle
@@ -427,17 +297,6 @@ def user_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "hour_weekday_heatmap",
-    oracle="""
-    SELECT CAST(isodow(ts::TIMESTAMP) AS BIGINT) AS dow_iso,
-           CAST(extract(hour FROM ts::TIMESTAMP) AS BIGINT) AS hour,
-           count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
 def hour_weekday_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day x ISO-weekday activity heatmap — the standard
     dashboard aggregation; weekday parity pinned to ISO numbering
@@ -452,19 +311,6 @@ def hour_weekday_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "clicks_asof_last_purchase",
-    oracle="""
-    SELECT c.event_id,
-           c.user_id,
-           c.ts::TIMESTAMP AS ts,
-           p.ts::TIMESTAMP AS asof_ts,
-           p.value AS asof_value
-    FROM (SELECT * FROM events WHERE event_type = 'click') c
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      ON c.user_id = p.user_id AND c.ts >= p.ts
-    """,
-)
 def clicks_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click gets the same user's most recent
     at-or-before purchase (ts + value) — the temporal-join class the
@@ -493,7 +339,11 @@ _ROLLUP_LEVEL = """
            time_bucket(INTERVAL '1 {grain}', ts::TIMESTAMP,
                        TIMESTAMP '1970-01-01') AS bucket_start,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error,
+           round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS error_share
     FROM events
     GROUP BY 2
 """
@@ -526,10 +376,12 @@ def event_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("h"),
         F.date_trunc("day", "ts").alias("d"),
         "value",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
     )
     g = keyed.groupingSets([["m"], ["h"], ["d"]], "m", "h", "d").agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).alias("__dec"),
+        F.sum("is_err").alias("n_error"),
         F.grouping("m").cast("int").alias("__gm"),
         F.grouping("h").cast("int").alias("__gh"),
     )
@@ -541,6 +393,10 @@ def event_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("m", "h", "d").alias("bucket_start"),
         "n_events",
         F.col("__dec").cast("double").alias("total_value"),
+        "n_error",
+        safe_ratio(F.col("n_error").cast("double"), F.col("n_events")).alias(
+            "error_share"
+        ),
     )
 
 
@@ -585,9 +441,7 @@ def user_value_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "signup_click_purchase_funnel",
-    oracle="""
+_FUNNEL_SQL = """
     WITH firsts AS (
         SELECT user_id,
                min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
@@ -605,8 +459,9 @@ def user_value_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AND t_purchase > t_click
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
     FROM firsts
-    """,
-)
+"""
+
+
 def signup_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (signup -> first later click -> first later
     purchase) counted per user — the sequence-analysis shape of every
@@ -633,30 +488,6 @@ def signup_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_pointintime_enrich",
-    oracle="""
-    WITH dim AS (
-        SELECT user_id,
-               ts::TIMESTAMP AS valid_from,
-               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, value)
-                   AS valid_to,
-               value AS signup_value
-        FROM events
-        WHERE event_type = 'signup'
-    )
-    SELECT p.event_id,
-           p.user_id,
-           p.ts::TIMESTAMP AS ts,
-           d.valid_from,
-           d.signup_value
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    LEFT JOIN dim d
-      ON p.user_id = d.user_id
-     AND p.ts >= d.valid_from
-     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
-    """,
-)
 def events_pointintime_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time enrichment (the feature-store join): each purchase
     gets the signup-dimension version that was valid AT ITS EVENT TIME
@@ -691,3 +522,322 @@ def events_pointintime_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pointintime_join(purchases, dim, on="user_id", fact_ts="ts").select(
         "event_id", "user_id", "ts", "valid_from", "signup_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Merged catalog entries.
+#
+# The driver scores at most 50 queries; each entry below composes
+# several operator plans (the constituent transforms above, unchanged)
+# into one hash-checked result so every SURVEY.md §2 operator keeps a
+# driver correctness row. Tags in the first column identify which
+# branch produced each row.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_spend_snapshots",
+    oracle="""
+    WITH agg AS (
+        SELECT date_trunc('day', ts::TIMESTAMP) AS day,
+               user_id,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    topd AS (
+        SELECT day, user_id, n_events, spend,
+               row_number() OVER (
+                   ORDER BY day, n_events DESC, spend DESC, user_id
+               ) AS rn_global,
+               row_number() OVER (
+                   PARTITION BY day
+                   ORDER BY n_events DESC, spend DESC, user_id
+               ) AS rank_in_day
+        FROM agg
+    )
+    SELECT 'daily_top5' AS scope, day, user_id, n_events, spend,
+           rn_global, rank_in_day
+    FROM topd WHERE rank_in_day <= 5
+    UNION ALL
+    SELECT 'today' AS scope, CAST(ts::DATE AS TIMESTAMP) AS day, user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+           NULL::BIGINT AS rn_global, NULL::BIGINT AS rank_in_day
+    FROM events
+    WHERE ts::DATE = (SELECT max(ts::DATE) FROM events)
+    GROUP BY 2, 3
+    """,
+)
+def user_spend_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP (merged): per-day top-5 purchasers (T1 per-window topN,
+    reference spark/kafka_to_metrics.py:293-301 quirk fixed) + the
+    'today' snapshot with an injectable clock (W9/P6,
+    kafka_to_metrics.py:265-269). Constituents: top_users_daily +
+    today_user_spend above."""
+    top = top_users_daily(spark, sf_dir).select(
+        F.lit("daily_top5").alias("scope"),
+        "day",
+        "user_id",
+        F.col("n_purchases").alias("n_events"),
+        "spend",
+        "rn_global",
+        "rank_in_day",
+    )
+    today = today_user_spend(spark, sf_dir).select(
+        F.lit("today").alias("scope"),
+        "day",
+        "user_id",
+        "n_events",
+        "spend",
+        F.lit(None).cast("long").alias("rn_global"),
+        F.lit(None).cast("long").alias("rank_in_day"),
+    )
+    return top.unionByName(today)
+
+
+@query(
+    "event_window_variants",
+    oracle=f"""
+    SELECT 'sliding10m5m' AS kind, event_type AS key,
+           time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP, TIMESTAMP '1970-01-01')
+               - k * INTERVAL '5 minutes' AS window_start,
+           time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP, TIMESTAMP '1970-01-01')
+               - k * INTERVAL '5 minutes' + INTERVAL '10 minutes' AS window_end,
+           count(*) AS n_events
+    FROM events, (VALUES (0), (1)) shifts(k)
+    GROUP BY 1, 2, 3, 4
+    UNION ALL
+    SELECT 'session30m' AS kind, CAST(user_id AS VARCHAR) AS key,
+           session_start AS window_start, session_end AS window_end, n_events
+    FROM ({_SESSIONS_SQL}) s
+    """,
+)
+def event_window_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged window-shape catalog (W2 extensions): sliding 10m/5m
+    per-type counts + 30-minute-gap session windows per user
+    (``F.session_window``; the oracle mirrors merge semantics with
+    gaps-and-islands SQL). Constituents: sliding_event_counts +
+    user_session_windows above."""
+    sliding = sliding_event_counts(spark, sf_dir).select(
+        F.lit("sliding10m5m").alias("kind"),
+        F.col("event_type").alias("key"),
+        "window_start",
+        "window_end",
+        "n_events",
+    )
+    sessions = user_session_windows(spark, sf_dir).select(
+        F.lit("session30m").alias("kind"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("session_start").alias("window_start"),
+        F.col("session_end").alias("window_end"),
+        "n_events",
+    )
+    return sliding.unionByName(sessions)
+
+
+@query(
+    "event_type_profile",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(quantile_cont(value, 0.10), 6) AS p10,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.90), 6) AS p90,
+           quantile_disc(value, 0.10) AS p10_approx,
+           quantile_disc(value, 0.90) AS p90_approx,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
+               AS avg_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged per-event-type profile, ONE aggregation pass: exact
+    interpolated percentiles, the reference's percentile_approx at
+    degenerate accuracy (A8, kafka_to_metrics.py:458-472 — GK sketch ==
+    quantile_disc at accuracy=INT_MAX), and JSON payload decode stats
+    (S2 from_json, kafka_to_metrics.py:174-179). Constituents:
+    event_value_percentiles(_approx) + props_json_stats above."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.10)"), 6).alias("p10"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.90)"), 6).alias("p90"),
+        F.expr("percentile_approx(value, 0.10, 2147483647)").alias("p10_approx"),
+        F.expr("percentile_approx(value, 0.90, 2147483647)").alias("p90_approx"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )
+
+
+@query(
+    "event_time_profiles",
+    oracle="""
+    SELECT 'hour' AS grain,
+           date_trunc('hour', ts::TIMESTAMP) AS bucket_ts,
+           NULL::BIGINT AS dow_iso, NULL::BIGINT AS hour_of_day,
+           count(*) AS n_events,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+               AS avg_value
+    FROM events
+    GROUP BY 2
+    UNION ALL
+    SELECT 'dow_hour' AS grain,
+           NULL::TIMESTAMP AS bucket_ts,
+           CAST(isodow(ts::TIMESTAMP) AS BIGINT) AS dow_iso,
+           CAST(extract(hour FROM ts::TIMESTAMP) AS BIGINT) AS hour_of_day,
+           count(*) AS n_events,
+           NULL::DOUBLE AS min_value,
+           NULL::DOUBLE AS max_value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           NULL::DOUBLE AS avg_value
+    FROM events
+    GROUP BY 3, 4
+    """,
+)
+def event_time_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged time-profile rollups: hourly null-aware value stats
+    (A4/A6, reference kafka_to_metrics.py:230,234) + the hour-of-day x
+    ISO-weekday heatmap (weekday parity pinned: Spark weekday() is
+    0=Monday, DuckDB isodow 1=Monday). Constituents: hourly_value_stats
+    + hour_weekday_heatmap above."""
+    hourly = hourly_value_stats(spark, sf_dir).select(
+        F.lit("hour").alias("grain"),
+        F.col("hour").alias("bucket_ts"),
+        F.lit(None).cast("long").alias("dow_iso"),
+        F.lit(None).cast("long").alias("hour_of_day"),
+        "n_events",
+        "min_value",
+        "max_value",
+        "sum_value",
+        "avg_value",
+    )
+    heat = hour_weekday_heatmap(spark, sf_dir).select(
+        F.lit("dow_hour").alias("grain"),
+        F.lit(None).cast("timestamp_ntz").alias("bucket_ts"),
+        "dow_iso",
+        F.col("hour").alias("hour_of_day"),
+        "n_events",
+        F.lit(None).cast("double").alias("min_value"),
+        F.lit(None).cast("double").alias("max_value"),
+        "sum_value",
+        F.lit(None).cast("double").alias("avg_value"),
+    )
+    return hourly.unionByName(heat)
+
+
+@query(
+    "user_lifecycle_metrics",
+    oracle=f"""
+    WITH daily AS (
+        SELECT DISTINCT user_id, ts::DATE AS day FROM events
+    )
+    SELECT 'retention_day' AS metric,
+           CAST(a.day AS TIMESTAMP) AS day,
+           count(*) AS n_a,
+           CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b,
+           NULL::BIGINT AS n_c, NULL::BIGINT AS n_d,
+           round(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS ratio
+    FROM daily a
+    LEFT JOIN daily b
+      ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+    GROUP BY 2
+    UNION ALL
+    SELECT 'funnel' AS metric, NULL::TIMESTAMP AS day,
+           n_users AS n_a, n_signup AS n_b,
+           n_click_after_signup AS n_c, n_full_funnel AS n_d,
+           NULL::DOUBLE AS ratio
+    FROM ({_FUNNEL_SQL}) f
+    """,
+)
+def user_lifecycle_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged cohort analytics: next-day retention (distinct-activity
+    self-join on (user, day+1)) + the ordered signup->click->purchase
+    funnel (conditional-min per stage, single shuffle on user_id).
+    Constituents: user_day_retention + signup_click_purchase_funnel
+    above."""
+    ret = user_day_retention(spark, sf_dir).select(
+        F.lit("retention_day").alias("metric"),
+        "day",
+        F.col("n_active").alias("n_a"),
+        F.col("n_retained").alias("n_b"),
+        F.lit(None).cast("long").alias("n_c"),
+        F.lit(None).cast("long").alias("n_d"),
+        F.col("retention").alias("ratio"),
+    )
+    fun = signup_click_purchase_funnel(spark, sf_dir).select(
+        F.lit("funnel").alias("metric"),
+        F.lit(None).cast("timestamp_ntz").alias("day"),
+        F.col("n_users").alias("n_a"),
+        F.col("n_signup").alias("n_b"),
+        F.col("n_click_after_signup").alias("n_c"),
+        F.col("n_full_funnel").alias("n_d"),
+        F.lit(None).cast("double").alias("ratio"),
+    )
+    return ret.unionByName(fun)
+
+
+@query(
+    "temporal_join_enrich",
+    oracle="""
+    SELECT 'asof_click_purchase' AS kind,
+           c.event_id, c.user_id, c.ts::TIMESTAMP AS ts,
+           p.ts::TIMESTAMP AS ref_ts, p.value AS ref_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    UNION ALL
+    SELECT 'pit_purchase_signup' AS kind,
+           p.event_id, p.user_id, p.ts::TIMESTAMP AS ts,
+           d.valid_from AS ref_ts, d.signup_value AS ref_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (
+        SELECT user_id,
+               ts::TIMESTAMP AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, value)
+                   AS valid_to,
+               value AS signup_value
+        FROM events
+        WHERE event_type = 'signup'
+    ) d
+      ON p.user_id = d.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    """,
+)
+def temporal_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged temporal-join catalog: as-of join (union + running-last,
+    one shuffle — operators/joins.asof_join) + point-in-time
+    feature-store enrich (SCD2 intervals + broadcast interval join —
+    operators/joins.pointintime_join). Both are join classes the
+    reference lacks (SURVEY.md §2.4). Constituents:
+    clicks_asof_last_purchase + events_pointintime_enrich above."""
+    asof = clicks_asof_last_purchase(spark, sf_dir).select(
+        F.lit("asof_click_purchase").alias("kind"),
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("ref_ts"),
+        F.col("asof_value").alias("ref_value"),
+    )
+    pit = events_pointintime_enrich(spark, sf_dir).select(
+        F.lit("pit_purchase_signup").alias("kind"),
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("valid_from").alias("ref_ts"),
+        F.col("signup_value").alias("ref_value"),
+    )
+    return asof.unionByName(pit)

@@ -37,16 +37,6 @@ _FOLD_SQL = (
 _SLUG_SQL = "substr(regexp_replace(" + _FOLD_SQL + ", ' +', '-', 'g'), 1, 40)"
 
 
-@query(
-    "accent_fold_slug",
-    oracle=f"""
-    SELECT n_name,
-           translate(lower(n_name), 'aio', 'àîò') AS accented,
-           {_FOLD_SQL.format(c="translate(lower(n_name), 'aio', 'àîò')")} AS folded,
-           {_SLUG_SQL.format(c="translate(lower(n_name), 'aio', 'àîò')")} AS slug
-    FROM nation
-    """,
-)
 def accent_fold_slug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accent folding + slugify (reference F1/F2,
     scripts/build_hotels_yaml.py:20-33). Accents are synthesized first
@@ -93,23 +83,6 @@ def order_season_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "customer_score",
-    oracle="""
-    SELECT c_custkey, c_mktsegment,
-           round(CASE WHEN (hi - lo) < 1e-9 THEN 0.5
-                 ELSE least(1.0, greatest(0.0, (c_acctbal - lo) / (hi - lo)))
-                 END, 6) AS bal_norm,
-           round(100 * (0.65 * (CASE WHEN (hi - lo) < 1e-9 THEN 0.5
-                 ELSE least(1.0, greatest(0.0, (c_acctbal - lo) / (hi - lo)))
-                 END) + 0.35 * (c_nationkey / 24.0)), 6) AS score
-    FROM (
-        SELECT *, min(c_acctbal) OVER (PARTITION BY c_mktsegment) AS lo,
-                  max(c_acctbal) OVER (PARTITION BY c_mktsegment) AS hi
-        FROM customer
-    )
-    """,
-)
 def customer_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-max normalization with degenerate-span guard + weighted
     score (reference P8/P9, spark/kafka_to_metrics.py:478-495)."""
@@ -129,23 +102,6 @@ def customer_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "customer_distance_to_hub",
-    oracle="""
-    SELECT c_custkey, lat, lon,
-           round(2.0 * 6371.0088 * asin(sqrt(
-               pow(sin(radians(41.9 - lat) / 2), 2)
-               + cos(radians(lat)) * cos(radians(41.9))
-                 * pow(sin(radians(12.5 - lon) / 2), 2)
-           )), 4) AS dist_km
-    FROM (
-        SELECT c_custkey,
-               (c_custkey % 17000) / 100.0 - 85.0 AS lat,
-               ((c_custkey * 7) % 36000) / 100.0 - 180.0 AS lon
-        FROM customer
-    )
-    """,
-)
 def customer_distance_to_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Haversine distance (reference F8,
     scripts/build_hotels_yaml.py:36-42) over synthesized coordinates;
@@ -163,17 +119,6 @@ def customer_distance_to_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "year_extract",
-    oracle="""
-    SELECT o_orderkey,
-           'rilevazione ' || extract(year FROM o_orderdate) || ' prov' AS period,
-           CAST(regexp_extract(
-               'rilevazione ' || extract(year FROM o_orderdate) || ' prov',
-               '((?:19|20)\\d{2})', 1) AS BIGINT) AS year
-    FROM orders
-    """,
-)
 def year_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year extraction from arbitrary period strings (reference F4,
     scripts/merge_cities_all.py:30-33)."""
@@ -188,22 +133,6 @@ def year_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "locale_numeric_roundtrip",
-    oracle="""
-    SELECT o_orderkey, locale_str,
-           TRY_CAST(replace(replace(regexp_replace(locale_str,
-               '[\\s\\x{00A0}]', '', 'g'), '.', ''), ',', '.') AS DOUBLE) AS parsed
-    FROM (
-        SELECT o_orderkey,
-               chr(160) || translate(format('{:,}',
-                   CAST(floor(o_totalprice) AS BIGINT)), ',', '.')
-                 || ',' || split_part(CAST(CAST(o_totalprice AS DECIMAL(18,2))
-                     AS VARCHAR), '.', 2) AS locale_str
-        FROM orders
-    )
-    """,
-)
 def locale_numeric_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Locale-aware numeric coercion (reference F5,
     scripts/istat_utils.py:39-45): synthesize Italian-formatted strings
@@ -227,20 +156,6 @@ def locale_numeric_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "stars_parse",
-    oracle="""
-    SELECT p_partkey, raw_stars,
-           TRY_CAST(nullif(regexp_extract(replace(raw_stars, '★', ''),
-               '([0-5](?:\\.\\d)?)', 1), '') AS DOUBLE) AS stars
-    FROM (
-        SELECT p_partkey,
-               CASE WHEN p_partkey % 7 = 0 THEN '★★★'
-                    ELSE 'hotel ' || (p_partkey % 6) || '*' END AS raw_stars
-        FROM part
-    )
-    """,
-)
 def stars_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stars parsing incl. the reference's '★★★ -> NaN' quirk (F6,
     scripts/build_hotels_yaml.py:83-87: ★ is stripped *then* the regex
@@ -259,22 +174,6 @@ def stars_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "wkt_point_parse",
-    oracle="""
-    SELECT p_partkey, wkt,
-           TRY_CAST(regexp_extract(wkt,
-               'POINT \\(([-0-9.]+) ([-0-9.]+)\\)', 2) AS DOUBLE) AS lat,
-           TRY_CAST(regexp_extract(wkt,
-               'POINT \\(([-0-9.]+) ([-0-9.]+)\\)', 1) AS DOUBLE) AS lon
-    FROM (
-        SELECT p_partkey,
-               'POINT (' || (p_partkey % 360 - 180) || ' '
-                         || (p_partkey % 180 - 90) || ')' AS wkt
-        FROM part
-    )
-    """,
-)
 def wkt_point_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WKT 'POINT (lon lat)' parsing (reference F7,
     scripts/build_hotels_yaml.py:46-54)."""
@@ -295,16 +194,6 @@ def wkt_point_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "synthesized_ids",
-    oracle=f"""
-    SELECT c_custkey,
-           concat_ws('-', CAST(c_custkey AS VARCHAR),
-               {_SLUG_SQL.format(c="c_name")},
-               lpad(CAST(c_nationkey AS VARCHAR), 6, '0')) AS synth_id
-    FROM customer
-    """,
-)
 def synthesized_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ID synthesis: concat_ws + slug + zero-pad (reference F14/F10,
     scripts/build_hotels_yaml.py:286-291)."""
@@ -320,21 +209,6 @@ def synthesized_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "component_count_parse",
-    oracle="""
-    SELECT c_custkey, raw_comp,
-           CASE WHEN raw_comp LIKE '%più%' THEN 4.5
-                ELSE TRY_CAST(nullif(regexp_extract(raw_comp, '(\\d+)', 1), '')
-                     AS DOUBLE) END AS comp_n
-    FROM (
-        SELECT c_custkey,
-               CASE WHEN c_custkey % 5 = 4 THEN '4 e più componenti'
-                    ELSE (c_custkey % 5 + 1) || ' componenti' END AS raw_comp
-        FROM customer
-    )
-    """,
-)
 def component_count_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Household component-count parsing, '4 e più' -> 4.5 (reference
     F9, scripts/clean_istat_famiglie.py:9-14)."""
@@ -350,17 +224,6 @@ def component_count_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select("c_custkey", raw.alias("raw_comp"), parsed.alias("comp_n"))
 
 
-@query(
-    "dict_recode",
-    oracle="""
-    SELECT n_nationkey, n_name,
-           CASE n_nationkey % 5
-               WHEN 0 THEN 'nord-ovest' WHEN 1 THEN 'nord-est'
-               WHEN 2 THEN 'centro' WHEN 3 THEN 'sud'
-               ELSE 'isole' END AS macro_area
-    FROM nation
-    """,
-)
 def dict_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Literal dict-map recode via create_map lookup (reference
     F11/F3, scripts/rebuild_and_merge_cities_it.py:19-70; the
@@ -445,5 +308,203 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "c_name",
             F.levenshtein("s_name", "c_name").cast("long").alias("edit_distance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merged catalog entries (driver scores <=50 queries; each entry below
+# composes the constituent scalar-function transforms above, unchanged,
+# into one hash-checked projection).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nation_text_recode",
+    oracle=f"""
+    SELECT n.n_nationkey, n.n_name,
+           translate(lower(n.n_name), 'aio', 'àîò') AS accented,
+           {_FOLD_SQL.format(c="translate(lower(n.n_name), 'aio', 'àîò')")} AS folded,
+           {_SLUG_SQL.format(c="translate(lower(n.n_name), 'aio', 'àîò')")} AS slug,
+           CASE n.n_nationkey % 5
+               WHEN 0 THEN 'nord-ovest' WHEN 1 THEN 'nord-est'
+               WHEN 2 THEN 'centro' WHEN 3 THEN 'sud'
+               ELSE 'isole' END AS macro_area
+    FROM nation n
+    """,
+)
+def nation_text_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged text-normalization catalog over nation: accent folding +
+    slugify (F1/F2, reference scripts/build_hotels_yaml.py:20-33) and
+    literal dict-map recode (F11/F3,
+    scripts/rebuild_and_merge_cities_it.py:19-70). Constituents:
+    accent_fold_slug + dict_recode above."""
+    folded = accent_fold_slug(spark, sf_dir)
+    recoded = dict_recode(spark, sf_dir)
+    return recoded.join(folded, "n_name").select(
+        "n_nationkey", "n_name", "accented", "folded", "slug", "macro_area"
+    )
+
+
+@query(
+    "order_string_parsing",
+    oracle="""
+    SELECT o_orderkey,
+           'rilevazione ' || extract(year FROM o_orderdate) || ' prov' AS period,
+           CAST(regexp_extract(
+               'rilevazione ' || extract(year FROM o_orderdate) || ' prov',
+               '((?:19|20)\\d{2})', 1) AS BIGINT) AS year,
+           locale_str,
+           TRY_CAST(replace(replace(regexp_replace(locale_str,
+               '[\\s\\x{00A0}]', '', 'g'), '.', ''), ',', '.') AS DOUBLE) AS parsed
+    FROM (
+        SELECT o_orderkey, o_orderdate,
+               chr(160) || translate(format('{:,}',
+                   CAST(floor(o_totalprice) AS BIGINT)), ',', '.')
+                 || ',' || split_part(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                     AS VARCHAR), '.', 2) AS locale_str
+        FROM orders
+    )
+    """,
+)
+def order_string_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged per-order string parsing: year extraction from period
+    strings (F4, scripts/merge_cities_all.py:30-33) + locale-aware
+    numeric round-trip (F5, scripts/istat_utils.py:39-45).
+    Constituents: year_extract + locale_numeric_roundtrip above."""
+    years = year_extract(spark, sf_dir)
+    locs = locale_numeric_roundtrip(spark, sf_dir)
+    return years.join(locs, "o_orderkey").select(
+        "o_orderkey", "period", "year", "locale_str", "parsed"
+    )
+
+
+@query(
+    "part_string_parsing",
+    oracle="""
+    SELECT p_partkey,
+           raw_stars,
+           TRY_CAST(nullif(regexp_extract(replace(raw_stars, '★', ''),
+               '([0-5](?:\\.\\d)?)', 1), '') AS DOUBLE) AS stars,
+           wkt,
+           TRY_CAST(regexp_extract(wkt,
+               'POINT \\(([-0-9.]+) ([-0-9.]+)\\)', 2) AS DOUBLE) AS lat,
+           TRY_CAST(regexp_extract(wkt,
+               'POINT \\(([-0-9.]+) ([-0-9.]+)\\)', 1) AS DOUBLE) AS lon
+    FROM (
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 7 = 0 THEN '★★★'
+                    ELSE 'hotel ' || (p_partkey % 6) || '*' END AS raw_stars,
+               'POINT (' || (p_partkey % 360 - 180) || ' '
+                         || (p_partkey % 180 - 90) || ')' AS wkt
+        FROM part
+    )
+    """,
+)
+def part_string_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged per-part string parsing: stars incl. the reference's
+    '★★★ -> NaN' quirk (F6, scripts/build_hotels_yaml.py:83-87) + WKT
+    POINT lat/lon extraction (F7, build_hotels_yaml.py:46-54).
+    Constituents: stars_parse + wkt_point_parse above."""
+    stars = stars_parse(spark, sf_dir)
+    wkt = wkt_point_parse(spark, sf_dir)
+    return stars.join(wkt, "p_partkey").select(
+        "p_partkey", "raw_stars", "stars", "wkt", "lat", "lon"
+    )
+
+
+@query(
+    "customer_profile",
+    oracle=f"""
+    WITH scored AS (
+        SELECT c_custkey, c_mktsegment,
+               round(CASE WHEN (hi - lo) < 1e-9 THEN 0.5
+                     ELSE least(1.0, greatest(0.0, (c_acctbal - lo) / (hi - lo)))
+                     END, 6) AS bal_norm,
+               round(100 * (0.65 * (CASE WHEN (hi - lo) < 1e-9 THEN 0.5
+                     ELSE least(1.0, greatest(0.0, (c_acctbal - lo) / (hi - lo)))
+                     END) + 0.35 * (c_nationkey / 24.0)), 6) AS score
+        FROM (
+            SELECT *, min(c_acctbal) OVER (PARTITION BY c_mktsegment) AS lo,
+                      max(c_acctbal) OVER (PARTITION BY c_mktsegment) AS hi
+            FROM customer
+        )
+    ),
+    geo AS (
+        SELECT c_custkey, lat, lon,
+               round(2.0 * 6371.0088 * asin(sqrt(
+                   pow(sin(radians(41.9 - lat) / 2), 2)
+                   + cos(radians(lat)) * cos(radians(41.9))
+                     * pow(sin(radians(12.5 - lon) / 2), 2)
+               )), 4) AS dist_km
+        FROM (
+            SELECT c_custkey,
+                   (c_custkey % 17000) / 100.0 - 85.0 AS lat,
+                   ((c_custkey * 7) % 36000) / 100.0 - 180.0 AS lon
+            FROM customer
+        )
+    ),
+    ids AS (
+        SELECT c_custkey,
+               concat_ws('-', CAST(c_custkey AS VARCHAR),
+                   {_SLUG_SQL.format(c="c_name")},
+                   lpad(CAST(c_nationkey AS VARCHAR), 6, '0')) AS synth_id,
+               CASE WHEN c_custkey % 5 = 4 THEN '4 e più componenti'
+                    ELSE (c_custkey % 5 + 1) || ' componenti' END AS raw_comp
+        FROM customer
+    ),
+    latest AS (
+        SELECT o_custkey, o_orderkey AS last_orderkey,
+               o_orderdate AS last_orderdate, o_totalprice AS last_totalprice
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC
+                   ) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    )
+    SELECT s.c_custkey, s.c_mktsegment, s.bal_norm, s.score,
+           g.lat, g.lon, g.dist_km,
+           i.synth_id, i.raw_comp,
+           CASE WHEN i.raw_comp LIKE '%più%' THEN 4.5
+                ELSE TRY_CAST(nullif(regexp_extract(i.raw_comp, '(\\d+)', 1), '')
+                     AS DOUBLE) END AS comp_n,
+           l.last_orderkey, l.last_orderdate, l.last_totalprice
+    FROM scored s
+    JOIN geo g ON g.c_custkey = s.c_custkey
+    JOIN ids i ON i.c_custkey = s.c_custkey
+    LEFT JOIN latest l ON l.o_custkey = s.c_custkey
+    """,
+)
+def customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged per-customer enrichment ('customer 360'): min-max
+    normalized weighted score (P8/P9, reference
+    spark/kafka_to_metrics.py:478-495), haversine distance-to-hub (F8,
+    scripts/build_hotels_yaml.py:36-42), synthesized IDs (F14/F10,
+    build_hotels_yaml.py:286-291), household component-count parsing
+    (F9, scripts/clean_istat_famiglie.py:9-14), and latest-order-per-key
+    dedup (T3, scripts/rebuild_and_merge_cities_it.py:164).
+    Constituents: customer_score + customer_distance_to_hub +
+    synthesized_ids + component_count_parse here, plus
+    relational_queries.latest_order_per_customer."""
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.relational_queries import (  # noqa: E501
+        latest_order_per_customer,
+    )
+
+    score = customer_score(spark, sf_dir)
+    geo = customer_distance_to_hub(spark, sf_dir)
+    ids = synthesized_ids(spark, sf_dir)
+    comp = component_count_parse(spark, sf_dir)
+    latest = latest_order_per_customer(spark, sf_dir)
+    return (
+        score.join(geo, "c_custkey")
+        .join(ids, "c_custkey")
+        .join(comp, "c_custkey")
+        .join(latest, score["c_custkey"] == latest["o_custkey"], "left")
+        .select(
+            "c_custkey", "c_mktsegment", "bal_norm", "score",
+            "lat", "lon", "dist_km", "synth_id", "raw_comp", "comp_n",
+            "last_orderkey", "last_orderdate", "last_totalprice",
         )
     )

@@ -94,20 +94,6 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "top_revenue_customers",
-    oracle="""
-    SELECT c_custkey, c_name, n_name,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-           count(*) AS n_orders
-    FROM orders
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY 1, 2, 3
-    ORDER BY revenue DESC, c_custkey
-    LIMIT 20
-    """,
-)
 def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-dim joins + global top-N (reference J1 broadcast join +
     T1 orderBy/limit -> Catalyst plans TakeOrderedAndProject, no full
@@ -126,20 +112,6 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "regional_revenue",
-    oracle="""
-    SELECT r_name,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-           count(*) AS n_orders,
-           count(DISTINCT o_custkey) AS n_customers
-    FROM orders
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation ON c_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    GROUP BY 1
-    """,
-)
 def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake dim chain (customer->nation->region, both dims
     broadcast) + count(distinct) — a re-aggregation the reference
@@ -161,18 +133,6 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "orders_with_late_items",
-    oracle="""
-    SELECT o_orderpriority, count(*) AS n_orders
-    FROM orders
-    WHERE EXISTS (
-        SELECT 1 FROM lineitem
-        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
-    )
-    GROUP BY 1
-    """,
-)
 def orders_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (EXISTS) — the join form SURVEY.md §2.4 says the
     engine must expose even though the reference approximates it with
@@ -189,17 +149,6 @@ def orders_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "parts_not_from_supplier1",
-    oracle="""
-    SELECT p_partkey, p_name, p_brand
-    FROM part
-    WHERE NOT EXISTS (
-        SELECT 1 FROM lineitem
-        WHERE l_partkey = p_partkey AND l_suppkey = 1
-    )
-    """,
-)
 def parts_not_from_supplier1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (NOT EXISTS) over a pushed-down filtered fact."""
     part = load_table(spark, sf_dir, "part")
@@ -209,19 +158,6 @@ def parts_not_from_supplier1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_name", "p_brand")
 
 
-@query(
-    "best_supplier_per_nation",
-    oracle="""
-    SELECT s_nationkey, s_suppkey, s_name, s_acctbal
-    FROM (
-        SELECT *, row_number() OVER (
-                   PARTITION BY s_nationkey
-                   ORDER BY s_acctbal DESC, s_suppkey
-               ) AS rn
-        FROM supplier
-    ) WHERE rn = 1
-    """,
-)
 def best_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-best dedup (reference T2: sort + drop_duplicates,
     scripts/clean_cities_geonames.py:89-90) as a per-group window."""
@@ -236,20 +172,6 @@ def best_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "latest_order_per_customer",
-    oracle="""
-    SELECT o_custkey, o_orderkey AS last_orderkey,
-           o_orderdate AS last_orderdate, o_totalprice AS last_totalprice
-    FROM (
-        SELECT *, row_number() OVER (
-                   PARTITION BY o_custkey
-                   ORDER BY o_orderdate DESC, o_orderkey DESC
-               ) AS rn
-        FROM orders
-    ) WHERE rn = 1
-    """,
-)
 def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-per-key (reference T3: sort+tail(1),
     scripts/rebuild_and_merge_cities_it.py:164)."""
@@ -269,17 +191,6 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "order_status_pivot",
-    oracle="""
-    SELECT o_orderpriority,
-           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
-           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
-           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
-    FROM orders
-    GROUP BY 1
-    """,
-)
 def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long->wide pivot with explicit values (reference A10,
     scripts/clean_istat_abitazioni.py:35-36). Passing the value list
@@ -330,14 +241,6 @@ def mktsegment_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "nation_keys_union",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    UNION
-    SELECT s_nationkey FROM supplier
-    """,
-)
 def nation_keys_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set union (SURVEY.md §2.7 — the reference only concatenates;
     union/intersect/except are exposed because they are free)."""
@@ -350,14 +253,6 @@ def nation_keys_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.union(s).distinct()
 
 
-@query(
-    "nation_keys_except",
-    oracle="""
-    SELECT DISTINCT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT s_nationkey FROM supplier
-    """,
-)
 def nation_keys_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
@@ -368,14 +263,6 @@ def nation_keys_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(s)  # EXCEPT DISTINCT, same as SQL EXCEPT
 
 
-@query(
-    "nation_keys_intersect",
-    oracle="""
-    SELECT DISTINCT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey FROM supplier
-    """,
-)
 def nation_keys_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
@@ -432,15 +319,6 @@ def nearest_acctbal_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "global_counts",
-    oracle="""
-    SELECT count(*) AS n_lineitem,
-           count(DISTINCT l_orderkey) AS n_orders,
-           count(DISTINCT l_partkey) AS n_parts
-    FROM lineitem
-    """,
-)
 def global_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global count, no keys (reference A1,
     spark/kafka_to_metrics.py:217-221) + distinct counts (A12)."""
@@ -452,15 +330,6 @@ def global_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "unique_brand_type_parts",
-    oracle="""
-    SELECT p_brand, p_type, min(p_partkey) AS p_partkey
-    FROM part
-    GROUP BY 1, 2
-    HAVING count(*) = 1
-    """,
-)
 def unique_brand_type_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ambiguity filter: keep keys that occur exactly once (reference
     T6, scripts/merge_istat_cities.py:58-61)."""
@@ -473,24 +342,6 @@ def unique_brand_type_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "shipping_priority",
-    oracle="""
-    SELECT l_orderkey,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)))
-               AS DOUBLE) AS revenue,
-           o_orderdate, o_orderpriority
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1998-03-15'
-      AND l_shipdate > TIMESTAMP '1998-03-15'
-    GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, o_orderdate, l_orderkey
-    LIMIT 10
-    """,
-)
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped: selective filters on all three tables pushed to
     the scans, join reordering left to Catalyst, top-10 as
@@ -556,19 +407,6 @@ def shipmode_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "small_quantity_revenue",
-    oracle="""
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               / 7.0 AS avg_yearly
-    FROM lineitem
-    JOIN (
-        SELECT l_partkey AS p_key, 0.5 * avg(l_quantity) AS half_avg_qty
-        FROM lineitem GROUP BY l_partkey
-    ) t ON l_partkey = p_key
-    WHERE l_quantity < half_avg_qty
-    """,
-)
 def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-shaped: correlated aggregate subquery (per-part avg
     quantity) decorrelated into a self-join aggregate.
@@ -596,23 +434,6 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "order_status_unpivot",
-    oracle="""
-    WITH wide AS (
-        SELECT o_orderpriority,
-               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
-               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
-               count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
-        FROM orders GROUP BY 1
-    )
-    SELECT o_orderpriority, status, n FROM (
-        SELECT o_orderpriority, 'F' AS status, n_f AS n FROM wide
-        UNION ALL SELECT o_orderpriority, 'O', n_o FROM wide
-        UNION ALL SELECT o_orderpriority, 'P', n_p FROM wide
-    )
-    """,
-)
 def order_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide->long unpivot (melt) — the inverse of A10's pivot, via the
     stack() generator; completes the reshape surface."""
@@ -671,25 +492,6 @@ def orders_price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "regional_supplier_revenue",
-    oracle="""
-    SELECT n_name,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)))
-                AS DOUBLE) AS revenue,
-           count(*) AS n_items
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
-    JOIN nation   ON s_nationkey = n_nationkey
-    JOIN region   ON n_regionkey = r_regionkey
-    WHERE r_name = 'EUROPE'
-      AND o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o_orderdate <  TIMESTAMP '1997-01-01'
-    GROUP BY n_name
-    """,
-)
 def regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped six-table join: local-supplier revenue per nation
     in one region/year. The Catalyst join-reordering showcase — region
@@ -796,3 +598,311 @@ def customer_balance_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
             2,
         ).alias("new_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Merged catalog entries (driver scores <=50 queries; each entry below
+# composes the constituent relational plans above, unchanged, into one
+# hash-checked result — tags identify the producing branch).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topn_revenue_entities",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'top_customer_revenue' AS scope,
+               c_custkey AS entity_key, c_name AS label_a, n_name AS label_b,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS metric_value,
+               count(*) AS n_orders, NULL::TIMESTAMP AS ref_date
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY metric_value DESC, c_custkey
+        LIMIT 20
+    ) top
+    """
+    + """
+    UNION ALL
+    SELECT * FROM (
+        SELECT 'shipping_priority' AS scope,
+               l_orderkey AS entity_key, o_orderpriority AS label_a,
+               NULL::VARCHAR AS label_b,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(22,4))) AS DOUBLE) AS metric_value,
+               NULL::BIGINT AS n_orders, o_orderdate AS ref_date
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY metric_value DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    ) shp
+    UNION ALL
+    SELECT 'best_supplier_per_nation' AS scope,
+           s_suppkey AS entity_key, s_name AS label_a,
+           CAST(s_nationkey AS VARCHAR) AS label_b,
+           s_acctbal AS metric_value,
+           NULL::BIGINT AS n_orders, NULL::TIMESTAMP AS ref_date
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY s_nationkey
+                   ORDER BY s_acctbal DESC, s_suppkey
+               ) AS rn
+        FROM supplier
+    ) WHERE rn = 1
+    """,
+)
+def topn_revenue_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged top-N catalog: global top-20 customers by revenue (J1
+    broadcast dims + T1 TakeOrderedAndProject, reference
+    spark/kafka_to_metrics.py:396-400), TPC-H Q3 shipping priority
+    (pushed filters on all three scans, top-10), and keep-best-per-group
+    dedup (T2, scripts/clean_cities_geonames.py:89-90). Constituents:
+    top_revenue_customers + shipping_priority + best_supplier_per_nation
+    above."""
+    top = top_revenue_customers(spark, sf_dir).select(
+        F.lit("top_customer_revenue").alias("scope"),
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("label_a"),
+        F.col("n_name").alias("label_b"),
+        F.col("revenue").alias("metric_value"),
+        "n_orders",
+        F.lit(None).cast("timestamp_ntz").alias("ref_date"),
+    )
+    shp = shipping_priority(spark, sf_dir).select(
+        F.lit("shipping_priority").alias("scope"),
+        F.col("l_orderkey").alias("entity_key"),
+        F.col("o_orderpriority").alias("label_a"),
+        F.lit(None).cast("string").alias("label_b"),
+        F.col("revenue").alias("metric_value"),
+        F.lit(None).cast("long").alias("n_orders"),
+        F.col("o_orderdate").alias("ref_date"),
+    )
+    best = best_supplier_per_nation(spark, sf_dir).select(
+        F.lit("best_supplier_per_nation").alias("scope"),
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("label_a"),
+        F.col("s_nationkey").cast("string").alias("label_b"),
+        F.col("s_acctbal").alias("metric_value"),
+        F.lit(None).cast("long").alias("n_orders"),
+        F.lit(None).cast("timestamp_ntz").alias("ref_date"),
+    )
+    return top.unionByName(shp).unionByName(best)
+
+
+@query(
+    "geo_revenue_rollups",
+    oracle="""
+    SELECT 'region_customer' AS scope, r_name AS name,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_rows,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    UNION ALL
+    SELECT 'nation_supplier_q5_europe' AS scope, n_name AS name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_rows,
+           NULL::BIGINT AS n_customers
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def geo_revenue_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged geo rollups: snowflake dim chain with count(distinct)
+    (J1/A12 — the PromQL `sum by` re-aggregation, SURVEY.md §2.5 note)
+    + the TPC-H Q5 six-table local-supplier join (Catalyst join
+    reordering, broadcast dims, pushed date filter). Constituents:
+    regional_revenue + regional_supplier_revenue above."""
+    reg = regional_revenue(spark, sf_dir).select(
+        F.lit("region_customer").alias("scope"),
+        F.col("r_name").alias("name"),
+        "revenue",
+        F.col("n_orders").alias("n_rows"),
+        "n_customers",
+    )
+    q5 = regional_supplier_revenue(spark, sf_dir).select(
+        F.lit("nation_supplier_q5_europe").alias("scope"),
+        F.col("n_name").alias("name"),
+        "revenue",
+        F.col("n_items").alias("n_rows"),
+        F.lit(None).cast("long").alias("n_customers"),
+    )
+    return reg.unionByName(q5)
+
+
+@query(
+    "semi_anti_join_counts",
+    oracle="""
+    SELECT 'semi_late_orders' AS join_kind, o_orderpriority AS key,
+           count(*) AS n
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY 2
+    UNION ALL
+    SELECT 'anti_parts_supplier1' AS join_kind, p_brand AS key,
+           count(*) AS n
+    FROM part
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_partkey = p_partkey AND l_suppkey = 1
+    )
+    GROUP BY 2
+    """,
+)
+def semi_anti_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged semi/anti join catalog: left-semi (EXISTS) order counts by
+    priority + left-anti (NOT EXISTS) part counts by brand — the join
+    forms SURVEY.md §2.4 requires beyond the reference's merge+isna
+    approximation (scripts/rebuild_and_merge_cities_it.py:217-222).
+    Constituents: orders_with_late_items + parts_not_from_supplier1
+    above."""
+    semi = orders_with_late_items(spark, sf_dir).select(
+        F.lit("semi_late_orders").alias("join_kind"),
+        F.col("o_orderpriority").alias("key"),
+        F.col("n_orders").alias("n"),
+    )
+    anti = (
+        parts_not_from_supplier1(spark, sf_dir)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("anti_parts_supplier1").alias("join_kind"),
+            F.col("p_brand").alias("key"),
+            "n",
+        )
+    )
+    return semi.unionByName(anti)
+
+
+@query(
+    "order_status_reshape",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, status, n FROM (
+        SELECT o_orderpriority, 'F' AS status, n_f AS n FROM wide
+        UNION ALL SELECT o_orderpriority, 'O', n_o FROM wide
+        UNION ALL SELECT o_orderpriority, 'P', n_p FROM wide
+    )
+    """,
+)
+def order_status_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged reshape round-trip: long->wide pivot with explicit values
+    (A10, reference scripts/clean_istat_abitazioni.py:35-36 — the value
+    list avoids the distinct-values job, mandatory at scale) followed by
+    wide->long unpivot via stack(), proving both reshapes invert each
+    other. Constituents: order_status_pivot + order_status_unpivot
+    above."""
+    return order_status_unpivot(spark, sf_dir)
+
+
+@query(
+    "nation_key_set_ops",
+    oracle="""
+    SELECT 'union' AS set_op, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'intersect' AS set_op, nationkey FROM (
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'except' AS set_op, nationkey FROM (
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier
+    )
+    """,
+)
+def nation_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged set-operation catalog (SURVEY.md §2.7): UNION DISTINCT,
+    INTERSECT, EXCEPT over the customer/supplier nation-key sets, tagged
+    per branch. Constituents: nation_keys_union / _intersect / _except
+    above."""
+    u = nation_keys_union(spark, sf_dir).select(
+        F.lit("union").alias("set_op"), "nationkey"
+    )
+    i = nation_keys_intersect(spark, sf_dir).select(
+        F.lit("intersect").alias("set_op"), "nationkey"
+    )
+    e = nation_keys_except(spark, sf_dir).select(
+        F.lit("except").alias("set_op"), "nationkey"
+    )
+    return u.unionByName(i).unionByName(e)
+
+
+@query(
+    "scalar_aggregates",
+    oracle="""
+    SELECT g.n_lineitem, g.n_orders, g.n_parts, s.avg_yearly,
+           u.n_unique_brand_type
+    FROM (
+        SELECT count(*) AS n_lineitem,
+               count(DISTINCT l_orderkey) AS n_orders,
+               count(DISTINCT l_partkey) AS n_parts
+        FROM lineitem
+    ) g,
+    (
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / 7.0 AS avg_yearly
+        FROM lineitem
+        JOIN (
+            SELECT l_partkey AS p_key, 0.5 * avg(l_quantity) AS half_avg_qty
+            FROM lineitem GROUP BY l_partkey
+        ) t ON l_partkey = p_key
+        WHERE l_quantity < half_avg_qty
+    ) s,
+    (
+        SELECT count(*) AS n_unique_brand_type
+        FROM (
+            SELECT p_brand, p_type
+            FROM part GROUP BY 1, 2 HAVING count(*) = 1
+        )
+    ) u
+    """,
+)
+def scalar_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged single-row aggregates: global + distinct counts (A1/A12,
+    reference spark/kafka_to_metrics.py:217-221), the TPC-H Q17
+    decorrelated avg-quantity subquery, and the T6 exactly-once
+    ambiguity-filter cardinality (scripts/merge_istat_cities.py:58-61).
+    Constituents: global_counts + small_quantity_revenue +
+    unique_brand_type_parts above."""
+    g = global_counts(spark, sf_dir)
+    s = small_quantity_revenue(spark, sf_dir)
+    u = (
+        unique_brand_type_parts(spark, sf_dir)
+        .agg(F.count("*").alias("n_unique_brand_type"))
+    )
+    return g.crossJoin(s).crossJoin(u)

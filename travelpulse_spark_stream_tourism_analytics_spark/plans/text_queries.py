@@ -58,25 +58,6 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs, "text", "doc_id")
 
 
-@query(
-    "docs_token_stats",
-    oracle=f"""
-    SELECT doc_id, n_chars, n_tokens,
-           round(sum_tok_len / n_tokens::DOUBLE, 6) AS avg_token_len,
-           round(n_stop / n_tokens::DOUBLE, 6) AS stopword_ratio,
-           round(least(1.0, n_tokens / 200.0)
-                 * (1.0 - n_stop / n_tokens::DOUBLE), 6) AS quality_score
-    FROM (
-        SELECT doc_id, n_chars,
-               len(toks) AS n_tokens,
-               length(array_to_string(toks, '')) AS sum_tok_len,
-               len(list_filter(toks, x -> list_contains(
-                   ['the', 'a', 'of', 'and', 'in', 'to', 'is'], x))) AS n_stop
-        FROM (SELECT doc_id, n_chars, {_WORDS_SQL.format(c="text")} AS toks
-              FROM documents)
-    )
-    """,
-)
 def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring (length/stopword ratios) — the
     text-analysis ops of the north star, all codegen'd array exprs."""
@@ -105,20 +86,6 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "docs_fingerprint",
-    oracle=f"""
-    SELECT doc_id,
-           CASE WHEN len(ngrams) > 0
-                THEN list_min(list_transform(ngrams, s -> md5(s)))
-                ELSE md5(text) END AS fingerprint
-    FROM (
-        SELECT doc_id, text, {_NGRAMS3_SQL.format(w=_WORDS_SQL.format(c="text"))}
-               AS ngrams
-        FROM documents
-    )
-    """,
-)
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min-hash (k=1) over word 3-gram shingles,
     portable md5 ordering; falls back to whole-text hash for short
@@ -132,31 +99,6 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
-@query(
-    "embedding_knn",
-    oracle="""
-    WITH base AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ), q AS (
-        SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5
-    ), scored AS (
-        SELECT query_id, vec_id AS neighbor_id,
-               round(list_dot_product(qv, v)
-                     / (sqrt(list_dot_product(qv, qv))
-                        * sqrt(list_dot_product(v, v))), 6) AS cosine
-        FROM q, base
-        WHERE vec_id <> query_id
-    )
-    SELECT query_id, neighbor_id, cosine
-    FROM (
-        SELECT *, row_number() OVER (
-                   PARTITION BY query_id
-                   ORDER BY cosine DESC, neighbor_id
-               ) AS rn
-        FROM scored
-    ) WHERE rn <= 5
-    """,
-)
 def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline: broadcast the (small)
     query set, stream the corpus, per-query top-k window. Cosine is
@@ -222,18 +164,6 @@ def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(mutated)
 
 
-@query(
-    "docs_minhash_lsh_pairs",
-    oracle=f"""
-    WITH {_SHINGLED_SQL},
-    sig AS (SELECT doc_id, {_SIG_COLS} FROM shingled GROUP BY doc_id),
-    bands AS ({_BANDS_SQL})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a
-    JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-                AND a.doc_id < b.doc_id
-    """,
-)
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=12) + LSH(4 bands x 3 rows) candidate pairs: the
     shuffle-cheap near-dup path (shingle explode -> one groupBy ->
@@ -245,34 +175,6 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(bands, "doc_id")
 
 
-@query(
-    "docs_neardup_jaccard",
-    oracle=f"""
-    WITH {_SHINGLED_SQL},
-    sig AS (SELECT doc_id, {_SIG_COLS} FROM shingled GROUP BY doc_id),
-    bands AS ({_BANDS_SQL}),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a
-        JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-                    AND a.doc_id < b.doc_id
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
-    inter AS (
-        SELECT p.id_a, p.id_b, count(*) AS n_inter
-        FROM pairs p
-        JOIN shingled sa ON sa.doc_id = p.id_a
-        JOIN shingled sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
-        GROUP BY 1, 2
-    )
-    SELECT i.id_a, i.id_b,
-           round(n_inter / (na.n + nb.n - n_inter)::DOUBLE, 6) AS jaccard
-    FROM inter i
-    JOIN sizes na ON na.doc_id = i.id_a
-    JOIN sizes nb ON nb.doc_id = i.id_b
-    WHERE n_inter / (na.n + nb.n - n_inter)::DOUBLE >= 0.5
-    """,
-)
 def docs_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard verify stage over LSH candidates only."""
     corpus = _planted_docs(spark, sf_dir)
@@ -295,20 +197,6 @@ _SIMHASH_VALUE = " + ".join(
 )
 
 
-@query(
-    "docs_simhash",
-    oracle=f"""
-    WITH wordsets AS (
-        SELECT doc_id, unnest(list_distinct({_WORDS_SQL.format(c="text")})) AS w
-        FROM documents
-    ),
-    bits AS (
-        SELECT doc_id, count(*) AS n_words, {_SIMHASH_BITSUMS}
-        FROM wordsets GROUP BY doc_id
-    )
-    SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM bits
-    """,
-)
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document (portable hex-digit
     parity bits; one shuffle)."""
@@ -411,30 +299,6 @@ def _profile_sql(profile: list[str]) -> str:
     return "[" + ", ".join(f"'{b}'" for b in profile) + "]"
 
 
-@query(
-    "docs_lang_id",
-    oracle=f"""
-    WITH grams AS (
-        SELECT doc_id, lang,
-               list_transform(generate_series(1, greatest(length(lower(text)) - 1, 0)),
-                              i -> substr(lower(text), i, 2)) AS bg
-        FROM documents
-    ),
-    scored AS (
-        SELECT doc_id, lang,
-               len(list_filter(bg, x -> list_contains({_profile_sql(_EN_BIGRAMS)}, x)))
-                   AS en_hits,
-               len(list_filter(bg, x -> list_contains({_profile_sql(_IT_BIGRAMS)}, x)))
-                   AS it_hits
-        FROM grams
-    )
-    SELECT lang,
-           CASE WHEN en_hits >= it_hits THEN 'en' ELSE 'it' END AS guessed_lang,
-           count(*) AS n_docs
-    FROM scored
-    GROUP BY 1, 2
-    """,
-)
 def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-bigram-profile language ID heuristic, aggregated
     against the labeled lang column (the corpus is synthetic English
@@ -466,15 +330,6 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "multimodal_blob_meta",
-    oracle="""
-    SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           'text/plain' AS mime
-    FROM documents
-    """,
-)
 def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload metadata: multimodal columns are opaque binary +
     typed metadata structs (north-star multimodal surface)."""
@@ -487,25 +342,6 @@ def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "multimodal_blob_features",
-    # The fixture corpus is pure ASCII (verified: octet_length ==
-    # length for every doc), so the stub's byte features are
-    # SQL-expressible via codepoints — even the Python mapInPandas
-    # path gets a full oracle.
-    oracle="""
-    SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           CASE WHEN length(text) = 0 THEN -1
-                ELSE ord(substr(text, 1, 1)) END::BIGINT AS head_byte,
-           CASE WHEN length(text) = 0 THEN 0.0
-                ELSE round(list_sum(list_transform(
-                         generate_series(1, length(text)),
-                         i -> ord(substr(text, i, 1))))::DOUBLE
-                     / length(text), 6) END AS byte_mean
-    FROM documents
-    """,
-)
 def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary
     payloads (decode step stubbed deterministically — container has no
@@ -615,15 +451,6 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
 
 
-@query(
-    "docs_bpe_token_counts",
-    oracle=f"""
-    SELECT doc_id,
-           len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS n_bpe_tokens,
-           len({_WORDS_SQL.format(c="text")}) AS n_ws_tokens
-    FROM documents
-    """,
-)
 def docs_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, both ways the north star names: whitespace
     words and a BPE-ish regex segmentation (pattern shared verbatim
@@ -763,7 +590,6 @@ _IVF_SEEDED_ORACLE = """
 """
 
 
-@query("embedding_ivf_seeded_knn", oracle=_IVF_SEEDED_ORACLE)
 def embedding_ivf_seeded_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate kNN with a *deterministic* coarse quantizer
     (the 8 lowest-id vectors as cell centroids) so the whole search —
@@ -818,3 +644,250 @@ def embedding_ivf_seeded_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 5)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Merged catalog entries (driver scores <=50 queries; each entry below
+# composes the constituent text/embedding operator plans above,
+# unchanged, into one hash-checked result).
+# ---------------------------------------------------------------------------
+
+
+_SIMHASH_LIST_EXPR = " + ".join(
+    "CASE WHEN 2 * len(list_filter(md5s, h -> "
+    "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1) % 2 = 1)) > nd "
+    "THEN {v} ELSE 0 END".format(p=j + 1, v=1 << j)
+    for j in range(16)
+)
+
+_LANG_HITS = {
+    "en_hits": " + ".join(
+        f"len(regexp_extract_all(lower(text), '{b}'))" for b in _EN_BIGRAMS
+    ),
+    "it_hits": " + ".join(
+        f"len(regexp_extract_all(lower(text), '{b}'))" for b in _IT_BIGRAMS
+    ),
+}
+
+
+@query(
+    "docs_text_profile",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, text, n_chars,
+               {_WORDS_SQL.format(c="text")} AS toks
+        FROM documents
+    ),
+    arrs AS (
+        SELECT doc_id, lang, text, n_chars, toks,
+               {_NGRAMS3_SQL.format(w="toks")} AS ngrams,
+               list_transform(list_distinct(toks), w -> md5(w)) AS md5s,
+               len(list_distinct(toks)) AS nd
+        FROM toks
+    )
+    SELECT doc_id, lang, n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(length(array_to_string(toks, '')) / len(toks)::DOUBLE, 6)
+               AS avg_token_len,
+           round(len(list_filter(toks, x -> list_contains(
+                     ['the', 'a', 'of', 'and', 'in', 'to', 'is'], x)))
+                 / len(toks)::DOUBLE, 6) AS stopword_ratio,
+           round(least(1.0, len(toks) / 200.0)
+                 * (1.0 - len(list_filter(toks, x -> list_contains(
+                       ['the', 'a', 'of', 'and', 'in', 'to', 'is'], x)))
+                   / len(toks)::DOUBLE), 6) AS quality_score,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}'))
+                AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN len(ngrams) > 0
+                THEN list_min(list_transform(ngrams, s -> md5(s)))
+                ELSE md5(text) END AS fingerprint,
+           CAST({_SIMHASH_LIST_EXPR} AS BIGINT) AS simhash,
+           CASE WHEN {_LANG_HITS["en_hits"]} >= {_LANG_HITS["it_hits"]}
+                THEN 'en' ELSE 'it' END AS guessed_lang
+    FROM arrs
+    """,
+)
+def docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged per-document text-analysis profile, the north-star text
+    ops in ONE scan and one projection pipeline: token counting +
+    quality scoring (length/stopword ratios), BPE-ish subword counts,
+    min-hash 3-gram fingerprint, 16-bit SimHash
+    (dedup.simhash16_expr — the expression form: no explode/groupBy),
+    and bigram-profile language ID via per-bigram regexp_count (the
+    profile bigrams all have distinct characters, so non-overlapping
+    counts equal the positional counts). Zero shuffles, zero joins —
+    the whole profile is map-side and scales embarrassingly.
+    Constituents: docs_token_stats + docs_bpe_token_counts +
+    docs_fingerprint + docs_simhash + docs_lang_id above."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "in", "to", "is"]])
+    stage1 = docs.select(
+        "doc_id", "lang", "n_chars", "text",
+        words_of(F.col("text")).alias("toks"),
+    )
+    stage2 = stage1.select(
+        "doc_id", "lang", "n_chars", "text", "toks",
+        word_ngrams(F.col("toks"), 3).alias("ngrams"),
+        F.array_distinct("toks").alias("dtoks"),
+    )
+    lowered = F.lower(F.col("text"))
+    n_tok = F.size("toks").cast("double")
+    n_stop = F.size(F.filter("toks", lambda x: F.array_contains(stop, x)))
+    en_hits = sum(
+        (F.regexp_count(lowered, F.lit(b)) for b in _EN_BIGRAMS), F.lit(0)
+    )
+    it_hits = sum(
+        (F.regexp_count(lowered, F.lit(b)) for b in _IT_BIGRAMS), F.lit(0)
+    )
+    return stage2.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.round(F.length(F.concat_ws("", F.col("toks"))) / n_tok, 6).alias(
+            "avg_token_len"
+        ),
+        F.round(n_stop / n_tok, 6).alias("stopword_ratio"),
+        F.round(
+            F.least(F.lit(1.0), F.size("toks") / F.lit(200.0))
+            * (F.lit(1.0) - n_stop / n_tok),
+            6,
+        ).alias("quality_score"),
+        F.regexp_count(lowered, F.lit(_BPE_PATTERN)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+        F.when(
+            F.size("ngrams") > 0,
+            F.array_min(F.transform("ngrams", lambda s: F.md5(s))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("fingerprint"),
+        dedup.simhash16_expr(F.col("dtoks")).alias("simhash"),
+        F.when(en_hits >= it_hits, F.lit("en"))
+        .otherwise(F.lit("it"))
+        .alias("guessed_lang"),
+    )
+
+
+@query(
+    "docs_minhash_neardup_pairs",
+    oracle=f"""
+    WITH {_SHINGLED_SQL},
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM shingled GROUP BY doc_id),
+    bands AS ({_BANDS_SQL}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, count(*) AS n_inter
+        FROM pairs p
+        JOIN shingled sa ON sa.doc_id = p.id_a
+        JOIN shingled sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           round(n_inter / (na.n + nb.n - n_inter)::DOUBLE, 6) AS jaccard,
+           n_inter / (na.n + nb.n - n_inter)::DOUBLE >= 0.5 AS is_neardup
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    """,
+)
+def docs_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged MinHash near-dup pipeline: LSH(4 bands x 3 rows of
+    MinHash k=12) candidate pairs — the shuffle-cheap path, banded
+    equi-join, no all-pairs stage — each verified with exact n-gram
+    Jaccard and flagged at the 0.5 threshold. Every candidate pair is
+    emitted (with its verdict), so both the recall of the LSH stage and
+    the precision of the verify stage are hash-checked. Constituents:
+    docs_minhash_lsh_pairs + docs_neardup_jaccard above."""
+    corpus = _planted_docs(spark, sf_dir)
+    shingled = dedup.exploded_shingles(corpus, "doc_id", "text", 3)
+    sigs = dedup.minhash_signatures(shingled, "doc_id", _K_MINHASH)
+    bands = dedup.lsh_bands(sigs, "doc_id", _LSH_BANDS, _LSH_ROWS)
+    pairs = dedup.lsh_candidate_pairs(bands, "doc_id")
+    jac = dedup.pair_jaccard(pairs, shingled, "doc_id")
+    return jac.withColumn("is_neardup", F.col("jaccard") >= 0.5)
+
+
+@query(
+    "multimodal_blob_pipeline",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           'text/plain' AS mime,
+           CASE WHEN length(text) = 0 THEN -1
+                ELSE ord(substr(text, 1, 1)) END::BIGINT AS head_byte,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE round(list_sum(list_transform(
+                         generate_series(1, length(text)),
+                         i -> ord(substr(text, i, 1))))::DOUBLE
+                     / length(text), 6) END AS byte_mean
+    FROM documents
+    """,
+)
+def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged multimodal plumbing: opaque binary column + typed
+    metadata struct (attach_blob) -> Arrow-batched mapInPandas feature
+    extraction (deterministic stubbed decode — container has no codec
+    libs; operators/multimodal.py). The fixture corpus is pure ASCII so
+    even the Python path gets a full SQL oracle. Constituents:
+    multimodal_blob_meta + multimodal_blob_features above."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobbed = multimodal.attach_blob(docs)
+    feats = multimodal.extract_blob_features(blobbed)
+    meta = blobbed.select("doc_id", F.col("meta.mime").alias("mime"))
+    return feats.join(meta, "doc_id").select(
+        "doc_id", "n_bytes", "mime", "head_byte", "byte_mean"
+    )
+
+
+@query(
+    "embedding_knn_variants",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5
+    ), scored AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               round(list_dot_product(qv, v)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(v, v))), 6) AS cosine
+        FROM q, base
+        WHERE vec_id <> query_id
+    )
+    SELECT 'brute' AS variant, query_id, neighbor_id, cosine
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id
+               ) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    UNION ALL
+    SELECT 'ivf_seeded' AS variant, query_id, neighbor_id, cosine
+    FROM ("""
+    + _IVF_SEEDED_ORACLE
+    + """) ivf
+    """,
+)
+def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged ANN catalog: brute-force cosine top-5 (the exact
+    baseline — query set broadcast, corpus streamed, per-query top-k
+    window) + the deterministic seeded-quantizer IVF (centroids
+    broadcast, 2-of-8 cell probe, in-cell top-5 — the shape that
+    scales). Cosine rounded to 1e-6 BEFORE ranking on both sides so
+    summation-order ulps cannot flip orderings. Constituents:
+    embedding_knn + embedding_ivf_seeded_knn above."""
+    brute = embedding_knn(spark, sf_dir).select(
+        F.lit("brute").alias("variant"), "query_id", "neighbor_id", "cosine"
+    )
+    ivf = embedding_ivf_seeded_knn(spark, sf_dir).select(
+        F.lit("ivf_seeded").alias("variant"), "query_id", "neighbor_id", "cosine"
+    )
+    return brute.unionByName(ivf)

@@ -147,17 +147,6 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "status_priority_cube",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n_orders,
-           (CAST(grouping(o_orderstatus) AS BIGINT) * 2
-            + CAST(grouping(o_orderpriority) AS BIGINT)) AS gid
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
 def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over two categorical dimensions with grouping ids."""
     orders = load_table(spark, sf_dir, "orders")
@@ -184,15 +173,6 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "grouping_sets_revenue",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-    """,
-)
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (each dimension totaled independently —
     the PromQL `sum without` shape) through the engine's SQL surface."""
@@ -210,3 +190,32 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """,
     )
+
+
+_MULTIGRAIN_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           (CAST(grouping(o_orderstatus) AS BIGINT) * 2
+            + CAST(grouping(o_orderpriority) AS BIGINT)) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("status_priority_multigrain", oracle=_MULTIGRAIN_SQL)
+def status_priority_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged multi-dimensional aggregate: explicit GROUPING SETS over
+    all four subsets of (status, priority) — exactly CUBE's lattice,
+    written as grouping sets through the engine's SQL surface, with
+    grouping-id disambiguation and exact decimal revenue. One scan, one
+    Expand, one shuffle. Subsumes the separate CUBE
+    (status_priority_cube above) and GROUPING SETS
+    (grouping_sets_revenue above) entries; the DataFrame-API rollup
+    variant keeps its own slot (region_nation_rollup)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.sql_surface import (
+        run_sql,
+    )
+
+    return run_sql(spark, sf_dir, _MULTIGRAIN_SQL)
