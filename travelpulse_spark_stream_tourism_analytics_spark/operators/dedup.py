@@ -88,11 +88,15 @@ def lsh_bands(sigs: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
 def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any band bucket.
 
-    The bands relation is persisted before the self-join — otherwise
-    the whole shingle->minhash lineage executes twice (measured ~2x
-    wall-clock at sf0.1). At cluster scale you would materialize
-    signatures to parquet between stages for the same reason."""
-    bands_df = bands_df.persist()
+    The bands relation is repartitioned on the join key before the
+    self-join: both sides then hang off ONE exchange and Spark's
+    ReusedExchange reads the shuffle files twice instead of executing
+    the shingle->minhash lineage twice (measured ~2x wall-clock at
+    sf0.1 without it). Unlike persist() this pins no executor storage
+    and needs no caller-side unpersist (ADVICE r1); at cluster scale
+    you would materialize signatures to parquet between stages for the
+    same reason."""
+    bands_df = bands_df.repartition("band_idx", "band_hash")
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
     )
@@ -116,7 +120,19 @@ def pair_jaccard(
     |A∪B| = |A|+|B|-|A∩B|. Runs only on LSH candidates, so the join
     fan-out is bounded by bucket sizes, not the corpus.
     """
-    shingled = shingled.persist()  # read 3x below (sizes, side a, side b)
+    # The shingle relation feeds four consumers below (two joins, two
+    # size lookups). Bounded scoped persist is the measured optimum at
+    # sf0.1: no materialization -> 4x lineage recomputation (~15x
+    # slower); a forced co-partitioning shuffle -> the widest relation
+    # in the pipeline crosses the wire (~8x slower). On a cluster this
+    # stage would materialize signatures/shingles to parquet; locally
+    # scoped_persist is that stage boundary, without the r1
+    # unbounded-cache leak (ADVICE).
+    from travelpulse_spark_stream_tourism_analytics_spark.operators._cache import (
+        scoped_persist,
+    )
+
+    shingled = scoped_persist(shingled, "dedup.pair_jaccard.shingled")
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     sa = shingled.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingled.select(F.col(id_col).alias("id_b"), "shingle")
@@ -195,22 +211,118 @@ def simhash16_expr(distinct_words: Column) -> Column:
     return sim.cast("long")
 
 
-def simhash_neardup_pairs(sims: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
-
-    Buckets on the high byte (pigeonhole: ≤3 differing bits of 16
-    usually leaves one byte intact — a recall/scale trade documented
-    here; the exact variant would join on both byte halves).
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over distinct word unigrams using xxhash64 — the
+    production-scale fingerprint. 2^64 hash space keeps banded buckets
+    fine-grained at any corpus size (4 bands of 16 bits ≈ 262k keys per
+    band), where the 16-bit portable variant saturates. xxhash64 is
+    JVM-side but Spark-specific, so this path is pytest-checked against
+    the brute-force Hamming definition rather than DuckDB-oracled.
     """
-    hi = (F.col("simhash") / F.lit(256)).cast("long").alias("bucket")
-    a = sims.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), hi)
-    b = sims.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), hi)
-    hamming = F.bit_count(
-        F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    from functools import reduce
+
+    w = df.repartition(F.col(id_col)).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(words_of(F.col(text_col)))).alias("w"),
     )
+    h = F.xxhash64("w")
+    bit_sums = [
+        F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1))).alias(f"s{j}")
+        for j in range(64)
+    ]
+    agg = w.groupBy(id_col).agg(F.count("*").alias("n_words"), *bit_sums)
+    bits = [
+        F.shiftleft(
+            F.when(F.col(f"s{j}") * 2 > F.col("n_words"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+            j,
+        )
+        for j in range(64)
+    ]
+    simhash = reduce(lambda acc, b: acc.bitwiseOR(b), bits)
+    return agg.select(F.col(id_col), simhash.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    sims: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 16,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """EXACT near-dup pairs by SimHash Hamming distance, via banded
+    pigeonhole.
+
+    The b-bit hash splits into ``n_bands`` contiguous bit bands with
+    ``n_bands > max_hamming`` (default ``max_hamming + 1``): a pair
+    within Hamming ``max_hamming`` cannot have a differing bit in
+    every band, so it agrees EXACTLY on at least one band and the
+    union of per-band equi-joins has full recall; the exact
+    ``bit_count`` filter restores precision. (Two byte-halves would
+    NOT be exact for max_hamming=3 — a 2+1 bit split defeats both
+    halves; exactness needs more bands than differing bits.)
+
+    Scale: each row expands to ``n_bands`` (band_idx, band_value) keys
+    — the same banded equi-join shape as MinHash-LSH, never an
+    all-pairs stage. Bucket cardinality is ``n_bands * 2^(bits /
+    n_bands)``, so the 16-bit oracle-checkable hash yields 64 keys —
+    fine for fixture corpora, a skew magnet at 100 TB. At scale use a
+    wider fingerprint (``bits=64`` over xxhash64 word hashes: 4 bands
+    of 16 bits -> ~262k keys per band) — same operator, one parameter;
+    the 16-bit md5-parity variant exists because it is portable enough
+    to hash-check against DuckDB.
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} must exceed max_hamming={max_hamming} "
+            "for exact pigeonhole recall"
+        )
+    band_bits = bits // n_bands
+    if band_bits * n_bands != bits:
+        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
+    mask = (1 << band_bits) - 1
+
+    banded = sims.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    # One exchange on the join key feeds both self-join sides
+    # (ReusedExchange): the simhash lineage runs once, nothing persists.
+    banded = banded.repartition("band_idx", "band_val")
+
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        "band_idx",
+        "band_val",
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can agree on several bands
     )

@@ -159,17 +159,38 @@ def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users")  # HLL sketches differ per engine: rows-only
+@query(
+    "approx_distinct_users",
+    # Spark's HLL++ sketch is not bit-matchable against DuckDB's HLL,
+    # but its ERROR CONTRACT is (VERDICT r1 item 5): the default 5%
+    # relative standard deviation means |approx-exact|/exact stays
+    # within 15% (3 sigma) for every key. The exact distinct count is
+    # value-checked outright; the sketch estimate is checked via the
+    # bound verdict, which an accuracy regression flips to false.
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY 1
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) per event_type — the sketch path
-    for distinct counting at 100 TB; deterministic for a given input
-    but not bit-matchable against DuckDB's HLL, hence no SQL twin
-    (exact distinct is oracle-checked in regional_revenue /
-    global_counts)."""
+    for distinct counting at 100 TB (constant memory per key vs the
+    exact shuffle-heavy distinct) — checked against the exact count via
+    the sketch's documented error bound."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    rel_err = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users").cast("double")
+    )
+    return agg.select(
+        "event_type", "exact_users", (rel_err <= 0.15).alias("approx_ok")
     )
 
 
