@@ -441,3 +441,78 @@ def test_asof_join_duplicate_right_ts_is_deterministic(spark):
             .repartition(4)
         out = asof_join(left, right, on="k", payload=["v"]).collect()
         assert out[0].asof_v == 7.0  # always the max payload struct
+
+
+def test_curated_artifacts_match_reference_contract(spark, geonames_fixture, tmp_path):
+    """Run the full dimension build against reference-shaped inputs
+    and diff the written hotels_clean / airports_it artifacts against
+    the reference's data/curated/ contracts (VERDICT r1 item 8): the
+    CSV header line must match the reference byte-for-byte, and the
+    key columns must carry the reference's value shapes. Catches
+    silent schema drift anywhere in the ETL chain."""
+    import csv
+    import glob
+    import os
+    import re
+
+    from travelpulse_spark_stream_tourism_analytics_spark.etl.pipeline import (
+        run_dimension_build,
+    )
+
+    ref_dir = "/root/reference/data/curated"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference curated artifacts not available")
+
+    def ref_header(name):
+        with open(os.path.join(ref_dir, name), newline="") as f:
+            return next(csv.reader(f))
+
+    # Reference-shaped raw inputs: OSM-ish hotels with the optional
+    # contact columns, OurAirports rows with the full column set.
+    hotels = spark.createDataFrame(
+        [
+            ("Hotel Colosseo", "ROMA", "hotel", 4.0, "Via Sacra 1",
+             "+39 06 123", "https://colosseo.example", "node/10", 41.91, 12.49),
+            ("Albergo Duomo", None, "guest_house", None, None,
+             None, None, "node/20", 45.47, 9.20),
+        ],
+        "name string, addr_city string, kind string, stars_num double, "
+        "addr_street string, phone string, website string, "
+        "osm_id string, lat double, lon double",
+    )
+    airports = spark.createDataFrame(
+        [
+            (1, "LIRF", "large_airport", "Rome Fiumicino Airport", 41.8, 12.25,
+             "IT-62", "Fiumicino", "FCO", "LIRF"),
+            (2, "LIML", "medium_airport", "Milano Linate Airport", 45.45, 9.27,
+             "IT-25", "Milano", "LIN", "LIML"),
+        ],
+        "id long, ident string, type string, name string, "
+        "latitude_deg double, longitude_deg double, iso_region string, "
+        "municipality string, iata_code string, gps_code string",
+    )
+
+    out = str(tmp_path / "curated")
+    run_dimension_build(geonames_fixture, hotels, airports, out)
+
+    def written_header_and_rows(artifact):
+        [part] = glob.glob(os.path.join(out, artifact, "part-*.csv"))
+        with open(part, newline="") as f:
+            reader = csv.reader(f)
+            header = next(reader)
+            return header, list(reader)
+
+    h_header, h_rows = written_header_and_rows("hotels_clean")
+    assert h_header == ref_header("hotels_clean.csv")
+    assert len(h_rows) > 0
+    hid = dict(zip(h_header, h_rows[0]))
+    # The reference's id shape: <city_id>-<slug>-<6 digits>.
+    assert re.fullmatch(r"\d+-[a-z0-9-]+-\d{6}", hid["hotel_id"]), hid["hotel_id"]
+    assert hid["city_name"] and hid["region"]
+
+    a_header, a_rows = written_header_and_rows("airports_it")
+    assert a_header == ref_header("airports_it.csv")
+    assert len(a_rows) == 2
+    arow = dict(zip(a_header, a_rows[0]))
+    assert re.fullmatch(r"[A-Z]{3}", arow["airport_code"])
+    assert arow["icao_code"] and arow["ident"] and arow["region_code"]

@@ -569,3 +569,140 @@ def test_watermark_finalizes_and_drops_late_rows_append_mode(spark, tmp_path):
     assert dropped == 1
     # windows not yet passed by the watermark never emitted (no partials)
     assert base + dt.timedelta(minutes=21) not in emitted
+
+
+def test_kafka_frame_replay_byte_parity(spark, fixture_dirs, tmp_path):
+    """The broker-less Kafka twin must exercise the PRODUCTION decode:
+    binary key/value frames -> CAST AS STRING -> from_json. The replay
+    shares decode_kafka_frame with the live source, and this test pins
+    (a) byte-for-byte wire parity between the replayed frames and the
+    original fixture, and (b) KPI parity through the full parse path
+    (VERDICT r1 item 6)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.sources import (
+        kafka_frame_replay,
+        write_kafka_frame_fixture,
+    )
+
+    frame_dir = str(tmp_path / "frames")
+    write_kafka_frame_fixture(
+        spark, fixture_dirs["booking"], frame_dir, topic="bookings"
+    )
+
+    # The recorded frames really are binary Kafka-shaped rows.
+    raw = spark.read.parquet(frame_dir)
+    assert dict(raw.dtypes)["key"] == "binary"
+    assert dict(raw.dtypes)["value"] == "binary"
+    assert {"topic", "partition", "offset", "timestamp", "timestampType"} <= set(
+        raw.columns
+    )
+
+    # (a) decoded wire records == the original JSONL fixture, byte for
+    # byte (key, value payload string, broker timestamp).
+    got_wire = _collecting_sink_rows(
+        spark, kafka_frame_replay(spark, frame_dir), "append", tmp_path, "kwire"
+    )
+    want_wire = file_batch(spark, fixture_dirs["booking"]).collect()
+    key = lambda r: (r["key"], r["value"], r["kafka_ts"])  # noqa: E731
+    assert sorted(map(key, got_wire)) == sorted(map(key, want_wire))
+    assert len(got_wire) > 0
+
+    # (b) the full parse (from_json + dual-clock repair) + KPI over the
+    # replayed frames matches the file-twin path.
+    replay_parsed = parse_events(
+        kafka_frame_replay(spark, frame_dir), BOOKING_SCHEMA
+    ).withWatermark("ingest_time", "45 seconds")
+    got = _collecting_sink_rows(
+        spark,
+        kpis.city_bookings_windowed(
+            replay_parsed, "ingest_time", kpis.MINUTE, "bookings"
+        ),
+        "update",
+        tmp_path,
+        "kcnt",
+    )
+    batch_parsed = parse_events(
+        file_batch(spark, fixture_dirs["booking"]), BOOKING_SCHEMA
+    )
+    want = kpis.city_bookings_windowed(
+        batch_parsed, "ingest_time", kpis.MINUTE, "bookings"
+    ).collect()
+    rkey = lambda r: (r["window"]["start"], r["city_id"], r["bookings"])  # noqa: E731
+    assert sorted(map(rkey, got)) == sorted(map(rkey, want))
+    assert len(got) > 0
+
+
+def test_chained_season_score_single_query_is_silently_wrong(spark, fixture_dirs, tmp_path):
+    """SURVEY.md §3.2 option (a), full form, PINNED (VERDICT r1 item 7):
+    Spark 4.1 ACCEPTS the whole season score as one streaming query —
+    three windowed aggregations, two stream-stream left joins on the
+    aggregated streams, a percentile re-aggregation, and a final join —
+    no unsupported-operator error, and it emits finalized rows. But the
+    output is SILENTLY WRONG: the chained outer-join feeds the
+    downstream percentile aggregation a state stream that differs from
+    its own append output (observed: flight-side percentile bases that
+    batch semantics never produces), so cancel/delay norms collapse to
+    0 and reliab_idx inflates to 1.0. Every other index is bit-exact.
+
+    This test pins that behavior: if a future Spark fixes the chain,
+    the `deltas` set collapses to {0.0} and this test fails loudly —
+    at which point the chained form can replace the two-phase
+    orchestration (TwoPhaseSeasonScore, tested above), which remains
+    the production path precisely because its per-phase outputs are
+    batch-exact."""
+    streams = {}
+    for kind, schema in [
+        ("booking", BOOKING_SCHEMA),
+        ("weather", WEATHER_SCHEMA),
+        ("flight", FLIGHT_SCHEMA),
+    ]:
+        parsed = parse_events(file_stream(spark, fixture_dirs[kind]), schema)
+        if kind == "booking":
+            parsed = enrich_bookings(parsed)
+        if kind == "flight":
+            parsed = parsed.withColumnRenamed("destination_city_id", "city_id")
+        streams[kind] = parsed.withWatermark("event_time", "45 seconds")
+
+    bcs, wcs, fcs = kpis.season_city_stats(
+        streams["booking"], streams["weather"], streams["flight"], size="1 day"
+    )
+    chained = kpis.season_score(bcs, wcs, fcs)
+    # (1) Spark does NOT refuse the chain: the query starts, runs to
+    # completion, and finalizes windows.
+    got_rows = _collecting_sink_rows(
+        spark, chained, "append", tmp_path, "chained_season"
+    )
+    assert len(got_rows) > 0
+
+    b = enrich_bookings(
+        parse_events(file_batch(spark, fixture_dirs["booking"]), BOOKING_SCHEMA)
+    )
+    w = parse_events(file_batch(spark, fixture_dirs["weather"]), WEATHER_SCHEMA)
+    f = parse_events(
+        file_batch(spark, fixture_dirs["flight"]), FLIGHT_SCHEMA
+    ).withColumnRenamed("destination_city_id", "city_id")
+    bb, wb, fb = kpis.season_city_stats(b, w, f, size="1 day")
+    want = {
+        (r["window"]["start"], r["city_id"], r["season"]): r
+        for r in kpis.season_score(bb, wb, fb).collect()
+    }
+
+    deltas = set()
+    for r in got_rows:
+        k = (r["window"]["start"], r["city_id"], r["season"])
+        # (2) append mode emits only watermark-closed windows, all of
+        # which exist in the batch result...
+        assert k in want
+        wrow = want[k]
+        # (3) ...and the booking/weather-side indexes are bit-exact;
+        for c in ("price_idx", "weather_idx", "crowd_idx"):
+            assert round(r[c], 9) == round(wrow[c], 9), c
+        # (4) the entire score error is attributable to the flight-side
+        # reliab term (weight 0.10) — the chained-percentile artifact.
+        score_delta = r["season_score"] - wrow["season_score"]
+        reliab_delta = 100.0 * 0.10 * (r["reliab_idx"] - wrow["reliab_idx"])
+        assert abs(score_delta - reliab_delta) < 1e-6
+        deltas.add(round(score_delta, 6))
+    # (5) the wrongness is real today: at least one finalized window
+    # diverges. When a Spark upgrade makes this set == {0.0}, the chain
+    # has become trustworthy — promote it and retire this pin.
+    assert deltas != {0.0}
