@@ -194,20 +194,34 @@ def simhash16_expr(distinct_words: Column) -> Column:
     semantics to :func:`simhash16` (parity of hex digit j of
     md5(word), majority vote); an empty word set hashes to 0.
     """
-    md5s = F.transform(distinct_words, lambda w: F.md5(w))
-    n = F.size(distinct_words)
+    # Single aggregate pass: fold per-word 16-digit parity vectors into
+    # one bit-sum array (16 separate size(filter(...)) scans measured
+    # ~1.6x slower at sf0.1). A hex digit is odd iff it is in
+    # '13579bdf' — same predicate as conv(d,16,10) % 2 without the
+    # base-conversion cost. NOTE: any lambda here must be 1-arg; a
+    # 2-arg lambda is treated by the HOFs as (element, index).
+    odd_digits = list("13579bdf")
 
-    def parity(j: int):
-        # closure factory: a 2-arg lambda (h, j=j) would be treated by
-        # F.filter as an (element, index) lambda and clobber j
-        return lambda h: (
-            F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int") % 2 == 1
+    def parities(h: Column) -> Column:
+        return F.array(
+            *[
+                F.when(F.substring(h, j + 1, 1).isin(*odd_digits), 1).otherwise(0)
+                for j in range(16)
+            ]
         )
 
+    md5s = F.transform(distinct_words, lambda w: F.md5(w))
+    bit_sums = F.aggregate(
+        md5s,
+        F.array(*[F.lit(0) for _ in range(16)]),
+        lambda acc, h: F.zip_with(acc, parities(h), lambda a, p: a + p),
+    )
+    n = F.size(distinct_words)
     sim: Column = F.lit(0)
     for j in range(16):
-        s_j = F.size(F.filter(md5s, parity(j)))
-        sim = sim + F.when(s_j * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = sim + F.when(
+            F.element_at(bit_sums, j + 1) * 2 > n, F.lit(1 << j)
+        ).otherwise(F.lit(0))
     return sim.cast("long")
 
 
