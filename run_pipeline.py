@@ -10,6 +10,12 @@ else.
   python run_pipeline.py --source file --path /tmp/wire \\
       --pushgateway http://localhost:9091 --once
   python run_pipeline.py --source kafka --bootstrap broker:9092
+  python run_pipeline.py --source kafka-replay --path /tmp/frames --once
+
+kafka-replay streams recorded binary Kafka frames (the parquet layout
+of streaming.sources.write_kafka_frame_fixture, dir/{weather,flight,
+booking}/) through the production frame decode — the full topology
+over the byte-exact Kafka path, no broker required.
 """
 
 from __future__ import annotations
@@ -40,6 +46,7 @@ from travelpulse_spark_stream_tourism_analytics_spark.streaming.sinks import (
 )
 from travelpulse_spark_stream_tourism_analytics_spark.streaming.sources import (
     file_stream,
+    kafka_frame_replay,
     kafka_stream,
 )
 
@@ -56,8 +63,13 @@ CITY_DIM_ROWS = [
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--source", choices=["kafka", "file"], default="file")
-    ap.add_argument("--path", help="wire JSONL root (file source)")
+    ap.add_argument(
+        "--source", choices=["kafka", "file", "kafka-replay"], default="file"
+    )
+    ap.add_argument(
+        "--path",
+        help="wire JSONL root (file source) or recorded-frame root (kafka-replay)",
+    )
     ap.add_argument("--bootstrap", default="localhost:9092")
     ap.add_argument("--pushgateway", default=os.environ.get("PUSHGATEWAY_URL", ""))
     ap.add_argument("--watermark", default=os.environ.get("WATERMARK", "45 seconds"))
@@ -82,9 +94,10 @@ def main() -> None:
         }
     else:
         if not args.path:
-            ap.error("--path required for --source file")
+            ap.error(f"--path required for --source {args.source}")
+        mk = kafka_frame_replay if args.source == "kafka-replay" else file_stream
         wires = {
-            kind: file_stream(spark, os.path.join(args.path, kind))
+            kind: mk(spark, os.path.join(args.path, kind))
             for kind in ("weather", "flight", "booking")
         }
 

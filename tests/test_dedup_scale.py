@@ -196,3 +196,40 @@ def test_self_joins_reuse_exchange_not_persist(spark):
     )
     assert "ReusedExchange" in plan
     assert "InMemoryTableScan" not in plan
+
+
+def test_multiprobe_lsh_recovers_near_misses(spark):
+    """auto_n_planes makes buckets finer; multi-probe is the paired
+    recall lever: perturbed near-duplicates that cross one hyperplane
+    land in an adjacent bucket and are lost to the single-bucket join,
+    but probing the lowest-margin bit flips recovers them — without
+    coarsening the whole table. Deterministic fixture (seeded planes,
+    fixed perturbation): single-bucket misses at least one planted
+    pair at 16 planes, multi-probe finds all 40, and its output is a
+    superset of the single-bucket pairs."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", similarity.as_double_vec(F.col("embedding")).alias("v")
+    )
+    pert = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("v", lambda x: x * 0.995 + 0.003).alias("v"),
+    )
+    corpus = emb.unionByName(pert)
+    planes = similarity.hyperplanes(n_planes=16, dim=64, seed="tp")
+    single = {
+        tuple(r)
+        for r in similarity.lsh_neardup_pairs(corpus, "vec_id", "v", planes, 0.98)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    multi = {
+        tuple(r)
+        for r in similarity.lsh_neardup_pairs_multiprobe(
+            corpus, "vec_id", "v", planes, 0.98, n_probe_bits=2
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert single <= multi
+    assert len(multi) == 40  # every planted perturbed pair found
+    assert len(single) < 40  # fine bucketing alone loses near-misses

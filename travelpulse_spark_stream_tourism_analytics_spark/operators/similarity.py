@@ -146,6 +146,105 @@ def lsh_neardup_pairs(
     )
 
 
+def lsh_neardup_pairs_multiprobe(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    min_cosine: float = 0.99,
+    n_probe_bits: int = 2,
+) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs with MULTI-PROBE: besides its home
+    bucket, each vector probes the buckets reached by flipping its
+    ``n_probe_bits`` lowest-margin hyperplane signs (the bits most
+    likely to differ for a true near-duplicate sitting close to a
+    plane). This is the recall lever that pairs with auto_n_planes:
+    finer bucketing (more planes) cuts bucket sizes linearly while
+    multi-probe recovers the near-misses, instead of coarsening the
+    whole table. Probe-side rows fan out (1 + n_probe_bits)x; the join
+    stays a bucket equi-join (probe bucket == home bucket, both
+    directions via the symmetric fan-out), never all-pairs.
+    """
+    dots = F.array(
+        *[dot(F.col(vec_col), F.array(*[F.lit(w) for w in p])) for p in planes]
+    )
+    n_planes = len(planes)
+
+    with_geom = emb.select(
+        F.col(id_col), F.col(vec_col), dots.alias("__dots")
+    ).select(
+        id_col,
+        vec_col,
+        F.concat(
+            *[
+                F.when(F.element_at("__dots", i + 1) >= 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+                for i in range(n_planes)
+            ]
+        ).alias("home"),
+        F.transform(
+            # plane indices sorted by |margin| ascending — the flips
+            F.slice(
+                F.array_sort(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.abs(F.element_at("__dots", i + 1)).alias("m"),
+                                F.lit(i).alias("i"),
+                            )
+                            for i in range(n_planes)
+                        ]
+                    )
+                ),
+                1,
+                n_probe_bits,
+            ),
+            lambda s: s["i"],
+        ).alias("__flip_idx"),
+    )
+    # Flip bit i of the home bucket string (i is 0-based; substring is
+    # 1-based): prefix of length i + negated bit + suffix.
+    flipped = F.transform(
+        F.col("__flip_idx"),
+        lambda i: F.concat(
+            F.substring(F.col("home"), F.lit(1), i),
+            F.when(F.substring(F.col("home"), i + 1, 1) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+            F.substring(F.col("home"), i + 2, F.lit(n_planes)),
+        ),
+    )
+    probes = with_geom.select(
+        id_col,
+        vec_col,
+        "home",
+        F.explode(
+            F.array_union(F.array(F.col("home")), flipped)
+        ).alias("probe"),
+    )
+    homes = with_geom.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("home").alias("probe"),
+    ).repartition("probe")
+    a = probes.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "probe"
+    )
+    pairs = (
+        a.join(homes, "probe")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            cosine(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+        .distinct()
+    )
+    return pairs
+
+
 def ivf_index(
     emb: DataFrame, id_col: str, vec_col: str, n_cells: int = 16, seed: int = 42
 ):
