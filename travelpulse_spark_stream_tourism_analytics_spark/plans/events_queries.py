@@ -709,31 +709,45 @@ def event_time_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged time-profile rollups: hourly null-aware value stats
     (A4/A6, reference kafka_to_metrics.py:230,234) + the hour-of-day x
     ISO-weekday heatmap (weekday parity pinned: Spark weekday() is
-    0=Monday, DuckDB isodow 1=Monday). Constituents: hourly_value_stats
-    + hour_weekday_heatmap above."""
-    hourly = hourly_value_stats(spark, sf_dir).select(
-        F.lit("hour").alias("grain"),
-        F.col("hour").alias("bucket_ts"),
-        F.lit(None).cast("long").alias("dow_iso"),
-        F.lit(None).cast("long").alias("hour_of_day"),
-        "n_events",
-        "min_value",
-        "max_value",
-        "sum_value",
-        "avg_value",
+    0=Monday, DuckDB isodow 1=Monday). Same expressions as
+    hourly_value_stats + hour_weekday_heatmap above, but computed as
+    ONE GROUPING SETS aggregation — a single scan and a single shuffle
+    (Expand emits one row per grain before the map-side partial
+    aggregate), where the union-of-branches form scanned events
+    twice."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket_ts"),
+        (F.weekday("ts") + 1).cast("long").alias("dow_iso"),
+        F.hour("ts").cast("long").alias("hour_of_day"),
+        "value",
     )
-    heat = hour_weekday_heatmap(spark, sf_dir).select(
-        F.lit("dow_hour").alias("grain"),
-        F.lit(None).cast("timestamp_ntz").alias("bucket_ts"),
+    dec_sum = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    g = keyed.groupingSets(
+        [["bucket_ts"], ["dow_iso", "hour_of_day"]],
+        "bucket_ts",
         "dow_iso",
-        F.col("hour").alias("hour_of_day"),
-        "n_events",
-        F.lit(None).cast("double").alias("min_value"),
-        F.lit(None).cast("double").alias("max_value"),
-        "sum_value",
-        F.lit(None).cast("double").alias("avg_value"),
+        "hour_of_day",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min("value").alias("__min"),
+        F.max("value").alias("__max"),
+        dec_sum.alias("sum_value"),
+        (dec_sum / F.count("value")).alias("__avg"),
+        F.grouping("bucket_ts").cast("int").alias("__gb"),
     )
-    return hourly.unionByName(heat)
+    is_hour = F.col("__gb") == 0
+    return g.select(
+        F.when(is_hour, F.lit("hour")).otherwise(F.lit("dow_hour")).alias("grain"),
+        "bucket_ts",
+        "dow_iso",
+        "hour_of_day",
+        "n_events",
+        F.when(is_hour, F.col("__min")).alias("min_value"),
+        F.when(is_hour, F.col("__max")).alias("max_value"),
+        "sum_value",
+        F.when(is_hour, F.col("__avg")).alias("avg_value"),
+    )
 
 
 @query(

@@ -372,10 +372,28 @@ def order_string_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings (F4, scripts/merge_cities_all.py:30-33) + locale-aware
     numeric round-trip (F5, scripts/istat_utils.py:39-45).
     Constituents: year_extract + locale_numeric_roundtrip above."""
-    years = year_extract(spark, sf_dir)
-    locs = locale_numeric_roundtrip(spark, sf_dir)
-    return years.join(locs, "o_orderkey").select(
-        "o_orderkey", "period", "year", "locale_str", "parsed"
+    # Same expressions as year_extract / locale_numeric_roundtrip
+    # above, one scan and zero shuffles — joining the two per-row
+    # constituents on o_orderkey would scan and shuffle orders twice.
+    orders = load_table(spark, sf_dir, "orders")
+    period = F.concat(
+        F.lit("rilevazione "), F.year("o_orderdate").cast("string"), F.lit(" prov")
+    )
+    int_grouped = F.format_number(F.floor("o_totalprice").cast("long"), 0)
+    frac = F.split_part(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.lit("."),
+        F.lit(2),
+    )
+    locale_str = F.concat(
+        F.lit(" "), F.translate(int_grouped, ",", "."), F.lit(","), frac
+    )
+    return orders.select(
+        "o_orderkey",
+        period.alias("period"),
+        F.regexp_extract(period, r"((?:19|20)\d{2})", 1).cast("long").alias("year"),
+        locale_str.alias("locale_str"),
+        locale_numeric(locale_str).alias("parsed"),
     )
 
 
@@ -406,10 +424,30 @@ def part_string_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     '★★★ -> NaN' quirk (F6, scripts/build_hotels_yaml.py:83-87) + WKT
     POINT lat/lon extraction (F7, build_hotels_yaml.py:46-54).
     Constituents: stars_parse + wkt_point_parse above."""
-    stars = stars_parse(spark, sf_dir)
-    wkt = wkt_point_parse(spark, sf_dir)
-    return stars.join(wkt, "p_partkey").select(
-        "p_partkey", "raw_stars", "stars", "wkt", "lat", "lon"
+    # Same expressions as stars_parse / wkt_point_parse above, one scan
+    # and zero shuffles instead of a self-join on p_partkey.
+    part = load_table(spark, sf_dir, "part")
+    raw = F.when(F.col("p_partkey") % 7 == 0, F.lit("★★★")).otherwise(
+        F.concat(F.lit("hotel "), (F.col("p_partkey") % 6).cast("string"), F.lit("*"))
+    )
+    extracted = F.regexp_extract(
+        F.regexp_replace(raw, "★", ""), r"([0-5](?:\.\d)?)", 1
+    )
+    wkt = F.concat(
+        F.lit("POINT ("),
+        (F.col("p_partkey") % 360 - 180).cast("string"),
+        F.lit(" "),
+        (F.col("p_partkey") % 180 - 90).cast("string"),
+        F.lit(")"),
+    )
+    pat = r"POINT \(([-0-9.]+) ([-0-9.]+)\)"
+    return part.select(
+        "p_partkey",
+        raw.alias("raw_stars"),
+        F.nullif(extracted, F.lit("")).try_cast("double").alias("stars"),
+        wkt.alias("wkt"),
+        F.regexp_extract(wkt, pat, 2).try_cast("double").alias("lat"),
+        F.regexp_extract(wkt, pat, 1).try_cast("double").alias("lon"),
     )
 
 
@@ -485,26 +523,65 @@ def customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_hotels_yaml.py:286-291), household component-count parsing
     (F9, scripts/clean_istat_famiglie.py:9-14), and latest-order-per-key
     dedup (T3, scripts/rebuild_and_merge_cities_it.py:164).
-    Constituents: customer_score + customer_distance_to_hub +
-    synthesized_ids + component_count_parse here, plus
-    relational_queries.latest_order_per_customer."""
+    Same expressions as the constituent transforms above
+    (customer_score / customer_distance_to_hub / synthesized_ids /
+    component_count_parse / relational_queries.latest_order_per_customer,
+    each still unit-testable standalone), but computed in ONE customer
+    scan + one per-segment window + one left join — joining the four
+    per-row constituents on c_custkey would scan and shuffle customer
+    four times for no semantic gain (plan-audited: 5 scans + 12
+    exchanges down to 2 + 3)."""
     from travelpulse_spark_stream_tourism_analytics_spark.plans.relational_queries import (  # noqa: E501
         latest_order_per_customer,
     )
 
-    score = customer_score(spark, sf_dir)
-    geo = customer_distance_to_hub(spark, sf_dir)
-    ids = synthesized_ids(spark, sf_dir)
-    comp = component_count_parse(spark, sf_dir)
-    latest = latest_order_per_customer(spark, sf_dir)
-    return (
-        score.join(geo, "c_custkey")
-        .join(ids, "c_custkey")
-        .join(comp, "c_custkey")
-        .join(latest, score["c_custkey"] == latest["o_custkey"], "left")
-        .select(
-            "c_custkey", "c_mktsegment", "bal_norm", "score",
-            "lat", "lon", "dist_km", "synth_id", "raw_comp", "comp_n",
-            "last_orderkey", "last_orderdate", "last_totalprice",
+    cust = load_table(spark, sf_dir, "customer")
+    # customer_score expressions (window min-max per segment)
+    w = Window.partitionBy("c_mktsegment")
+    lo = F.min("c_acctbal").over(w)
+    hi = F.max("c_acctbal").over(w)
+    norm = minmax_norm(F.col("c_acctbal"), lo, hi)
+    score = F.lit(100) * (
+        F.lit(0.65) * norm + F.lit(0.35) * (F.col("c_nationkey") / F.lit(24.0))
+    )
+    # customer_distance_to_hub expressions
+    lat = (F.col("c_custkey") % 17000) / 100.0 - 85.0
+    lon = ((F.col("c_custkey") * 7) % 36000) / 100.0 - 180.0
+    dist = haversine_km(lat, lon, F.lit(41.9), F.lit(12.5))
+    # component_count_parse expressions
+    raw_comp = F.when(
+        F.col("c_custkey") % 5 == 4, F.lit("4 e più componenti")
+    ).otherwise(
+        F.concat((F.col("c_custkey") % 5 + 1).cast("string"), F.lit(" componenti"))
+    )
+    comp_n = F.when(raw_comp.contains("più"), F.lit(4.5)).otherwise(
+        F.nullif(F.regexp_extract(raw_comp, r"(\d+)", 1), F.lit("")).try_cast(
+            "double"
         )
+    )
+    profile = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(norm, 6).alias("bal_norm"),
+        F.round(score, 6).alias("score"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+        F.round(dist, 4).alias("dist_km"),
+        # synthesized_ids expressions
+        F.concat_ws(
+            "-",
+            F.col("c_custkey").cast("string"),
+            slugify(F.col("c_name")),
+            F.lpad(F.col("c_nationkey").cast("string"), 6, "0"),
+        ).alias("synth_id"),
+        raw_comp.alias("raw_comp"),
+        comp_n.alias("comp_n"),
+    )
+    latest = latest_order_per_customer(spark, sf_dir)
+    return profile.join(
+        latest, profile["c_custkey"] == latest["o_custkey"], "left"
+    ).select(
+        "c_custkey", "c_mktsegment", "bal_norm", "score",
+        "lat", "lon", "dist_km", "synth_id", "raw_comp", "comp_n",
+        "last_orderkey", "last_orderdate", "last_totalprice",
     )
