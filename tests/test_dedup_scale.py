@@ -233,3 +233,48 @@ def test_multiprobe_lsh_recovers_near_misses(spark):
     assert single <= multi
     assert len(multi) == 40  # every planted perturbed pair found
     assert len(single) < 40  # fine bucketing alone loses near-misses
+
+
+def test_chunking_covers_tokens_and_handles_edges(spark):
+    """Overlapping chunking must cover every token exactly (the
+    stride-prefix of each chunk reconstructs the token stream), keep
+    empty docs as one empty chunk, and reject overlap >= chunk size."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(150))),  # 3 chunks (stride 48)
+            (2, "only three words"),                      # 1 short chunk
+            (3, ""),                                      # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+         for r in out.collect())
+    )
+    by_doc = {}
+    for d, i, txt, n in rows:
+        by_doc.setdefault(d, []).append((i, txt, n))
+
+    # doc 1: stride-48 starts at tokens 0/48/96 -> 3 chunks; rebuilding
+    # from each chunk's first 48 tokens (plus the final tail) gives the
+    # original stream exactly.
+    chunks1 = by_doc[1]
+    assert [i for i, _, _ in chunks1] == [0, 1, 2]
+    rebuilt = []
+    for i, txt, _ in chunks1[:-1]:
+        rebuilt.extend(txt.split(" ")[:48])
+    rebuilt.extend(chunks1[-1][1].split(" "))
+    assert rebuilt == [f"w{i}" for i in range(150)]
+    # overlap really overlaps: chunk 1 starts 16 tokens before chunk 0 ends
+    assert chunks1[0][1].split(" ")[48:] == chunks1[1][1].split(" ")[:16]
+
+    assert by_doc[2] == [(0, "only three words", 3)]
+    assert by_doc[3] == [(0, "", 0)]
+
+    with pytest.raises(ValueError, match="must be < chunk_tokens"):
+        chunk_documents(docs, chunk_tokens=16, overlap=16)

@@ -937,3 +937,40 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf_seeded").alias("variant"), "query_id", "neighbor_id", "cosine"
     )
     return brute.unionByName(ivf)
+
+
+@query(
+    "docs_chunked",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_WORDS_SQL.format(c="text")} AS toks
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 16, 1), 48))
+                   AS start,
+               generate_subscripts(
+                   generate_series(1, greatest(len(toks) - 16, 1), 48), 1) - 1
+                   AS chunk_idx
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           md5(doc_id || ':' || chunk_idx) AS chunk_uid,
+           array_to_string(toks[start:start + 63], ' ') AS chunk_text,
+           CAST(len(toks[start:start + 63]) AS BIGINT) AS n_chunk_tokens
+    FROM starts
+    """,
+)
+def docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, 16-token
+    overlap, stride 48) — the document -> training-sample preprocessing
+    step (operators/chunking.py). One scan, map-side explode, stable
+    content-independent chunk ids; the whole op is shuffle-free."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
