@@ -278,3 +278,53 @@ def test_chunking_covers_tokens_and_handles_edges(spark):
 
     with pytest.raises(ValueError, match="must be < chunk_tokens"):
         chunk_documents(docs, chunk_tokens=16, overlap=16)
+
+
+def test_int8_quantized_knn_quality(spark):
+    """int8 scalar quantization (the 4x-smaller embedding storage
+    path) must barely perturb search: quantized cosines within the
+    1/127-scale error envelope and near-perfect top-5 agreement with
+    the exact float search."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", similarity.as_double_vec(F.col("embedding")).alias("v")
+    )
+    dq = emb.select(
+        "vec_id",
+        similarity.dequantize(similarity.quantize_int8(F.col("v"))).alias("v"),
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_knn(
+            emb, queries, "vec_id", "query_id", "v", k=5
+        ).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_knn(
+            dq, queries, "vec_id", "query_id", "v", k=5
+        ).collect()
+    }
+    overlap = len(exact & quant) / len(exact)
+    assert overlap >= 0.8, overlap
+
+    # max elementwise dequantization error <= scale/2 = max|v| / 254
+    err = (
+        emb.select(
+            F.array_max(
+                F.zip_with(
+                    "v",
+                    similarity.dequantize(similarity.quantize_int8(F.col("v"))),
+                    lambda a, b: F.abs(a - b),
+                )
+            ).alias("e"),
+            (F.array_max(F.transform("v", lambda x: F.abs(x))) / 253.9).alias(
+                "bound"
+            ),
+        )
+        .filter(F.col("e") > F.col("bound"))
+        .count()
+    )
+    assert err == 0

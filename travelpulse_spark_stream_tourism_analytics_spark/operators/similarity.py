@@ -146,6 +146,31 @@ def lsh_neardup_pairs(
     )
 
 
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 scalar quantization: struct(scale,
+    q array<int>) with q = round(v / scale), scale = max|v| / 127.
+
+    The embedding STORAGE path at 100 TB: 4x smaller than float32
+    (32x smaller than the double arrays the fixtures carry), one
+    map-side pass, no codebook to train or broadcast. Search
+    dequantizes on the fly (`dequantize`); rounding is
+    half-away-from-zero in both Spark and DuckDB, so the whole path is
+    oracle-checkable."""
+    scale = (
+        F.greatest(F.array_max(F.transform(vec, lambda x: F.abs(x))), F.lit(1e-12))
+        / F.lit(127.0)
+    )
+    return F.struct(
+        scale.alias("scale"),
+        F.transform(vec, lambda x: F.round(x / scale).cast("int")).alias("q"),
+    )
+
+
+def dequantize(quant: Column) -> Column:
+    """struct(scale, q) -> approximate double vector (q * scale)."""
+    return F.transform(quant["q"], lambda x: x * quant["scale"])
+
+
 def lsh_neardup_pairs_multiprobe(
     emb: DataFrame,
     id_col: str,

@@ -920,23 +920,73 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ("""
     + _IVF_SEEDED_ORACLE
     + """) ivf
+    UNION ALL
+    SELECT 'int8_corpus' AS variant, query_id, neighbor_id, cosine
+    FROM (
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), dq AS (
+            SELECT vec_id,
+                   list_transform(v, x -> round(x / s) * s) AS v
+            FROM (
+                SELECT vec_id, v,
+                       greatest(list_max(list_transform(v, x -> abs(x))),
+                                1e-12) / 127.0 AS s
+                FROM base
+            )
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5
+        ), scored AS (
+            SELECT query_id, vec_id AS neighbor_id,
+                   round(list_dot_product(qv, v)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(v, v))), 6) AS cosine
+            FROM q, dq
+            WHERE vec_id <> query_id
+        )
+        SELECT query_id, neighbor_id, cosine
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id
+                   ) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    ) q8
     """,
 )
 def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged ANN catalog: brute-force cosine top-5 (the exact
     baseline — query set broadcast, corpus streamed, per-query top-k
-    window) + the deterministic seeded-quantizer IVF (centroids
+    window), the deterministic seeded-quantizer IVF (centroids
     broadcast, 2-of-8 cell probe, in-cell top-5 — the shape that
-    scales). Cosine rounded to 1e-6 BEFORE ranking on both sides so
-    summation-order ulps cannot flip orderings. Constituents:
-    embedding_knn + embedding_ivf_seeded_knn above."""
+    scales), and brute force over an int8 scalar-quantized corpus
+    (similarity.quantize_int8 — the 4x-smaller storage path; search
+    dequantizes on the fly). Cosine rounded to 1e-6 BEFORE ranking on
+    all sides so summation-order ulps cannot flip orderings.
+    Constituents: embedding_knn + embedding_ivf_seeded_knn above."""
     brute = embedding_knn(spark, sf_dir).select(
         F.lit("brute").alias("variant"), "query_id", "neighbor_id", "cosine"
     )
     ivf = embedding_ivf_seeded_knn(spark, sf_dir).select(
         F.lit("ivf_seeded").alias("variant"), "query_id", "neighbor_id", "cosine"
     )
-    return brute.unionByName(ivf)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.as_double_vec(F.col("embedding")).alias("v")
+    )
+    qcorpus = emb.select(
+        "vec_id",
+        similarity.dequantize(similarity.quantize_int8(F.col("v"))).alias("v"),
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    int8 = similarity.brute_force_knn(
+        qcorpus, queries, "vec_id", "query_id", "v", k=5
+    ).select(
+        F.lit("int8_corpus").alias("variant"), "query_id", "neighbor_id", "cosine"
+    )
+    return brute.unionByName(ivf).unionByName(int8)
 
 
 @query(
