@@ -185,3 +185,57 @@ def test_pointintime_join_broadcasts_dimension(spark):
     plan = plan_of(spark, "events_pointintime_enrich")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_merged_topn_keeps_take_ordered(spark):
+    """Consolidation must not cost the top-N plans their
+    TakeOrderedAndProject — both ordered-limit branches of the merged
+    entity query avoid a global sort."""
+    plan = plan_of(spark, "topn_revenue_entities")
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert tree.count("TakeOrderedAndProject") >= 2
+    assert "GlobalSort" not in plan
+
+
+def test_merged_geo_rollups_broadcast_dims(spark):
+    """Both branches (region revenue + Q5) keep their dimension
+    broadcasts after the merge."""
+    plan = plan_of(spark, "geo_revenue_rollups")
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert tree.count("BroadcastHashJoin") >= 3
+    pushed = [seg.splitlines()[0] for seg in plan.split("PushedFilters: ")[1:]]
+    assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_merged_semi_anti_join_kinds(spark):
+    plan = plan_of(spark, "semi_anti_join_counts")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_docs_text_profile_single_scan_no_shuffle(spark):
+    """The merged per-doc profile must stay ONE scan and fully
+    map-side — no joins, no exchanges (the whole point of the
+    expression-form SimHash)."""
+    plan = plan_of(spark, "docs_text_profile")
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Exchange" not in tree
+    assert "Join" not in tree
+
+
+def test_event_time_profiles_single_scan_grouping_sets(spark):
+    """The merged time profiles aggregate both grains off one scan via
+    Expand (GROUPING SETS), not a union of two scans."""
+    plan = plan_of(spark, "event_time_profiles")
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Expand") == 1
+
+
+def test_customer_profile_two_scans(spark):
+    """customer_profile: one customer scan + one orders scan (the
+    latest-order join) — never the 4x self-join of its constituents."""
+    plan = plan_of(spark, "customer_profile")
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert tree.count("Scan parquet") == 2
