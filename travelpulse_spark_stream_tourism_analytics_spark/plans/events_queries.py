@@ -50,26 +50,6 @@ def events_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def event_type_minute_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-window conditional counts + guarded ratio (reference A3/A7,
-    spark/kafka_to_metrics.py:229,431)."""
-    ev = load_table(spark, sf_dir, "events")
-    agg = (
-        tumbling(ev, "ts", "1 minute")
-        .groupBy("window_start")
-        .agg(
-            F.count("*").alias("n_total"),
-            F.sum(
-                F.when(F.col("event_type") == "error", 1).otherwise(0)
-            ).alias("n_error"),
-        )
-    )
-    return agg.withColumn(
-        "error_share",
-        safe_ratio(F.col("n_error").cast("double"), F.col("n_total")),
-    )
-
-
 def top_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP: per-day top-5 purchasers by (count, spend).
 
@@ -137,36 +117,6 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percentiles per key (reference A8 uses percentile_approx,
-    spark/kafka_to_metrics.py:458-472; the catalog checks the *exact*
-    interpolated percentile for oracle parity — approx sketches are
-    exercised in streaming/season score)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.round(F.expr("percentile(value, 0.10)"), 6).alias("p10"),
-        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.90)"), 6).alias("p90"),
-    )
-
-
-def hourly_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly rollup: null-aware avg via exact decimal sum / count
-    (reference A4/A6, spark/kafka_to_metrics.py:230,234)."""
-    ev = load_table(spark, sf_dir, "events")
-    dec_sum = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-    return ev.groupBy(
-        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour")
-    ).agg(
-        F.count("*").alias("n_events"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
-        dec_sum.alias("sum_value"),
-        (dec_sum / F.count("value")).alias("avg_value"),
-    )
-
-
 @query(
     "latest_event_per_user",
     oracle="""
@@ -195,19 +145,6 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("last_type"),
             F.col("event_id").alias("last_event_id"),
         )
-    )
-
-
-def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON payload decode (reference S2 from_json,
-    spark/kafka_to_metrics.py:174-179) + aggregation over the extracted
-    field."""
-    ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum(k).alias("sum_k"),
-        F.round(F.avg(k), 6).alias("avg_k"),
     )
 
 
@@ -252,22 +189,6 @@ def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx — the reference's actual A8 operator
-    (spark/kafka_to_metrics.py:458-472). At ``accuracy=INT_MAX`` the
-    GK sketch degenerates to the exact discrete quantile, which equals
-    DuckDB's ``quantile_disc`` — so the *same operator* the reference
-    uses becomes hash-checkable. Production accuracy is a knob: the
-    default (10000) bounds sketch memory at 100 TB; season_score
-    exercises that default path. The interpolated exact variant is
-    oracle-checked separately in event_value_percentiles."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.expr("percentile_approx(value, 0.10, 2147483647)").alias("p10_approx"),
-        F.expr("percentile_approx(value, 0.90, 2147483647)").alias("p90_approx"),
-    )
-
-
 def user_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-day retention: distinct-activity self-join on (user, day+1)
     — the cohort shape every activity pipeline needs; one dedup shuffle
@@ -294,20 +215,6 @@ def user_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double"),
             6,
         ).alias("retention"),
-    )
-
-
-def hour_weekday_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hour-of-day x ISO-weekday activity heatmap — the standard
-    dashboard aggregation; weekday parity pinned to ISO numbering
-    (Spark weekday() is 0=Monday, DuckDB isodow is 1=Monday)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(
-        (F.weekday("ts") + 1).cast("long").alias("dow_iso"),
-        F.hour("ts").cast("long").alias("hour"),
-    ).agg(
-        F.count("*").alias("n_events"),
-        money_sum("value", "sum_value"),
     )
 
 
@@ -661,8 +568,8 @@ def event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated percentiles, the reference's percentile_approx at
     degenerate accuracy (A8, kafka_to_metrics.py:458-472 — GK sketch ==
     quantile_disc at accuracy=INT_MAX), and JSON payload decode stats
-    (S2 from_json, kafka_to_metrics.py:174-179). Constituents:
-    event_value_percentiles(_approx) + props_json_stats above."""
+    (S2 from_json, kafka_to_metrics.py:174-179). Subsumes the r1
+    queries event_value_percentiles(_approx) + props_json_stats."""
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.groupBy("event_type").agg(
@@ -709,8 +616,8 @@ def event_time_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged time-profile rollups: hourly null-aware value stats
     (A4/A6, reference kafka_to_metrics.py:230,234) + the hour-of-day x
     ISO-weekday heatmap (weekday parity pinned: Spark weekday() is
-    0=Monday, DuckDB isodow 1=Monday). Same expressions as
-    hourly_value_stats + hour_weekday_heatmap above, but computed as
+    0=Monday, DuckDB isodow 1=Monday). Subsumes the r1 queries
+    hourly_value_stats + hour_weekday_heatmap, computed as
     ONE GROUPING SETS aggregation — a single scan and a single shuffle
     (Expand emits one row per grain before the map-side partial
     aggregate), where the union-of-branches form scanned events

@@ -83,147 +83,6 @@ def order_season_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def customer_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min-max normalization with degenerate-span guard + weighted
-    score (reference P8/P9, spark/kafka_to_metrics.py:478-495)."""
-    cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment")
-    lo = F.min("c_acctbal").over(w)
-    hi = F.max("c_acctbal").over(w)
-    norm = minmax_norm(F.col("c_acctbal"), lo, hi)
-    score = F.lit(100) * (
-        F.lit(0.65) * norm + F.lit(0.35) * (F.col("c_nationkey") / F.lit(24.0))
-    )
-    return cust.select(
-        "c_custkey",
-        "c_mktsegment",
-        F.round(norm, 6).alias("bal_norm"),
-        F.round(score, 6).alias("score"),
-    )
-
-
-def customer_distance_to_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Haversine distance (reference F8,
-    scripts/build_hotels_yaml.py:36-42) over synthesized coordinates;
-    rounded to 10 cm so libm-vs-JVM last-ulp trig differences cannot
-    flip the hash."""
-    cust = load_table(spark, sf_dir, "customer")
-    lat = (F.col("c_custkey") % 17000) / 100.0 - 85.0
-    lon = ((F.col("c_custkey") * 7) % 36000) / 100.0 - 180.0
-    dist = haversine_km(lat, lon, F.lit(41.9), F.lit(12.5))
-    return cust.select(
-        "c_custkey",
-        lat.alias("lat"),
-        lon.alias("lon"),
-        F.round(dist, 4).alias("dist_km"),
-    )
-
-
-def year_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Year extraction from arbitrary period strings (reference F4,
-    scripts/merge_cities_all.py:30-33)."""
-    orders = load_table(spark, sf_dir, "orders")
-    period = F.concat(
-        F.lit("rilevazione "), F.year("o_orderdate").cast("string"), F.lit(" prov")
-    )
-    return orders.select(
-        "o_orderkey",
-        period.alias("period"),
-        F.regexp_extract(period, r"((?:19|20)\d{2})", 1).cast("long").alias("year"),
-    )
-
-
-def locale_numeric_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Locale-aware numeric coercion (reference F5,
-    scripts/istat_utils.py:39-45): synthesize Italian-formatted strings
-    ('1.234,56' with an NBSP) and parse them back; try_cast ==
-    pandas errors='coerce'."""
-    orders = load_table(spark, sf_dir, "orders")
-    int_grouped = F.format_number(F.floor("o_totalprice").cast("long"), 0)
-    frac = F.split_part(
-        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), F.lit("."), F.lit(2)
-    )
-    locale_str = F.concat(
-        F.lit(" "),
-        F.translate(int_grouped, ",", "."),
-        F.lit(","),
-        frac,
-    )
-    return orders.select(
-        "o_orderkey",
-        locale_str.alias("locale_str"),
-        locale_numeric(locale_str).alias("parsed"),
-    )
-
-
-def stars_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stars parsing incl. the reference's '★★★ -> NaN' quirk (F6,
-    scripts/build_hotels_yaml.py:83-87: ★ is stripped *then* the regex
-    runs, so pure-star strings yield NULL — preserved, documented)."""
-    part = load_table(spark, sf_dir, "part")
-    raw = F.when(F.col("p_partkey") % 7 == 0, F.lit("★★★")).otherwise(
-        F.concat(F.lit("hotel "), (F.col("p_partkey") % 6).cast("string"), F.lit("*"))
-    )
-    extracted = F.regexp_extract(
-        F.regexp_replace(raw, "★", ""), r"([0-5](?:\.\d)?)", 1
-    )
-    return part.select(
-        "p_partkey",
-        raw.alias("raw_stars"),
-        F.nullif(extracted, F.lit("")).try_cast("double").alias("stars"),
-    )
-
-
-def wkt_point_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WKT 'POINT (lon lat)' parsing (reference F7,
-    scripts/build_hotels_yaml.py:46-54)."""
-    part = load_table(spark, sf_dir, "part")
-    wkt = F.concat(
-        F.lit("POINT ("),
-        (F.col("p_partkey") % 360 - 180).cast("string"),
-        F.lit(" "),
-        (F.col("p_partkey") % 180 - 90).cast("string"),
-        F.lit(")"),
-    )
-    pat = r"POINT \(([-0-9.]+) ([-0-9.]+)\)"
-    return part.select(
-        "p_partkey",
-        wkt.alias("wkt"),
-        F.regexp_extract(wkt, pat, 2).try_cast("double").alias("lat"),
-        F.regexp_extract(wkt, pat, 1).try_cast("double").alias("lon"),
-    )
-
-
-def synthesized_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ID synthesis: concat_ws + slug + zero-pad (reference F14/F10,
-    scripts/build_hotels_yaml.py:286-291)."""
-    cust = load_table(spark, sf_dir, "customer")
-    return cust.select(
-        "c_custkey",
-        F.concat_ws(
-            "-",
-            F.col("c_custkey").cast("string"),
-            slugify(F.col("c_name")),
-            F.lpad(F.col("c_nationkey").cast("string"), 6, "0"),
-        ).alias("synth_id"),
-    )
-
-
-def component_count_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Household component-count parsing, '4 e più' -> 4.5 (reference
-    F9, scripts/clean_istat_famiglie.py:9-14)."""
-    cust = load_table(spark, sf_dir, "customer")
-    raw = F.when(F.col("c_custkey") % 5 == 4, F.lit("4 e più componenti")).otherwise(
-        F.concat(
-            (F.col("c_custkey") % 5 + 1).cast("string"), F.lit(" componenti")
-        )
-    )
-    parsed = F.when(raw.contains("più"), F.lit(4.5)).otherwise(
-        F.nullif(F.regexp_extract(raw, r"(\d+)", 1), F.lit("")).try_cast("double")
-    )
-    return cust.select("c_custkey", raw.alias("raw_comp"), parsed.alias("comp_n"))
-
-
 def dict_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Literal dict-map recode via create_map lookup (reference
     F11/F3, scripts/rebuild_and_merge_cities_it.py:19-70; the
@@ -313,9 +172,10 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Merged catalog entries (driver scores <=50 queries; each entry below
-# composes the constituent scalar-function transforms above, unchanged,
-# into one hash-checked projection).
+# Merged catalog entries (driver scores <=50 queries): each entry
+# below either composes the remaining transforms above or inlines the
+# r1 constituent expressions into one single-scan hash-checked
+# projection (see each docstring for the subsumed queries).
 # ---------------------------------------------------------------------------
 
 
@@ -371,10 +231,10 @@ def order_string_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged per-order string parsing: year extraction from period
     strings (F4, scripts/merge_cities_all.py:30-33) + locale-aware
     numeric round-trip (F5, scripts/istat_utils.py:39-45).
-    Constituents: year_extract + locale_numeric_roundtrip above."""
-    # Same expressions as year_extract / locale_numeric_roundtrip
-    # above, one scan and zero shuffles — joining the two per-row
-    # constituents on o_orderkey would scan and shuffle orders twice.
+    Subsumes the r1 queries year_extract +
+    locale_numeric_roundtrip in one scan with zero shuffles — a
+    per-row self-join on o_orderkey would scan and shuffle orders
+    twice for no semantic gain."""
     orders = load_table(spark, sf_dir, "orders")
     period = F.concat(
         F.lit("rilevazione "), F.year("o_orderdate").cast("string"), F.lit(" prov")
@@ -423,9 +283,8 @@ def part_string_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged per-part string parsing: stars incl. the reference's
     '★★★ -> NaN' quirk (F6, scripts/build_hotels_yaml.py:83-87) + WKT
     POINT lat/lon extraction (F7, build_hotels_yaml.py:46-54).
-    Constituents: stars_parse + wkt_point_parse above."""
-    # Same expressions as stars_parse / wkt_point_parse above, one scan
-    # and zero shuffles instead of a self-join on p_partkey.
+    Subsumes the r1 queries stars_parse + wkt_point_parse in one
+    scan with zero shuffles instead of a self-join on p_partkey."""
     part = load_table(spark, sf_dir, "part")
     raw = F.when(F.col("p_partkey") % 7 == 0, F.lit("★★★")).otherwise(
         F.concat(F.lit("hotel "), (F.col("p_partkey") % 6).cast("string"), F.lit("*"))
@@ -523,10 +382,10 @@ def customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_hotels_yaml.py:286-291), household component-count parsing
     (F9, scripts/clean_istat_famiglie.py:9-14), and latest-order-per-key
     dedup (T3, scripts/rebuild_and_merge_cities_it.py:164).
-    Same expressions as the constituent transforms above
-    (customer_score / customer_distance_to_hub / synthesized_ids /
-    component_count_parse / relational_queries.latest_order_per_customer,
-    each still unit-testable standalone), but computed in ONE customer
+    Subsumes the r1 queries customer_score /
+    customer_distance_to_hub / synthesized_ids / component_count_parse
+    / latest_order_per_customer (the latter still a live transform in
+    relational_queries), computed in ONE customer
     scan + one per-segment window + one left join — joining the four
     per-row constituents on c_custkey would scan and shuffle customer
     four times for no semantic gain (plan-audited: 5 scans + 12

@@ -58,47 +58,6 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs, "text", "doc_id")
 
 
-def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + quality scoring (length/stopword ratios) — the
-    text-analysis ops of the north star, all codegen'd array exprs."""
-    docs = load_table(spark, sf_dir, "documents")
-    stop = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "in", "to", "is"]])
-    toks = words_of(F.col("text"))
-    d = docs.select(
-        "doc_id",
-        "n_chars",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.length(F.concat_ws("", toks)).alias("sum_tok_len"),
-        F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).alias("n_stop"),
-    )
-    n_tok = F.col("n_tokens").cast("double")
-    return d.select(
-        "doc_id",
-        "n_chars",
-        "n_tokens",
-        F.round(F.col("sum_tok_len") / n_tok, 6).alias("avg_token_len"),
-        F.round(F.col("n_stop") / n_tok, 6).alias("stopword_ratio"),
-        F.round(
-            F.least(F.lit(1.0), F.col("n_tokens") / F.lit(200.0))
-            * (F.lit(1.0) - F.col("n_stop") / n_tok),
-            6,
-        ).alias("quality_score"),
-    )
-
-
-def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: min-hash (k=1) over word 3-gram shingles,
-    portable md5 ordering; falls back to whole-text hash for short
-    docs."""
-    docs = load_table(spark, sf_dir, "documents")
-    ngrams = word_ngrams(words_of(F.col("text")), 3)
-    fp = F.when(
-        F.size(ngrams) > 0,
-        F.array_min(F.transform(ngrams, lambda s: F.md5(s))),
-    ).otherwise(F.md5("text"))
-    return docs.select("doc_id", fp.alias("fingerprint"))
-
-
 def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline: broadcast the (small)
     query set, stream the corpus, per-query top-k window. Cosine is
@@ -164,28 +123,6 @@ def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(mutated)
 
 
-def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=12) + LSH(4 bands x 3 rows) candidate pairs: the
-    shuffle-cheap near-dup path (shingle explode -> one groupBy ->
-    band equi-join; no all-pairs stage anywhere)."""
-    corpus = _planted_docs(spark, sf_dir)
-    shingled = dedup.exploded_shingles(corpus, "doc_id", "text", 3)
-    sigs = dedup.minhash_signatures(shingled, "doc_id", _K_MINHASH)
-    bands = dedup.lsh_bands(sigs, "doc_id", _LSH_BANDS, _LSH_ROWS)
-    return dedup.lsh_candidate_pairs(bands, "doc_id")
-
-
-def docs_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard verify stage over LSH candidates only."""
-    corpus = _planted_docs(spark, sf_dir)
-    shingled = dedup.exploded_shingles(corpus, "doc_id", "text", 3)
-    sigs = dedup.minhash_signatures(shingled, "doc_id", _K_MINHASH)
-    bands = dedup.lsh_bands(sigs, "doc_id", _LSH_BANDS, _LSH_ROWS)
-    pairs = dedup.lsh_candidate_pairs(bands, "doc_id")
-    jac = dedup.pair_jaccard(pairs, shingled, "doc_id")
-    return jac.filter(F.col("jaccard") >= 0.5)
-
-
 _SIMHASH_BITSUMS = ", ".join(
     "sum((strpos('0123456789abcdef', substr(md5(w), {p}, 1)) - 1) % 2) AS s{j}".format(
         p=j + 1, j=j
@@ -195,13 +132,6 @@ _SIMHASH_BITSUMS = ", ".join(
 _SIMHASH_VALUE = " + ".join(
     f"CASE WHEN 2 * s{j} > n_words THEN {1 << j} ELSE 0 END" for j in range(16)
 )
-
-
-def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprint per document (portable hex-digit
-    parity bits; one shuffle)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash16(docs, "doc_id", "text")
 
 
 @query(
@@ -304,37 +234,6 @@ _IT_BIGRAMS = ["di", "la", "to", "ia", "ta", "ra", "no", "le"]
 
 def _profile_sql(profile: list[str]) -> str:
     return "[" + ", ".join(f"'{b}'" for b in profile) + "]"
-
-
-def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-bigram-profile language ID heuristic, aggregated
-    against the labeled lang column (the corpus is synthetic English
-    word salad, so this checks the operator's determinism, not
-    linguistic accuracy)."""
-    docs = load_table(spark, sf_dir, "documents")
-    lowered = F.lower(F.col("text"))
-    count = F.greatest(F.length(lowered) - 1, F.lit(0))
-    idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
-        F.array().cast("array<int>")
-    )
-    bg = F.transform(idx, lambda i: lowered.substr(i, F.lit(2)))
-    en_arr = F.array(*[F.lit(b) for b in _EN_BIGRAMS])
-    it_arr = F.array(*[F.lit(b) for b in _IT_BIGRAMS])
-    scored = docs.select(
-        "lang",
-        F.size(F.filter(bg, lambda x: F.array_contains(en_arr, x))).alias("en_hits"),
-        F.size(F.filter(bg, lambda x: F.array_contains(it_arr, x))).alias("it_hits"),
-    )
-    return (
-        scored.select(
-            "lang",
-            F.when(F.col("en_hits") >= F.col("it_hits"), F.lit("en"))
-            .otherwise(F.lit("it"))
-            .alias("guessed_lang"),
-        )
-        .groupBy("lang", "guessed_lang")
-        .agg(F.count("*").alias("n_docs"))
-    )
 
 
 def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,20 +394,6 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to the RE2-compatible subset — DuckDB's regex engine has no
 # lookarounds).
 _BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
-
-
-def docs_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting, both ways the north star names: whitespace
-    words and a BPE-ish regex segmentation (pattern shared verbatim
-    with the oracle)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), 0))
-        .cast("long")
-        .alias("n_bpe_tokens"),
-        F.size(words_of(F.col("text"))).cast("long").alias("n_ws_tokens"),
-    )
 
 
 @query(
@@ -763,8 +648,9 @@ def docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile bigrams all have distinct characters, so non-overlapping
     counts equal the positional counts). Zero shuffles, zero joins —
     the whole profile is map-side and scales embarrassingly.
-    Constituents: docs_token_stats + docs_bpe_token_counts +
-    docs_fingerprint + docs_simhash + docs_lang_id above."""
+    Subsumes the r1 queries docs_token_stats +
+    docs_bpe_token_counts + docs_fingerprint + docs_simhash +
+    docs_lang_id."""
     docs = load_table(spark, sf_dir, "documents")
     stop = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "in", "to", "is"]])
     stage1 = docs.select(
@@ -849,8 +735,8 @@ def docs_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join, no all-pairs stage — each verified with exact n-gram
     Jaccard and flagged at the 0.5 threshold. Every candidate pair is
     emitted (with its verdict), so both the recall of the LSH stage and
-    the precision of the verify stage are hash-checked. Constituents:
-    docs_minhash_lsh_pairs + docs_neardup_jaccard above."""
+    the precision of the verify stage are hash-checked. Subsumes the r1 queries
+    docs_minhash_lsh_pairs + docs_neardup_jaccard."""
     corpus = _planted_docs(spark, sf_dir)
     shingled = dedup.exploded_shingles(corpus, "doc_id", "text", 3)
     sigs = dedup.minhash_signatures(shingled, "doc_id", _K_MINHASH)
