@@ -149,22 +149,64 @@ _SIMHASH_VALUE = " + ".join(
     sims AS (
         SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM bits
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    SELECT 'pairs16' AS scope, a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM sims a
     JOIN sims b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    UNION ALL
+    SELECT 'simhash64_check' AS scope, NULL AS id_a, NULL AS id_b,
+           CAST(0 AS BIGINT) AS hamming
     """,
 )
 def docs_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via banded pigeonhole (4 bands of 4 bits
     > max_hamming=3, so recall is EXACT — the oracle is the brute-force
     all-pairs definition, while the engine never runs an all-pairs
-    stage; see operators/dedup.simhash_neardup_pairs for the 64-bit
-    scale variant)."""
+    stage).
+
+    The ``simhash64_check`` branch oracles the production-scale 64-bit
+    xxhash64 fingerprint (operators/dedup.simhash64), which DuckDB
+    cannot recompute: the engine runs the banded pigeonhole join AND
+    the brute-force Hamming definition over a bounded sample (~225
+    docs, so the all-pairs verify stage stays O(sample²), never
+    corpus-sized) and emits the size of the symmetric difference of
+    the two pair sets as ``hamming`` — 0 iff the banded join has exact
+    recall AND precision at 64 bits. DuckDB pins that 0, so any
+    regression in the xxhash64 path, the 16-bit band split, or the
+    pigeonhole proof flips the driver row red."""
     corpus = _planted_docs(spark, sf_dir)
     sims = dedup.simhash16(corpus, "doc_id", "text")
-    return dedup.simhash_neardup_pairs(sims, "doc_id", max_hamming=3)
+    pairs16 = dedup.simhash_neardup_pairs(sims, "doc_id", max_hamming=3).select(
+        F.lit("pairs16").alias("scope"), "id_a", "id_b", "hamming"
+    )
+
+    sample = corpus.filter(
+        (F.col("doc_id") < 200) | (F.col("doc_id") >= 1000000)
+    )
+    sims64 = dedup.simhash64(sample, "doc_id", "text")
+    banded = dedup.simhash_neardup_pairs(
+        sims64, "doc_id", max_hamming=3, bits=64
+    ).select("id_a", "id_b")
+    a = sims64.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sims64.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))  # broadcast NLJ on the sample
+        .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 3)
+        .select("id_a", "id_b")
+    )
+    check = (
+        banded.exceptAll(brute)
+        .unionAll(brute.exceptAll(banded))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("simhash64_check").alias("scope"),
+            F.lit(None).cast("long").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            F.col("n").cast("long").alias("hamming"),
+        )
+    )
+    return pairs16.unionByName(check)
 
 
 # ---------------------------------------------------------------------------
