@@ -311,10 +311,18 @@ def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so any single query's recall is near-binomial(n_probe/n_cells)
     # while the 25-neighbor mean concentrates. A real recall
     # regression still flips the verdict and hash-fails.
+    #
+    # Floor = measured-minus-margin (VERDICT r2): seeded KMeans +
+    # rounded-cosine tiebreaks make the recall deterministic per
+    # corpus — measured 0.84 / 0.72 / 0.96 at sf0.001/0.01/0.1 — so
+    # 0.6 (min measured minus 0.12) trips any real regression (e.g.
+    # 0.72 -> 0.55) while staying insensitive to corpus regeneration.
+    # tests/test_verdict_contracts.py recomputes the recall
+    # independently of this function's denominator.
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_queries,
            CAST(5 AS BIGINT) AS k,
-           0.3 AS mean_recall_floor,
+           0.6 AS mean_recall_floor,
            TRUE AS recall_ok
     FROM embeddings WHERE vec_id < 5
     """,
@@ -350,7 +358,7 @@ def embedding_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_queries = queries.count()
     mean_recall = n_hits / (5.0 * n_queries) if n_queries else 0.0
     return spark.createDataFrame(
-        [(n_queries, 5, 0.3, mean_recall >= 0.3)],
+        [(n_queries, 5, 0.6, mean_recall >= 0.6)],
         "n_queries long, k long, mean_recall_floor double, recall_ok boolean",
     )
 
