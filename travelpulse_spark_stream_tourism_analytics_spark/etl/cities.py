@@ -161,21 +161,29 @@ def build_hotels(hotels_raw: DataFrame, cities: DataFrame) -> DataFrame:
     )
 
 
-def build_airports(airports_raw: DataFrame) -> DataFrame:
-    """OurAirports -> curated IT airports: IATA regex fullmatch (P13),
-    coordinate range filter (P11), keep-largest per IATA via type rank
-    (T2, scripts/clean_airports_it.py:43-55)."""
+def build_airports(airports_raw: DataFrame, country: str = "IT") -> DataFrame:
+    """OurAirports -> curated IT airports: country filter, IATA regex
+    fullmatch (P13), coordinate range filter (P11), keep-largest per
+    IATA via type rank (T2, scripts/clean_airports_it.py:43-55).
+
+    The reference hard-requires an ``iso_country`` column
+    (clean_airports_it.py:31-32) and filters ``== "IT"``; the engine
+    parameterizes the country and treats an absent column as
+    pre-filtered input (the country predicate pushes to the scan)."""
     type_rank = (
         F.when(F.col("type") == "large_airport", 3)
         .when(F.col("type") == "medium_airport", 2)
         .when(F.col("type") == "small_airport", 1)
         .otherwise(0)
     )
-    filtered = airports_raw.filter(
+    pred = (
         F.col("iata_code").rlike("^[A-Z]{3}$")
         & F.col("latitude_deg").between(-90, 90)
         & F.col("longitude_deg").between(-180, 180)
-    ).withColumn("__rank", type_rank)
+    )
+    if country is not None and "iso_country" in airports_raw.columns:
+        pred = pred & (F.col("iso_country") == country)
+    filtered = airports_raw.filter(pred).withColumn("__rank", type_rank)
     w = Window.partitionBy("iata_code").orderBy(F.desc("__rank"), F.asc("id"))
     return (
         filtered.withColumn("__rn", F.row_number().over(w))

@@ -95,7 +95,13 @@ def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
     sf0.1 without it). Unlike persist() this pins no executor storage
     and needs no caller-side unpersist (ADVICE r1); at cluster scale
     you would materialize signatures to parquet between stages for the
-    same reason."""
+    same reason.
+
+    Stage reuse requires AQE (``spark.sql.adaptive.enabled=true``, the
+    engine session default — ``session.py`` sets it and
+    ``tests/test_plans.py`` pins ``isFinalPlan`` in the physical plan).
+    With AQE off, the shingle->minhash lineage executes once per join
+    side: still correct, ~2x slower (ADVICE r2)."""
     bands_df = bands_df.repartition("band_idx", "band_hash")
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"

@@ -138,4 +138,12 @@ def _ensure_registered() -> None:
         relational_queries,
     )
 
+    # The driver scores only the first 50 registered queries; a 51st
+    # would silently fall outside the correctness gate (ADVICE r2).
+    if len(_QUERIES) > 50:
+        raise RuntimeError(
+            f"catalog has {len(_QUERIES)} queries but the driver scores "
+            "only 50 — merge entries before adding new ones: "
+            f"unscored: {list(_QUERIES)[50:]}"
+        )
     _REGISTERED = True
