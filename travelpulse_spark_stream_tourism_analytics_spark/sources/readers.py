@@ -68,11 +68,25 @@ _CP1252_DST = bytes(_CP1252_DEFINED).decode("cp1252")
 
 
 def read_csv_auto(
-    spark: SparkSession, path: str, header: bool = True, all_string: bool = True
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    all_string: bool = True,
+    multi_line: bool = True,
 ) -> DataFrame:
     """CSV scan with sniffed separator + encoding; columns arrive as
     strings (schema resolution happens downstream, as in the reference
-    ETL which reads everything as str then coerces)."""
+    ETL which reads everything as str then coerces).
+
+    ``multi_line`` parses quoted fields containing embedded newlines —
+    pandas (the reference's reader) does this natively, and the
+    reference's own hotels_clean.csv artifact contains such rows, so
+    parity requires it on by default. The cost is scan splittability:
+    a multiLine CSV file is read as ONE task per file. That is the
+    right default for the messy-dimension-CSV sizes this reader exists
+    for (≤ tens of MB); for bulk row-oriented data at engine scale use
+    parquet, or pass ``multi_line=False`` when inputs are known
+    newline-free to restore intra-file parallelism."""
     sep = sniff_sep(path)
     enc = sniff_encoding(path)
     reader = (
@@ -81,6 +95,7 @@ def read_csv_auto(
         .option("header", header)
         .option("quote", '"')
         .option("escape", '"')
+        .option("multiLine", multi_line)
     )
     if not all_string:
         reader = reader.option("inferSchema", True)
