@@ -706,3 +706,186 @@ def test_chained_season_score_single_query_is_silently_wrong(spark, fixture_dirs
     # diverges. When a Spark upgrade makes this set == {0.0}, the chain
     # has become trustworthy — promote it and retire this pin.
     assert deltas != {0.0}
+
+
+def test_kafka_replay_starting_offsets_semantics(spark, fixture_dirs, tmp_path):
+    """startingOffsets over recorded frames behaves as the broker
+    option intends (VERDICT r2 item 6, reference
+    spark/kafka_to_metrics.py:156-169): 'earliest' consumes the whole
+    recording; explicit per-partition JSON bounds each partition with
+    Kafka's -1/-2 sentinels honored; 'latest' skips the existing
+    recording entirely and picks up only frames appended afterwards."""
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.sources import (
+        kafka_frame_replay,
+        write_kafka_frame_fixture,
+    )
+
+    frame_dir = str(tmp_path / "frames3p")
+    write_kafka_frame_fixture(
+        spark, fixture_dirs["booking"], frame_dir, topic="bookings",
+        n_partitions=3,
+    )
+    raw = spark.read.parquet(frame_dir)
+    per_part = {
+        int(r["partition"]): int(r["n"])
+        for r in raw.groupBy("partition").agg(F.count("*").alias("n")).collect()
+    }
+    # Key-hash placement: at least two partitions populated (a fixture
+    # with few distinct keys may leave one empty — that's faithful to
+    # Kafka, where partition spread follows the key distribution).
+    assert len(per_part) >= 2
+    total = sum(per_part.values())
+    pa = max(per_part, key=per_part.get)  # bounded below by offset 3
+    pb = min(p for p in per_part if p != pa)  # earliest via -2 sentinel
+    assert per_part[pa] > 3
+
+    # earliest: everything.
+    got = _collecting_sink_rows(
+        spark, kafka_frame_replay(spark, frame_dir), "append", tmp_path, "so_e"
+    )
+    assert len(got) == total
+
+    # explicit: pa from offset 3, pb from earliest (-2), every other
+    # partition from latest (-1, i.e. nothing recorded).
+    others = ", ".join(f'"{p}": -1' for p in range(3) if p not in (pa, pb))
+    spec = '{"bookings": {"%d": 3, "%d": -2, %s}}' % (pa, pb, others)
+    got = _collecting_sink_rows(
+        spark,
+        kafka_frame_replay(spark, frame_dir, starting_offsets=spec),
+        "append",
+        tmp_path,
+        "so_x",
+    )
+    want = (per_part[pa] - 3) + per_part[pb]
+    assert len(got) == want
+
+    # Explicit bounds must select the SAME records a raw offset filter
+    # selects, not merely the same count.
+    want_keys = sorted(
+        bytes(r["key"]).decode()
+        for r in raw.filter(
+            ((F.col("partition") == pa) & (F.col("offset") >= 3))
+            | (F.col("partition") == pb)
+        ).collect()
+    )
+    assert sorted(r["key"] for r in got) == want_keys
+
+    # latest: resolve the stream against the current recording, then
+    # append new frames — only those flow through.
+    stream = kafka_frame_replay(spark, frame_dir, starting_offsets="latest")
+    late = raw.filter(F.col("partition") == pa).withColumn(
+        "offset", F.col("offset") + F.lit(per_part[pa])
+    )
+    late.coalesce(1).write.mode("append").parquet(frame_dir)
+    got = _collecting_sink_rows(spark, stream, "append", tmp_path, "so_l")
+    assert len(got) == per_part[pa]  # only the appended frames
+
+
+def test_kafka_replay_fail_on_data_loss(spark, fixture_dirs, tmp_path):
+    """failOnDataLoss over recorded frames (VERDICT r2 item 6): 'true'
+    fails fast on both data-loss shapes — an offset gap inside the
+    retained range (compaction) and a requested start below the
+    earliest available offset (expired segment); 'false' consumes what
+    exists, like the broker source after logging the loss."""
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.sources import (
+        kafka_frame_replay,
+        write_kafka_frame_fixture,
+    )
+
+    clean_dir = str(tmp_path / "clean")
+    write_kafka_frame_fixture(
+        spark, fixture_dirs["booking"], clean_dir, topic="bookings"
+    )
+    raw = spark.read.parquet(clean_dir)
+    n = raw.count()
+    assert n > 8
+
+    # Compaction shape: offsets 2..4 removed from the recording.
+    gap_dir = str(tmp_path / "gap")
+    raw.filter(~F.col("offset").between(2, 4)).coalesce(1).write.parquet(gap_dir)
+
+    with pytest.raises(ValueError, match="missing"):
+        kafka_frame_replay(spark, gap_dir, fail_on_data_loss="true")
+    got = _collecting_sink_rows(
+        spark,
+        kafka_frame_replay(spark, gap_dir, fail_on_data_loss="false"),
+        "append",
+        tmp_path,
+        "dl_f",
+    )
+    assert len(got) == n - 3
+
+    # Expired-segment shape: recording starts at offset 5, consumer
+    # asks for offset 1.
+    exp_dir = str(tmp_path / "expired")
+    raw.filter(F.col("offset") >= 5).coalesce(1).write.parquet(exp_dir)
+    with pytest.raises(ValueError, match="earliest available"):
+        kafka_frame_replay(
+            spark, exp_dir,
+            starting_offsets='{"bookings": {"0": 1}}',
+            fail_on_data_loss="true",
+        )
+    got = _collecting_sink_rows(
+        spark,
+        kafka_frame_replay(
+            spark, exp_dir,
+            starting_offsets='{"bookings": {"0": 1}}',
+            fail_on_data_loss="false",
+        ),
+        "append",
+        tmp_path,
+        "dl_e",
+    )
+    assert len(got) == n - 5
+
+
+def test_kafka_replay_cross_partition_disorder_watermark_parity(
+    spark, fixture_dirs, tmp_path
+):
+    """Frames spread over 3 simulated partitions arrive interleaved —
+    the cross-partition disorder a real consumer observes. The
+    watermarked event-time aggregation over the disordered replay must
+    equal the batch recomputation over the ordered fixture: watermark
+    semantics, not arrival order, decide the result (VERDICT r2 item
+    6)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.sources import (
+        kafka_frame_replay,
+        write_kafka_frame_fixture,
+    )
+
+    frame_dir = str(tmp_path / "frames_ooo")
+    write_kafka_frame_fixture(
+        spark, fixture_dirs["booking"], frame_dir, topic="bookings",
+        n_partitions=3,
+    )
+    # Same key set lands on the same partition (Kafka partitioner
+    # property the engine's per-key assumptions rest on).
+    raw = spark.read.parquet(frame_dir)
+    key_parts = (
+        raw.select(F.col("key").cast("string").alias("k"), "partition")
+        .groupBy("k")
+        .agg(F.countDistinct("partition").alias("np"))
+        .agg(F.max("np"))
+        .first()[0]
+    )
+    assert key_parts == 1
+
+    parsed = parse_events(
+        kafka_frame_replay(spark, frame_dir), BOOKING_SCHEMA
+    ).withWatermark("event_time", "45 seconds")
+    got = _collecting_sink_rows(
+        spark,
+        kpis.city_bookings_windowed(parsed, "event_time", kpis.MINUTE, "bookings"),
+        "update",
+        tmp_path,
+        "ooo",
+    )
+    want = kpis.city_bookings_windowed(
+        parse_events(file_batch(spark, fixture_dirs["booking"]), BOOKING_SCHEMA),
+        "event_time",
+        kpis.MINUTE,
+        "bookings",
+    ).collect()
+    rkey = lambda r: (r["window"]["start"], r["city_id"], r["bookings"])  # noqa: E731
+    assert sorted(map(rkey, got)) == sorted(map(rkey, want))
+    assert len(got) > 0

