@@ -1,0 +1,100 @@
+"""Pure-Python codec tests (BMP/WAV header parsers) + the Spark-side
+media feature plumbing. The synth->decode round-trip is also oracled
+end-to-end in the catalog (multimodal_blob_pipeline 'media' branch);
+these tests cover the parser edge cases a closed-form oracle cannot."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import pytest
+
+from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+    attach_media_blob,
+    bmp_row_stride,
+    decode_bmp,
+    decode_wav,
+    extract_media_features,
+    sniff_mime,
+    synth_bmp,
+    synth_wav,
+)
+
+
+def test_bmp_roundtrip_and_stride_padding():
+    # width 5 at 24bpp -> 15 payload bytes/row, padded to 16.
+    assert bmp_row_stride(5) == 16
+    b = synth_bmp(5, 3, seed=9)
+    assert sniff_mime(b) == "image/bmp"
+    assert decode_bmp(b) == (5, 3, 24)
+    assert len(b) == 54 + 3 * 16
+    # deterministic: same args, same bytes
+    assert b == synth_bmp(5, 3, seed=9)
+    assert b != synth_bmp(5, 3, seed=10)
+
+
+def test_bmp_top_down_height_reported_positive():
+    b = bytearray(synth_bmp(4, 2))
+    struct.pack_into("<i", b, 22, -2)  # negative height = top-down order
+    assert decode_bmp(bytes(b)) == (4, 2, 24)
+
+
+def test_wav_matches_stdlib_wave_module():
+    payload = synth_wav(120, 8000, 2, seed=3)
+    assert sniff_mime(payload) == "audio/wav"
+    c, r, n, dur = decode_wav(payload)
+    wf = wave.open(io.BytesIO(payload))
+    assert (c, r, n) == (
+        wf.getnchannels(), wf.getframerate(), wf.getnframes()
+    )
+    assert dur == pytest.approx(120 / 8000)
+
+
+def test_wav_chunk_walk_skips_extra_chunks():
+    """Real-world WAVs carry LIST/fact chunks between fmt and data; the
+    decoder walks the chunk list instead of assuming fixed offsets."""
+    base = synth_wav(50, 16000, 1)
+    fmt_end = 12 + 8 + 16
+    extra = struct.pack("<4sI", b"LIST", 7) + b"INFOxyz" + b"\x00"  # odd size, padded
+    patched = base[:fmt_end] + extra + base[fmt_end:]
+    assert decode_wav(patched) == (1, 16000, 50, 50 / 16000)
+
+
+def test_codecs_reject_garbage():
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bitmap")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxJUNK")
+    # RIFF/WAVE but truncated before any data chunk
+    with pytest.raises(ValueError):
+        decode_wav(struct.pack("<4sI4s", b"RIFF", 4, b"WAVE"))
+    assert sniff_mime(b"\x89PNG\r\n") == "application/octet-stream"
+
+
+def test_extract_media_features_plumbing(spark):
+    """Binary payloads survive the Arrow boundary and the decoder
+    dispatch; unknown formats fail loudly (that is the PIL/librosa
+    plug-in point, not a silent null)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    out = {
+        r["doc_id"]: r
+        for r in extract_media_features(attach_media_blob(docs)).collect()
+    }
+    assert len(out) == 20
+    assert out[6]["mime"] == "image/bmp"
+    assert out[6]["width"] == 1 + 6 % 7 and out[6]["height"] == 1 + 6 % 5
+    assert out[6]["channels"] is None
+    assert out[13]["mime"] == "audio/wav"
+    assert out[13]["channels"] == 1 and out[13]["sample_rate"] == 8000
+    assert out[13]["duration_s"] == pytest.approx((100 + 13 % 50) / 8000)
+    assert out[13]["width"] is None
+
+    png = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\n...."))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="no pure-Python codec"):
+        extract_media_features(png).collect()
