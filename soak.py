@@ -1,0 +1,294 @@
+#!/usr/bin/env python3
+"""sf1 scale soak (VERDICT r2 item 8).
+
+The driver's testdata tops out at sf0.1 (600k lineitem). This script
+tiles it 10x into an sf1-shaped dataset, runs the full 50-query
+catalog at BOTH scales, and writes SOAK_r{N}.json with:
+
+- per-query wall times at sf0.1 and sf1 and the scaling ratio, with a
+  verdict flagging any query slower than 2x its linear extrapolation
+  (sub-linear plans — fixed-size top-K, bounded samples — come out
+  well under 1x; that's expected, not an anomaly);
+- bucket-cardinality histograms for the three banded/bucketed
+  operators (MinHash-LSH bands, SimHash pigeonhole bands, hyperplane
+  LSH cells) at both scales, empirically confirming the auto-sizing
+  claims (max bucket stays bounded as the corpus grows).
+
+Tiling preserves per-replica structure instead of duplicating rows
+verbatim:
+
+- relational tables shift every key by a replica offset, so join
+  fan-outs and group cardinalities scale the way a real 10x corpus
+  scales (10x customers, same 25 nations);
+- documents remap their vocabulary per replica (word -> word_r{k}),
+  keeping each replica's near-duplicate structure identical to sf0.1
+  while making cross-replica docs unrelated — without this, the 8
+  exact-dup groups would become 80-way near-dup cliques and pair
+  counts would grow quadratically instead of linearly;
+- embeddings cyclically shift their dimensions per replica (norms and
+  within-replica neighbor structure preserved, cross-replica cosines
+  decorrelated).
+
+Usage: python soak.py [--data-dir /tmp/tp_sf1] [--out SOAK_r3.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+SF01 = "/root/testdata/sf0.1"
+
+
+def generate_sf1(spark, out_dir: str, replicas: int = 10) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    r = F.col("__r")
+
+    def tiled(name):
+        df = spark.read.parquet(f"{SF01}/{name}.parquet")
+        return df.crossJoin(
+            spark.range(replicas).select(F.col("id").cast("int").alias("__r"))
+        )
+
+    # Key shift wide enough that replica key ranges never collide.
+    K = 10_000_000
+
+    for name in ("region", "nation"):  # dims stay fixed (25 nations)
+        spark.read.parquet(f"{SF01}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{name}.parquet")
+
+    shifts = {
+        "customer": {"c_custkey": K},
+        "supplier": {"s_suppkey": K},
+        "part": {"p_partkey": K},
+        "orders": {"o_orderkey": K, "o_custkey": K},
+        "lineitem": {
+            "l_orderkey": K, "l_partkey": K, "l_suppkey": K,
+        },
+        "events": {"event_id": K, "user_id": K},
+    }
+    for name, cols in shifts.items():
+        df = tiled(name)
+        for c, k in cols.items():
+            df = df.withColumn(c, (F.col(c) + r.cast("long") * k).cast("long"))
+        df.drop("__r").write.mode("overwrite").parquet(
+            f"{out_dir}/{name}.parquet"
+        )
+
+    # documents: replica-local vocabulary (word -> word_rk for k>0).
+    docs = tiled("documents")
+    remapped_text = F.when(r == 0, F.col("text")).otherwise(
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit("_r"), r.cast("string")),
+            ),
+            " ",
+        )
+    )
+    docs.withColumn("text", remapped_text).withColumn(
+        "doc_id", (F.col("doc_id") + r.cast("long") * K).cast("long")
+    ).withColumn("n_chars", F.length("text").cast("long")).drop(
+        "__r"
+    ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    # embeddings: cyclic dimension shift per replica.
+    emb = tiled("embeddings")
+    dim = len(
+        spark.read.parquet(f"{SF01}/embeddings.parquet").first()["embedding"]
+    )
+    shifted = F.when(r == 0, F.col("embedding")).otherwise(
+        F.concat(
+            F.slice(F.col("embedding"), r + 1, F.lit(dim) - r),
+            F.slice(F.col("embedding"), 1, r),
+        )
+    )
+    emb.withColumn("embedding", shifted).withColumn(
+        "vec_id", (F.col("vec_id") + r.cast("long") * K).cast("long")
+    ).drop("__r").write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
+
+def bucket_histograms(spark, sf_dir: str) -> dict:
+    """Bucket-size distributions for the banded/bucketed operators —
+    the empirical check behind the 'buckets stay bounded as the corpus
+    grows' scaling claims."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators import (
+        dedup,
+        similarity,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+        load_table,
+    )
+
+    def hist(sizes_df) -> dict:
+        """log2 histogram of bucket sizes + extremes."""
+        rows = (
+            sizes_df.select(
+                F.floor(F.log2(F.col("n"))).cast("int").alias("log2"),
+            )
+            .groupBy("log2")
+            .agg(F.count("*").alias("buckets"))
+            .collect()
+        )
+        top = sizes_df.agg(
+            F.max("n").alias("max"),
+            F.count("*").alias("n_buckets"),
+            F.avg("n").alias("mean"),
+        ).first()
+        return {
+            "log2_hist": {int(r["log2"]): int(r["buckets"]) for r in rows},
+            "max_bucket": int(top["max"]),
+            "n_buckets": int(top["n_buckets"]),
+            "mean_bucket": round(float(top["mean"]), 2),
+        }
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = {}
+
+    # MinHash-LSH bands, same (k, bands, rows) as the catalog queries.
+    shingled = dedup.exploded_shingles(docs, "doc_id", "text", 3)
+    sigs = dedup.minhash_signatures(shingled, "doc_id", 12)
+    bands = dedup.lsh_bands(sigs, "doc_id", 4, 3)
+    out["minhash_bands"] = hist(
+        bands.groupBy("band_idx", "band_hash").agg(F.count("*").alias("n"))
+    )
+
+    # SimHash pigeonhole bands: 16-bit hash, 4 bands of 4 bits (the
+    # exact-recall geometry of simhash_neardup_pairs).
+    sim = dedup.simhash16(docs, "doc_id", "text")
+    sim_bands = sim.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), j * 4)
+                        .bitwiseAND(F.lit(0xF))
+                        .alias("band_key"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("b")
+    ).select("b.band_idx", "b.band_key")
+    out["simhash_bands"] = hist(
+        sim_bands.groupBy("band_idx", "band_key").agg(F.count("*").alias("n"))
+    )
+
+    # Hyperplane LSH cells at the corpus-scaled plane count.
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_planes = similarity.auto_n_planes(n)
+    dim = len(emb.first()["embedding"])
+    planes = similarity.hyperplanes(n_planes=n_planes, dim=dim, seed="tp")
+    buckets = emb.select(
+        similarity.lsh_bucket(
+            similarity.as_double_vec(F.col("embedding")), planes
+        ).alias("bucket")
+    )
+    out["embedding_lsh"] = dict(
+        hist(buckets.groupBy("bucket").agg(F.count("*").alias("n"))),
+        n_planes=n_planes,
+        n_vectors=n,
+    )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", default="/tmp/tp_sf1")
+    ap.add_argument("--out", default="SOAK_r3.json")
+    ap.add_argument("--skip-gen", action="store_true")
+    args = ap.parse_args()
+
+    from travelpulse_spark_stream_tourism_analytics_spark.plans import all_queries
+    from travelpulse_spark_stream_tourism_analytics_spark.session import get_spark
+
+    spark = get_spark("travelpulse-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not args.skip_gen or not os.path.isdir(args.data_dir):
+        t0 = time.perf_counter()
+        generate_sf1(spark, args.data_dir)
+        print(f"sf1 generated in {time.perf_counter() - t0:.1f}s")
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+
+    catalog = all_queries()
+    result = {"sf1_dir": args.data_dir, "queries": {}, "buckets": {}}
+    anomalies = []
+
+    def timed(fn, sf_dir):
+        """Materialize through the noop sink: full execution, no
+        column pruning shortcut, and — unlike collect() — no driver
+        transfer, which matters because some definitions legitimately
+        produce tens of millions of rows at sf1 (see the simhash16
+        saturation note in the output json)."""
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        t = time.perf_counter() - t0
+        n = df.count() if t < 60 else -1  # don't re-run pathological plans
+        spark.catalog.clearCache()
+        return t, n
+
+    for name, fn in catalog.items():
+        t01, n01 = timed(fn, SF01)
+        t1, n1 = timed(fn, args.data_dir)
+        ratio = round(t1 / t01, 2)
+        # Linear budget: 10x data -> <=2x of the 10x-extrapolated time.
+        ok = t1 <= 2 * 10 * t01
+        result["queries"][name] = {
+            "sf0.1_sec": round(t01, 3),
+            "sf1_sec": round(t1, 3),
+            "rows_sf0.1": n01,
+            "rows_sf1": n1,
+            "ratio": ratio,
+            "within_2x_linear": ok,
+        }
+        if not ok:
+            anomalies.append(name)
+        print(
+            f"{name}: {t01:.2f}s/{n01} rows -> {t1:.2f}s/{n1} rows (x{ratio})"
+            + ("" if ok else "  ** exceeds 2x linear **"),
+            flush=True,
+        )
+
+    for sf_name, d in (("sf0.1", SF01), ("sf1", args.data_dir)):
+        result["buckets"][sf_name] = bucket_histograms(spark, d)
+
+    result["anomalies"] = anomalies
+    result["notes"] = [
+        "simhash16 saturation: with a 16-bit fingerprint, two UNRELATED "
+        "docs land within Hamming 3 with p ~ 1.06% (sum_{k<=3} C(16,k) / "
+        "2^16), so beyond ~10k docs the pair DEFINITION itself grows "
+        "~n^2/94 — the oracle-checkable 16-bit variant is a fixture-size "
+        "tool; production scale uses simhash64 (same operator, bits=64: "
+        "random-collision p ~ 2.4e-15, output stays linear in the true "
+        "near-dup count). The sf1 numbers for docs_simhash_neardups "
+        "measure exactly this saturation, not an implementation defect.",
+    ]
+    total01 = sum(q["sf0.1_sec"] for q in result["queries"].values())
+    total1 = sum(q["sf1_sec"] for q in result["queries"].values())
+    result["total_sf0.1_sec"] = round(total01, 1)
+    result["total_sf1_sec"] = round(total1, 1)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(
+        f"total: {total01:.1f}s @sf0.1 -> {total1:.1f}s @sf1 "
+        f"({len(anomalies)} anomalies) -> {args.out}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

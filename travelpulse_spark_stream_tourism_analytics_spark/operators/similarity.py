@@ -125,23 +125,29 @@ def lsh_neardup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via hyperplane-LSH bucketing + in-bucket
     exact cosine. The equi-join on bucket replaces the all-pairs cross
-    join; collisions fall out of recall, not correctness."""
-    # Repartition on bucket so the self-join shares one exchange
-    # (ReusedExchange): the plane dot products run once, and unlike
-    # persist() nothing pins executor storage across calls (ADVICE r1).
+    join; collisions fall out of recall, not correctness.
+
+    Pair generation goes through dedup.blocked_self_join_pairs: the
+    plane dot products run once off a single reused exchange (no
+    persist — ADVICE r1), and a cluster of near-identical vectors (one
+    oversized bucket) fans out over block-pair cells instead of
+    pinning a single task (the skew lesson of the sf1 soak)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+        blocked_self_join_pairs,
+    )
+
     with_bucket = emb.select(
         F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
-    ).repartition("bucket")
-    a = with_bucket.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
     )
-    b = with_bucket.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    pairs = blocked_self_join_pairs(
+        with_bucket, ["bucket"], id_col, (vec_col,)
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        pairs.select(
+            "id_a",
+            "id_b",
+            cosine(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b")).alias("cosine"),
+        )
         .filter(F.col("cosine") >= min_cosine)
     )
 
@@ -252,7 +258,10 @@ def lsh_neardup_pairs_multiprobe(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
         F.col("home").alias("probe"),
-    ).repartition("probe")
+    )
+    homes = homes.repartition(
+        homes.sparkSession.sparkContext.defaultParallelism, "probe"
+    )
     a = probes.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "probe"
     )
