@@ -15,6 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from travelpulse_spark_stream_tourism_analytics_spark.operators.joins import (
+    nearest_value_join,
+)
 from travelpulse_spark_stream_tourism_analytics_spark.functions.numeric import (
     money_sum,
 )
@@ -291,31 +294,28 @@ def nearest_acctbal_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-NN theta join: argmin distance (reference J6 nearest-city
     fallback, scripts/build_hotels_yaml.py:237-257).
 
-    Plan choice: the naive per-key window over the cross product
-    shuffles |probe|x|dim| rows (20+ s at sf0.1 — measured); instead
-    the argmin folds as min(struct(dist, tiebreak, payload)) which
-    partial-aggregates map-side, so only |dim| rows ever shuffle. The
-    probe side is repartitioned so the broadcast nested-loop join
-    parallelizes across cores/executors."""
-    sup = load_table(spark, sf_dir, "supplier")
-    cust = load_table(spark, sf_dir, "customer").repartition(
-        spark.sparkContext.defaultParallelism
+    Plan evolution, both steps measured: (r1) the naive per-key window
+    over the cross product shuffles |probe|x|dim| rows (20+ s at
+    sf0.1); (r2) folding the argmin as min(struct(dist, tiebreak))
+    partial-aggregates map-side so only |dim| rows shuffle — but the
+    broadcast NLJ underneath is still |sup| x |cust|, quadratic when
+    both sides grow (x53 wall at x10 data in the sf1 soak); (r3)
+    nearest_value_join bands customers by their own quantiles and
+    probes only adjacent bands — exact result, linear candidates
+    (operators/joins.py)."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal"
     )
-    diff = F.abs(F.col("c_acctbal") - F.col("s_acctbal"))
-    best = F.min(
-        F.struct(
-            diff.alias("diff"), F.col("c_custkey").alias("c_custkey")
-        )
-    ).alias("best")
-    return (
-        cust.crossJoin(F.broadcast(sup))
-        .groupBy("s_suppkey")
-        .agg(best)
-        .select(
-            "s_suppkey",
-            F.col("best.c_custkey").alias("c_custkey"),
-            F.round(F.col("best.diff"), 2).alias("diff"),
-        )
+    cust = load_table(spark, sf_dir, "customer")
+    out = nearest_value_join(
+        sup, cust,
+        probe_val="s_acctbal", corpus_val="c_acctbal",
+        probe_key="s_suppkey", corpus_key="c_custkey",
+    )
+    return out.select(
+        "s_suppkey",
+        F.col("best.key").alias("c_custkey"),
+        F.round(F.col("best.diff"), 2).alias("diff"),
     )
 
 
