@@ -182,3 +182,54 @@ def test_asof_join_matches_bruteforce(spark, left, right):
                  if rk == k and rs <= s]
         want = max(cands) if cands else (None, None)
         assert got[i] == want, (i, got[i], want)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),          # group key
+            st.integers(0, 200),        # id (deduped below)
+            st.integers(-5, 5),         # payload
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(1, 8),                  # block_rows: force multi-block tiling
+)
+@settings(max_examples=12, deadline=None)
+def test_blocked_self_join_pairs_matches_bruteforce(spark, rows, block_rows):
+    """blocked_self_join_pairs must emit EXACTLY the unordered in-group
+    pairs, once each, with payloads attached to the right side — for
+    any group-size skew and any block tiling. Tiny block_rows forces
+    multi-block groups, covering the off-diagonal orientation swap that
+    a plain id_a < id_b filter gets wrong (the r3 soak bug)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+        blocked_self_join_pairs,
+    )
+
+    seen = {}
+    for g, i, p in rows:
+        seen[(g, i)] = p  # one row per (group, id)
+    data = [(g, i, p) for (g, i), p in seen.items()]
+    if not data:
+        return
+    df = spark.createDataFrame(data, "g int, id long, payload int")
+    got = [
+        ((r["g"], r["id_a"], r["id_b"]), (r["payload_a"], r["payload_b"]))
+        for r in blocked_self_join_pairs(
+            df, ["g"], "id", ("payload",), block_rows=block_rows
+        ).collect()
+    ]
+    # exactly once per unordered pair
+    keys = [k for k, _ in got]
+    assert len(keys) == len(set(keys))
+    by_group: dict[int, list] = {}
+    for g, i, p in data:
+        by_group.setdefault(g, []).append((i, p))
+    want = {}
+    for g, members in by_group.items():
+        for (i1, p1) in members:
+            for (i2, p2) in members:
+                if i1 < i2:
+                    want[(g, i1, i2)] = (p1, p2)
+    assert dict(got) == want

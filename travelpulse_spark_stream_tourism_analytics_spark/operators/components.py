@@ -43,6 +43,16 @@ def connected_components(
     )
     # Start: every node points to the min of itself and its neighbors.
     neighbors = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # Materialize the edge list ONCE: it feeds every propagation round,
+    # and without this each round re-executes the whole upstream pair
+    # lineage (shingle -> minhash -> banded join), which dominated the
+    # sf1 soak (docs_dedup_clusters ~305 s; the propagation itself is
+    # a few seconds per round). At cluster scale this is the
+    # 'checkpoint the edge list' step from the module docstring.
+    try:
+        neighbors = neighbors.localCheckpoint(eager=True)
+    except Exception:
+        neighbors = neighbors.persist()
     assign = neighbors.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("c"))
     assign = assign.select(
         F.col("u").alias("node"), F.least("c", "u").alias("comp")
