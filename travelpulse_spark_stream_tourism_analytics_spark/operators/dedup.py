@@ -116,9 +116,16 @@ def blocked_self_join_pairs(
     linear in the OUTPUT it parallelizes, and zero extra for groups
     that fit one block.
 
-    The group relation is repartitioned once on the group key with an
-    explicit partition count; both join sides reuse that exchange, so
-    the upstream lineage (fingerprints, signatures) executes once."""
+    The input feeds both the group-size aggregation and the join, so
+    its lineage evaluates more than once. Measured, that is the right
+    trade here: an eager localCheckpoint of the input was tried and
+    REJECTED — it pinned executor storage (breaking the engine's
+    bounded-cache contract, test_pair_jaccard_cache_is_bounded) and
+    was slower at every scale tried (16 s vs 3.5 s at sf0.1 for the
+    minhash query) because the materialization costs more than the
+    re-evaluated map-side lineage. At cluster scale, materialize
+    signatures to parquet BETWEEN pipeline stages instead (module
+    docstring)."""
     n_part = df.sparkSession.sparkContext.defaultParallelism
     sizes = df.groupBy(*key_cols).agg(F.count("*").alias("__n"))
     base = df.join(sizes, list(key_cols))
