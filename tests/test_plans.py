@@ -262,3 +262,16 @@ def test_customer_profile_two_scans(spark):
     plan = plan_of(spark, "customer_profile")
     tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
     assert tree.count("Scan parquet") == 2
+
+
+def test_simhash_pairs_plan_has_no_distinct_aggregate(spark):
+    """The saturated-corpus lesson from the sf1 soak: multi-band pair
+    dedup must stay a per-row 'lowest agreeing band' filter, never a
+    distinct() — at sf1 the distinct shuffled 1.16e9 rows (241 s). A
+    regression would reappear in the plan as an aggregate grouping on
+    (id_a, id_b)."""
+    plan = plan_of(spark, "docs_simhash_neardups")
+    import re
+
+    assert not re.search(r"HashAggregate \(.*keys=\[id_a", plan)
+    assert not re.search(r"keys=\[id_a[^\]]*id_b", plan)
