@@ -233,3 +233,38 @@ def test_blocked_self_join_pairs_matches_bruteforce(spark, rows, block_rows):
                 if i1 < i2:
                     want[(g, i1, i2)] = (p1, p2)
     assert dict(got) == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100)),
+        min_size=0, max_size=30,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(200, 300)),
+        min_size=0, max_size=30,
+    ),
+    st.integers(1, 6),
+)
+@settings(max_examples=10, deadline=None)
+def test_blocked_join_pairs_matches_bruteforce(spark, lrows, rrows, block_rows):
+    """Bipartite blocked join: every in-group (left, right) combination
+    exactly once, for any per-side group skew and block tiling."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+        blocked_join_pairs,
+    )
+
+    l = list({(g, i) for g, i in lrows})
+    r = list({(g, i) for g, i in rrows})
+    if not l or not r:
+        return
+    ldf = spark.createDataFrame(l, "g int, __lid long")
+    rdf = spark.createDataFrame(r, "g int, __rid long")
+    got = sorted(
+        (row["g"], row["__lid"], row["__rid"])
+        for row in blocked_join_pairs(ldf, rdf, ["g"], block_rows=block_rows).collect()
+    )
+    want = sorted(
+        (g, i, j) for (g, i) in l for (h, j) in r if g == h
+    )
+    assert got == want

@@ -192,6 +192,51 @@ def blocked_self_join_pairs(
     )
 
 
+def blocked_join_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    block_rows: int = 256,
+) -> DataFrame:
+    """Bipartite sibling of :func:`blocked_self_join_pairs`: every
+    (left row, right row) combination within a key group, generated
+    with even parallelism under group-size skew. Left rows block by
+    ``__lid`` hash and fan out over the right side's block count (and
+    vice versa), so each (left-block, right-block) cell is its own
+    join key bounded at ~block_rows^2 output rows.
+
+    Contract: ``left`` carries columns ``key_cols + [__lid, ...]`` and
+    ``right`` carries ``key_cols + [__rid, ...]``; all non-key columns
+    must be distinct between the sides (alias before calling). Returns
+    the joined relation with both sides' columns."""
+    n_part = left.sparkSession.sparkContext.defaultParallelism
+    keys = list(key_cols)
+    l_sizes = left.groupBy(*keys).agg(F.count("*").alias("__ln"))
+    r_sizes = right.groupBy(*keys).agg(F.count("*").alias("__rn"))
+    sizes = l_sizes.join(r_sizes, keys)
+    nb = lambda c: F.greatest(F.lit(1), F.ceil(F.col(c) / F.lit(block_rows))).cast("int")  # noqa: E731
+    l = (
+        left.join(sizes, keys)
+        .withColumn("__nbl", nb("__ln"))
+        .withColumn("__nbr", nb("__rn"))
+        .withColumn("__i", F.pmod(F.xxhash64(F.col("__lid")), F.col("__nbl")).cast("int"))
+        .withColumn("__j", F.explode(F.sequence(F.lit(0), F.col("__nbr") - 1)))
+        .drop("__ln", "__rn", "__nbl", "__nbr")
+    )
+    r = (
+        right.join(sizes, keys)
+        .withColumn("__nbl", nb("__ln"))
+        .withColumn("__nbr", nb("__rn"))
+        .withColumn("__j", F.pmod(F.xxhash64(F.col("__rid")), F.col("__nbr")).cast("int"))
+        .withColumn("__i", F.explode(F.sequence(F.lit(0), F.col("__nbl") - 1)))
+        .drop("__ln", "__rn", "__nbl", "__nbr")
+    )
+    cell_keys = keys + ["__i", "__j"]
+    l = l.repartition(n_part, *cell_keys)
+    r = r.repartition(n_part, *cell_keys)
+    return l.join(r.hint("shuffle_hash"), cell_keys).drop("__i", "__j")
+
+
 def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any band bucket.
 

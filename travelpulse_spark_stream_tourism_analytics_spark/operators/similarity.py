@@ -254,23 +254,28 @@ def lsh_neardup_pairs_multiprobe(
             F.array_union(F.array(F.col("home")), flipped)
         ).alias("probe"),
     )
+    # Bipartite blocked join (see dedup.blocked_join_pairs): probes x
+    # homes within a bucket fan out over block-pair cells, so a dense
+    # bucket cannot pin one task (the sf1 soak skew lesson, applied to
+    # every pair generator).
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+        blocked_join_pairs,
+    )
+
     homes = with_geom.select(
-        F.col(id_col).alias("id_b"),
+        F.col(id_col).alias("__rid"),
         F.col(vec_col).alias("vb"),
         F.col("home").alias("probe"),
     )
-    homes = homes.repartition(
-        homes.sparkSession.sparkContext.defaultParallelism, "probe"
-    )
     a = probes.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "probe"
+        F.col(id_col).alias("__lid"), F.col(vec_col).alias("va"), "probe"
     )
     pairs = (
-        a.join(homes, "probe")
-        .filter(F.col("id_a") != F.col("id_b"))
+        blocked_join_pairs(a, homes, ["probe"])
+        .filter(F.col("__lid") != F.col("__rid"))
         .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
+            F.least("__lid", "__rid").alias("id_a"),
+            F.greatest("__lid", "__rid").alias("id_b"),
             cosine(F.col("va"), F.col("vb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= min_cosine)
