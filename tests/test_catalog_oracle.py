@@ -68,3 +68,31 @@ def test_harness_detects_mismatches(spark, duck):
         "SELECT n_nationkey, n_name AS nm FROM nation"
     ).df()
     assert compare(nation, bad_cols, "meta")
+
+
+def test_harness_allows_all_null_dtype_artifacts(spark, duck):
+    """ADVICE r2: an all-NULL Spark column reaches pandas as object
+    dtype while DuckDB types it float64/datetime — the driver hash
+    agrees on all-NULL values, so the local mirror must not flag the
+    transport artifact. A REAL class mismatch on a non-null column
+    must still be flagged."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+        load_table,
+    )
+
+    nation = load_table(spark, SF_DIR, "nation").select(
+        "n_nationkey", F.lit(None).cast("double").alias("gap")
+    )
+    ok = duck.sql(
+        "SELECT n_nationkey, NULL::TIMESTAMP AS gap FROM nation"
+    ).df()
+    assert compare(nation, ok, "meta_nulls") == []
+
+    # Control: int-vs-float on a NON-null column still flags.
+    typed = load_table(spark, SF_DIR, "nation").select(
+        "n_nationkey", F.lit(1).alias("v")
+    )
+    bad = duck.sql("SELECT n_nationkey, 1.0 AS v FROM nation").df()
+    assert any("dtype class differs" in e for e in compare(typed, bad, "meta_ctl"))
