@@ -15,10 +15,14 @@ from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal impor
     attach_media_blob,
     bmp_row_stride,
     decode_bmp,
+    decode_bmp_pixels,
+    decode_png,
     decode_wav,
+    decode_wav_samples,
     extract_media_features,
     sniff_mime,
     synth_bmp,
+    synth_png,
     synth_wav,
 )
 
@@ -70,7 +74,73 @@ def test_codecs_reject_garbage():
     # RIFF/WAVE but truncated before any data chunk
     with pytest.raises(ValueError):
         decode_wav(struct.pack("<4sI4s", b"RIFF", 4, b"WAVE"))
+    # a truncated PNG signature is not a PNG
     assert sniff_mime(b"\x89PNG\r\n") == "application/octet-stream"
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n....")  # signature but no IHDR
+
+
+def test_png_roundtrip_all_filter_types():
+    """The synthesizer encodes row y with filter (y + seed) % 5, so a
+    height-5 image with seed 0 exercises None/Sub/Up/Average/Paeth in
+    one payload; the decoder must invert every one to reproduce the
+    gradient exactly."""
+    import numpy as np
+
+    for seed in range(7):
+        w, h = 1 + seed % 6, 5 + seed % 5
+        payload = synth_png(w, h, seed=seed)
+        assert sniff_mime(payload) == "image/png"
+        width, height, channels, px = decode_png(payload)
+        assert (width, height, channels) == (w, h, 3)
+        expected = np.array(
+            [[(i * 3 + y * 7 + seed) % 256 for i in range(w * 3)]
+             for y in range(h)],
+            dtype=np.uint8,
+        )
+        assert (px.reshape(h, w * 3) == expected).all()
+        assert payload == synth_png(w, h, seed=seed)  # deterministic
+
+
+def test_png_rgba_and_unsupported_shapes():
+    import numpy as np
+
+    payload = synth_png(4, 6, seed=2, channels=4)
+    width, height, channels, px = decode_png(payload)
+    assert (width, height, channels) == (4, 6, 4)
+    expected = np.array(
+        [[(i * 3 + y * 7 + 2) % 256 for i in range(16)] for y in range(6)],
+        dtype=np.uint8,
+    )
+    assert (px.reshape(6, 16) == expected).all()
+    # 16-bit / palette / interlaced variants raise NotImplementedError
+    # (the PIL plug-in point), not silent garbage: patch IHDR depth.
+    bad = bytearray(synth_png(3, 3))
+    bad[8 + 8 + 8] = 16  # IHDR bit-depth byte
+    # fix the CRC so the failure is the depth check, not chunk parsing
+    import zlib
+
+    crc = zlib.crc32(bytes(bad[8 + 4 : 8 + 8 + 13])) & 0xFFFFFFFF
+    struct.pack_into(">I", bad, 8 + 8 + 13, crc)
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(bad))
+
+
+def test_pixel_and_sample_decode_means():
+    """content_mean comes from the decoded bytes, not the container:
+    BMP mean excludes stride padding; WAV mean is over int16 samples
+    (negative values included)."""
+    import numpy as np
+
+    px = decode_bmp_pixels(synth_bmp(5, 4, seed=9))
+    assert px.shape == (4, 15)  # no padding columns
+    assert px.mean() == pytest.approx(
+        np.mean([[(x * 3 + y * 7 + 9) % 256 for x in range(15)]
+                 for y in range(4)])
+    )
+    samples = decode_wav_samples(synth_wav(100, 8000, 2, seed=7))
+    assert samples.dtype == np.dtype("<i2") and len(samples) == 200
+    assert samples.min() < 0  # PCM ramp wraps negative
 
 
 def test_extract_media_features_plumbing(spark):
@@ -79,12 +149,14 @@ def test_extract_media_features_plumbing(spark):
     plug-in point, not a silent null)."""
     from pyspark.sql import functions as F
 
-    docs = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    docs = spark.range(0, 20).union(spark.range(200, 210)).select(
+        F.col("id").alias("doc_id")
+    )
     out = {
         r["doc_id"]: r
         for r in extract_media_features(attach_media_blob(docs)).collect()
     }
-    assert len(out) == 20
+    assert len(out) == 30
     assert out[6]["mime"] == "image/bmp"
     assert out[6]["width"] == 1 + 6 % 7 and out[6]["height"] == 1 + 6 % 5
     assert out[6]["channels"] is None
@@ -92,9 +164,15 @@ def test_extract_media_features_plumbing(spark):
     assert out[13]["channels"] == 1 and out[13]["sample_rate"] == 8000
     assert out[13]["duration_s"] == pytest.approx((100 + 13 % 50) / 8000)
     assert out[13]["width"] is None
+    assert out[205]["mime"] == "image/png"
+    assert out[205]["width"] == 1 + 205 % 6
+    assert out[205]["height"] == 1 + 205 % 9
+    assert out[205]["channels"] == 3
+    assert out[205]["content_mean"] is not None
 
-    png = spark.createDataFrame(
-        [(1, bytearray(b"\x89PNG\r\n\x1a\n...."))], "doc_id long, payload binary"
+    jpeg = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0JFIF...."))],
+        "doc_id long, payload binary",
     )
     with pytest.raises(Exception, match="no pure-Python codec"):
-        extract_media_features(png).collect()
+        extract_media_features(jpeg).collect()

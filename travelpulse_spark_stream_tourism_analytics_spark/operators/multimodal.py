@@ -87,9 +87,12 @@ def extract_blob_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
 
 # --- Real pure-Python codecs (VERDICT r2 item 7) -------------------------
 #
-# BMP and WAV are fully header-parseable with the stdlib, so the codec
-# step is REAL for them — no stub, no external libs. Other formats
-# (JPEG/PNG/MP3/...) still need PIL/librosa and raise.
+# BMP and WAV are fully header-parseable with the stdlib; PNG needs
+# only stdlib zlib plus the five scanline filters (None/Sub/Up/
+# Average/Paeth, RFC 2083 §6) which are implemented below — so the
+# codec step is REAL for all three: full pixel/sample decode, no
+# external libs. Other formats (JPEG/MP3/...) still need PIL/librosa
+# and raise.
 
 BMP_HEADER_BYTES = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
 WAV_HEADER_BYTES = 44  # RIFF + fmt(16) + data chunk headers
@@ -159,6 +162,8 @@ def sniff_mime(payload: bytes) -> str:
         return "image/bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio/wav"
+    if payload[:8] == PNG_SIGNATURE:
+        return "image/png"
     return "application/octet-stream"
 
 
@@ -198,6 +203,195 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
     raise ValueError("WAV missing data chunk")
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
+    the linear estimate left + up - upleft, ties broken left, up, upleft."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def synth_png(
+    width: int, height: int, seed: int = 0, channels: int = 3
+) -> bytes:
+    """Deterministic 8-bit RGB(A) PNG. Pixel bytes follow the same
+    gradient as `synth_bmp` (``(i*3 + y*7 + seed) % 256`` along each
+    raw scanline); row ``y`` is encoded with filter type
+    ``(y + seed) % 5`` so a corpus of synthesized images exercises all
+    five PNG scanline filters, Paeth included, even for short images."""
+    import struct
+    import zlib
+
+    if channels not in (3, 4):
+        raise ValueError("synth_png emits RGB (3) or RGBA (4) only")
+    color_type = 2 if channels == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    bpp = channels
+    row_len = width * channels
+    filtered = bytearray()
+    prior = bytes(row_len)
+    for y in range(height):
+        raw = bytes((i * 3 + y * 7 + seed) % 256 for i in range(row_len))
+        ftype = (y + seed) % 5
+        filtered.append(ftype)
+        for i in range(row_len):
+            left = raw[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            upleft = prior[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                v = raw[i]
+            elif ftype == 1:
+                v = raw[i] - left
+            elif ftype == 2:
+                v = raw[i] - up
+            elif ftype == 3:
+                v = raw[i] - (left + up) // 2
+            else:
+                v = raw[i] - _paeth(left, up, upleft)
+            filtered.append(v % 256)
+        prior = raw
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Full PNG decode with stdlib only: chunk walk, IHDR parse,
+    IDAT concatenation, zlib inflate, and scanline UNFILTERING for all
+    five filter types — returns ``(width, height, channels,
+    pixels)`` where pixels is an ``h x w x channels`` uint8 ndarray.
+    Supports the non-interlaced 8-bit truecolor subset (color types
+    2/6) — the shape a synthesized or re-encoded training corpus uses;
+    palette/16-bit/interlaced images raise."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos = len(PNG_SIGNATURE)
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or color not in (2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    "pure-Python PNG path decodes 8-bit non-interlaced "
+                    f"RGB/RGBA only (depth={depth} color={color} "
+                    f"interlace={interlace})"
+                )
+            channels = 3 if color == 2 else 4
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    row_len = width * channels
+    if len(raw) != height * (1 + row_len):
+        raise ValueError("PNG IDAT length mismatch")
+    bpp = channels
+    out = np.zeros((height, row_len), dtype=np.uint8)
+    prior = np.zeros(row_len, dtype=np.int32)
+    for y in range(height):
+        ftype = raw[y * (1 + row_len)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=row_len, offset=y * (1 + row_len) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            recon = line
+        elif ftype == 2:
+            recon = (line + prior) % 256
+        else:
+            recon = np.zeros(row_len, dtype=np.int32)
+            for i in range(row_len):
+                left = int(recon[i - bpp]) if i >= bpp else 0
+                up = int(prior[i])
+                upleft = int(prior[i - bpp]) if i >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                elif ftype == 4:
+                    pred = _paeth(left, up, upleft)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                recon[i] = (int(line[i]) + pred) % 256
+        out[y] = recon.astype(np.uint8)
+        prior = recon
+    return width, height, channels, out.reshape(height, width, channels)
+
+
+def decode_bmp_pixels(payload: bytes):
+    """Pixel-level BMP decode (24-bpp uncompressed): strips the
+    per-row 4-byte stride padding and returns the ``h x (3w)`` raw
+    pixel bytes as a uint8 ndarray (bottom-up storage order kept —
+    irrelevant for the aggregate features computed from it)."""
+    import struct
+
+    import numpy as np
+
+    width, height, bpp = decode_bmp(payload)
+    if bpp != 24:
+        raise NotImplementedError("pure-Python BMP path decodes 24-bpp only")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    stride = bmp_row_stride(width)
+    data = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=offset
+    ).reshape(height, stride)
+    return data[:, : width * 3]
+
+
+def decode_wav_samples(payload: bytes):
+    """PCM sample decode: locates the data chunk and returns the
+    int16 sample array (interleaved channels)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"data":
+            return np.frombuffer(
+                payload, dtype="<i2", count=size // 2, offset=pos + 8
+            )
+        pos += 8 + size + (size % 2)
+    raise ValueError("WAV missing data chunk")
+
+
 MEDIA_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -208,17 +402,22 @@ MEDIA_FEATURE_SCHEMA = T.StructType(
         T.StructField("channels", T.LongType()),
         T.StructField("sample_rate", T.LongType()),
         T.StructField("duration_s", T.DoubleType()),
+        T.StructField("content_mean", T.DoubleType()),
     ]
 )
 
 
 def extract_media_features(df: DataFrame) -> DataFrame:
     """REAL (non-stub) codec path: Arrow-batched mapInPandas over
-    binary payloads, dispatching on magic bytes — BMP header parse for
-    images, RIFF chunk walk for audio. Formats beyond the pure-Python
+    binary payloads, dispatching on magic bytes — BMP stride-aware
+    pixel decode, PNG zlib-inflate + scanline unfilter, RIFF chunk
+    walk + PCM sample decode for audio. Formats beyond the pure-Python
     decodable set raise (that is where PIL/librosa plug in at
     deployment). Dimension columns are NULL where the modality doesn't
-    define them (no width for audio, no duration for stills)."""
+    define them (no width for audio, no duration for stills);
+    ``content_mean`` is the mean decoded pixel byte (images) or mean
+    int16 sample (audio) — a value that is only computable by actually
+    decoding the payload, which is what the oracle pins."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -230,12 +429,26 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                 row.update(doc_id=doc_id, mime=mime, n_bytes=len(payload))
                 if mime == "image/bmp":
                     w, h, _bpp = decode_bmp(payload)
-                    row.update(width=w, height=h)
+                    px = decode_bmp_pixels(payload)
+                    row.update(
+                        width=w, height=h,
+                        content_mean=round6_half_up(float(px.mean())),
+                    )
+                elif mime == "image/png":
+                    w, h, c, px = decode_png(payload)
+                    row.update(
+                        width=w, height=h, channels=c,
+                        content_mean=round6_half_up(float(px.mean())),
+                    )
                 elif mime == "audio/wav":
                     c, r, _n, dur = decode_wav(payload)
+                    samples = decode_wav_samples(payload)
                     row.update(
                         channels=c, sample_rate=r,
                         duration_s=round6_half_up(dur),
+                        content_mean=round6_half_up(
+                            float(samples.astype("float64").mean())
+                        ),
                     )
                 else:
                     raise NotImplementedError(
@@ -248,8 +461,9 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                 {
                     k: pd.Series(
                         out[k],
-                        dtype="float64" if k == "duration_s" else
-                        ("object" if k == "mime" else "Int64"),
+                        dtype="float64"
+                        if k in ("duration_s", "content_mean")
+                        else ("object" if k == "mime" else "Int64"),
                     )
                     for k in MEDIA_FEATURE_SCHEMA.names
                 }
@@ -260,10 +474,13 @@ def extract_media_features(df: DataFrame) -> DataFrame:
 
 def attach_media_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic multimodal ingest for the oracle round-trip: each
-    id synthesizes a real BMP (even ids) or WAV (odd ids) whose
-    dimensions are closed-form functions of the id — so a SQL oracle
-    can recompute what the decoder must extract without seeing the
-    bytes. Synthesis runs executor-side as an Arrow-batched UDF; the
+    id synthesizes a real BMP (even ids < 200), WAV (odd ids < 200) or
+    PNG (ids >= 200) whose dimensions are closed-form functions of the
+    id — so a SQL oracle can recompute what the decoder must extract
+    without seeing the bytes. The decoded content means are ALSO
+    closed-form (gradient pixels / modular PCM ramp), so the oracle
+    checks the actual inflate+unfilter / PCM decode, not just header
+    parsing. Synthesis runs executor-side as an Arrow-batched UDF; the
     payload exists as a genuine binary column between synth and
     decode."""
 
@@ -271,6 +488,8 @@ def attach_media_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def synth(ids: pd.Series) -> pd.Series:
         def make(d: int) -> bytes:
             d = int(d)
+            if d >= 200:
+                return synth_png(1 + d % 6, 1 + d % 9, seed=d)
             if d % 2 == 0:
                 return synth_bmp(1 + d % 7, 1 + d % 5, seed=d)
             n = 100 + d % 50

@@ -811,33 +811,82 @@ def docs_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / length(text), 6) END AS byte_mean,
            NULL::BIGINT AS width, NULL::BIGINT AS height,
            NULL::BIGINT AS channels, NULL::BIGINT AS sample_rate,
-           NULL::DOUBLE AS duration_s
+           NULL::DOUBLE AS duration_s, NULL::DOUBLE AS content_mean
     FROM documents
     UNION ALL
     -- Closed-form twin of the synth->decode round-trip: the engine
-    -- builds a REAL BMP/WAV byte payload per id and parses it back
-    -- with its pure-Python codecs; the oracle recomputes the header
-    -- fields (and exact file sizes, padding included) arithmetically.
+    -- builds a REAL BMP/WAV/PNG byte payload per id and parses it
+    -- back with its pure-Python codecs; the oracle recomputes the
+    -- header fields (and, for BMP/WAV, exact file sizes, padding
+    -- included) arithmetically. content_mean is the mean DECODED
+    -- pixel byte / PCM sample — for PNG that value only exists after
+    -- zlib inflate + scanline unfiltering, so this row pins the full
+    -- decode, not header parsing. (PNG n_bytes is NULL: the DEFLATE
+    -- stream length is a zlib implementation detail, not part of the
+    -- decode contract.) floor(x*1e6 + 0.5)/1e6 mirrors the engine's
+    -- round6_half_up exactly (content means can be negative for PCM,
+    -- where SQL round() half-away would diverge on exact ties).
     SELECT 'media' AS branch, doc_id,
-           CASE WHEN doc_id % 2 = 0
+           CASE WHEN doc_id >= 200 THEN NULL
+                WHEN doc_id % 2 = 0
                 THEN 54 + (1 + doc_id % 5)
                          * (((1 + doc_id % 7) * 3 + 3) // 4 * 4)
                 ELSE 44 + (100 + doc_id % 50) * 2
                          * (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END)
            END::BIGINT AS n_bytes,
-           CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+           CASE WHEN doc_id >= 200 THEN 'image/png'
+                WHEN doc_id % 2 = 0 THEN 'image/bmp'
                 ELSE 'audio/wav' END AS mime,
            NULL::BIGINT AS head_byte, NULL::DOUBLE AS byte_mean,
-           CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 7 END::BIGINT AS width,
-           CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 5 END::BIGINT AS height,
-           CASE WHEN doc_id % 2 = 1 THEN
+           CASE WHEN doc_id >= 200 THEN 1 + doc_id % 6
+                WHEN doc_id % 2 = 0 THEN 1 + doc_id % 7
+           END::BIGINT AS width,
+           CASE WHEN doc_id >= 200 THEN 1 + doc_id % 9
+                WHEN doc_id % 2 = 0 THEN 1 + doc_id % 5
+           END::BIGINT AS height,
+           CASE WHEN doc_id >= 200 THEN 3
+                WHEN doc_id % 2 = 1 THEN
                 CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END
            END::BIGINT AS channels,
-           CASE WHEN doc_id % 2 = 1 THEN 8000 END::BIGINT AS sample_rate,
-           CASE WHEN doc_id % 2 = 1
+           CASE WHEN doc_id < 200 AND doc_id % 2 = 1
+                THEN 8000 END::BIGINT AS sample_rate,
+           CASE WHEN doc_id < 200 AND doc_id % 2 = 1
                 THEN round((100 + doc_id % 50) / 8000.0, 6)
-           END::DOUBLE AS duration_s
-    FROM documents WHERE doc_id < 200
+           END::DOUBLE AS duration_s,
+           CASE WHEN doc_id >= 200 OR doc_id % 2 = 0 THEN
+                -- gradient image: mean over h rows x 3w bytes of
+                -- (3i + 7y + doc_id) % 256
+                floor(
+                  list_sum(list_transform(
+                    generate_series(0,
+                      (CASE WHEN doc_id >= 200 THEN 1 + doc_id % 9
+                            ELSE 1 + doc_id % 5 END) - 1),
+                    y -> list_sum(list_transform(
+                      generate_series(0,
+                        3 * (CASE WHEN doc_id >= 200 THEN 1 + doc_id % 6
+                                  ELSE 1 + doc_id % 7 END) - 1),
+                      i -> CAST((3*i + 7*y + doc_id) % 256 AS DOUBLE)))))
+                  / (3.0
+                     * (CASE WHEN doc_id >= 200 THEN 1 + doc_id % 6
+                             ELSE 1 + doc_id % 7 END)
+                     * (CASE WHEN doc_id >= 200 THEN 1 + doc_id % 9
+                             ELSE 1 + doc_id % 5 END))
+                  * 1e6 + 0.5) / 1e6
+           ELSE
+                -- PCM ramp: mean int16 sample (i*37 + id*101) % 65536
+                -- - 32768 over n_samples * channels values
+                floor(
+                  list_sum(list_transform(
+                    generate_series(0,
+                      (100 + doc_id % 50)
+                      * (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END) - 1),
+                    i -> CAST((i*37 + doc_id*101) % 65536 - 32768
+                              AS DOUBLE)))
+                  / ((100 + doc_id % 50)
+                     * (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END))
+                  * 1e6 + 0.5) / 1e6
+           END::DOUBLE AS content_mean
+    FROM documents WHERE doc_id < 300
     """,
 )
 def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -849,12 +898,18 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       the fixture corpus is pure ASCII so even the Python path gets a
       full SQL oracle.
     - ``media``: the REAL codec path (VERDICT r2 item 7) — each id
-      synthesizes an actual BMP (even) or WAV (odd) whose dimensions
-      are closed-form in the id, and extract_media_features parses the
-      bytes back with pure-Python header decoders. The oracle
-      recomputes width/height/channels/rate/duration AND the exact
-      file size (stride padding included) arithmetically, so any
-      drift in the synthesizer or the parsers flips the row red.
+      synthesizes an actual BMP (even, < 200), WAV (odd, < 200) or
+      PNG (>= 200) whose dimensions are closed-form in the id, and
+      extract_media_features decodes the bytes back with pure-Python
+      codecs: BMP stride-aware pixel read, PNG zlib inflate + all
+      five scanline unfilters, WAV PCM sample decode. The oracle
+      recomputes width/height/channels/rate/duration, the exact
+      BMP/WAV file sizes (stride padding included) AND the mean
+      decoded pixel/sample value arithmetically, so any drift in the
+      synthesizer, the header parsers, or the pixel/sample decode
+      itself flips the row red. (PNG n_bytes is nulled on both sides:
+      the DEFLATE stream length is a zlib artifact, not part of the
+      decode contract.)
     """
     docs = load_table(spark, sf_dir, "documents")
     blobbed = multimodal.attach_blob(docs)
@@ -870,16 +925,22 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("channels"),
             F.lit(None).cast("long").alias("sample_rate"),
             F.lit(None).cast("double").alias("duration_s"),
+            F.lit(None).cast("double").alias("content_mean"),
         )
     )
     media = multimodal.extract_media_features(
-        multimodal.attach_media_blob(docs.filter(F.col("doc_id") < 200))
+        multimodal.attach_media_blob(docs.filter(F.col("doc_id") < 300))
     ).select(
         F.lit("media").alias("branch"),
-        "doc_id", "n_bytes", "mime",
+        "doc_id",
+        F.when(F.col("mime") == "image/png", F.lit(None).cast("long"))
+        .otherwise(F.col("n_bytes"))
+        .alias("n_bytes"),
+        "mime",
         F.lit(None).cast("long").alias("head_byte"),
         F.lit(None).cast("double").alias("byte_mean"),
         "width", "height", "channels", "sample_rate", "duration_s",
+        "content_mean",
     )
     return stub.unionByName(media)
 
