@@ -263,6 +263,62 @@ def test_connected_components_and_canonical_ids(spark):
     assert canon == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 9: 9}
 
 
+def test_connected_components_star_matches_union_find(spark):
+    """The alternating large-star/small-star variant must agree with a
+    driver-side union-find on adversarial shapes — including a long
+    chain, where min-label propagation's O(diameter) rounds would blow
+    its iteration budget but the star algorithm needs O(log n)."""
+    import random
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(7)
+    chain = [(i, i + 1) for i in range(40)]  # diameter 40 > 20-round budget
+    clique = [(a, b) for a in range(100, 112) for b in range(100, a)]
+    bridged = clique + [(111, 200)] + [(200 + i, 201 + i) for i in range(5)]
+    er = [
+        (rng.randrange(300, 360), rng.randrange(300, 360)) for _ in range(80)
+    ]
+    for name, edges in [
+        ("chain", chain),
+        ("bridged_cliques", bridged),
+        ("random", er),
+    ]:
+        edges = [(a, b) for a, b in edges if a != b]
+        expected = union_find(edges)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components_star(pairs).collect()
+        }
+        assert got == expected, name
+        if name != "chain":  # label propagation: low-diameter shapes only
+            got_lp = {
+                r["node"]: r["comp"]
+                for r in connected_components(pairs).collect()
+            }
+            assert got_lp == expected, name
+
+
 def test_check_constraints(spark):
     from pyspark.sql import functions as F
 

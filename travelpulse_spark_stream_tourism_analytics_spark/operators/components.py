@@ -87,6 +87,107 @@ def connected_components(
     return assign
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014): same (node, component) output as
+    `connected_components`, but converging in O(log n) rounds on ANY
+    graph shape — including long chains, where min-label propagation
+    needs O(diameter) rounds. Use this variant when duplicate chains
+    can be long (transcription chains, near-dup drift over time);
+    label propagation stays the cheaper choice for the dense shallow
+    clusters LSH/SimHash emit.
+
+    Both operations are a groupBy + join on the symmetric edge view:
+
+    - large-star: every node u links each LARGER neighbor v > u to
+      m = min(neighborhood(u) + u) — hooks high nodes downward across
+      the whole neighborhood at once;
+    - small-star: every node u re-links its smaller neighbors (and
+      itself) to their minimum — flattens local stars.
+
+    Each round strictly shrinks the potential Σ(u - comp_min) and the
+    edge list converges to a star forest: every edge is (node, root).
+    Convergence is detected by an order-insensitive edge-set checksum
+    (count + sum of a 64-bit hash); the star forest is then read off
+    directly as the assignment. Scale: two shuffles per round on a
+    monotonically shrinking edge list, O(log n) rounds, no driver
+    state beyond the 2-value checksum."""
+    edges = (
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _checksum(e: DataFrame):
+        # XOR-fold of per-edge 64-bit hashes: order-insensitive over
+        # the (distinct) edge set and immune to ANSI-mode sum overflow.
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        nbrs = _sym(e)
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("mn")
+        )
+        return (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # e is canonically oriented u > v, so e IS the small-neighbor view.
+        mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+        relink = (
+            e.join(mins, "u")
+            .filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        )
+        self_link = mins.select("u", F.col("mn").alias("v"))
+        return relink.union(self_link).filter(
+            F.col("u") != F.col("v")
+        ).distinct()
+
+    prev = None
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges))
+        try:
+            edges = edges.localCheckpoint(eager=True)
+        except Exception:
+            edges = edges.persist()
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # Star forest: every edge is (node, component-root); roots appear
+    # only on the v side and map to themselves.
+    roots = edges.select(F.col("v").alias("node")).distinct().join(
+        edges.select(F.col("u").alias("node")).distinct(), "node", "left_anti"
+    )
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+        .union(roots.select("node", F.col("node").alias("comp")))
+        .distinct()
+    )
+
+
 def canonical_ids(
     corpus: DataFrame, components: DataFrame, id_col: str
 ) -> DataFrame:
