@@ -63,3 +63,89 @@ def test_running_totals_accumulate_across_batches(spark, tmp_path):
     assert finals["u1"] == (3, 17.5)
     assert finals["u2"] == (2, 2.5)
     assert len(emitted) >= 2  # state actually crossed a batch boundary
+
+
+def test_streaming_neardup_matches_batch_pairs(spark, tmp_path):
+    """Streaming SimHash near-dup detection must agree with the batch
+    banded-pigeonhole operator: with docs arriving in id order, doc d
+    is flagged (dup_of = e) exactly when the batch operator emits the
+    pair (e, d) — state carries the fingerprint index across
+    micro-batches."""
+    from travelpulse_spark_stream_tourism_analytics_spark.functions.text import words_of
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+        simhash16,
+        simhash16_expr,
+        simhash_neardup_pairs,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.stateful import (
+        neardup_verdicts,
+        streaming_neardup_evidence,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while tourists "
+        "book rooms near the coast in summer season with high demand"
+    )
+    docs = []
+    for i in range(30):
+        words = base.split()
+        # family of near-dups: tweak 1 word; far docs: replace many
+        if i % 3 == 0:
+            words[i % len(words)] = f"tweak{i}"
+        else:
+            words = [f"w{i}_{j}" for j in range(len(words))]
+        docs.append((i, " ".join(words)))
+
+    # --- batch ground truth
+    bdf = spark.createDataFrame(docs, "doc_id long, text string")
+    sims = simhash16(bdf, "doc_id", "text")
+    pairs = simhash_neardup_pairs(sims, "doc_id", max_hamming=3, bits=16)
+    expected = {}
+    for r in pairs.collect():
+        a, b = sorted((r["id_a"], r["id_b"]))
+        expected[b] = min(expected.get(b, a), a)
+
+    # --- streaming: 3 files -> 3 micro-batches, ids in arrival order
+    data_dir = tmp_path / "docs"
+    data_dir.mkdir()
+    for part in range(3):
+        with open(data_dir / f"f{part}.json", "w") as f:
+            for i, text in docs[part * 10 : (part + 1) * 10]:
+                f.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(data_dir))
+        .select(
+            "doc_id",
+            simhash16_expr(
+                F.array_distinct(words_of(F.col("text")))
+            ).alias("fp"),
+        )
+    )
+    emitted = []
+    q = (
+        streaming_neardup_evidence(stream, "doc_id", "fp", max_hamming=3)
+        .writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, bid: emitted.append(
+                (bid, neardup_verdicts(df).collect())
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "chk_nd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {}
+    for _, rows in emitted:
+        for r in rows:
+            assert r["doc_id"] not in got  # verdict complete per batch
+            if r["is_dup"]:
+                got[r["doc_id"]] = r["dup_of"]
+    assert got == expected
+    assert len(emitted) >= 3  # index crossed micro-batch boundaries
+    # the dup family spans batches: some dup's source is in an earlier file
+    assert any(d // 10 != e // 10 for d, e in got.items())

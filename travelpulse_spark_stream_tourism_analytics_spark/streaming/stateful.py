@@ -66,3 +66,149 @@ def running_user_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- Streaming near-duplicate detection ----------------------------------
+
+NEARDUP_EVIDENCE = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band_idx", T.IntegerType()),
+        T.StructField("dup_of", T.LongType()),
+    ]
+)
+_NEARDUP_STATE = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("fps", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def streaming_neardup_evidence(
+    df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int = 3,
+    bits: int = 16,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Online SimHash near-duplicate detection over a document stream —
+    the ingest-time dedup a streaming training-data pipeline needs
+    (batch twin: ``operators/dedup.simhash_neardup_pairs``).
+
+    Input: a streaming DataFrame carrying ``id_col`` and a precomputed
+    SimHash fingerprint ``fp_col`` (a stateless projection, e.g.
+    ``simhash16_expr`` over the distinct-word array — no upstream
+    stateful stage, so this operator is the query's ONLY stateful op).
+    Each document fans out to its ``n_bands`` pigeonhole band keys
+    (``n_bands > max_hamming`` gives exact recall: a pair within the
+    Hamming radius must agree on some band). Per band-bucket state is
+    the fingerprint index of every document seen; an arriving document
+    emits one evidence row per band with ``dup_of`` = the smallest
+    earlier doc id within ``max_hamming``, or NULL.
+
+    CONTRACT (what the parity test pins): when documents arrive in
+    id order, ``dup_of IS NOT NULL`` for some band of doc d exactly
+    when the batch operator emits a pair (e, d) with e < d over the
+    same corpus — the streaming view of the same banded pigeonhole.
+    Reduce per-doc with :func:`neardup_verdicts` (runs complete inside
+    each micro-batch: a doc's band rows never split across batches).
+
+    Scale: state is O(corpus) split across ``n_bands * 2^(bits /
+    n_bands)`` bucket keys — use a wider fingerprint at production
+    scale exactly as in the batch operator (16-bit buckets saturate,
+    documented in SOAK_r3). Buckets are independent, so state
+    partitions by band key with no cross-key coordination; eviction
+    policy (drop fingerprints older than the dedup horizon) would
+    attach here as a state timeout.
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands <= max_hamming:
+        raise ValueError("n_bands must exceed max_hamming (pigeonhole)")
+    band_bits = bits // n_bands
+    if band_bits * n_bands != bits:
+        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
+    mask = (1 << band_bits) - 1
+
+    from pyspark.sql import functions as F
+
+    banded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(fp_col).alias("fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(fp_col, b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        "fp",
+        F.col("band.band_idx").alias("band_idx"),
+        (F.col("band.band_idx") * (mask + 1) + F.col("band.band_val")).alias(
+            "band_key"
+        ),
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        ids, fps = ([], []) if not state.exists else [
+            list(v) for v in state.get
+        ]
+        out_ids, out_bands, out_dups = [], [], []
+        for pdf in pdfs:
+            # id order = arrival order within the batch: matches the
+            # batch operator's (id_a < id_b) pair orientation.
+            for doc_id, fp, band_idx in sorted(
+                zip(pdf["doc_id"], pdf["fp"], pdf["band_idx"])
+            ):
+                doc_id, fp = int(doc_id), int(fp)
+                dup_of = None
+                for eid, efp in zip(ids, fps):
+                    if bin(fp ^ efp).count("1") <= max_hamming:
+                        dup_of = eid if dup_of is None else min(dup_of, eid)
+                ids.append(doc_id)
+                fps.append(fp)
+                out_ids.append(doc_id)
+                out_bands.append(int(band_idx))
+                out_dups.append(dup_of)
+        state.update((ids, fps))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_ids, dtype="int64"),
+                "band_idx": pd.Series(out_bands, dtype="int32"),
+                "dup_of": pd.Series(out_dups, dtype="Int64"),
+            }
+        )
+
+    return banded.groupBy("band_key").applyInPandasWithState(
+        update,
+        outputStructType=NEARDUP_EVIDENCE,
+        stateStructType=_NEARDUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def neardup_verdicts(evidence: DataFrame) -> DataFrame:
+    """Per-document reduction of band evidence: (doc_id, is_dup,
+    dup_of) where dup_of is the smallest matching earlier id across
+    bands. Batch transform — inside a streaming query it runs per
+    micro-batch (foreachBatch), which is complete because a document's
+    band rows all land in its arrival batch."""
+    from pyspark.sql import functions as F
+
+    return evidence.groupBy("doc_id").agg(
+        (F.count("dup_of") > 0).alias("is_dup"),
+        F.min("dup_of").alias("dup_of"),
+    )
