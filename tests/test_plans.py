@@ -275,3 +275,45 @@ def test_simhash_pairs_plan_has_no_distinct_aggregate(spark):
 
     assert not re.search(r"HashAggregate \(.*keys=\[id_a", plan)
     assert not re.search(r"keys=\[id_a[^\]]*id_b", plan)
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_joins(spark):
+    """100 TB contract: when a selective dimension side is too big to
+    broadcast (so the join must shuffle), Spark's runtime bloom filter
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`, on in
+    session.py via Spark defaults) must inject a `might_contain`
+    pre-filter on the fact scan — pruning shuffle input by the dim's
+    selectivity. At test scale the 10 GiB application-side threshold
+    keeps it off (broadcast handles small dims); this test lowers the
+    thresholds to prove the engine's join shapes qualify for
+    injection, so the behavior is there when the scan sizes are real.
+    """
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    old_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        sel = orders.filter(
+            "o_orderpriority = '1-URGENT' and o_totalprice > 350000"
+        ).select("o_orderkey")
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy().count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_scan,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
