@@ -328,3 +328,35 @@ def test_int8_quantized_knn_quality(spark):
         .count()
     )
     assert err == 0
+
+
+def test_semantic_dedup_earlier_wins_no_chaining(spark):
+    """semantic_dedup drops a vector iff an EARLIER vector in its
+    cluster is within the cosine threshold — the witness may itself be
+    dropped (no chaining), which is what makes the op closed-form."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # 2-D unit vectors: angles chosen so 0~1, 1~2 but 0 !~ 2
+    # (cos 10deg = .9848 >= .98; cos 20deg = .9397 < .98), plus an
+    # orthogonal vector that shares no cluster.
+    import math
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [(0, vec(0)), (1, vec(10)), (2, vec(20)), (3, vec(90))]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = spark.createDataFrame(
+        [(0, vec(10)), (1, vec(90))], "cell_id long, sv array<double>"
+    )
+    out = {
+        r["vec_id"]: (r["dup_of"], r["cell_id"])
+        for r in semantic_dedup(emb, "vec_id", "v", cents, 0.98).collect()
+    }
+    # 1 dropped (witness 0); 2 dropped (witness 1, even though 1 is
+    # itself dropped — no chaining); 0 kept (earliest); 3 kept (alone
+    # in the orthogonal cluster).
+    assert out == {1: (0, 0), 2: (1, 0)}

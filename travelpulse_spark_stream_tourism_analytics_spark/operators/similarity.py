@@ -360,3 +360,85 @@ def ivf_knn(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    min_cosine: float = 0.99,
+) -> DataFrame:
+    """SemDedup-shape semantic deduplication (cluster-then-prune, the
+    Abbas et al. 2023 recipe, arXiv:2303.09540): assign every vector
+    to its most-similar centroid, then inside each cluster drop any
+    vector whose cosine to an EARLIER (lower-id) cluster member is
+    >= ``min_cosine``. Returns one row per dropped vector:
+    (id, cell_id, dup_of = the smallest matching earlier id, cosine).
+
+    This is the deterministic earlier-wins variant (no chaining: the
+    witness may itself be dropped), which makes the whole operation
+    closed-form — with a deterministic centroid set it is fully
+    SQL-oracle-able, unlike greedy sequential SemDedup whose keep-set
+    depends on iteration order. ``centroids`` is (cell_id, sv); pass
+    the seeded lowest-id quantizer for oracle parity or an
+    ``ivf_index`` KMeans model's centroids for production recall.
+
+    Scale shape: centroids broadcast (tiny); assignment is one
+    broadcast NLJ folded map-side as min(struct) — only |emb| rows
+    shuffle; the intra-cluster pair join is an equi-join on cell_id,
+    O(sum of cluster_size^2) — bounded by sizing the centroid count
+    ~n/target_cluster_size exactly like IVF cells, and tileable with
+    blocked_self_join_pairs if a cluster saturates."""
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell_id"),
+        cosine(F.col(vec_col), F.col("sv")).alias("ccos"),
+    )
+    assigned = (
+        scored.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("ccos")).alias("neg_cos"),
+                    F.col("cell_id").alias("cell_id"),
+                )
+            ).alias("best"),
+            F.first(vec_col).alias("__v"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("best.cell_id").alias("cell_id"),
+            F.col("__v").alias(vec_col),
+        )
+    )
+    a = assigned.select(
+        F.col(id_col).alias("__id_a"), "cell_id", F.col(vec_col).alias("__va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__id_b"), "cell_id", F.col(vec_col).alias("__vb")
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .select(
+            "cell_id",
+            "__id_a",
+            "__id_b",
+            cosine(F.col("__va"), F.col("__vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+    return (
+        pairs.groupBy("__id_b", "cell_id")
+        .agg(
+            F.min(F.struct(F.col("__id_a").alias("id_a"), F.col("cosine").alias("cosine"))).alias("m")
+        )
+        .select(
+            F.col("__id_b").alias(id_col),
+            "cell_id",
+            F.col("m.id_a").alias("dup_of"),
+            F.col("m.cosine").alias("cosine"),
+        )
+    )

@@ -1006,6 +1006,49 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM scored
         ) WHERE rn <= 5
     ) q8
+    UNION ALL
+    -- SemDedup (cluster-then-prune): vectors assigned to their
+    -- max-cosine seeded centroid; inside a cluster, a vector whose
+    -- cosine to an earlier member is >= 0.99 is dropped (earlier-wins,
+    -- no chaining -> closed-form). Planted exact copies (vec_id +
+    -- 1000000 of the 10 lowest ids) co-locate with their originals by
+    -- construction and are the expected drop set.
+    SELECT 'semdedup' AS variant, query_id, neighbor_id, cosine
+    FROM (
+        WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id < 10
+        ), seeds AS (
+            SELECT vec_id AS cell_id, v AS sv FROM corpus WHERE vec_id < 8
+        ), assigned AS (
+            SELECT vec_id, v, cell_id FROM (
+                SELECT c.vec_id, c.v, s.cell_id,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY round(list_dot_product(c.v, s.sv)
+                                    / (sqrt(list_dot_product(c.v, c.v))
+                                       * sqrt(list_dot_product(s.sv, s.sv))), 6)
+                                    DESC, s.cell_id
+                       ) AS rn
+                FROM corpus c, seeds s
+            ) WHERE rn = 1
+        ), close_pairs AS (
+            SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS c
+            FROM assigned a JOIN assigned b
+              ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        )
+        SELECT ib AS query_id, ia AS neighbor_id, c AS cosine
+        FROM (
+            SELECT ib, ia, c,
+                   row_number() OVER (PARTITION BY ib ORDER BY ia, c) AS rn
+            FROM close_pairs WHERE c >= 0.99
+        ) WHERE rn = 1
+    ) sd
     """,
 )
 def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1015,9 +1058,13 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, 2-of-8 cell probe, in-cell top-5 — the shape that
     scales), and brute force over an int8 scalar-quantized corpus
     (similarity.quantize_int8 — the 4x-smaller storage path; search
-    dequantizes on the fly). Cosine rounded to 1e-6 BEFORE ranking on
-    all sides so summation-order ulps cannot flip orderings.
-    Constituents: embedding_knn + embedding_ivf_seeded_knn above."""
+    dequantizes on the fly), plus SemDedup-shape semantic dedup
+    (similarity.semantic_dedup: cluster by max-cosine centroid, prune
+    in-cluster vectors >= 0.99 cosine to an earlier member; planted
+    exact copies are the drop set). Cosine rounded to 1e-6 BEFORE
+    ranking on all sides so summation-order ulps cannot flip
+    orderings. Constituents: embedding_knn + embedding_ivf_seeded_knn
+    above."""
     brute = embedding_knn(spark, sf_dir).select(
         F.lit("brute").alias("variant"), "query_id", "neighbor_id", "cosine"
     )
@@ -1039,7 +1086,27 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("int8_corpus").alias("variant"), "query_id", "neighbor_id", "cosine"
     )
-    return brute.unionByName(ivf).unionByName(int8)
+    # SemDedup branch (operators/similarity.semantic_dedup): planted
+    # exact copies — same corpus trick as embedding_lsh_neardups —
+    # co-locate with their originals under any centroid assignment and
+    # form the expected drop set; dropped rows surface as
+    # (dup vec_id, its kept witness, cosine).
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "v"
+    )
+    sem_corpus = emb.unionByName(planted)
+    seeds = sem_corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+    sem = similarity.semantic_dedup(
+        sem_corpus, "vec_id", "v", seeds, min_cosine=0.99
+    ).select(
+        F.lit("semdedup").alias("variant"),
+        F.col("vec_id").alias("query_id"),
+        F.col("dup_of").alias("neighbor_id"),
+        "cosine",
+    )
+    return brute.unionByName(ivf).unionByName(int8).unionByName(sem)
 
 
 @query(
