@@ -78,6 +78,63 @@ def main() -> None:
         q.awaitTermination(600)
         elapsed = time.perf_counter() - t0
 
+        # --- stage 2: online near-dup detection throughput ----------
+        # documents stream -> stateless SimHash projection -> stateful
+        # banded fingerprint index (streaming/stateful.py) -> per-doc
+        # verdicts. The 16-bit fingerprint saturates at corpus scale
+        # exactly as documented for the batch op (SOAK_r3), so this is
+        # the WORST-case state-scan rate; production uses wider
+        # fingerprints for smaller buckets.
+        from pyspark.sql import functions as F
+
+        from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+            words_of,
+        )
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+            simhash16_expr,
+        )
+        from travelpulse_spark_stream_tourism_analytics_spark.streaming.stateful import (
+            neardup_verdicts,
+            streaming_neardup_evidence,
+        )
+
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        n_docs = docs.count()
+        docs.coalesce(8).write.mode("overwrite").json(
+            os.path.join(tmp, "docs")
+        )
+        doc_stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(os.path.join(tmp, "docs"))
+            .select(
+                "doc_id",
+                simhash16_expr(
+                    F.array_distinct(words_of(F.col("text")))
+                ).alias("fp"),
+            )
+        )
+        flagged = []
+        t1 = time.perf_counter()
+        q2 = (
+            streaming_neardup_evidence(doc_stream, "doc_id", "fp")
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, bid: flagged.extend(
+                    r["doc_id"]
+                    for r in neardup_verdicts(df).collect()
+                    if r["is_dup"]
+                )
+            )
+            .option("checkpointLocation", os.path.join(tmp, "chk_nd"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(600)
+        nd_elapsed = time.perf_counter() - t1
+
         print(
             json.dumps(
                 {
@@ -87,6 +144,10 @@ def main() -> None:
                     "events": n_events,
                     "elapsed_sec": round(elapsed, 3),
                     "result_rows": len(out_rows),
+                    "neardup_docs_per_sec": round(n_docs / nd_elapsed, 1),
+                    "neardup_docs": n_docs,
+                    "neardup_flagged": len(flagged),
+                    "neardup_elapsed_sec": round(nd_elapsed, 3),
                 }
             )
         )
