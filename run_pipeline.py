@@ -61,8 +61,78 @@ CITY_DIM_ROWS = [
 ]
 
 
+def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
+              trigger: str = "10 seconds") -> dict:
+    """Streaming ingest dedup pipeline (``--mode dedup``): a JSONL
+    document stream ({doc_id, text} records) flows through a stateless
+    SimHash projection into the stateful banded near-dup index
+    (streaming/stateful.py) and emits the per-document verdict table
+    (doc_id, is_dup, dup_of) as append-mode parquet — the decision
+    stream a training-data ingest joins against to drop duplicates.
+    Returns {'docs': n, 'dups': n} after draining (once=True)."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+        words_of,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+        simhash16_expr,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.stateful import (
+        neardup_verdicts,
+        streaming_neardup_evidence,
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(docs_path)
+        .select(
+            "doc_id",
+            simhash16_expr(
+                F.array_distinct(words_of(F.col("text")))
+            ).alias("fp"),
+        )
+    )
+    stats = {"docs": 0, "dups": 0}
+
+    def batch_fn(df, _bid):
+        v = neardup_verdicts(df)
+        v.write.mode("append").parquet(out_dir)
+        rows = v.groupBy().agg(
+            F.count("*").alias("n"), F.sum(F.col("is_dup").cast("long")).alias("d")
+        ).collect()[0]
+        stats["docs"] += rows["n"] or 0
+        stats["dups"] += rows["d"] or 0
+
+    work = tempfile.mkdtemp(prefix="tp_dedup_")
+    q = (
+        streaming_neardup_evidence(stream, "doc_id", "fp")
+        .writeStream.outputMode("update")
+        .foreachBatch(batch_fn)
+        .option("checkpointLocation", os.path.join(work, "chk"))
+        .trigger(
+            **({"availableNow": True} if once else {"processingTime": trigger})
+        )
+        .start()
+    )
+    if once:
+        q.awaitTermination()
+    else:  # pragma: no cover - long-running service mode
+        spark.streams.awaitAnyTermination()
+    return stats
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--mode",
+        choices=["kpis", "dedup"],
+        default="kpis",
+        help="kpis: the 16-query tourism topology; dedup: streaming "
+        "document near-dup verdicts (--path is a JSONL docs dir, "
+        "--out the verdict parquet)",
+    )
+    ap.add_argument("--out", help="output dir for --mode dedup verdicts")
     ap.add_argument(
         "--source", choices=["kafka", "file", "kafka-replay"], default="file"
     )
@@ -82,6 +152,18 @@ def main() -> None:
 
     spark = get_spark("travelpulse-pipeline")
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.mode == "dedup":
+        if not args.path or not args.out:
+            ap.error("--mode dedup requires --path (docs dir) and --out")
+        stats = run_dedup(
+            spark, args.path, args.out, once=args.once, trigger=args.trigger
+        )
+        print(
+            f">>> dedup drained; {stats['docs']} docs, "
+            f"{stats['dups']} flagged as near-dups -> {args.out}"
+        )
+        return
 
     if args.source == "kafka":
         wires = {

@@ -149,3 +149,28 @@ def test_streaming_neardup_matches_batch_pairs(spark, tmp_path):
     assert len(emitted) >= 3  # index crossed micro-batch boundaries
     # the dup family spans batches: some dup's source is in an earlier file
     assert any(d // 10 != e // 10 for d, e in got.items())
+
+
+def test_run_dedup_pipeline_surface(spark, tmp_path):
+    """--mode dedup production surface: JSONL docs in, verdict parquet
+    out, counts consistent with the verdicts written."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from run_pipeline import run_dedup
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(0, base), (1, base + " lambda"), (2, "totally different words here x y z")]
+    with open(docs_dir / "part-0.json", "w") as f:
+        for i, t in rows:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    out = str(tmp_path / "verdicts")
+    stats = run_dedup(spark, str(docs_dir), out, once=True)
+    v = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert stats["docs"] == 3 and len(v) == 3
+    assert stats["dups"] == sum(1 for r in v.values() if r["is_dup"])
+    assert v[1]["is_dup"] and v[1]["dup_of"] == 0  # one-word delta
+    assert not v[0]["is_dup"] and not v[2]["is_dup"]
