@@ -212,3 +212,97 @@ def test_stateful_agg_recovers_state_after_midstream_crash(spark, tmp_path):
     assert finals["u1"] == (3, 17.5)
     assert finals["u2"] == (3, 6.5)
     assert finals["u3"] == (2, 10.0)
+
+
+def test_streaming_neardup_state_survives_restart(spark, tmp_path):
+    """The near-dup fingerprint index must RESUME from its state store:
+    run phase 1 over half the corpus, stop the query, drop new files,
+    restart from the SAME checkpoint — docs in phase 2 must still be
+    flagged against phase-1 fingerprints (which only state recovery
+    can know), and the combined verdicts must equal the batch pair
+    ground truth."""
+    from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+        words_of,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+        simhash16,
+        simhash16_expr,
+        simhash_neardup_pairs,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.stateful import (
+        neardup_verdicts,
+        streaming_neardup_evidence,
+    )
+
+    base = (
+        "rooms by the coast fill quickly in summer while flights from "
+        "the north arrive late and hotels reprice nightly for demand"
+    )
+    docs = []
+    for i in range(24):
+        words = base.split()
+        if i % 2 == 0:
+            words[i % len(words)] = f"tweak{i}"  # near-dup family
+        else:
+            words = [f"u{i}_{j}" for j in range(len(words))]
+        docs.append((i, " ".join(words)))
+
+    bdf = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = simhash_neardup_pairs(
+        simhash16(bdf, "doc_id", "text"), "doc_id", max_hamming=3, bits=16
+    )
+    expected = {}
+    for r in pairs.collect():
+        a, b = sorted((r["id_a"], r["id_b"]))
+        expected[b] = min(expected.get(b, a), a)
+    # the test is only meaningful if some dup's witness is in phase 1
+    assert any(e < 12 <= d for d, e in expected.items())
+
+    data_dir = tmp_path / "docs"
+    data_dir.mkdir()
+    chk = str(tmp_path / "chk")
+    got = {}
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(data_dir))
+            .select(
+                "doc_id",
+                simhash16_expr(
+                    F.array_distinct(words_of(F.col("text")))
+                ).alias("fp"),
+            )
+        )
+        q = (
+            streaming_neardup_evidence(stream, "doc_id", "fp", max_hamming=3)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, bid: got.update(
+                    {
+                        r["doc_id"]: r["dup_of"]
+                        for r in neardup_verdicts(df).collect()
+                        if r["is_dup"]
+                    }
+                )
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def write_file(name, rows):
+        with open(data_dir / name, "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    write_file("f0.json", docs[:12])
+    drain()  # phase 1: index the first half, then the query STOPS
+    phase1 = dict(got)
+    write_file("f1.json", docs[12:])
+    drain()  # phase 2: restart from the same checkpoint
+    # cross-phase flags exist and required recovered phase-1 state
+    assert any(e < 12 <= d for d, e in got.items() if d not in phase1)
+    assert got == expected

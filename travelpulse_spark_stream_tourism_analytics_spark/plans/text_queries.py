@@ -1017,6 +1017,7 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         WITH corpus AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id < 2000
             UNION ALL
             SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v
             FROM embeddings WHERE vec_id < 10
@@ -1090,11 +1091,18 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact copies — same corpus trick as embedding_lsh_neardups —
     # co-locate with their originals under any centroid assignment and
     # form the expected drop set; dropped rows surface as
-    # (dup vec_id, its kept witness, cosine).
-    planted = emb.filter(F.col("vec_id") < 10).select(
+    # (dup vec_id, its kept witness, cosine). The oracle branch pins a
+    # BOUNDED 2k-vector corpus: with the 8 fixed seed centroids the
+    # deterministic variant's in-cluster pair stage is O((n/8)^2) — at
+    # scale the operator sizes centroids ~n/cluster_size (IVF-style,
+    # see semantic_dedup docstring), but a growing corpus over a FIXED
+    # 8-cell quantizer would quadratically dominate the soak (measured
+    # 107 s at sf1) while testing nothing new.
+    sem_base = emb.filter(F.col("vec_id") < 2000)
+    planted = sem_base.filter(F.col("vec_id") < 10).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "v"
     )
-    sem_corpus = emb.unionByName(planted)
+    sem_corpus = sem_base.unionByName(planted)
     seeds = sem_corpus.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
     )
