@@ -360,3 +360,36 @@ def test_semantic_dedup_earlier_wins_no_chaining(spark):
     # itself dropped — no chaining); 0 kept (earliest); 3 kept (alone
     # in the orthogonal cluster).
     assert out == {1: (0, 0), 2: (1, 0)}
+
+
+def test_semantic_dedup_with_kmeans_quantizer(spark):
+    """Production composition: the SAME KMeans cell assignment an
+    ivf_index builds for ANN search feeds semantic dedup — planted
+    exact copies land in their original's cell (identical input ->
+    identical prediction) and must be dropped with cosine 1.0."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        as_double_vec,
+        ivf_index,
+        semantic_dedup_assigned,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+        .limit(400)
+    )
+    planted = emb.filter(F.col("vec_id") < 6).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "v"
+    )
+    corpus = emb.unionByName(planted)
+    assigned, _model = ivf_index(corpus, "vec_id", "v", n_cells=6)
+    out = {
+        r["vec_id"]: (r["dup_of"], r["cosine"])
+        for r in semantic_dedup_assigned(
+            assigned, "vec_id", "v", "cell", 0.99
+        ).collect()
+    }
+    for i in range(6):
+        assert out[1000000 + i] == (i, 1.0)

@@ -413,11 +413,32 @@ def semantic_dedup(
             F.col("__v").alias(vec_col),
         )
     )
+    return semantic_dedup_assigned(
+        assigned, id_col, vec_col, "cell_id", min_cosine
+    )
+
+
+def semantic_dedup_assigned(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str = "cell_id",
+    min_cosine: float = 0.99,
+) -> DataFrame:
+    """The prune stage of :func:`semantic_dedup` over a corpus that
+    already carries a cluster column — e.g. the `cell` assignment an
+    ``ivf_index`` KMeans model produces. This is the production
+    composition: fit the quantizer once (cells sized ~n/64), reuse the
+    assignment for BOTH the ANN index and semantic dedup."""
     a = assigned.select(
-        F.col(id_col).alias("__id_a"), "cell_id", F.col(vec_col).alias("__va")
+        F.col(id_col).alias("__id_a"),
+        F.col(cell_col).alias("cell_id"),
+        F.col(vec_col).alias("__va"),
     )
     b = assigned.select(
-        F.col(id_col).alias("__id_b"), "cell_id", F.col(vec_col).alias("__vb")
+        F.col(id_col).alias("__id_b"),
+        F.col(cell_col).alias("cell_id"),
+        F.col(vec_col).alias("__vb"),
     )
     pairs = (
         a.join(b, "cell_id")
