@@ -384,33 +384,36 @@ def semantic_dedup(
     the seeded lowest-id quantizer for oracle parity or an
     ``ivf_index`` KMeans model's centroids for production recall.
 
-    Scale shape: centroids broadcast (tiny); assignment is one
-    broadcast NLJ folded map-side as min(struct) — only |emb| rows
-    shuffle; the intra-cluster pair join is an equi-join on cell_id,
-    O(sum of cluster_size^2) — bounded by sizing the centroid count
-    ~n/target_cluster_size exactly like IVF cells, and tileable with
-    blocked_self_join_pairs if a cluster saturates."""
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("cell_id"),
-        cosine(F.col(vec_col), F.col("sv")).alias("ccos"),
+    Scale shape: the centroid set is tiny by contract (a quantizer),
+    so it is collected once and the argmax-cosine assignment compiles
+    to a pure PROJECTION — array_max over per-centroid (cosine,
+    -cell_id) structs, zero shuffle, no join (an earlier broadcast-NLJ
+    + groupBy formulation shuffled |emb| x n_cells rows carrying full
+    vector copies). The intra-cluster pair join is an equi-join on
+    cell_id, O(sum of cluster_size^2) — bounded by sizing the centroid
+    count ~n/target_cluster_size exactly like IVF cells, and tileable
+    with blocked_self_join_pairs if a cluster saturates."""
+    cents = centroids.select("cell_id", "sv").collect()
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    cosine(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in row["sv"]]),
+                    ).alias("c"),
+                    F.lit(-int(row["cell_id"])).alias("neg_cell"),
+                )
+                for row in cents
+            ]
+        )
     )
     assigned = (
-        scored.groupBy(id_col)
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("ccos")).alias("neg_cos"),
-                    F.col("cell_id").alias("cell_id"),
-                )
-            ).alias("best"),
-            F.first(vec_col).alias("__v"),
-        )
+        emb.withColumn("__best", best)
         .select(
             F.col(id_col),
-            F.col("best.cell_id").alias("cell_id"),
-            F.col("__v").alias(vec_col),
+            F.col(vec_col),
+            (-F.col("__best.neg_cell")).cast("long").alias("cell_id"),
         )
     )
     return semantic_dedup_assigned(
