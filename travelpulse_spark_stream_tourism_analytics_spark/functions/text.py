@@ -75,6 +75,47 @@ def word_ngrams(words: Column, n: int) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
 
 
+# PII patterns, restricted to the RE2-compatible subset (no
+# lookarounds) so the same strings run in Spark (Java regex) and in
+# any RE2-based oracle engine. Order matters for redaction: the email
+# pattern must run before the phone/SSN patterns so digits inside a
+# local-part are not half-redacted.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "SSN": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "PHONE": r"\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\b",
+    "IPV4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_count(col: Column) -> Column:
+    """Total PII pattern hits in a text column (long).
+
+    Counts each pattern independently on the lowercased text; a token
+    matched by two patterns counts twice (the count is a risk signal,
+    not a span partition). Pure ``regexp_count`` — codegen'd, zero
+    shuffle, linear scan.
+    """
+    lowered = F.lower(col)
+    total: Column = F.lit(0)
+    for pat in PII_PATTERNS.values():
+        total = total + F.regexp_count(lowered, F.lit(pat))
+    return total.cast("long")
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace PII spans with ``<KIND>`` placeholder tokens.
+
+    Patterns apply in PII_PATTERNS order (email first) so composite
+    strings degrade predictably. Chained ``regexp_replace`` — still a
+    single projection, no shuffle.
+    """
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind}>")
+    return out
+
+
 def hash_hex(col: Column) -> Column:
     """Portable deterministic hash: md5 hex string (same in any engine)."""
     return F.md5(col)

@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+    PII_PATTERNS,
+    pii_count,
     word_ngrams,
     words_of,
 )
@@ -445,65 +447,155 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lookarounds).
 _BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
 
+# DuckDB mirror of functions.text.pii_count (same RE2-safe patterns).
+_PII_HITS_SQL = " + ".join(
+    f"len(regexp_extract_all(lower(text), '{pat}'))"
+    for pat in PII_PATTERNS.values()
+)
+
 
 @query(
     "docs_stratified_sample",
     oracle="""
-    SELECT doc_id, source, lang, n_chars
+    SELECT 'sample' AS branch, doc_id, source, lang, n_chars,
+           NULL::BIGINT AS n_docs, NULL::DOUBLE AS weight
     FROM documents
     WHERE md5(doc_id::VARCHAR) <
           CASE source WHEN 'src0' THEN '2' WHEN 'src1' THEN '8' ELSE '4' END
+    UNION ALL
+    SELECT 'mixture' AS branch, NULL::BIGINT AS doc_id, source,
+           NULL::VARCHAR AS lang, NULL::BIGINT AS n_chars,
+           count(*) AS n_docs,
+           round(round(sqrt(count(*)), 6)::DECIMAL(18,6)::DOUBLE
+                 / sum(round(sqrt(count(*)), 6)::DECIMAL(18,6))
+                       OVER ()::DOUBLE, 6) AS weight
+    FROM documents
+    GROUP BY source
     """,
 )
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling by md5-hex threshold per
-    stratum — the reproducible training-data sampling primitive
-    (engine-portable: the hex string of md5(key) compares identically
-    in any engine, unlike Bernoulli RNG sampling). Thresholds are hex
-    prefixes: '2' keeps 2/16 of src0 docs, '8' keeps 8/16 of src1, '4'
-    keeps 4/16 of the rest. Pure filter: pushes to the scan, no
-    shuffle, trivially parallel at any scale."""
+    """Merged sampling + data-mixture entry.
+
+    branch='sample' — deterministic stratified sampling by md5-hex
+    threshold per stratum, the reproducible training-data sampling
+    primitive (engine-portable: the hex string of md5(key) compares
+    identically in any engine, unlike Bernoulli RNG sampling).
+    Thresholds are hex prefixes: '2' keeps 2/16 of src0 docs, '8'
+    keeps 8/16 of src1, '4' keeps 4/16 of the rest. Pure filter:
+    pushes to the scan, no shuffle, trivially parallel at any scale.
+
+    branch='mixture' — temperature-scaled source sampling weights
+    (round 3): w_s = n_s^alpha / sum(n_s^alpha) with alpha=0.5, the
+    standard data-mixing upweighting of small sources. One partial-agg
+    shuffle on source; the global normalization window runs AFTER the
+    aggregate, over |sources| rows. Each per-source sqrt is rounded
+    then accumulated as DECIMAL(18,6) so the normalizing sum is exact
+    and order-independent (double summation order would differ across
+    engines)."""
     docs = load_table(spark, sf_dir, "documents")
     threshold = (
         F.when(F.col("source") == "src0", F.lit("2"))
         .when(F.col("source") == "src1", F.lit("8"))
         .otherwise(F.lit("4"))
     )
-    return docs.filter(
-        F.md5(F.col("doc_id").cast("string")) < threshold
-    ).select("doc_id", "source", "lang", "n_chars")
+    sample = (
+        docs.filter(F.md5(F.col("doc_id").cast("string")) < threshold)
+        .select(
+            F.lit("sample").alias("branch"),
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            F.lit(None).cast("long").alias("n_docs"),
+            F.lit(None).cast("double").alias("weight"),
+        )
+    )
+    num = F.round(F.sqrt(F.col("n_docs")), 6).cast("decimal(18,6)")
+    denom = F.sum(num).over(Window.partitionBy())
+    mixture = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.lit("mixture").alias("branch"),
+            F.lit(None).cast("long").alias("doc_id"),
+            "source",
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("long").alias("n_chars"),
+            "n_docs",
+            F.round(num.cast("double") / denom.cast("double"), 6).alias(
+                "weight"
+            ),
+        )
+    )
+    return sample.unionByName(mixture)
 
 
 @query(
     "docs_top_terms",
     oracle=f"""
-    SELECT term, n_occurrences, n_docs
-    FROM (
-        SELECT term,
-               count(*) AS n_occurrences,
-               count(DISTINCT doc_id) AS n_docs,
-               row_number() OVER (
-                   ORDER BY count(*) DESC, term
-               ) AS rn
+    WITH terms AS (
+        SELECT doc_id, unnest({_WORDS_SQL.format(c="text")}) AS term
+        FROM documents
+    ),
+    term_branch AS (
+        SELECT 'term' AS branch, term, NULL::BIGINT AS doc_id,
+               n_occurrences, n_docs
         FROM (
-            SELECT doc_id, unnest({_WORDS_SQL.format(c="text")}) AS term
+            SELECT term,
+                   count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs,
+                   row_number() OVER (
+                       ORDER BY count(*) DESC, term
+                   ) AS rn
+            FROM terms
+            GROUP BY term
+        )
+        WHERE rn <= 50
+    ),
+    ng AS (
+        SELECT doc_id,
+               unnest(list_distinct({_NGRAMS3_SQL.format(w="toks")})) AS ng
+        FROM (
+            SELECT doc_id, {_WORDS_SQL.format(c="text")} AS toks
             FROM documents
         )
-        GROUP BY term
+    ),
+    contam_branch AS (
+        SELECT 'contam' AS branch, NULL::VARCHAR AS term, t.doc_id,
+               count(DISTINCT t.ng) AS n_occurrences,
+               count(DISTINCT e.doc_id) AS n_docs
+        FROM ng t
+        JOIN ng e ON e.ng = t.ng AND e.doc_id < 20
+        WHERE t.doc_id >= 20
+        GROUP BY t.doc_id
     )
-    WHERE rn <= 50
-    ORDER BY n_occurrences DESC, term
+    SELECT * FROM term_branch
+    UNION ALL
+    SELECT * FROM contam_branch
     """,
 )
 def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global heavy hitters: corpus-wide term frequency + document
-    frequency, top-50 with a deterministic term tiebreak. The
+    """Merged vocabulary + benchmark-decontamination report.
+
+    branch='term' — global heavy hitters: corpus-wide term frequency +
+    document frequency, top-50 with a deterministic term tiebreak. The
     vocabulary/stopword-discovery primitive of every text pipeline.
     Explode is map-side; the groupBy shuffles once on term with
     partial aggregation, and the top-50 is TakeOrderedAndProject over
     the (small) per-term aggregate — no global sort. At skewed corpora
     the term key can be salted (operators/skew.py) without changing
-    results."""
+    results.
+
+    branch='contam' — n-gram benchmark contamination (round 3): flag
+    every training doc (doc_id >= 20) sharing a distinct word 3-gram
+    with the held-out eval set (doc_id < 20), with n_occurrences =
+    shared distinct 3-grams and n_docs = distinct eval docs matched.
+    The eval side is tiny by construction (a benchmark suite), so its
+    hashed n-grams BROADCAST; the train side explodes map-side and
+    aggregates with one shuffle on doc_id. 3-grams are the
+    fixture-scale knob — production decontamination uses 8-13-gram
+    hashes, same plan shape (the md5 join key keeps rows narrow either
+    way)."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(
         "doc_id", F.explode(words_of(F.col("text"))).alias("term")
@@ -512,11 +604,46 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
-    return (
+    top = (
         agg.orderBy(F.desc("n_occurrences"), F.asc("term"))
         .limit(50)
-        .select("term", "n_occurrences", "n_docs")
+        .select(
+            F.lit("term").alias("branch"),
+            "term",
+            F.lit(None).cast("long").alias("doc_id"),
+            "n_occurrences",
+            "n_docs",
+        )
     )
+
+    def doc_ngrams(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_ngrams(words_of(F.col("text")), 3))
+            ).alias("ng"),
+        ).select("doc_id", F.md5("ng").alias("h"))
+
+    eval_ng = doc_ngrams(docs.filter(F.col("doc_id") < 20)).select(
+        F.col("doc_id").alias("eval_id"), "h"
+    )
+    train_ng = doc_ngrams(docs.filter(F.col("doc_id") >= 20))
+    contam = (
+        train_ng.join(F.broadcast(eval_ng), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_occurrences"),
+            F.countDistinct("eval_id").alias("n_docs"),
+        )
+        .select(
+            F.lit("contam").alias("branch"),
+            F.lit(None).cast("string").alias("term"),
+            "doc_id",
+            "n_occurrences",
+            "n_docs",
+        )
+    )
+    return top.unionByName(contam)
 
 
 _IVF_SEEDED_ORACLE = """
@@ -665,27 +792,45 @@ _LANG_HITS = {
                list_transform(list_distinct(toks), w -> md5(w)) AS md5s,
                len(list_distinct(toks)) AS nd
         FROM toks
+    ),
+    profile AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               round(length(array_to_string(toks, '')) / len(toks)::DOUBLE, 6)
+                   AS avg_token_len,
+               round(len(list_filter(toks, x -> list_contains(
+                         ['the', 'a', 'of', 'and', 'in', 'to', 'is'], x)))
+                     / len(toks)::DOUBLE, 6) AS stopword_ratio,
+               round(least(1.0, len(toks) / 200.0)
+                     * (1.0 - len(list_filter(toks, x -> list_contains(
+                           ['the', 'a', 'of', 'and', 'in', 'to', 'is'], x)))
+                       / len(toks)::DOUBLE), 6) AS quality_score,
+               CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}'))
+                    AS BIGINT) AS n_bpe_tokens,
+               CASE WHEN len(ngrams) > 0
+                    THEN list_min(list_transform(ngrams, s -> md5(s)))
+                    ELSE md5(text) END AS fingerprint,
+               CAST({_SIMHASH_LIST_EXPR} AS BIGINT) AS simhash,
+               CASE WHEN {_LANG_HITS["en_hits"]} >= {_LANG_HITS["it_hits"]}
+                    THEN 'en' ELSE 'it' END AS guessed_lang,
+               CASE WHEN len(ngrams) > 0
+                    THEN round(1.0 - len(list_distinct(ngrams))
+                               / len(ngrams)::DOUBLE, 6)
+                    ELSE 0.0 END AS dup_3gram_frac,
+               round(len(list_filter(toks,
+                         x -> regexp_full_match(x, '[0-9]+')))
+                     / len(toks)::DOUBLE, 6) AS digit_token_frac,
+               CAST({_PII_HITS_SQL} AS BIGINT) AS n_pii_hits
+        FROM arrs
     )
-    SELECT doc_id, lang, n_chars,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           round(length(array_to_string(toks, '')) / len(toks)::DOUBLE, 6)
-               AS avg_token_len,
-           round(len(list_filter(toks, x -> list_contains(
-                     ['the', 'a', 'of', 'and', 'in', 'to', 'is'], x)))
-                 / len(toks)::DOUBLE, 6) AS stopword_ratio,
-           round(least(1.0, len(toks) / 200.0)
-                 * (1.0 - len(list_filter(toks, x -> list_contains(
-                       ['the', 'a', 'of', 'and', 'in', 'to', 'is'], x)))
-                   / len(toks)::DOUBLE), 6) AS quality_score,
-           CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}'))
-                AS BIGINT) AS n_bpe_tokens,
-           CASE WHEN len(ngrams) > 0
-                THEN list_min(list_transform(ngrams, s -> md5(s)))
-                ELSE md5(text) END AS fingerprint,
-           CAST({_SIMHASH_LIST_EXPR} AS BIGINT) AS simhash,
-           CASE WHEN {_LANG_HITS["en_hits"]} >= {_LANG_HITS["it_hits"]}
-                THEN 'en' ELSE 'it' END AS guessed_lang
-    FROM arrs
+    SELECT *,
+           (n_tokens BETWEEN 5 AND 10000
+            AND avg_token_len BETWEEN 2.0 AND 12.0
+            AND stopword_ratio >= 0.01
+            AND dup_3gram_frac <= 0.5
+            AND digit_token_frac <= 0.5
+            AND n_pii_hits = 0) AS passes_quality
+    FROM profile
     """,
 )
 def docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,8 +841,13 @@ def docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.simhash16_expr — the expression form: no explode/groupBy),
     and bigram-profile language ID via per-bigram regexp_count (the
     profile bigrams all have distinct characters, so non-overlapping
-    counts equal the positional counts). Zero shuffles, zero joins —
-    the whole profile is map-side and scales embarrassingly.
+    counts equal the positional counts). Round-3 additions: the
+    pre-training quality-filter signals (Gopher/C4-shaped) —
+    intra-document repetition as duplicate-3-gram fraction, digit-token
+    fraction, PII pattern hits (functions.text.pii_count), and a
+    composite ``passes_quality`` keep/drop gate over the computed
+    signals. Zero shuffles, zero joins — the whole profile is map-side
+    and scales embarrassingly.
     Subsumes the r1 queries docs_token_stats +
     docs_bpe_token_counts + docs_fingerprint + docs_simhash +
     docs_lang_id."""
@@ -721,7 +871,7 @@ def docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     it_hits = sum(
         (F.regexp_count(lowered, F.lit(b)) for b in _IT_BIGRAMS), F.lit(0)
     )
-    return stage2.select(
+    profile = stage2.select(
         "doc_id",
         "lang",
         "n_chars",
@@ -748,6 +898,30 @@ def docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(en_hits >= it_hits, F.lit("en"))
         .otherwise(F.lit("it"))
         .alias("guessed_lang"),
+        F.when(
+            F.size("ngrams") > 0,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("ngrams"))
+                / F.size("ngrams").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_frac"),
+        F.round(
+            F.size(F.filter("toks", lambda x: x.rlike("^[0-9]+$"))) / n_tok, 6
+        ).alias("digit_token_frac"),
+        pii_count(F.col("text")).alias("n_pii_hits"),
+    )
+    return profile.withColumn(
+        "passes_quality",
+        F.col("n_tokens").between(5, 10000)
+        & F.col("avg_token_len").between(2.0, 12.0)
+        & (F.col("stopword_ratio") >= 0.01)
+        & (F.col("dup_3gram_frac") <= 0.5)
+        & (F.col("digit_token_frac") <= 0.5)
+        & (F.col("n_pii_hits") == 0),
     )
 
 
