@@ -65,10 +65,25 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column, scale: int = 6) -> Column:
+def cosine(
+    a: Column,
+    b: Column,
+    scale: int = 6,
+    norm_a: Column | None = None,
+    norm_b: Column | None = None,
+) -> Column:
     """Cosine similarity rounded so summation-order ulps can't flip
-    downstream rankings."""
-    return F.round(dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))), scale)
+    downstream rankings.
+
+    ``norm_a``/``norm_b`` accept a PRE-COMPUTED ``sqrt(dot(x, x))``
+    column: in pairwise stages each row's self-norm is otherwise
+    re-evaluated once per PAIR (cluster_size times per vector in the
+    semantic-dedup prune join). The precomputed column is the
+    identical in-engine expression, so the quotient — and therefore
+    the rounded value — is bit-identical."""
+    na = norm_a if norm_a is not None else F.sqrt(dot(a, a))
+    nb = norm_b if norm_b is not None else F.sqrt(dot(b, b))
+    return F.round(dot(a, b) / (na * nb), scale)
 
 
 def as_double_vec(col: Column) -> Column:
@@ -94,16 +109,22 @@ def brute_force_knn(
     vec_col: str = "v",
     k: int = 5,
 ) -> DataFrame:
-    """Exact top-k by cosine; queries broadcast, corpus streamed."""
+    """Exact top-k by cosine; queries broadcast, corpus streamed.
+    Each corpus row's self-norm is computed once, not once per query."""
     from pyspark.sql.window import Window
 
     scored = (
-        corpus.crossJoin(F.broadcast(queries))
+        corpus.withColumn(
+            "__nc", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+        )
+        .crossJoin(F.broadcast(queries))
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             F.col(id_col).alias("neighbor_id"),
-            cosine(F.col("qv"), F.col(vec_col)).alias("cosine"),
+            cosine(
+                F.col("qv"), F.col(vec_col), norm_b=F.col("__nc")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -394,6 +415,8 @@ def semantic_dedup(
     count ~n/target_cluster_size exactly like IVF cells, and tileable
     with blocked_self_join_pairs if a cluster saturates."""
     cents = centroids.select("cell_id", "sv").collect()
+    # Row self-norm computed ONCE per vector (not once per centroid);
+    # each centroid's self-dot is a constant Catalyst folds away.
     best = F.array_max(
         F.array(
             *[
@@ -401,6 +424,7 @@ def semantic_dedup(
                     cosine(
                         F.col(vec_col),
                         F.array(*[F.lit(float(x)) for x in row["sv"]]),
+                        norm_a=F.col("__nv"),
                     ).alias("c"),
                     F.lit(-int(row["cell_id"])).alias("neg_cell"),
                 )
@@ -409,7 +433,10 @@ def semantic_dedup(
         )
     )
     assigned = (
-        emb.withColumn("__best", best)
+        emb.withColumn(
+            "__nv", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+        )
+        .withColumn("__best", best)
         .select(
             F.col(id_col),
             F.col(vec_col),
@@ -437,11 +464,13 @@ def semantic_dedup_assigned(
         F.col(id_col).alias("__id_a"),
         F.col(cell_col).alias("cell_id"),
         F.col(vec_col).alias("__va"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__na"),
     )
     b = assigned.select(
         F.col(id_col).alias("__id_b"),
         F.col(cell_col).alias("cell_id"),
         F.col(vec_col).alias("__vb"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nb"),
     )
     pairs = (
         a.join(b, "cell_id")
@@ -450,7 +479,12 @@ def semantic_dedup_assigned(
             "cell_id",
             "__id_a",
             "__id_b",
-            cosine(F.col("__va"), F.col("__vb")).alias("cosine"),
+            cosine(
+                F.col("__va"),
+                F.col("__vb"),
+                norm_a=F.col("__na"),
+                norm_b=F.col("__nb"),
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= min_cosine)
     )
