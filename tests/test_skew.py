@@ -64,3 +64,49 @@ def test_sql_surface(spark):
         "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
     )
     assert df.count() == 5
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """AQE's runtime skew-join split is the engine's first line of
+    defense (salting in operators/skew.py is the manual fallback for
+    single-key aggregation skew AQE cannot split). This pins that the
+    session's AQE config actually engages it: a join whose shuffle
+    puts ~83% of rows in one partition must come back with the
+    SortMergeJoin marked skew=true and a skewed AQEShuffleRead —
+    i.e. the hot partition was split across tasks, not processed by
+    one straggler. Thresholds are lowered to make the fixture 'big';
+    production uses the defaults (256 MB advisory)."""
+    scoped = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    try:
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        fact = spark.range(0, 600_000).select(
+            F.when(F.col("id") < 500_000, F.lit(7))
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.concat(F.lit("padpadpadpadpadpadpad-"), F.col("id")).alias(
+                "payload"
+            ),
+        )
+        dim = spark.range(0, 97).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("dval")
+        )
+        joined = fact.join(dim, "k")
+        assert len(joined.collect()) == 600_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "AQEShuffleRead coalesced and skewed" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

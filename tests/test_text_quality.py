@@ -206,3 +206,47 @@ def test_mixture_weights_are_temperature_scaled(spark, tmp_path):
     assert mix["small"][1] == pytest.approx(0.333333, abs=1e-6)
     # Upweighting: the small source gets MORE than its 20% natural share.
     assert mix["small"][1] > 25 / 125
+
+
+def test_pack_chunks_budget_binning_invariants(spark):
+    """pack_chunks: per-shard layout order, exact next-fit-approx
+    definition, and the bounded-overflow guarantee."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.chunking import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    rows = [
+        (i, " ".join(f"w{i}t{j}" for j in range(11 + (i * 7) % 90)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+    capacity, n_shards = 100, 4
+    packed = pack_chunks(
+        chunks, capacity=capacity, n_shards=n_shards
+    ).collect()
+
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        assert r["shard_id"] == r["doc_id"] % n_shards
+        by_shard.setdefault(r["shard_id"], []).append(r)
+
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r["doc_id"], r["chunk_idx"]))
+        run = 0
+        totals: dict[int, int] = {}
+        for r in rs:
+            expected = run // capacity
+            assert r["pack_id"] == expected, (shard, r)
+            run += r["n_chunk_tokens"]
+            totals[r["pack_id"]] = (
+                totals.get(r["pack_id"], 0) + r["n_chunk_tokens"]
+            )
+        # Non-final bins overflow by at most one chunk and are at
+        # least capacity minus one chunk full (no fragmentation).
+        last = max(totals)
+        for pid, tot in totals.items():
+            assert tot < capacity + 32, (shard, pid, tot)
+            if pid != last:
+                assert tot > capacity - 32, (shard, pid, tot)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from travelpulse_spark_stream_tourism_analytics_spark.functions.text import words_of
 
@@ -55,4 +56,46 @@ def chunk_documents(
         ).alias("chunk_uid"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "n_chunk_tokens",
+    capacity: int = 1024,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Sequence packing: assign chunks to fixed-token-budget bins.
+
+    The training-sample packing step — chunks are laid out in a
+    deterministic order (doc_id, chunk_idx) inside each hash shard
+    (``doc_id % n_shards``) and binned by running token total:
+    ``pack_id = floor(tokens_before_this_chunk / capacity)``. This is
+    the distributed approximation of sequential next-fit: bins are
+    contiguous and ordered, and a bin's total can exceed ``capacity``
+    only by its final chunk (< chunk_tokens), which real pipelines
+    absorb as truncation/padding slack. Exact next-fit (carry the
+    remainder into the next bin decision) is inherently sequential;
+    this closed form needs only a per-shard running sum.
+
+    Scale shape: the window partitions by shard — pick ``n_shards`` ~
+    corpus_tokens / shard_budget so each shard is one output file's
+    worth, exactly how packed training shards are written. No global
+    order, no single-partition window.
+    """
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy(F.col(id_col), F.col(idx_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(tokens_col).over(w)
+    return chunks.withColumn(
+        "shard_id", (F.col(id_col) % n_shards).cast("long")
+    ).withColumn(
+        "pack_id",
+        F.floor((run - F.col(tokens_col)) / F.lit(float(capacity))).cast(
+            "long"
+        ),
     )

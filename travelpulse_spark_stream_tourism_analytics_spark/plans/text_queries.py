@@ -1306,23 +1306,42 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
                    generate_series(1, greatest(len(toks) - 16, 1), 48), 1) - 1
                    AS chunk_idx
         FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               md5(doc_id || ':' || chunk_idx) AS chunk_uid,
+               array_to_string(toks[start:start + 63], ' ') AS chunk_text,
+               CAST(len(toks[start:start + 63]) AS BIGINT) AS n_chunk_tokens
+        FROM starts
     )
-    SELECT doc_id,
-           CAST(chunk_idx AS BIGINT) AS chunk_idx,
-           md5(doc_id || ':' || chunk_idx) AS chunk_uid,
-           array_to_string(toks[start:start + 63], ' ') AS chunk_text,
-           CAST(len(toks[start:start + 63]) AS BIGINT) AS n_chunk_tokens
-    FROM starts
+    SELECT *,
+           doc_id % 8 AS shard_id,
+           CAST(floor((sum(n_chunk_tokens) OVER (
+                           PARTITION BY doc_id % 8
+                           ORDER BY doc_id, chunk_idx
+                           ROWS UNBOUNDED PRECEDING
+                       ) - n_chunk_tokens) / 1024.0) AS BIGINT) AS pack_id
+    FROM chunks
     """,
 )
 def docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (64-token chunks, 16-token
     overlap, stride 48) — the document -> training-sample preprocessing
     step (operators/chunking.py). One scan, map-side explode, stable
-    content-independent chunk ids; the whole op is shuffle-free."""
+    content-independent chunk ids; the chunking itself is shuffle-free.
+    Round 3 adds the next step, sequence packing
+    (operators/chunking.pack_chunks): chunks are binned into
+    1024-token training sequences by a per-shard running token sum (8
+    hash shards, one shuffle on shard_id) — the distributed
+    approximation of next-fit packing, see the operator docstring."""
     from travelpulse_spark_stream_tourism_analytics_spark.operators.chunking import (
         chunk_documents,
+        pack_chunks,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+    chunks = chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, overlap=16
+    )
+    return pack_chunks(chunks, capacity=1024, n_shards=8)
