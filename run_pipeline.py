@@ -122,17 +122,61 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
     return stats
 
 
+def run_curate(spark, docs_path: str, out_dir: str) -> dict:
+    """Batch corpus curation (``--mode curate``): documents (a parquet
+    dir/file or JSONL dir with {doc_id, text}) flow through the
+    quality gate -> PII redaction -> exact dedup -> chunking ->
+    sequence packing chain (operators/curate.py) and land as packed
+    training samples, one parquet partition tree per shard — the
+    file-per-shard layout a trainer's data loader reads. Returns
+    {'docs': in, 'kept': post-gate-and-dedup, 'samples': chunks,
+    'packs': bins}."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    if any(
+        name.endswith((".json", ".jsonl"))
+        for name in os.listdir(docs_path)
+        if os.path.isfile(os.path.join(docs_path, name))
+    ):
+        docs = spark.read.schema("doc_id long, text string").json(docs_path)
+    else:
+        table = os.path.join(docs_path, "documents.parquet")
+        docs = spark.read.parquet(
+            table if os.path.exists(table) else docs_path
+        )
+    packed = curate_corpus(docs)
+    packed.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
+    out = spark.read.parquet(out_dir)
+    agg = out.agg(
+        F.count("*").alias("samples"),
+        F.countDistinct("doc_id").alias("kept"),
+        F.countDistinct("shard_id", "pack_id").alias("packs"),
+    ).collect()[0]
+    return {
+        "docs": docs.count(),
+        "kept": agg["kept"],
+        "samples": agg["samples"],
+        "packs": agg["packs"],
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode",
-        choices=["kpis", "dedup"],
+        choices=["kpis", "dedup", "curate"],
         default="kpis",
         help="kpis: the 16-query tourism topology; dedup: streaming "
         "document near-dup verdicts (--path is a JSONL docs dir, "
-        "--out the verdict parquet)",
+        "--out the verdict parquet); curate: batch gate->redact->"
+        "dedup->chunk->pack over a documents dir (--path) into packed "
+        "training-sample parquet (--out)",
     )
-    ap.add_argument("--out", help="output dir for --mode dedup verdicts")
+    ap.add_argument("--out", help="output dir for --mode dedup/curate")
     ap.add_argument(
         "--source", choices=["kafka", "file", "kafka-replay"], default="file"
     )
@@ -152,6 +196,17 @@ def main() -> None:
 
     spark = get_spark("travelpulse-pipeline")
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.mode == "curate":
+        if not args.path or not args.out:
+            ap.error("--mode curate requires --path (docs dir) and --out")
+        stats = run_curate(spark, args.path, args.out)
+        print(
+            f">>> curated; {stats['docs']} docs in, {stats['kept']} kept, "
+            f"{stats['samples']} packed samples in {stats['packs']} "
+            f"sequences -> {args.out}"
+        )
+        return
 
     if args.mode == "dedup":
         if not args.path or not args.out:

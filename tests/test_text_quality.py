@@ -250,3 +250,71 @@ def test_pack_chunks_budget_binning_invariants(spark):
             assert tot < capacity + 32, (shard, pid, tot)
             if pid != last:
                 assert tot > capacity - 32, (shard, pid, tot)
+
+
+def test_curate_corpus_chain(spark):
+    """Gate -> redact -> dedup -> chunk -> pack end to end: low-quality
+    and PII docs are dropped/redacted, exact dupes collapse to the
+    lowest id, survivors come out chunked and packed."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.curate import (
+        curate_corpus,
+        quality_signals,
+    )
+
+    base = "the quick brown fox jumps over a lazy dog and runs to the river "
+    docs = [
+        (0, base + "variant one ending"),
+        (1, base + "variant one ending"),     # exact dup of 0 -> dropped
+        (2, base + "another distinct ending"),
+        (3, "too short"),                      # gate: n_tokens < 5
+        (4, " ".join(["spam"] * 60)),          # gate: repetition
+        # PII redacts away; text otherwise identical to doc 2 AFTER
+        # redaction is NOT possible here (different spans), so it stays.
+        (5, base + "mail jane@corp.com for details"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # Raw gate: the PII doc fails as-is; the curation chain redacts
+    # BEFORE gating, so it survives curation below.
+    sig = {r["doc_id"]: r["passes_quality"] for r in quality_signals(df).collect()}
+    assert sig == {0: True, 1: True, 2: True, 3: False, 4: False, 5: False}
+
+    packed = curate_corpus(
+        df, chunk_tokens=16, overlap=4, capacity=64, n_shards=2
+    )
+    rows = packed.collect()
+    kept_docs = {r["doc_id"] for r in rows}
+    assert kept_docs == {0, 2, 5}
+    # Redaction happened before chunking: no raw address in any chunk.
+    all_text = " ".join(r["chunk_text"] for r in rows)
+    assert "jane" not in all_text and "corp.com" not in all_text
+    assert "email" in all_text  # words_of-tokenized <EMAIL> placeholder
+    # Packing metadata is present and within shard bounds.
+    assert {r["shard_id"] for r in rows} <= {0, 1}
+    assert all(r["pack_id"] >= 0 for r in rows)
+
+
+def test_curate_cli_mode(spark, tmp_path):
+    """The run_pipeline --mode curate surface over a JSONL docs dir."""
+    import json as _json
+
+    import run_pipeline
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    base = "the quick brown fox jumps over a lazy dog near the river "
+    with open(docs_dir / "part-0.jsonl", "w") as f:
+        for i in range(20):
+            f.write(
+                _json.dumps({"doc_id": i, "text": base + f"doc {i} tail"})
+                + "\n"
+            )
+        f.write(_json.dumps({"doc_id": 99, "text": "too short"}) + "\n")
+    out = tmp_path / "packed"
+    stats = run_pipeline.run_curate(spark, str(docs_dir), str(out))
+    assert stats["docs"] == 21
+    assert stats["kept"] == 20          # the short doc is gated out
+    assert stats["samples"] >= 20
+    assert stats["packs"] >= 1
+    # Output is the shard-partitioned layout.
+    assert any(p.name.startswith("shard_id=") for p in out.iterdir())

@@ -1,0 +1,120 @@
+"""End-to-end corpus curation: gate -> redact -> dedup -> chunk -> pack.
+
+The batch spine of a training-data ingest, composed from the engine's
+oracled operators (each stage is independently hash-checked through
+the catalog; this module only sequences them):
+
+1. PII redaction (functions/text.redact_pii) — redact-then-gate, so a
+   doc is dropped for its content quality, not for containing an
+   address we can scrub; the gate's PII term still guards residual
+   unredacted spans
+2. quality signals + keep/drop gate over the REDACTED text
+   (plans/text_queries docs_text_profile columns;
+   operators/quality.QUALITY_GATE bounds)
+3. exact dedup on the redacted text, keep lowest doc_id
+   (two docs differing only in redacted spans are the same sample)
+4. overlapping token-window chunking (operators/chunking)
+5. fixed-token-budget sequence packing (operators/chunking.pack_chunks)
+
+Scale: stages 1-2 are zero-shuffle projections fused into the scan;
+stage 3 is one shuffle on md5(text); stage 4 is map-side; stage 5 is
+one shuffle on shard_id. Four stages, two shuffles total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+    pii_count,
+    redact_pii,
+    word_ngrams,
+    words_of,
+)
+from travelpulse_spark_stream_tourism_analytics_spark.operators.chunking import (
+    chunk_documents,
+    pack_chunks,
+)
+from travelpulse_spark_stream_tourism_analytics_spark.operators.quality import (
+    passes_quality_expr,
+)
+
+_STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
+
+
+def quality_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The gate's input signals as columns (same definitions as the
+    oracled docs_text_profile columns), plus ``passes_quality``."""
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    toks = words_of(F.col(text_col))
+    staged = docs.select(
+        "*",
+        toks.alias("__toks"),
+        word_ngrams(toks, 3).alias("__ngrams"),
+    )
+    n_tok = F.size("__toks").cast("double")
+    n_stop = F.size(F.filter("__toks", lambda x: F.array_contains(stop, x)))
+    return staged.select(
+        *docs.columns,
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.length(F.concat_ws("", F.col("__toks"))) / n_tok, 6
+        ).alias("avg_token_len"),
+        F.round(n_stop / n_tok, 6).alias("stopword_ratio"),
+        F.when(
+            F.size("__ngrams") > 0,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("__ngrams"))
+                / F.size("__ngrams").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_frac"),
+        F.round(
+            F.size(F.filter("__toks", lambda x: x.rlike("^[0-9]+$"))) / n_tok,
+            6,
+        ).alias("digit_token_frac"),
+        pii_count(F.col(text_col)).alias("n_pii_hits"),
+    ).withColumn("passes_quality", passes_quality_expr())
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    capacity: int = 1024,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Run the full curation chain; returns packed training samples
+    (doc_id, chunk_idx, chunk_uid, chunk_text, n_chunk_tokens,
+    shard_id, pack_id) from the kept, redacted, deduped corpus."""
+    scrubbed = docs.select(
+        F.col(id_col), redact_pii(F.col(text_col)).alias(text_col)
+    )
+    redacted = (
+        quality_signals(scrubbed, id_col, text_col)
+        .filter(F.col("passes_quality"))
+        .select(id_col, text_col)
+    )
+    keep = (
+        redacted.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        .agg(F.min(F.col(id_col)).alias(id_col))
+        .drop("__h")
+    )
+    unique = redacted.join(keep, id_col, "left_semi")
+    chunks = chunk_documents(
+        unique, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
+    )
+    return pack_chunks(
+        chunks,
+        id_col=id_col,
+        capacity=capacity,
+        n_shards=n_shards,
+    )

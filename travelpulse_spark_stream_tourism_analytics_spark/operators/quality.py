@@ -42,3 +42,42 @@ def top_missing_report(
         .orderBy(F.desc("missing_count"), F.desc(rank_col), *[F.asc(c) for c in id_cols])
         .limit(n)
     )
+
+
+# --- Pre-training text quality gate (round 3) ----------------------------
+
+# One source of truth for the Gopher/C4-shaped keep/drop bounds; the
+# docs_text_profile catalog oracle mirrors these numbers in SQL.
+QUALITY_GATE = {
+    "min_tokens": 5,
+    "max_tokens": 10_000,
+    "min_avg_token_len": 2.0,
+    "max_avg_token_len": 12.0,
+    "min_stopword_ratio": 0.01,
+    "max_dup_3gram_frac": 0.5,
+    "max_digit_token_frac": 0.5,
+    "max_pii_hits": 0,
+}
+
+
+def passes_quality_expr(
+    n_tokens: Column | str = "n_tokens",
+    avg_token_len: Column | str = "avg_token_len",
+    stopword_ratio: Column | str = "stopword_ratio",
+    dup_3gram_frac: Column | str = "dup_3gram_frac",
+    digit_token_frac: Column | str = "digit_token_frac",
+    n_pii_hits: Column | str = "n_pii_hits",
+) -> Column:
+    """Composite keep/drop gate over the computed quality signals."""
+    g = QUALITY_GATE
+    col = lambda c: F.col(c) if isinstance(c, str) else c  # noqa: E731
+    return (
+        col(n_tokens).between(g["min_tokens"], g["max_tokens"])
+        & col(avg_token_len).between(
+            g["min_avg_token_len"], g["max_avg_token_len"]
+        )
+        & (col(stopword_ratio) >= g["min_stopword_ratio"])
+        & (col(dup_3gram_frac) <= g["max_dup_3gram_frac"])
+        & (col(digit_token_frac) <= g["max_digit_token_frac"])
+        & (col(n_pii_hits) <= g["max_pii_hits"])
+    )

@@ -914,15 +914,11 @@ def docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("digit_token_frac"),
         pii_count(F.col("text")).alias("n_pii_hits"),
     )
-    return profile.withColumn(
-        "passes_quality",
-        F.col("n_tokens").between(5, 10000)
-        & F.col("avg_token_len").between(2.0, 12.0)
-        & (F.col("stopword_ratio") >= 0.01)
-        & (F.col("dup_3gram_frac") <= 0.5)
-        & (F.col("digit_token_frac") <= 0.5)
-        & (F.col("n_pii_hits") == 0),
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.quality import (
+        passes_quality_expr,
     )
+
+    return profile.withColumn("passes_quality", passes_quality_expr())
 
 
 @query(
