@@ -317,3 +317,46 @@ def test_runtime_bloom_filter_injects_on_shuffle_joins(spark):
             old_scan,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+
+
+def test_dynamic_partition_pruning_injects_on_dim_filtered_join(
+    spark, tmp_path
+):
+    """A partitioned fact joined to a selectively-filtered dim must get
+    a runtime dynamicpruningexpression on its PartitionFilters — at
+    100 TB this is what keeps a fact-dim join from scanning every
+    partition when the dim filter only selects a few. Gotcha pinned
+    here: the dim predicate must be one Spark considers 'likely
+    selective' (comparison/IN/LIKE) — a bare boolean attribute filter
+    does NOT qualify and silently skips DPP."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 100_000).select(
+        (F.col("id") % 20).alias("day"), F.col("id").alias("v")
+    )
+    fact.write.mode("overwrite").partitionBy("day").parquet(
+        str(tmp_path / "fact")
+    )
+    dim = spark.range(0, 20).select(
+        F.col("id").alias("day"),
+        F.when(F.col("id") % 3 == 0, "keep").otherwise("drop").alias("grp"),
+    )
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    dm = (
+        spark.read.parquet(str(tmp_path / "dim"))
+        .filter(F.col("grp") == "keep")
+        .select(F.col("day").cast("int").alias("day"))
+    )
+    j = f.join(dm, "day")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression" in plan, plan
+    # The pruning subquery hangs off the fact scan's PartitionFilters.
+    pf_line = plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert "dynamicpruning" in pf_line
+    # 7 of 20 days survive the dim filter.
+    assert j.count() == 7 * 5_000
