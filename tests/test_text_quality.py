@@ -318,3 +318,65 @@ def test_curate_cli_mode(spark, tmp_path):
     assert stats["packs"] >= 1
     # Output is the shard-partitioned layout.
     assert any(p.name.startswith("shard_id=") for p in out.iterdir())
+
+
+def test_tfidf_top_keywords_semantics_and_duckdb_parity(spark, tmp_path):
+    """tf-idf ranks distinctive terms above ubiquitous ones, and the
+    whole result matches a DuckDB twin value-for-value."""
+    import duckdb
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.keywords import (
+        tfidf_top_keywords,
+    )
+
+    docs = [
+        (0, "common words plus whale whale whale"),
+        (1, "common words plus galaxy"),
+        (2, "common words plus glacier glacier"),
+        (3, "common words plus whale once"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = tfidf_top_keywords(df, top_k=2)
+    rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+
+    # Distinctive terms win their documents; 'common' (df=4, idf=ln(5/5)=0)
+    # scores zero and never outranks them.
+    assert rows[(0, 1)]["term"] == "whale"
+    assert rows[(1, 1)]["term"] == "galaxy"
+    assert rows[(2, 1)]["term"] == "glacier"
+    assert rows[(3, 1)]["term"] == "once"  # df=1 beats whale's df=2
+    assert rows[(3, 2)]["term"] == "whale"
+
+    df.write.mode("overwrite").parquet(str(tmp_path / "d.parquet"))
+    con = duckdb.connect()
+    oracle = con.execute(
+        f"""
+        WITH terms AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS term
+            FROM '{tmp_path}/d.parquet/*.parquet'
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM terms GROUP BY 1, 2),
+        dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+                   round(tf.tf * ln(5.0 / (dfx.df + 1.0)), 6) AS tfidf
+            FROM tf JOIN dfx USING (term)
+        )
+        SELECT doc_id, rank, term, tf, df, tfidf FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term
+            ) AS rank FROM scored
+        ) WHERE rank <= 2
+        """
+    ).df()
+    got = out.toPandas()
+    cols = ["doc_id", "rank", "term", "tf", "df", "tfidf"]
+    got = got[cols].sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    want = (
+        oracle[cols].sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    )
+    for c in cols:
+        assert got[c].astype(want[c].dtype).equals(want[c]), c
