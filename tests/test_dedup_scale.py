@@ -393,3 +393,92 @@ def test_semantic_dedup_with_kmeans_quantizer(spark):
     }
     for i in range(6):
         assert out[1000000 + i] == (i, 1.0)
+
+
+def test_pq_adc_shortlist_plus_rerank_recovers_exact_topk(spark):
+    """Product quantization end to end: codebooks are plan constants,
+    codes are 8 bytes/vector (32x smaller than float32), ADC search is
+    pure exprs over the codes, and the production composition —
+    ADC shortlist then exact re-rank of shortlist only — recovers the
+    exact top-5 at high recall."""
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators import (
+        similarity as S,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", S.as_double_vec(F.col("embedding")).alias("v")
+    )
+    books = S.pq_codebooks(emb, "v", m=8, k=256, seed=7)
+    assert len(books) == 8 and books[0].shape == (256, 8)
+
+    codes = S.pq_encode(emb, "vec_id", "v", books)
+    first = codes.first()
+    assert len(first["codes"]) == 8  # 8 one-byte codes vs 64 floats
+    assert all(0 <= c < 256 for c in first["codes"])
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    shortlist = S.pq_search_adc(
+        codes, books, queries, "vec_id", "query_id", k=50
+    )
+
+    # Exact ground truth (numpy, small fixture corpus).
+    rows = emb.orderBy("vec_id").collect()
+    X = np.array([r["v"] for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    idx = {int(i): n for n, i in enumerate(ids)}
+    exact = {}
+    for q in range(5):
+        d = ((X - X[idx[q]]) ** 2).sum(axis=1)
+        d[idx[q]] = np.inf
+        exact[q] = [int(i) for i in ids[np.argsort(d)[:5]]]
+
+    got_short = {}
+    for r in shortlist.collect():
+        got_short.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    short_recall = np.mean(
+        [len(set(exact[q]) & got_short[q]) / 5 for q in range(5)]
+    )
+    assert short_recall >= 0.8, short_recall
+
+    # Re-rank the shortlist with exact distances (tiny join: 50 rows
+    # per query) — final top-5 must match the exact answer wherever
+    # the shortlist contained it.
+    rerank = (
+        shortlist.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "v"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                S.dot(F.col("qv"), F.col("qv"))
+                - 2 * S.dot(F.col("qv"), F.col("v"))
+                + S.dot(F.col("v"), F.col("v")),
+                6,
+            ).alias("l2sq"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("l2sq"), F.asc("neighbor_id")
+    )
+    final = (
+        rerank.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    )
+    got_final = {}
+    for r in final:
+        got_final.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    final_recall = np.mean(
+        [len(set(exact[q]) & set(got_final[q])) / 5 for q in range(5)]
+    )
+    assert final_recall >= short_recall - 1e-9
+    assert final_recall >= 0.8, final_recall

@@ -500,3 +500,154 @@ def semantic_dedup_assigned(
             F.col("m.cosine").alias("cosine"),
         )
     )
+
+
+# --- Product quantization (round 3) --------------------------------------
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    vec_col: str = "v",
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    sample_limit: int = 10_000,
+) -> list:
+    """Fit per-subspace codebooks for product quantization.
+
+    Splits the dimension into ``m`` contiguous subspaces and runs a
+    seeded Lloyd's k-means (numpy, driver-side) on a bounded sample of
+    each — codebooks are tiny plan constants exactly like IVF
+    centroids and LSH planes, so the fit cost is O(sample), never
+    O(corpus). Returns a list of m (k x d/m) float arrays.
+    """
+    import numpy as np
+
+    sample = np.array(
+        [r[0] for r in emb.select(vec_col).limit(sample_limit).collect()]
+    )
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        x = sample[:, j * sub : (j + 1) * sub]
+        cents = x[rng.choice(len(x), size=k, replace=False)].copy()
+        for _ in range(15):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                pts = x[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(axis=0)
+        books.append(cents)
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list,
+) -> DataFrame:
+    """Encode vectors to m small codes (nearest centroid per
+    subspace) — the 4-bit/8-bit-per-subspace representation that cuts
+    vector storage ~32-64x. Vectorized numpy over ``mapInPandas``
+    (per-row argmin over m*k centroids is the designed Pandas-UDF
+    site; everything downstream of the codes stays in pure exprs)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = codebooks[0].shape[1]
+    books = [b.copy() for b in codebooks]
+    out_schema = f"{id_col} long, codes array<int>"
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist())
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "codes": list(codes)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def pq_search_adc(
+    codes_df: DataFrame,
+    codebooks: list,
+    queries: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    qvec_col: str = "qv",
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes.
+
+    Per query, the m x k table of exact subspace distances to every
+    centroid is precomputed driver-side (queries are few by the same
+    bounded contract as ivf_knn) and shipped as a literal column; a
+    corpus row's approximate L2^2 is then just m table lookups summed
+    — `aggregate(zip_with(codes, tables, (c, t) -> t[c+1]))`, pure
+    JVM-side exprs over the 32-64x-smaller codes, no decode, no float
+    vectors streaming through the join. Distances round at 1e-6 before
+    ranking; ties break on the neighbor id."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    m = len(codebooks)
+    sub = codebooks[0].shape[1]
+    rows = []
+    for r in queries.collect():
+        qv = np.array(r[qvec_col])
+        tables = []
+        for j in range(m):
+            qs = qv[j * sub : (j + 1) * sub]
+            tables.append(
+                [float(((qs - c) ** 2).sum()) for c in codebooks[j]]
+            )
+        rows.append((r[query_id_col], tables))
+    spark = queries.sparkSession
+    q_df = spark.createDataFrame(
+        rows, f"{query_id_col} long, tables array<array<double>>"
+    )
+    scored = (
+        codes_df.crossJoin(F.broadcast(q_df))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("codes"),
+                        F.col("tables"),
+                        lambda c, t: F.element_at(t, c + F.lit(1)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
