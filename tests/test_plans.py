@@ -360,3 +360,25 @@ def test_dynamic_partition_pruning_injects_on_dim_filtered_join(
     assert "dynamicpruning" in pf_line
     # 7 of 20 days survive the dim filter.
     assert j.count() == 7 * 5_000
+
+
+def test_contamination_branch_broadcasts_eval_ngrams(spark):
+    """docs_top_terms contam branch: the eval-set n-gram side must
+    BROADCAST (a benchmark suite is tiny); the train side aggregates
+    with partial aggregation before its doc_id shuffle."""
+    plan = plan_of(spark, "docs_top_terms")
+    assert "BroadcastHashJoin" in plan
+    # partial aggregation before the exchange on the contam agg
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_pack_chunks_window_partitions_by_shard(spark):
+    """docs_chunked packing: the running-sum window partitions by
+    shard_id — never a single-partition global window (the 100 TB
+    failure mode of naive running totals)."""
+    plan = plan_of(spark, "docs_chunked")
+    assert "Window" in plan
+    # The only exchange is a hash partitioning on shard_id...
+    assert "hashpartitioning(shard_id" in plan
+    # ...never a single-partition exchange feeding the window.
+    assert "SinglePartition" not in plan
