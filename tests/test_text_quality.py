@@ -380,3 +380,77 @@ def test_tfidf_top_keywords_semantics_and_duckdb_parity(spark, tmp_path):
     )
     for c in cols:
         assert got[c].astype(want[c].dtype).equals(want[c]), c
+
+
+def test_unigram_lm_scoring_ranks_fluent_text_and_matches_duckdb(
+    spark, tmp_path
+):
+    """CCNet-shape LM filtering with the unigram proxy: documents made
+    of trusted-corpus vocabulary score lower NLL than out-of-vocab
+    gibberish, and the whole (train + score) chain matches a DuckDB
+    twin value-for-value."""
+    import duckdb
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.lm import (
+        lm_score_docs,
+        unigram_lm,
+    )
+
+    trusted_rows = [
+        (i, "the quick brown fox jumps over the lazy dog again")
+        for i in range(10)
+    ]
+    trusted = spark.createDataFrame(trusted_rows, "doc_id long, text string")
+    lm = unigram_lm(trusted, alpha=0.5)
+
+    docs = [
+        (0, "the quick brown fox"),          # pure in-vocab
+        (1, "the quick zorblat fnord"),      # half OOV
+        (2, "zzz qqq xxx vvv"),              # pure OOV
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm_score_docs(df, lm).collect()}
+    assert got[0]["nll"] < got[1]["nll"] < got[2]["nll"]
+    assert got[0]["n_scored_tokens"] == 4
+
+    # DuckDB twin of the full chain (train on trusted, score docs).
+    trusted.write.mode("overwrite").parquet(str(tmp_path / "t.parquet"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "d.parquet"))
+    words = (
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+        " x -> x <> '')"
+    )
+    con = duckdb.connect()
+    oracle = con.execute(
+        f"""
+        WITH tc AS (
+            SELECT unnest({words}) AS term
+            FROM '{tmp_path}/t.parquet/*.parquet'
+        ),
+        counts AS (SELECT term, count(*) AS n FROM tc GROUP BY 1),
+        tot AS (SELECT sum(n)::DOUBLE AS total, count(*)::DOUBLE AS vocab
+                FROM counts),
+        lm AS (
+            SELECT term, ln((n + 0.5) / (total + 0.5 * (vocab + 1)))
+                       AS logp
+            FROM counts, tot
+        ),
+        unk AS (SELECT ln(0.5 / (total + 0.5 * (vocab + 1))) AS unk_logp
+                FROM tot),
+        toks AS (
+            SELECT doc_id, unnest({words}) AS term
+            FROM '{tmp_path}/d.parquet/*.parquet'
+        )
+        SELECT doc_id, count(*) AS n_scored_tokens,
+               round(-avg(coalesce(lm.logp, unk.unk_logp)), 6) AS nll
+        FROM toks LEFT JOIN lm USING (term), unk
+        GROUP BY doc_id
+        """
+    ).df()
+    want = {
+        int(r["doc_id"]): (int(r["n_scored_tokens"]), float(r["nll"]))
+        for _, r in oracle.iterrows()
+    }
+    for d in (0, 1, 2):
+        assert got[d]["n_scored_tokens"] == want[d][0]
+        assert got[d]["nll"] == pytest.approx(want[d][1], abs=1e-9)
