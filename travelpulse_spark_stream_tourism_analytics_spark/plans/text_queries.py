@@ -627,7 +627,14 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_ng = doc_ngrams(docs.filter(F.col("doc_id") < 20)).select(
         F.col("doc_id").alias("eval_id"), "h"
     )
-    train_ng = doc_ngrams(docs.filter(F.col("doc_id") >= 20))
+    # The per-doc ngram+md5 projection is the expensive stage and its
+    # parallelism is otherwise whatever the parquet layout gives the
+    # scan (the sf1 soak read 50k docs as TWO partitions -> 2 of 32
+    # cores, 123 s); an explicit repartition of the small doc rows
+    # unlocks full width before the heavy projection (AQE can't help:
+    # it sizes by input bytes, and the cost here is per-row compute).
+    par = spark.sparkContext.defaultParallelism
+    train_ng = doc_ngrams(docs.filter(F.col("doc_id") >= 20).repartition(par))
     contam = (
         train_ng.join(F.broadcast(eval_ng), "h")
         .groupBy("doc_id")
