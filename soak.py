@@ -72,11 +72,16 @@ def generate_sf1(spark, out_dir: str, replicas: int = 10) -> None:
         },
         "events": {"event_id": K, "user_id": K},
     }
+    # Write every tiled table across many files: a 100 TB table is
+    # thousands of parquet files, and a single-file tile caps scan
+    # parallelism at its row-group count (1-2 tasks) — that measures
+    # the fixture's layout, not the engine (the first sf1 soak ran
+    # docs_text_profile on 2 of 32 cores this way).
     for name, cols in shifts.items():
         df = tiled(name)
         for c, k in cols.items():
             df = df.withColumn(c, (F.col(c) + r.cast("long") * k).cast("long"))
-        df.drop("__r").write.mode("overwrite").parquet(
+        df.drop("__r").repartition(32).write.mode("overwrite").parquet(
             f"{out_dir}/{name}.parquet"
         )
 
@@ -95,7 +100,9 @@ def generate_sf1(spark, out_dir: str, replicas: int = 10) -> None:
         "doc_id", (F.col("doc_id") + r.cast("long") * K).cast("long")
     ).withColumn("n_chars", F.length("text").cast("long")).drop(
         "__r"
-    ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    ).repartition(16).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
 
     # embeddings: cyclic dimension shift per replica.
     emb = tiled("embeddings")
@@ -110,7 +117,7 @@ def generate_sf1(spark, out_dir: str, replicas: int = 10) -> None:
     )
     emb.withColumn("embedding", shifted).withColumn(
         "vec_id", (F.col("vec_id") + r.cast("long") * K).cast("long")
-    ).drop("__r").write.mode("overwrite").parquet(
+    ).drop("__r").repartition(16).write.mode("overwrite").parquet(
         f"{out_dir}/embeddings.parquet"
     )
 

@@ -41,6 +41,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Snappy parquet decompresses ~4-8x, so the 128 MB default can
+        # hand one task a multi-GB in-memory partition — and on small
+        # clusters/fixtures it starves scan parallelism outright (the
+        # sf1 soak read a 50k-doc table as TWO partitions, running
+        # expression-heavy projections on 2 of 32 cores: text profile
+        # 23 s -> ~4 s with this setting). 32 MB is the common
+        # compressed-parquet tuning; at real scale file counts dwarf
+        # partition sizing and AQE coalescing absorbs the extra splits.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         # Driver testdata stores events.ts as parquet TIMESTAMP(NANOS),
         # which Spark cannot read natively; read as long and convert in
         # the loader (plans/catalog.py load_table).
