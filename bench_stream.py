@@ -135,6 +135,48 @@ def main() -> None:
         q2.awaitTermination(600)
         nd_elapsed = time.perf_counter() - t1
 
+        # --- stage 3: near-dup at the PRODUCTION fingerprint width --
+        # Same stateful index, 64-bit xxhash64 SimHash (stateless
+        # simhash64_expr projection, 4 x 16-bit pigeonhole bands).
+        # Random 16-bit collisions disappear (flag count drops to the
+        # corpus's TRUE template near-dups, ~half here); the rate stays
+        # state-scan-bound because this fixture corpus genuinely is
+        # half near-duplicates.
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+            simhash64_expr,
+        )
+
+        doc_stream64 = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(os.path.join(tmp, "docs"))
+            .select(
+                "doc_id",
+                simhash64_expr(
+                    F.array_distinct(words_of(F.col("text")))
+                ).alias("fp"),
+            )
+        )
+        flagged64 = []
+        t2 = time.perf_counter()
+        q3 = (
+            streaming_neardup_evidence(
+                doc_stream64, "doc_id", "fp", bits=64, n_bands=4
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, bid: flagged64.extend(
+                    r["doc_id"]
+                    for r in neardup_verdicts(df).collect()
+                    if r["is_dup"]
+                )
+            )
+            .option("checkpointLocation", os.path.join(tmp, "chk_nd64"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q3.awaitTermination(600)
+        nd64_elapsed = time.perf_counter() - t2
+
         print(
             json.dumps(
                 {
@@ -148,6 +190,9 @@ def main() -> None:
                     "neardup_docs": n_docs,
                     "neardup_flagged": len(flagged),
                     "neardup_elapsed_sec": round(nd_elapsed, 3),
+                    "neardup64_docs_per_sec": round(n_docs / nd64_elapsed, 1),
+                    "neardup64_flagged": len(flagged64),
+                    "neardup64_elapsed_sec": round(nd64_elapsed, 3),
                 }
             )
         )

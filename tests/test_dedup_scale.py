@@ -14,6 +14,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
+from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+    words_of,
+)
 from travelpulse_spark_stream_tourism_analytics_spark.operators import (
     dedup,
     similarity,
@@ -482,3 +485,24 @@ def test_pq_adc_shortlist_plus_rerank_recovers_exact_topk(spark):
     )
     assert final_recall >= short_recall - 1e-9
     assert final_recall >= 0.8, final_recall
+
+
+def test_simhash64_expr_matches_groupby_form(spark):
+    """The stateless-projection 64-bit SimHash must be bit-identical to
+    the explode+groupBy production form on the same documents."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    via_agg = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash64(docs, "doc_id", "text").collect()
+    }
+    via_expr = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id",
+            dedup.simhash64_expr(
+                F.array_distinct(words_of(F.col("text")))
+            ).alias("sh"),
+        ).collect()
+    }
+    assert via_expr == via_agg
+    assert len(via_expr) == 200

@@ -412,6 +412,46 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col(id_col), simhash.alias("simhash"))
 
 
+def simhash64_expr(distinct_words: Column) -> Column:
+    """64-bit SimHash as a pure array expression over a distinct-word
+    array column — the stateless-projection form of :func:`simhash64`
+    (identical bit semantics: xxhash64 per word, per-bit majority
+    vote), for streams and wide single-scan profiles where an
+    explode + groupBy is unavailable or unwanted. One aggregate pass
+    folds per-word 64-entry bit vectors into a bit-sum array; an empty
+    word set hashes to 0. NOTE: arithmetic shiftright on the signed
+    xxhash64 value is correct here — ``(h >> j) & 1`` extracts bit j
+    regardless of sign, including j = 63.
+    """
+    hashes = F.transform(distinct_words, lambda w: F.xxhash64(w))
+
+    def parities(h: Column) -> Column:
+        return F.array(
+            *[
+                F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int")
+                for j in range(64)
+            ]
+        )
+
+    bit_sums = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0) for _ in range(64)]),
+        lambda acc, h: F.zip_with(acc, parities(h), lambda a, p: a + p),
+    )
+    n = F.size(distinct_words)
+    sim: Column = F.lit(0).cast("long")
+    for j in range(64):
+        sim = sim.bitwiseOR(
+            F.shiftleft(
+                F.when(F.element_at(bit_sums, j + 1) * 2 > n, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long"),
+                j,
+            )
+        )
+    return sim
+
+
 def simhash_neardup_pairs(
     sims: DataFrame,
     id_col: str,
