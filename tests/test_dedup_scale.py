@@ -506,3 +506,46 @@ def test_simhash64_expr_matches_groupby_form(spark):
     }
     assert via_expr == via_agg
     assert len(via_expr) == 200
+
+
+def test_mergeable_hll_sketch_rollup(spark, tmp_path):
+    """Mergeable-sketch rollup: per-day HLL sketches persist as binary
+    columns and re-aggregate to any coarser grain WITHOUT rescanning
+    the fact data — the incremental distinct-count pattern that makes
+    100 TB dashboards cheap (a day's sketch is built once; weekly /
+    monthly / all-time distincts are sketch unions). Estimates must
+    stay within the DataSketches error envelope of the exact counts,
+    and the merge must equal the sketch built directly from all rows."""
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    daily.write.mode("overwrite").parquet(str(tmp_path / "daily_sk"))
+
+    stored = spark.read.parquet(str(tmp_path / "daily_sk"))
+    # Per-day estimates within 2% at lgK=14.
+    per_day = stored.select(
+        "day",
+        "exact",
+        F.hll_sketch_estimate("sk").alias("est"),
+    ).collect()
+    assert per_day
+    for r in per_day:
+        assert abs(r["est"] - r["exact"]) <= max(2, 0.02 * r["exact"]), r
+
+    # Union of stored sketches == sketch of the union, and both track
+    # the exact global distinct.
+    merged = stored.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    direct = ev.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(14))
+        ).alias("est")
+    ).collect()[0]["est"]
+    exact = ev.select("user_id").distinct().count()
+    assert merged == direct
+    assert abs(merged - exact) <= max(2, 0.02 * exact)
