@@ -62,17 +62,22 @@ CITY_DIM_ROWS = [
 
 
 def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
-              trigger: str = "10 seconds") -> dict:
+              trigger: str = "10 seconds", gate: bool = False) -> dict:
     """Streaming ingest dedup pipeline (``--mode dedup``): a JSONL
     document stream ({doc_id, text} records) flows through a stateless
     SimHash projection into the stateful banded near-dup index
     (streaming/stateful.py) and emits the per-document verdict table
     (doc_id, is_dup, dup_of) as append-mode parquet — the decision
     stream a training-data ingest joins against to drop duplicates.
+    With ``gate=True`` (``--gate``) the quality keep/drop gate
+    (operators/curate.quality_signals over the PII-redacted text) runs
+    FIRST as a stateless projection, so low-quality docs never reach
+    the stateful index — ingest-time filtering at stream speed.
     Returns {'docs': n, 'dups': n} after draining (once=True)."""
     from pyspark.sql import functions as F
 
     from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+        redact_pii,
         words_of,
     )
     from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
@@ -83,15 +88,24 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
         streaming_neardup_evidence,
     )
 
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .json(docs_path)
-        .select(
-            "doc_id",
-            simhash16_expr(
-                F.array_distinct(words_of(F.col("text")))
-            ).alias("fp"),
+    docs = spark.readStream.schema("doc_id long, text string").json(docs_path)
+    if gate:
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.curate import (
+            quality_signals,
         )
+
+        docs = (
+            quality_signals(
+                docs.select(
+                    "doc_id", redact_pii(F.col("text")).alias("text")
+                )
+            )
+            .filter(F.col("passes_quality"))
+            .select("doc_id", "text")
+        )
+    stream = docs.select(
+        "doc_id",
+        simhash16_expr(F.array_distinct(words_of(F.col("text")))).alias("fp"),
     )
     stats = {"docs": 0, "dups": 0}
 
@@ -192,6 +206,12 @@ def main() -> None:
     ap.add_argument(
         "--once", action="store_true", help="availableNow: drain inputs and exit"
     )
+    ap.add_argument(
+        "--gate",
+        action="store_true",
+        help="dedup mode: apply the quality keep/drop gate (on redacted "
+        "text) before the near-dup index",
+    )
     args = ap.parse_args()
 
     spark = get_spark("travelpulse-pipeline")
@@ -212,7 +232,8 @@ def main() -> None:
         if not args.path or not args.out:
             ap.error("--mode dedup requires --path (docs dir) and --out")
         stats = run_dedup(
-            spark, args.path, args.out, once=args.once, trigger=args.trigger
+            spark, args.path, args.out, once=args.once, trigger=args.trigger,
+            gate=args.gate,
         )
         print(
             f">>> dedup drained; {stats['docs']} docs, "

@@ -52,3 +52,31 @@ def test_mini_yaml_scalars():
     assert "a: null" in text
     assert "b: true" in text
     assert '"x:y"' in text
+
+
+def test_schema_evolution_mergeschema_read(spark, tmp_path):
+    """A 100 TB lake accretes columns over time: older partitions lack
+    the new column, and a merged-schema read must surface it as NULL
+    for old files rather than failing or silently dropping it."""
+    from pyspark.sql import functions as F
+
+    old = spark.range(5).select(
+        F.col("id").alias("k"), F.lit("v1").alias("a")
+    )
+    old.write.mode("overwrite").parquet(str(tmp_path / "t" / "batch=1"))
+    new = spark.range(5, 10).select(
+        F.col("id").alias("k"),
+        F.lit("v2").alias("a"),
+        F.lit(3.14).alias("score"),
+    )
+    new.write.mode("overwrite").parquet(str(tmp_path / "t" / "batch=2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "t")
+    )
+    assert set(merged.columns) == {"k", "a", "score", "batch"}
+    rows = {r["k"]: r for r in merged.collect()}
+    assert rows[0]["score"] is None and rows[7]["score"] == 3.14
+    # Without mergeSchema the footer-sampled schema may miss the new
+    # column — the option is the contract, pinned here.
+    assert merged.count() == 10

@@ -174,3 +174,34 @@ def test_run_dedup_pipeline_surface(spark, tmp_path):
     assert stats["dups"] == sum(1 for r in v.values() if r["is_dup"])
     assert v[1]["is_dup"] and v[1]["dup_of"] == 0  # one-word delta
     assert not v[0]["is_dup"] and not v[2]["is_dup"]
+
+
+def test_run_dedup_with_ingest_quality_gate(spark, tmp_path):
+    """--mode dedup --gate: the stateless quality gate (over redacted
+    text) drops junk BEFORE the stateful index — gated docs never get
+    a verdict row, clean docs still dedup against each other."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from run_pipeline import run_dedup
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    base = "the alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (1, base + " lambda"),                      # near-dup of 0
+        (2, "too short"),                           # gated: n_tokens
+        (3, " ".join(["spam"] * 50)),               # gated: repetition
+        (4, base + " mail jane@corp.com included"),  # PII redacts, kept
+    ]
+    with open(docs_dir / "part-0.json", "w") as f:
+        for i, t in rows:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    out = str(tmp_path / "verdicts")
+    stats = run_dedup(spark, str(docs_dir), out, once=True, gate=True)
+    v = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(v) == {0, 1, 4}          # 2 and 3 never reached the index
+    assert stats["docs"] == 3
+    assert v[1]["is_dup"] and v[1]["dup_of"] == 0
