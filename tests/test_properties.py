@@ -268,3 +268,40 @@ def test_blocked_join_pairs_matches_bruteforce(spark, lrows, rrows, block_rows):
         (g, i, j) for (g, i) in l for (h, j) in r if g == h
     )
     assert got == want
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 99), st.integers(1, 40)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.integers(10, 200),
+    st.integers(1, 4),
+)
+def test_pack_chunks_matches_sequential_definition(
+    spark, chunks, capacity, n_shards
+):
+    """pack_chunks == the sequential running-total definition, for any
+    chunk sizes, capacity and shard count."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.chunking import (
+        pack_chunks,
+    )
+
+    df = spark.createDataFrame(
+        chunks, "doc_id long, chunk_idx long, n_chunk_tokens long"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["shard_id"], r["pack_id"])
+        for r in pack_chunks(
+            df, capacity=capacity, n_shards=n_shards
+        ).collect()
+    }
+    runs: dict[int, int] = {}
+    for doc_id, chunk_idx, n in sorted(chunks):
+        shard = doc_id % n_shards
+        before = runs.get(shard, 0)
+        assert got[(doc_id, chunk_idx)] == (shard, before // capacity)
+        runs[shard] = before + n
