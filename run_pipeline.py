@@ -62,7 +62,8 @@ CITY_DIM_ROWS = [
 
 
 def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
-              trigger: str = "10 seconds", gate: bool = False) -> dict:
+              trigger: str = "10 seconds", gate: bool = False,
+              bits: int = 16) -> dict:
     """Streaming ingest dedup pipeline (``--mode dedup``): a JSONL
     document stream ({doc_id, text} records) flows through a stateless
     SimHash projection into the stateful banded near-dup index
@@ -82,6 +83,7 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
     )
     from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
         simhash16_expr,
+        simhash64_expr,
     )
     from travelpulse_spark_stream_tourism_analytics_spark.streaming.stateful import (
         neardup_verdicts,
@@ -103,9 +105,10 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
             .filter(F.col("passes_quality"))
             .select("doc_id", "text")
         )
+    fp_expr = simhash64_expr if bits == 64 else simhash16_expr
     stream = docs.select(
         "doc_id",
-        simhash16_expr(F.array_distinct(words_of(F.col("text")))).alias("fp"),
+        fp_expr(F.array_distinct(words_of(F.col("text")))).alias("fp"),
     )
     stats = {"docs": 0, "dups": 0}
 
@@ -120,7 +123,10 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
 
     work = tempfile.mkdtemp(prefix="tp_dedup_")
     q = (
-        streaming_neardup_evidence(stream, "doc_id", "fp")
+        streaming_neardup_evidence(
+            stream, "doc_id", "fp", bits=bits,
+            n_bands=4 if bits == 64 else None,
+        )
         .writeStream.outputMode("update")
         .foreachBatch(batch_fn)
         .option("checkpointLocation", os.path.join(work, "chk"))
@@ -207,6 +213,15 @@ def main() -> None:
         "--once", action="store_true", help="availableNow: drain inputs and exit"
     )
     ap.add_argument(
+        "--bits",
+        type=int,
+        choices=[16, 64],
+        default=16,
+        help="dedup mode: SimHash fingerprint width — 16 is the "
+        "oracle-matchable fixture width, 64 the production width "
+        "(random collisions ~2.4e-15)",
+    )
+    ap.add_argument(
         "--gate",
         action="store_true",
         help="dedup mode: apply the quality keep/drop gate (on redacted "
@@ -233,7 +248,7 @@ def main() -> None:
             ap.error("--mode dedup requires --path (docs dir) and --out")
         stats = run_dedup(
             spark, args.path, args.out, once=args.once, trigger=args.trigger,
-            gate=args.gate,
+            gate=args.gate, bits=args.bits,
         )
         print(
             f">>> dedup drained; {stats['docs']} docs, "

@@ -205,3 +205,28 @@ def test_run_dedup_with_ingest_quality_gate(spark, tmp_path):
     assert set(v) == {0, 1, 4}          # 2 and 3 never reached the index
     assert stats["docs"] == 3
     assert v[1]["is_dup"] and v[1]["dup_of"] == 0
+
+
+def test_run_dedup_production_fingerprint_width(spark, tmp_path):
+    """--bits 64: the production fingerprint runs through the same
+    index; an exact duplicate (Hamming 0 at any width) is still
+    caught, and distinct docs stop colliding."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from run_pipeline import run_dedup
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(0, base), (1, base), (2, "totally different words here x y z")]
+    with open(docs_dir / "part-0.json", "w") as f:
+        for i, t in rows:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    out = str(tmp_path / "verdicts")
+    stats = run_dedup(spark, str(docs_dir), out, once=True, bits=64)
+    v = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert stats["docs"] == 3
+    assert v[1]["is_dup"] and v[1]["dup_of"] == 0
+    assert not v[0]["is_dup"] and not v[2]["is_dup"]
