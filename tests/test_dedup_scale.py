@@ -549,3 +549,30 @@ def test_mergeable_hll_sketch_rollup(spark, tmp_path):
     exact = ev.select("user_id").distinct().count()
     assert merged == direct
     assert abs(merged - exact) <= max(2, 0.02 * exact)
+
+
+def test_canonical_best_keeps_highest_quality_member(spark):
+    """Quality-aware canonicalization: the cluster's best-scoring doc
+    wins (ties -> lower id); isolated docs keep themselves."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.components import (
+        canonical_best,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = connected_components_star(pairs)
+    corpus = spark.createDataFrame(
+        [
+            (1, 0.4), (2, 0.9), (3, 0.7),   # cluster {1,2,3}: 2 wins
+            (10, 0.5), (11, 0.5),           # tie: lower id 10 wins
+            (99, 0.1),                      # isolated: keeps itself
+        ],
+        "doc_id long, q double",
+    )
+    out = {
+        r["doc_id"]: r["canonical_id"]
+        for r in canonical_best(corpus, comp, "doc_id", "q").collect()
+    }
+    assert out == {1: 2, 2: 2, 3: 2, 10: 10, 11: 10, 99: 99}

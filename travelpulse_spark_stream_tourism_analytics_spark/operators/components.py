@@ -197,3 +197,42 @@ def canonical_ids(
     return corpus.join(comp, id_col, "left").withColumn(
         "canonical_id", F.coalesce(F.col("comp"), F.col(id_col))
     ).drop("comp")
+
+
+def canonical_best(
+    corpus: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-aware canonical selection: within each duplicate
+    cluster keep the HIGHEST-``score_col`` member (ties break on the
+    lower id) rather than the lowest id — the policy real curation
+    uses, so a cluster's cleanest copy survives (e.g. quality_score
+    from the text profile, or -nll from LM scoring).
+
+    One aggregation over the component assignment joined with scores:
+    per component, ``max(struct(score, -id))`` picks the winner
+    map-side (no window over the corpus), then the winner maps back
+    onto every member. Adds one broadcast-able join on the (small)
+    per-component winner table; isolated docs keep themselves.
+    """
+    comp = components.withColumnRenamed("node", id_col)
+    scored = corpus.select(id_col, score_col).join(comp, id_col, "left")
+    member = scored.withColumn(
+        "__c", F.coalesce(F.col("comp"), F.col(id_col))
+    )
+    winners = member.groupBy("__c").agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col(id_col)).alias("neg_id"),
+            )
+        ).alias("w")
+    ).select(
+        "__c", (-F.col("w.neg_id")).cast("long").alias("canonical_id")
+    )
+    return (
+        member.join(winners, "__c")
+        .select(id_col, score_col, "canonical_id")
+    )
