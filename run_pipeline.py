@@ -142,7 +142,7 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
     return stats
 
 
-def run_curate(spark, docs_path: str, out_dir: str) -> dict:
+def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False) -> dict:
     """Batch corpus curation (``--mode curate``): documents (a parquet
     dir/file or JSONL dir with {doc_id, text}) flow through the
     quality gate -> PII redaction -> exact dedup -> chunking ->
@@ -168,7 +168,7 @@ def run_curate(spark, docs_path: str, out_dir: str) -> dict:
         docs = spark.read.parquet(
             table if os.path.exists(table) else docs_path
         )
-    packed = curate_corpus(docs)
+    packed = curate_corpus(docs, fuzzy=fuzzy)
     packed.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
     out = spark.read.parquet(out_dir)
     agg = out.agg(
@@ -213,6 +213,12 @@ def main() -> None:
         "--once", action="store_true", help="availableNow: drain inputs and exit"
     )
     ap.add_argument(
+        "--fuzzy",
+        action="store_true",
+        help="curate mode: add the near-dup stage (MinHash+LSH -> "
+        "Jaccard verify -> components -> quality-aware canonical)",
+    )
+    ap.add_argument(
         "--bits",
         type=int,
         choices=[16, 64],
@@ -235,7 +241,7 @@ def main() -> None:
     if args.mode == "curate":
         if not args.path or not args.out:
             ap.error("--mode curate requires --path (docs dir) and --out")
-        stats = run_curate(spark, args.path, args.out)
+        stats = run_curate(spark, args.path, args.out, fuzzy=args.fuzzy)
         print(
             f">>> curated; {stats['docs']} docs in, {stats['kept']} kept, "
             f"{stats['samples']} packed samples in {stats['packs']} "

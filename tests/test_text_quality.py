@@ -454,3 +454,37 @@ def test_unigram_lm_scoring_ranks_fluent_text_and_matches_duckdb(
     for d in (0, 1, 2):
         assert got[d]["n_scored_tokens"] == want[d][0]
         assert got[d]["nll"] == pytest.approx(want[d][1], abs=1e-9)
+
+
+def test_curate_corpus_fuzzy_neardup_stage(spark):
+    """fuzzy=True: near-duplicates (not exact copies) collapse to one
+    member per family, and the survivor is the HIGHEST-quality one."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    base = (
+        "the quick brown fox jumps over a lazy dog and runs to the "
+        "river bank where the otter sleeps near a willow tree"
+    )
+    docs = [
+        # near-dup family: doc 1 has MORE stopword-free bulk -> doc 0's
+        # quality_score (fewer stopwords removed) differs; engineer the
+        # winner by making doc 1 LONGER (higher length factor).
+        (0, base),
+        (1, base + " and then the otter wakes and swims away happily"),
+        (2, "completely unrelated content about spark shuffles and "
+            "partitions in a distributed execution engine today"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # Without fuzzy: all three docs survive (no exact dupes).
+    plain = curate_corpus(df, chunk_tokens=16, overlap=4)
+    assert {r["doc_id"] for r in plain.collect()} == {0, 1, 2}
+
+    fuzzy = curate_corpus(
+        df, chunk_tokens=16, overlap=4, fuzzy=True, jaccard_threshold=0.5
+    )
+    kept = {r["doc_id"] for r in fuzzy.collect()}
+    assert 2 in kept
+    assert len(kept & {0, 1}) == 1  # the near-dup family collapsed

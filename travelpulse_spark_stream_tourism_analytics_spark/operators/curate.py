@@ -80,6 +80,11 @@ def quality_signals(
             6,
         ).alias("digit_token_frac"),
         pii_count(F.col(text_col)).alias("n_pii_hits"),
+        F.round(
+            F.least(F.lit(1.0), F.size("__toks") / F.lit(200.0))
+            * (F.lit(1.0) - n_stop / n_tok),
+            6,
+        ).alias("quality_score"),
     ).withColumn("passes_quality", passes_quality_expr())
 
 
@@ -91,24 +96,60 @@ def curate_corpus(
     overlap: int = 16,
     capacity: int = 1024,
     n_shards: int = 8,
+    fuzzy: bool = False,
+    jaccard_threshold: float = 0.5,
 ) -> DataFrame:
     """Run the full curation chain; returns packed training samples
     (doc_id, chunk_idx, chunk_uid, chunk_text, n_chunk_tokens,
-    shard_id, pack_id) from the kept, redacted, deduped corpus."""
+    shard_id, pack_id) from the kept, redacted, deduped corpus.
+
+    With ``fuzzy=True`` a near-duplicate stage runs after exact dedup:
+    MinHash+LSH candidates -> exact n-gram Jaccard verify at
+    ``jaccard_threshold`` -> star connected components ->
+    quality-aware canonical selection (components.canonical_best on
+    the profile quality_score), so each near-dup family contributes
+    exactly its cleanest member. Adds the banded-join shuffles of the
+    oracled docs_minhash_neardup_pairs pipeline; everything else is
+    unchanged."""
     scrubbed = docs.select(
         F.col(id_col), redact_pii(F.col(text_col)).alias(text_col)
     )
-    redacted = (
-        quality_signals(scrubbed, id_col, text_col)
-        .filter(F.col("passes_quality"))
-        .select(id_col, text_col)
+    gated = quality_signals(scrubbed, id_col, text_col).filter(
+        F.col("passes_quality")
     )
+    redacted = gated.select(id_col, text_col)
     keep = (
         redacted.groupBy(F.md5(F.col(text_col)).alias("__h"))
         .agg(F.min(F.col(id_col)).alias(id_col))
         .drop("__h")
     )
     unique = redacted.join(keep, id_col, "left_semi")
+    if fuzzy:
+        from travelpulse_spark_stream_tourism_analytics_spark.operators import (
+            dedup,
+        )
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.components import (
+            canonical_best,
+            connected_components_star,
+        )
+
+        shingled = dedup.exploded_shingles(unique, id_col, text_col, 3)
+        sigs = dedup.minhash_signatures(shingled, id_col, 12)
+        bands = dedup.lsh_bands(sigs, id_col, 4, 3)
+        pairs = dedup.lsh_candidate_pairs(bands, id_col)
+        verified = dedup.pair_jaccard(pairs, shingled, id_col).filter(
+            F.col("jaccard") >= jaccard_threshold
+        )
+        comp = connected_components_star(verified)
+        scores = gated.select(id_col, "quality_score").join(
+            unique.select(id_col), id_col, "left_semi"
+        )
+        winners = canonical_best(
+            scores, comp, id_col, "quality_score"
+        ).filter(F.col(id_col) == F.col("canonical_id"))
+        unique = unique.join(
+            winners.select(id_col), id_col, "left_semi"
+        )
     chunks = chunk_documents(
         unique, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
     )
