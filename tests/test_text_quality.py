@@ -488,3 +488,23 @@ def test_curate_corpus_fuzzy_neardup_stage(spark):
     kept = {r["doc_id"] for r in fuzzy.collect()}
     assert 2 in kept
     assert len(kept & {0, 1}) == 1  # the near-dup family collapsed
+
+
+def test_corpus_report_per_source_health(spark):
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.curate import (
+        corpus_report,
+    )
+
+    clean = "the quick brown fox jumps over a lazy dog near the river"
+    docs = [
+        (0, clean, "good"),
+        (1, clean + " again", "good"),
+        (2, "too short", "bad"),
+        (3, "the mail is a@b.io plus some more words here", "bad"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    rep = {r["source"]: r for r in corpus_report(df).collect()}
+    assert rep["good"]["n_docs"] == 2 and rep["good"]["pass_rate"] == 1.0
+    assert rep["bad"]["n_docs"] == 2 and rep["bad"]["pass_rate"] == 0.0
+    assert rep["bad"]["pii_rate"] == 0.5
+    assert rep["good"]["mean_tokens"] == pytest.approx(12.5)

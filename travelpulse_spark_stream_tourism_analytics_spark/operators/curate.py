@@ -159,3 +159,28 @@ def curate_corpus(
         capacity=capacity,
         n_shards=n_shards,
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus health: doc counts, quality-gate pass rate,
+    mean quality score / token count, and PII incidence — the
+    monitoring table a curation pipeline publishes per ingest batch.
+    One scan (the signals are the same zero-shuffle projections) and
+    one partial-aggregated shuffle on source."""
+    sig = quality_signals(docs, id_col, text_col)
+    return sig.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.col("passes_quality").cast("double")), 6).alias(
+            "pass_rate"
+        ),
+        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        F.round(
+            F.avg((F.col("n_pii_hits") > 0).cast("double")), 6
+        ).alias("pii_rate"),
+    )
