@@ -126,6 +126,15 @@ def connected_components_star(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # Materialize the INITIAL edge list too (the per-round checkpoint
+    # below only covers later rounds): the first large-star otherwise
+    # re-executes the whole upstream pair lineage — for LSH near-dup
+    # input that is shingle -> minhash -> banded join — once per
+    # reference to `e` (sym + mins + join).
+    try:
+        edges = edges.localCheckpoint(eager=True)
+    except Exception:  # pragma: no cover - checkpoint dir unavailable
+        edges = edges.persist()
 
     def _sym(e: DataFrame) -> DataFrame:
         return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
