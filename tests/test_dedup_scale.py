@@ -576,3 +576,65 @@ def test_canonical_best_keeps_highest_quality_member(spark):
         for r in canonical_best(corpus, comp, "doc_id", "q").collect()
     }
     assert out == {1: 2, 2: 2, 3: 2, 10: 10, 11: 10, 99: 99}
+
+
+def test_ivf_pq_composition_restricts_and_recovers(spark):
+    """The billion-scale composition: IVF cells bound the search set,
+    PQ codes replace the vectors inside it. ADC runs only over the
+    probed cells' codes (corpus fraction shrinks with n_probe/n_cells)
+    and the shortlist still recovers most exact neighbors."""
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators import (
+        similarity as S,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", S.as_double_vec(F.col("embedding")).alias("v")
+    )
+    assigned, model = S.ivf_index(emb, "vec_id", "v", n_cells=8, seed=3)
+    books = S.pq_codebooks(emb, "v", m=8, k=256, seed=7)
+    codes = S.pq_encode(assigned, "vec_id", "v", books).join(
+        assigned.select("vec_id", "cell"), "vec_id"
+    )
+
+    # Probe the 4 nearest cells per query (driver-side, centroids are
+    # plan constants) and ADC only within them.
+    centers = model.clusterCenters()
+    queries = emb.filter(F.col("vec_id") < 5).collect()
+    probe_rows = []
+    for r in queries:
+        qv = np.array(r["v"])
+        order = np.argsort([np.linalg.norm(qv - c) for c in centers])[:4]
+        probe_rows.append((r["vec_id"], [int(c) for c in order]))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cells array<int>")
+    cand = codes.join(
+        F.broadcast(probes.select("query_id", F.explode("cells").alias("cell"))),
+        "cell",
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    searched = cand.count()
+    total = emb.count() * 5
+    assert searched < 0.8 * total  # the cell restriction really prunes
+
+    q_df = spark.createDataFrame(
+        [(r["vec_id"], r["v"]) for r in queries], "query_id long, qv array<double>"
+    )
+    shortlist = S.pq_search_adc(
+        cand.select("vec_id", "codes").distinct(), books, q_df,
+        "vec_id", "query_id", k=50,
+    )
+    rows = emb.orderBy("vec_id").collect()
+    X = np.array([r["v"] for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    idx = {int(i): n for n, i in enumerate(ids)}
+    got = {}
+    for r in shortlist.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = []
+    for r in queries:
+        q = r["vec_id"]
+        d = ((X - X[idx[q]]) ** 2).sum(axis=1)
+        d[idx[q]] = np.inf
+        exact = set(int(i) for i in ids[np.argsort(d)[:5]])
+        recalls.append(len(exact & got.get(q, set())) / 5)
+    assert float(np.mean(recalls)) >= 0.5, recalls

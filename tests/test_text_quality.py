@@ -508,3 +508,39 @@ def test_corpus_report_per_source_health(spark):
     assert rep["bad"]["n_docs"] == 2 and rep["bad"]["pass_rate"] == 0.0
     assert rep["bad"]["pii_rate"] == 0.5
     assert rep["good"]["mean_tokens"] == pytest.approx(12.5)
+
+
+def test_quality_signals_match_profile_columns(spark, tmp_path):
+    """operators/curate.quality_signals and the oracled
+    docs_text_profile compute the SAME signal formulas — this guard
+    fails if one copy drifts."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.curate import (
+        quality_signals,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.plans import (
+        all_queries,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    profile = (
+        all_queries()["docs_text_profile"](spark, str(tmp_path))
+        .select(
+            "doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
+            "quality_score", "dup_3gram_frac", "digit_token_frac",
+            "n_pii_hits", "passes_quality",
+        )
+        .collect()
+    )
+    sig = {
+        r["doc_id"]: r
+        for r in quality_signals(src).select(
+            "doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
+            "quality_score", "dup_3gram_frac", "digit_token_frac",
+            "n_pii_hits", "passes_quality",
+        ).collect()
+    }
+    assert len(profile) == len(sig) > 0
+    for r in profile:
+        assert r == sig[r["doc_id"]], r["doc_id"]
