@@ -230,3 +230,77 @@ def test_run_dedup_production_fingerprint_width(spark, tmp_path):
     assert stats["docs"] == 3
     assert v[1]["is_dup"] and v[1]["dup_of"] == 0
     assert not v[0]["is_dup"] and not v[2]["is_dup"]
+
+
+def test_streaming_neardup_ttl_evicts_idle_buckets(spark, tmp_path):
+    """ttl_ms bounds state for unbounded streams: a duplicate arriving
+    AFTER the horizon is not flagged (its bucket was evicted), while
+    the default keeps flagging it forever."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+        words_of,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+        simhash16_expr,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.stateful import (
+        neardup_verdicts,
+        streaming_neardup_evidence,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    data_dir = tmp_path / "docs"
+    data_dir.mkdir()
+    with open(data_dir / "f0.json", "w") as f:
+        f.write(json.dumps({"doc_id": 0, "text": text}) + "\n")
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(data_dir))
+            .select(
+                "doc_id",
+                simhash16_expr(
+                    F.array_distinct(words_of(F.col("text")))
+                ).alias("fp"),
+            )
+        )
+
+    def drain(ttl_ms, chk):
+        verdicts = {}
+
+        def grab(df, _bid):
+            for r in neardup_verdicts(df).collect():
+                verdicts[r["doc_id"]] = r["is_dup"]
+
+        q = (
+            streaming_neardup_evidence(
+                stream(), "doc_id", "fp", ttl_ms=ttl_ms
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(grab)
+            .option("checkpointLocation", str(tmp_path / chk))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return verdicts
+
+    # Seed doc 0 under both policies.
+    v1 = drain(ttl_ms=1, chk="chk_ttl")
+    v2 = drain(ttl_ms=None, chk="chk_forever")
+    assert v1 == {0: False} and v2 == {0: False}
+
+    # A duplicate lands AFTER the 1 ms horizon has long passed.
+    _time.sleep(0.2)
+    with open(data_dir / "f1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 7, "text": text}) + "\n")
+
+    v1 = drain(ttl_ms=1, chk="chk_ttl")
+    v2 = drain(ttl_ms=None, chk="chk_forever")
+    assert v1[7] is False  # bucket evicted: no memory of doc 0
+    assert v2[7] is True   # unbounded state still remembers doc 0

@@ -100,6 +100,7 @@ def streaming_neardup_evidence(
     max_hamming: int = 3,
     bits: int = 16,
     n_bands: int | None = None,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Online SimHash near-duplicate detection over a document stream —
     the ingest-time dedup a streaming training-data pipeline needs
@@ -172,6 +173,17 @@ def streaming_neardup_evidence(
     ) -> Iterable[pd.DataFrame]:
         import numpy as np
 
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "band_idx": pd.Series([], dtype="int32"),
+                    "dup_of": pd.Series([], dtype="Int64"),
+                }
+            )
+            return
+
         ids, fps = ([], []) if not state.exists else [
             list(v) for v in state.get
         ]
@@ -214,6 +226,8 @@ def streaming_neardup_evidence(
                 out_bands.append(int(band_idx))
                 out_dups.append(dup_of)
         state.update((id_buf[:n].tolist(), fp_buf[:n].tolist()))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(out_ids, dtype="int64"),
@@ -227,7 +241,11 @@ def streaming_neardup_evidence(
         outputStructType=NEARDUP_EVIDENCE,
         stateStructType=_NEARDUP_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
