@@ -63,7 +63,7 @@ CITY_DIM_ROWS = [
 
 def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
               trigger: str = "10 seconds", gate: bool = False,
-              bits: int = 16) -> dict:
+              bits: int = 16, ttl_ms: int | None = None) -> dict:
     """Streaming ingest dedup pipeline (``--mode dedup``): a JSONL
     document stream ({doc_id, text} records) flows through a stateless
     SimHash projection into the stateful banded near-dup index
@@ -125,7 +125,7 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
     q = (
         streaming_neardup_evidence(
             stream, "doc_id", "fp", bits=bits,
-            n_bands=4 if bits == 64 else None,
+            n_bands=4 if bits == 64 else None, ttl_ms=ttl_ms,
         )
         .writeStream.outputMode("update")
         .foreachBatch(batch_fn)
@@ -213,6 +213,14 @@ def main() -> None:
         "--once", action="store_true", help="availableNow: drain inputs and exit"
     )
     ap.add_argument(
+        "--ttl-ms",
+        type=int,
+        default=None,
+        help="dedup mode: evict near-dup index buckets idle this many "
+        "ms (bounded state for unbounded streams); default keeps "
+        "state forever",
+    )
+    ap.add_argument(
         "--fuzzy",
         action="store_true",
         help="curate mode: add the near-dup stage (MinHash+LSH -> "
@@ -254,7 +262,7 @@ def main() -> None:
             ap.error("--mode dedup requires --path (docs dir) and --out")
         stats = run_dedup(
             spark, args.path, args.out, once=args.once, trigger=args.trigger,
-            gate=args.gate, bits=args.bits,
+            gate=args.gate, bits=args.bits, ttl_ms=args.ttl_ms,
         )
         print(
             f">>> dedup drained; {stats['docs']} docs, "
