@@ -544,3 +544,88 @@ def test_quality_signals_match_profile_columns(spark, tmp_path):
     assert len(profile) == len(sig) > 0
     for r in profile:
         assert r == sig[r["doc_id"]], r["doc_id"]
+
+
+def test_pattern_matches_finds_planted_shape_and_matches_duckdb(
+    spark, tmp_path
+):
+    """Time-series similarity: a scaled+shifted copy of the query
+    pattern ranks first (z-normalization makes it distance ~0), noise
+    ranks behind it, constant windows are skipped — and the whole
+    scoring matches a DuckDB twin."""
+    import datetime as dt
+
+    import duckdb
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.timeseries import (
+        pattern_matches,
+    )
+
+    pattern = [1.0, 3.0, 2.0, 5.0]
+    # user 1 carries the planted shape (x10 + 100) at offset 3;
+    # user 2 is flat (all windows constant -> skipped).
+    u1 = [7.0, 7.5, 110.0, 130.0, 120.0, 150.0, 8.0, 7.2, 7.9]
+    u2 = [4.0] * 8
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for i, v in enumerate(u1):
+        rows.append((1, t0 + dt.timedelta(minutes=i), v))
+    for i, v in enumerate(u2):
+        rows.append((2, t0 + dt.timedelta(minutes=i), v))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    out = pattern_matches(df, pattern, k=5).collect()
+    assert (out[0]["user_id"], out[0]["offset"]) == (1, 3)
+    assert out[0]["zdist"] == 0.0
+    assert all(r["user_id"] == 1 for r in out)  # user 2 fully skipped
+
+    # DuckDB twin over the same parquet rows.
+    df.write.mode("overwrite").parquet(str(tmp_path / "ev.parquet"))
+    import math
+
+    m = len(pattern)
+    mu = sum(pattern) / m
+    sd = math.sqrt(sum((x - mu) ** 2 for x in pattern) / m)
+    qlit = "[" + ", ".join(str((x - mu) / sd) for x in pattern) + "]"
+    con = duckdb.connect()
+    oracle = con.execute(
+        f"""
+        WITH series AS (
+            SELECT user_id,
+                   list(value ORDER BY ts) AS vals
+            FROM '{tmp_path}/ev.parquet/*.parquet'
+            GROUP BY user_id
+        ),
+        wins AS (
+            SELECT user_id, i AS "offset", vals[i:i+{m - 1}] AS w
+            FROM series, LATERAL unnest(
+                generate_series(1, len(vals) - {m - 1})) t(i)
+            WHERE len(vals) >= {m}
+        ),
+        scored AS (
+            SELECT user_id, "offset",
+                   list_avg(w) AS mu,
+                   sqrt(list_sum(list_transform(w,
+                        x -> (x - list_avg(w)) * (x - list_avg(w)))) / {m})
+                       AS sd,
+                   w
+            FROM wins
+        )
+        SELECT user_id, "offset",
+               round(sqrt(list_sum(list_transform(
+                   list_zip(list_transform(w, x -> (x - mu) / sd),
+                            {qlit}::DOUBLE[]),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS zdist
+        FROM scored
+        WHERE sd > 0
+        ORDER BY zdist, user_id, "offset"
+        LIMIT 5
+        """
+    ).df()
+    got = [(r["user_id"], r["offset"], r["zdist"]) for r in out]
+    want = [
+        (int(r["user_id"]), int(r["offset"]), float(r["zdist"]))
+        for _, r in oracle.iterrows()
+    ]
+    assert got == pytest.approx(want)
