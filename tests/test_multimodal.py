@@ -176,3 +176,52 @@ def test_extract_media_features_plumbing(spark):
     )
     with pytest.raises(Exception, match="no pure-Python codec"):
         extract_media_features(jpeg).collect()
+
+
+def test_resize_images_nearest_neighbor_reference(spark):
+    """Resize: engine output equals an independent per-pixel
+    recomputation of the floor-index NN mapping on the same payloads,
+    and shrinking genuinely changes the raster stats."""
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        resize_images,
+        synth_bmp,
+        synth_png,
+    )
+
+    payloads = [(0, synth_bmp(10, 7, seed=3)), (1, synth_png(9, 6, seed=5))]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in resize_images(df, 4, 3).collect()}
+
+    # Independent reference for the BMP: manual NN loops.
+    px = decode_bmp_pixels(payloads[0][1]).reshape(7, 10, 3)
+    ref = np.zeros((3, 4, 3), dtype=np.uint8)
+    for i in range(3):
+        for j in range(4):
+            ref[i, j] = px[(i * 7) // 3, (j * 10) // 4]
+    assert out[0]["resized_mean"] == round(float(ref.mean()), 6)
+    assert out[0]["corner_sum"] == (
+        int(ref[0, 0, 0]) + int(ref[0, -1, 0])
+        + int(ref[-1, 0, 0]) + int(ref[-1, -1, 0])
+    )
+    assert out[1]["out_width"] == 4 and out[1]["out_height"] == 3
+    # Shrink really resamples: mean of a strict subset of pixels.
+    assert out[0]["resized_mean"] != round(float(px.mean()), 6)
+
+
+def test_sample_audio_frames_uniform_indices(spark):
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        decode_wav_samples,
+        sample_audio_frames,
+        synth_wav,
+    )
+
+    wav = synth_wav(sample_rate=8000, n_samples=100, seed=2)
+    df = spark.createDataFrame([(5, wav)], "doc_id long, payload binary")
+    row = sample_audio_frames(df, 8).collect()[0]
+    samples = decode_wav_samples(wav)
+    assert row["n_source_samples"] == len(samples)
+    expected = [int(samples[(i * len(samples)) // 8]) for i in range(8)]
+    assert row["sampled"] == expected

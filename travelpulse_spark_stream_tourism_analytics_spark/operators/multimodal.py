@@ -499,3 +499,111 @@ def attach_media_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         return ids.map(make)
 
     return df.withColumn("payload", synth(F.col(id_col)))
+
+
+def resize_nn(pixels, out_h: int, out_w: int):
+    """Nearest-neighbor resample of an ``h x w x c`` uint8 array —
+    deterministic index mapping ``src = floor(dst * src_dim /
+    dst_dim)`` (the standard NN convention, reproducible in any
+    engine)."""
+    import numpy as np
+
+    h, w = pixels.shape[0], pixels.shape[1]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return pixels[rows][:, cols]
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("out_width", T.LongType()),
+        T.StructField("out_height", T.LongType()),
+        T.StructField("resized_mean", T.DoubleType()),
+        T.StructField("corner_sum", T.LongType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Image RESIZE step over binary payloads (the preprocessing every
+    vision-training pipeline runs before batching): decode with the
+    pure-Python codecs, nearest-neighbor resample to ``out_w x
+    out_h``, emit the resized stats — ``resized_mean`` (mean byte of
+    the RESIZED raster, distinct from the source mean whenever the
+    resample drops rows/cols) and ``corner_sum`` (sum of the four
+    corner pixels' first channels, a placement-sensitive checksum).
+    Arrow ``mapInPandas``; payloads never row-serialize. Swapping in a
+    real interpolating resizer (PIL) changes only the per-row numpy
+    call."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in RESIZED_SCHEMA.names}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                mime = sniff_mime(payload)
+                if mime == "image/bmp":
+                    w, h, _ = decode_bmp(payload)
+                    px = decode_bmp_pixels(payload).reshape(h, w, 3)
+                elif mime == "image/png":
+                    _w, _h, _c, px = decode_png(payload)
+                else:
+                    raise NotImplementedError(f"not an image: {mime}")
+                rz = resize_nn(px, out_h, out_w)
+                corners = (
+                    int(rz[0, 0, 0]) + int(rz[0, -1, 0])
+                    + int(rz[-1, 0, 0]) + int(rz[-1, -1, 0])
+                )
+                out["doc_id"].append(doc_id)
+                out["mime"].append(mime)
+                out["out_width"].append(out_w)
+                out["out_height"].append(out_h)
+                out["resized_mean"].append(
+                    round6_half_up(float(rz.mean()))
+                )
+                out["corner_sum"].append(corners)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_source_samples", T.LongType()),
+        T.StructField("sampled", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def sample_audio_frames(df: DataFrame, n_frames: int) -> DataFrame:
+    """Audio FRAME-SAMPLE step: decode PCM and keep ``n_frames``
+    uniformly spaced samples (``idx = floor(i * n / n_frames)``) — the
+    fixed-length representation a feature extractor consumes. Same
+    mapInPandas shape as the other media stages; a video variant is
+    the identical plumbing with a frame decoder in place of PCM."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, totals, sampled = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = decode_wav_samples(bytes(payload))
+                n = len(samples)
+                idx = (np.arange(n_frames) * n) // n_frames
+                ids.append(doc_id)
+                totals.append(n)
+                sampled.append([int(samples[i]) for i in idx])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_source_samples": pd.Series(totals, dtype="int64"),
+                    "sampled": pd.Series(sampled, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, FRAME_SAMPLE_SCHEMA
+    )
