@@ -638,3 +638,56 @@ def test_ivf_pq_composition_restricts_and_recovers(spark):
         exact = set(int(i) for i in ids[np.argsort(d)[:5]])
         recalls.append(len(exact & got.get(q, set())) / 5)
     assert float(np.mean(recalls)) >= 0.5, recalls
+
+
+def test_distributed_pca_matches_numpy(spark):
+    """PCA fit from per-partition gram partials must equal numpy PCA
+    on the collected matrix (same eigenvalues, same projections under
+    the fixed sign convention), with decreasing explained variance."""
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators import (
+        similarity as S,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.pca import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", S.as_double_vec(F.col("embedding")).alias("v")
+    ).repartition(8)
+    model = pca_fit(emb, "v", k=5)
+    assert all(
+        a >= b - 1e-12
+        for a, b in zip(model.explained_variance, model.explained_variance[1:])
+    )
+
+    X = np.array([r["v"] for r in emb.orderBy("vec_id").collect()])
+    mu = X.mean(axis=0)
+    cov = ((X - mu).T @ (X - mu)) / len(X)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:5]
+    np.testing.assert_allclose(
+        model.explained_variance, evals[order], rtol=1e-8
+    )
+    comps = []
+    for i in order:
+        v = evecs[:, i]
+        if v[np.abs(v).argmax()] < 0:
+            v = -v
+        comps.append(v)
+    comps = np.array(comps)
+    want = np.round((X - mu) @ comps.T, 6)
+
+    got = np.array(
+        [
+            r["pc"]
+            for r in pca_project(emb, model, "v").orderBy("vec_id").collect()
+        ]
+    )
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    # The reduced space is genuinely useful: top-5 axes carry more
+    # variance than 5 raw coordinates on this corpus.
+    raw5 = X.var(axis=0)[:5].sum()
+    assert sum(model.explained_variance) > raw5
