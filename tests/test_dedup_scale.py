@@ -691,3 +691,51 @@ def test_distributed_pca_matches_numpy(spark):
     # variance than 5 raw coordinates on this corpus.
     raw5 = X.var(axis=0)[:5].sum()
     assert sum(model.explained_variance) > raw5
+
+
+def test_pca_then_pq_composition(spark):
+    """The storage chain: PCA-reduce 64 -> 16 dims, then PQ the
+    reduced vectors (4 subspaces) — codes shrink a further 4x while
+    the ADC shortlist over REDUCED space still recovers most exact
+    full-space neighbors (the reduced space preserves the geometry
+    that matters)."""
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators import (
+        similarity as S,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.pca import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", S.as_double_vec(F.col("embedding")).alias("v")
+    )
+    model = pca_fit(emb, "v", k=16)
+    reduced = pca_project(emb, model, "v").select(
+        "vec_id", F.col("pc").alias("v")
+    )
+    books = S.pq_codebooks(reduced, "v", m=4, k=256, seed=7)
+    codes = S.pq_encode(reduced, "vec_id", "v", books)
+    queries = reduced.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    shortlist = S.pq_search_adc(
+        codes, books, queries, "vec_id", "query_id", k=50
+    )
+
+    rows = emb.orderBy("vec_id").collect()
+    X = np.array([r["v"] for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    idx = {int(i): n for n, i in enumerate(ids)}
+    got = {}
+    for r in shortlist.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = []
+    for q in range(5):
+        d = ((X - X[idx[q]]) ** 2).sum(axis=1)
+        d[idx[q]] = np.inf
+        exact = set(int(i) for i in ids[np.argsort(d)[:5]])
+        recalls.append(len(exact & got.get(q, set())) / 5)
+    assert float(np.mean(recalls)) >= 0.4, recalls
