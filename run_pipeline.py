@@ -184,17 +184,44 @@ def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False) -> dict
     }
 
 
+def run_report(spark, docs_path: str, out_dir: str | None = None) -> list:
+    """Corpus health report (``--mode report``): per-source pass rate,
+    mean quality/tokens, PII incidence over a documents dir
+    (operators/curate.corpus_report); optionally written as parquet
+    for dashboarding, always printed as one JSON line per source."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.curate import (
+        corpus_report,
+    )
+
+    table = os.path.join(docs_path, "documents.parquet")
+    docs = spark.read.parquet(table if os.path.exists(table) else docs_path)
+    if "source" not in docs.columns:
+        docs = docs.withColumn("source", F.lit("all"))
+    rep = corpus_report(docs)
+    if out_dir:
+        rep.write.mode("overwrite").parquet(out_dir)
+    rows = [r.asDict() for r in rep.orderBy("source").collect()]
+    for r in rows:
+        print(_json.dumps(r))
+    return rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode",
-        choices=["kpis", "dedup", "curate"],
+        choices=["kpis", "dedup", "curate", "report"],
         default="kpis",
         help="kpis: the 16-query tourism topology; dedup: streaming "
         "document near-dup verdicts (--path is a JSONL docs dir, "
         "--out the verdict parquet); curate: batch gate->redact->"
         "dedup->chunk->pack over a documents dir (--path) into packed "
-        "training-sample parquet (--out)",
+        "training-sample parquet (--out); report: per-source corpus "
+        "health JSON over a documents dir (--path; --out optional)",
     )
     ap.add_argument("--out", help="output dir for --mode dedup/curate")
     ap.add_argument(
@@ -245,6 +272,12 @@ def main() -> None:
 
     spark = get_spark("travelpulse-pipeline")
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.mode == "report":
+        if not args.path:
+            ap.error("--mode report requires --path (docs dir)")
+        run_report(spark, args.path, args.out)
+        return
 
     if args.mode == "curate":
         if not args.path or not args.out:

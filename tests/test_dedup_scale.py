@@ -739,3 +739,29 @@ def test_pca_then_pq_composition(spark):
         exact = set(int(i) for i in ids[np.argsort(d)[:5]])
         recalls.append(len(exact & got.get(q, set())) / 5)
     assert float(np.mean(recalls)) >= 0.4, recalls
+
+
+def test_pca_whiten_unit_variance(spark):
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators import (
+        similarity as S,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.pca import (
+        pca_fit,
+        pca_whiten,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", S.as_double_vec(F.col("embedding")).alias("v")
+    )
+    model = pca_fit(emb, "v", k=6)
+    W = np.array(
+        [r["pc"] for r in pca_whiten(emb, model, "v").collect()]
+    )
+    var = W.var(axis=0)
+    np.testing.assert_allclose(var, np.ones(6), rtol=1e-3)
+    # and the axes are decorrelated
+    c = np.corrcoef(W.T)
+    off = c - np.diag(np.diag(c))
+    assert np.abs(off).max() < 0.05

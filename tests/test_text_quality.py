@@ -629,3 +629,21 @@ def test_pattern_matches_finds_planted_shape_and_matches_duckdb(
         for _, r in oracle.iterrows()
     ]
     assert got == pytest.approx(want)
+
+
+def test_report_cli_mode(spark, capsys):
+    """run_pipeline --mode report over the fixture documents table:
+    one JSON row per source with the health columns."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import run_pipeline
+
+    rows = run_pipeline.run_report(spark, "/root/testdata/sf0.001")
+    assert len(rows) == 20 and all(0 <= r["pass_rate"] <= 1 for r in rows)
+    printed = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert printed == sorted(rows, key=lambda r: r["source"])

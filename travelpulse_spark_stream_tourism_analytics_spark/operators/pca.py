@@ -101,3 +101,31 @@ def pca_project(
         for comp in model.components
     ]
     return emb.withColumn(out_col, F.array(*coords))
+
+
+def pca_whiten(
+    emb: DataFrame,
+    model: PCAModel,
+    vec_col: str = "v",
+    out_col: str = "pc",
+    eps: float = 1e-9,
+    scale: int = 6,
+) -> DataFrame:
+    """Whitened projection: each PCA coordinate divided by the
+    component's standard deviation, so the output space has identity
+    covariance — the preconditioning that makes product-quantization
+    subspaces carry equal information. ``eps`` guards degenerate
+    components."""
+    import math
+
+    mean_lit = F.array(*[F.lit(x) for x in model.mean])
+    centered = F.zip_with(F.col(vec_col), mean_lit, lambda a, b: a - b)
+    coords = [
+        F.round(
+            dot(centered, F.array(*[F.lit(w) for w in comp]))
+            / F.lit(math.sqrt(max(var, eps))),
+            scale,
+        )
+        for comp, var in zip(model.components, model.explained_variance)
+    ]
+    return emb.withColumn(out_col, F.array(*coords))
