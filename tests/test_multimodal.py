@@ -225,3 +225,60 @@ def test_sample_audio_frames_uniform_indices(spark):
     assert row["n_source_samples"] == len(samples)
     expected = [int(samples[(i * len(samples)) // 8]) for i in range(8)]
     assert row["sampled"] == expected
+
+
+def test_image_neardup_via_ahash_banded_hamming(spark):
+    """Image near-dup detection end to end: perceptual aHash + the
+    text pipeline's banded-Hamming pair machinery. A lightly corrupted
+    copy pairs with its original; unrelated images don't."""
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators import (
+        dedup,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        ahash64,
+        decode_bmp_pixels,
+        image_ahashes,
+        synth_bmp,
+    )
+
+    import struct
+
+    def random_bmp(seed):
+        # synth_bmp's sawtooth is perceptually IDENTICAL across seeds
+        # (aHash correctly maps all of them to the same fingerprint);
+        # unrelated images need unrelated random rasters.
+        rng = np.random.default_rng(seed)
+        shell = bytearray(synth_bmp(16, 16))
+        (offset,) = struct.unpack_from("<I", bytes(shell), 10)
+        px = rng.integers(0, 256, size=len(shell) - offset, dtype=np.uint8)
+        shell[offset:] = px.tobytes()
+        return bytes(shell)
+
+    base = random_bmp(4)
+    # Corrupt a few payload bytes inside the pixel area: a near-dup.
+    corrupted = bytearray(base)
+    for off in range(60, 66):
+        corrupted[-off] ^= 0x07
+    corrupted = bytes(corrupted)
+    px_b = decode_bmp_pixels(base).reshape(16, 16, 3)
+    px_c = decode_bmp_pixels(corrupted).reshape(16, 16, 3)
+    d = bin(
+        (ahash64(px_b) ^ ahash64(px_c)) & ((1 << 64) - 1)
+    ).count("1")
+    assert d <= 3, d  # the corruption stays within the radius
+
+    rows = [
+        (0, base),
+        (1, corrupted),
+        (2, random_bmp(9)),
+        (3, random_bmp(11)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = dedup.simhash_neardup_pairs(
+        image_ahashes(df), "doc_id", max_hamming=3, bits=64, n_bands=4
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert all(p == (0, 1) for p in got), got

@@ -607,3 +607,63 @@ def sample_audio_frames(df: DataFrame, n_frames: int) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         run, FRAME_SAMPLE_SCHEMA
     )
+
+
+def ahash64(pixels) -> int:
+    """64-bit average hash of an image raster: grayscale, NN-resize to
+    8x8, set bit j when cell j is brighter than the 8x8 mean —
+    row-major, returned as a SIGNED int64 (bit 63 wraps) so it rides
+    the same banded-Hamming machinery as the text SimHash."""
+    import numpy as np
+
+    gray = pixels.astype(np.float64).mean(axis=2)
+    small = resize_nn(gray[:, :, None], 8, 8)[:, :, 0]
+    bits = (small > small.mean()).ravel()
+    v = 0
+    for j, b in enumerate(bits):
+        if b:
+            v |= 1 << j
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def image_ahashes(df: DataFrame) -> DataFrame:
+    """Perceptual fingerprints for image payloads — the image-modality
+    twin of the text SimHash column. Near-duplicate detection is then
+    EXACTLY the existing text machinery:
+    ``dedup.simhash_neardup_pairs(image_ahashes(df), "doc_id",
+    bits=64, n_bands=4)`` — banded pigeonhole equi-join, full recall
+    within the Hamming radius, no all-pairs stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                mime = sniff_mime(payload)
+                if mime == "image/bmp":
+                    w, h, _ = decode_bmp(payload)
+                    px = decode_bmp_pixels(payload).reshape(h, w, 3)
+                elif mime == "image/png":
+                    _w, _h, _c, px = decode_png(payload)
+                else:
+                    raise NotImplementedError(f"not an image: {mime}")
+                ids.append(doc_id)
+                hs.append(ahash64(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "simhash": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, AHASH_SCHEMA)
