@@ -133,10 +133,16 @@ def test_pixel_and_sample_decode_means():
     import numpy as np
 
     px = decode_bmp_pixels(synth_bmp(5, 4, seed=9))
-    assert px.shape == (4, 15)  # no padding columns
+    assert px.shape == (4, 5, 3)  # h x w x RGB, no padding columns
     assert px.mean() == pytest.approx(
         np.mean([[(x * 3 + y * 7 + 9) % 256 for x in range(15)]
                  for y in range(4)])
+    )
+    # Placement: image row 0 is the BOTTOM stored row (BMP is
+    # bottom-up) and channels come back RGB (storage is BGR) — the
+    # top-left pixel's (R, G, B) are stored row h-1's bytes (2, 1, 0).
+    assert tuple(px[0, 0]) == tuple(
+        (i * 3 + 3 * 7 + 9) % 256 for i in (2, 1, 0)
     )
     samples = decode_wav_samples(synth_wav(100, 8000, 2, seed=7))
     assert samples.dtype == np.dtype("<i2") and len(samples) == 200
@@ -196,7 +202,7 @@ def test_resize_images_nearest_neighbor_reference(spark):
     out = {r["doc_id"]: r for r in resize_images(df, 4, 3).collect()}
 
     # Independent reference for the BMP: manual NN loops.
-    px = decode_bmp_pixels(payloads[0][1]).reshape(7, 10, 3)
+    px = decode_bmp_pixels(payloads[0][1])
     ref = np.zeros((3, 4, 3), dtype=np.uint8)
     for i in range(3):
         for j in range(4):
@@ -262,8 +268,8 @@ def test_image_neardup_via_ahash_banded_hamming(spark):
     for off in range(60, 66):
         corrupted[-off] ^= 0x07
     corrupted = bytes(corrupted)
-    px_b = decode_bmp_pixels(base).reshape(16, 16, 3)
-    px_c = decode_bmp_pixels(corrupted).reshape(16, 16, 3)
+    px_b = decode_bmp_pixels(base)
+    px_c = decode_bmp_pixels(corrupted)
     d = bin(
         (ahash64(px_b) ^ ahash64(px_c)) & ((1 << 64) - 1)
     ).count("1")
@@ -282,3 +288,74 @@ def test_image_neardup_via_ahash_banded_hamming(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 1) in got
     assert all(p == (0, 1) for p in got), got
+
+
+def test_bmp_png_cross_format_placement_consistency():
+    """ADVICE r3: the same picture stored as BMP and PNG must decode
+    to the identical top-down RGB raster — and therefore fingerprint
+    identically (aHash) and produce the same placement-sensitive
+    corner stats — or cross-format near-dup detection is broken."""
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        ahash64,
+        bmp_from_pixels,
+        png_from_pixels,
+        resize_nn,
+    )
+
+    rng = np.random.default_rng(17)
+    px = rng.integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    bmp, png = bmp_from_pixels(px), png_from_pixels(px, seed=3)
+    assert sniff_mime(bmp) == "image/bmp"
+    assert sniff_mime(png) == "image/png"
+    got_bmp = decode_bmp_pixels(bmp)
+    _w, _h, _c, got_png = decode_png(png)
+    assert (got_bmp == px).all()
+    assert (got_png == px).all()
+    assert ahash64(got_bmp) == ahash64(got_png)
+    rz_b, rz_p = resize_nn(got_bmp, 4, 4), resize_nn(got_png, 4, 4)
+    assert (rz_b == rz_p).all()
+
+
+def test_bmp_top_down_pixel_decode():
+    """A negative stored height means the BMP is already top-down; the
+    decoder must NOT flip those rows."""
+    import struct
+
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        bmp_from_pixels,
+    )
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(4, 3, 3), dtype=np.uint8)
+    bottom_up = bytearray(bmp_from_pixels(px))
+    # Rewrite as top-down: negate height, reverse the row order.
+    (offset,) = struct.unpack_from("<I", bytes(bottom_up), 10)
+    stride = bmp_row_stride(3)
+    rows = [
+        bytes(bottom_up[offset + y * stride : offset + (y + 1) * stride])
+        for y in range(4)
+    ]
+    struct.pack_into("<i", bottom_up, 22, -4)
+    top_down = bytes(bottom_up[:offset]) + b"".join(reversed(rows))
+    assert (decode_bmp_pixels(top_down) == px).all()
+
+
+def test_sample_audio_frames_empty_data_chunk(spark):
+    """A WAV with an empty data chunk yields an empty sample list, not
+    an IndexError inside the mapInPandas worker (ADVICE r3)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        sample_audio_frames,
+    )
+
+    wav = synth_wav(n_samples=0, sample_rate=8000)
+    df = spark.createDataFrame(
+        [(1, wav), (2, synth_wav(n_samples=40, sample_rate=8000, seed=3))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in sample_audio_frames(df, 4).collect()}
+    assert rows[1]["n_source_samples"] == 0 and rows[1]["sampled"] == []
+    assert rows[2]["n_source_samples"] == 40 and len(rows[2]["sampled"]) == 4

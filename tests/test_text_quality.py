@@ -647,3 +647,103 @@ def test_report_cli_mode(spark, capsys):
         for line in capsys.readouterr().out.strip().splitlines()
     ]
     assert printed == sorted(rows, key=lambda r: r["source"])
+
+
+def test_quality_signals_zero_token_doc_is_dropped_not_fatal(spark):
+    """ADVICE r3 (high): an empty or punctuation-only doc used to throw
+    DIVIDE_BY_ZERO under ANSI mode inside quality_signals and kill the
+    whole curate/report job. It must instead yield NULL ratio signals
+    and passes_quality=false."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.curate import (
+        curate_corpus,
+        quality_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "!!! ... ---"),
+            (3, "the quick brown fox jumps over a lazy dog of the town"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_signals(docs).collect()}
+    for d in (1, 2):
+        assert rows[d]["n_tokens"] == 0
+        assert rows[d]["avg_token_len"] is None
+        assert rows[d]["stopword_ratio"] is None
+        assert rows[d]["digit_token_frac"] is None
+        assert rows[d]["quality_score"] is None
+        assert rows[d]["passes_quality"] is False
+    assert rows[3]["passes_quality"] is True
+    # The full chain survives the degenerate docs too.
+    kept = {r["doc_id"] for r in curate_corpus(docs).collect()}
+    assert kept == {3}
+
+
+def test_docs_text_profile_zero_token_guard(spark, tmp_path):
+    """Same ANSI-mode guard on the oracled docs_text_profile columns."""
+    from travelpulse_spark_stream_tourism_analytics_spark.plans import text_queries
+
+    docs = spark.createDataFrame(
+        [(1, "", "en", "src0", 0), (2, "plain words here", "en", "src0", 16)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r["doc_id"]: r
+        for r in text_queries.docs_text_profile(spark, str(tmp_path)).collect()
+    }
+    assert rows[1]["n_tokens"] == 0
+    assert rows[1]["avg_token_len"] is None
+    assert rows[1]["passes_quality"] is False
+    assert rows[2]["n_tokens"] == 3
+
+
+def test_pii_case_insensitive_count_equals_redacted_spans(spark):
+    """ADVICE r3 (medium): mixed-case PII must be fully redacted, and
+    the counted hits must be exactly the redacted spans."""
+    cases = [
+        "John@example.com wrote this",          # mixed-case local part
+        "contact John.Doe@Gmail.COM today",     # mixed-case domain too
+        "plain lowercase mail a@b.io here",
+        "IP 10.0.0.1 and SSN 123-45-6789",
+    ]
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    out = df.select(
+        pii_count(F.col("text")).alias("n"),
+        redact_pii(F.col("text")).alias("red"),
+        pii_count(redact_pii(F.col("text"))).alias("n_after"),
+    ).collect()
+    for row, text in zip(out, cases):
+        assert row["n"] >= 1
+        # every counted span was redacted: nothing left to count, and
+        # no fragment of the original addresses survives
+        assert row["n_after"] == 0, (text, row["red"])
+    assert out[0]["red"] == "<EMAIL> wrote this"
+    assert out[1]["red"] == "contact <EMAIL> today"
+    assert "John" not in out[0]["red"] and "John" not in out[1]["red"]
+
+
+def test_pii_case_insensitive_patterns_match_in_duckdb():
+    """The (?i)-flagged patterns count identically in DuckDB's RE2."""
+    import duckdb
+
+    texts = [
+        "John@Example.COM wrote this",
+        "ip 10.0.0.1 ssn 123-45-6789 phone 333-444-5555",
+    ]
+    for text in texts:
+        duck = sum(
+            len(
+                duckdb.sql(
+                    "SELECT regexp_extract_all(?, ?)", params=[text, p]
+                ).fetchone()[0]
+            )
+            for p in PII_PATTERNS.values()
+        )
+        py_hits = sum(
+            len(__import__("re").findall(p, text))
+            for p in PII_PATTERNS.values()
+        )
+        assert duck == py_hits >= 1

@@ -79,27 +79,32 @@ def word_ngrams(words: Column, n: int) -> Column:
 # lookarounds) so the same strings run in Spark (Java regex) and in
 # any RE2-based oracle engine. Order matters for redaction: the email
 # pattern must run before the phone/SSN patterns so digits inside a
-# local-part are not half-redacted.
+# local-part are not half-redacted. Every pattern carries an
+# inline ``(?i)`` flag (valid in both Java regex and RE2) so COUNTING
+# and REDACTION see the identical span set on the ORIGINAL text —
+# lowercase-only patterns run against original-case input used to
+# half-redact 'John@example.com' to 'J<EMAIL>' while the count (which
+# lowercased first) still saw one full hit (ADVICE r3).
 PII_PATTERNS: dict[str, str] = {
-    "EMAIL": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
-    "SSN": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
-    "PHONE": r"\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\b",
-    "IPV4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "EMAIL": r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "SSN": r"(?i)\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "PHONE": r"(?i)\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\b",
+    "IPV4": r"(?i)\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
 }
 
 
 def pii_count(col: Column) -> Column:
     """Total PII pattern hits in a text column (long).
 
-    Counts each pattern independently on the lowercased text; a token
-    matched by two patterns counts twice (the count is a risk signal,
-    not a span partition). Pure ``regexp_count`` — codegen'd, zero
-    shuffle, linear scan.
+    Counts each pattern independently on the original-case text (the
+    patterns are case-insensitive), so counted hits are exactly the
+    spans ``redact_pii`` replaces; a token matched by two patterns
+    counts twice (the count is a risk signal, not a span partition).
+    Pure ``regexp_count`` — codegen'd, zero shuffle, linear scan.
     """
-    lowered = F.lower(col)
     total: Column = F.lit(0)
     for pat in PII_PATTERNS.values():
-        total = total + F.regexp_count(lowered, F.lit(pat))
+        total = total + F.regexp_count(col, F.lit(pat))
     return total.cast("long")
 
 

@@ -57,13 +57,21 @@ def quality_signals(
     )
     n_tok = F.size("__toks").cast("double")
     n_stop = F.size(F.filter("__toks", lambda x: F.array_contains(stop, x)))
+    # Every per-token ratio is guarded on n_tok > 0: under Spark 4's
+    # default ANSI mode an unguarded x / n_tok on an empty or
+    # punctuation-only document throws DIVIDE_BY_ZERO and kills the
+    # whole job (ADVICE r3). Zero-token docs get NULL signals and a
+    # false gate (n_tokens=0 fails min_tokens, and false AND NULL is
+    # false), i.e. they are dropped, not fatal.
+    has_tok = F.size("__toks") > 0
     return staged.select(
         *docs.columns,
         F.size("__toks").cast("long").alias("n_tokens"),
-        F.round(
-            F.length(F.concat_ws("", F.col("__toks"))) / n_tok, 6
+        F.when(
+            has_tok,
+            F.round(F.length(F.concat_ws("", F.col("__toks"))) / n_tok, 6),
         ).alias("avg_token_len"),
-        F.round(n_stop / n_tok, 6).alias("stopword_ratio"),
+        F.when(has_tok, F.round(n_stop / n_tok, 6)).alias("stopword_ratio"),
         F.when(
             F.size("__ngrams") > 0,
             F.round(
@@ -75,15 +83,22 @@ def quality_signals(
         )
         .otherwise(F.lit(0.0))
         .alias("dup_3gram_frac"),
-        F.round(
-            F.size(F.filter("__toks", lambda x: x.rlike("^[0-9]+$"))) / n_tok,
-            6,
+        F.when(
+            has_tok,
+            F.round(
+                F.size(F.filter("__toks", lambda x: x.rlike("^[0-9]+$")))
+                / n_tok,
+                6,
+            ),
         ).alias("digit_token_frac"),
         pii_count(F.col(text_col)).alias("n_pii_hits"),
-        F.round(
-            F.least(F.lit(1.0), F.size("__toks") / F.lit(200.0))
-            * (F.lit(1.0) - n_stop / n_tok),
-            6,
+        F.when(
+            has_tok,
+            F.round(
+                F.least(F.lit(1.0), F.size("__toks") / F.lit(200.0))
+                * (F.lit(1.0) - n_stop / n_tok),
+                6,
+            ),
         ).alias("quality_score"),
     ).withColumn("passes_quality", passes_quality_expr())
 

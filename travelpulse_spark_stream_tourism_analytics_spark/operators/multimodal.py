@@ -228,19 +228,17 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def synth_png(
-    width: int, height: int, seed: int = 0, channels: int = 3
-) -> bytes:
-    """Deterministic 8-bit RGB(A) PNG. Pixel bytes follow the same
-    gradient as `synth_bmp` (``(i*3 + y*7 + seed) % 256`` along each
-    raw scanline); row ``y`` is encoded with filter type
-    ``(y + seed) % 5`` so a corpus of synthesized images exercises all
-    five PNG scanline filters, Paeth included, even for short images."""
+def png_from_pixels(px, seed: int = 0) -> bytes:
+    """Encode an ``h x w x c`` (c = 3/4) uint8 RGB(A) top-down raster
+    as an 8-bit PNG; row ``y`` uses filter type ``(y + seed) % 5`` so
+    an encoded corpus exercises all five scanline filters, Paeth
+    included, even for short images."""
     import struct
     import zlib
 
+    height, width, channels = px.shape[0], px.shape[1], px.shape[2]
     if channels not in (3, 4):
-        raise ValueError("synth_png emits RGB (3) or RGBA (4) only")
+        raise ValueError("png_from_pixels emits RGB (3) or RGBA (4) only")
     color_type = 2 if channels == 3 else 6
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     bpp = channels
@@ -248,7 +246,7 @@ def synth_png(
     filtered = bytearray()
     prior = bytes(row_len)
     for y in range(height):
-        raw = bytes((i * 3 + y * 7 + seed) % 256 for i in range(row_len))
+        raw = px[y].reshape(-1).tobytes()
         ftype = (y + seed) % 5
         filtered.append(ftype)
         for i in range(row_len):
@@ -273,6 +271,54 @@ def synth_png(
         + _png_chunk(b"IDAT", zlib.compress(bytes(filtered)))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def synth_png(
+    width: int, height: int, seed: int = 0, channels: int = 3
+) -> bytes:
+    """Deterministic 8-bit RGB(A) PNG. Pixel bytes follow the same
+    gradient as `synth_bmp` (``(i*3 + y*7 + seed) % 256`` along each
+    raw scanline), encoded via :func:`png_from_pixels` with the seeded
+    filter cycling."""
+    import numpy as np
+
+    if channels not in (3, 4):
+        raise ValueError("synth_png emits RGB (3) or RGBA (4) only")
+    row_len = width * channels
+    px = np.array(
+        [
+            [(i * 3 + y * 7 + seed) % 256 for i in range(row_len)]
+            for y in range(height)
+        ],
+        dtype=np.uint8,
+    ).reshape(height, width, channels)
+    return png_from_pixels(px, seed=seed)
+
+
+def bmp_from_pixels(px) -> bytes:
+    """Encode an ``h x w x 3`` RGB top-down uint8 raster as a 24-bpp
+    bottom-up BGR BMP — the storage-layout inverse of
+    :func:`decode_bmp_pixels`, so the same picture can be written to
+    both BMP and PNG and must decode / fingerprint identically
+    (the cross-format consistency ADVICE r3 called for)."""
+    import struct
+
+    h, w = px.shape[0], px.shape[1]
+    stride = bmp_row_stride(w)
+    image_size = stride * h
+    file_size = BMP_HEADER_BYTES + image_size
+    header = struct.pack(
+        "<2sIHHI", b"BM", file_size, 0, 0, BMP_HEADER_BYTES
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    bgr = px[:, :, ::-1]
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        row = bytearray(stride)
+        row[: w * 3] = bgr[y].tobytes()
+        rows.append(bytes(row))
+    return header + b"".join(rows)
 
 
 def decode_png(payload: bytes):
@@ -354,9 +400,15 @@ def decode_png(payload: bytes):
 
 def decode_bmp_pixels(payload: bytes):
     """Pixel-level BMP decode (24-bpp uncompressed): strips the
-    per-row 4-byte stride padding and returns the ``h x (3w)`` raw
-    pixel bytes as a uint8 ndarray (bottom-up storage order kept —
-    irrelevant for the aggregate features computed from it)."""
+    per-row 4-byte stride padding and returns an ``h x w x 3`` RGB
+    uint8 ndarray in TOP-DOWN row order — the same placement
+    convention as :func:`decode_png`. BMP stores rows bottom-up in
+    BGR; leaving that raw order (as round 3 did) made placement-
+    sensitive consumers (``resize_images`` corner_sum, ``ahash64``)
+    fingerprint a vertically flipped channel-swapped image, so the
+    same picture stored as BMP vs PNG hashed differently and
+    cross-format near-dup detection failed (ADVICE r3). Negative
+    stored heights (top-down BMPs) are honored too."""
     import struct
 
     import numpy as np
@@ -365,11 +417,15 @@ def decode_bmp_pixels(payload: bytes):
     if bpp != 24:
         raise NotImplementedError("pure-Python BMP path decodes 24-bpp only")
     (offset,) = struct.unpack_from("<I", payload, 10)
+    (stored_h,) = struct.unpack_from("<i", payload, 22)
     stride = bmp_row_stride(width)
     data = np.frombuffer(
         payload, dtype=np.uint8, count=stride * height, offset=offset
-    ).reshape(height, stride)
-    return data[:, : width * 3]
+    ).reshape(height, stride)[:, : width * 3]
+    px = data.reshape(height, width, 3)
+    if stored_h > 0:  # bottom-up storage: flip to top-down
+        px = px[::-1]
+    return px[:, :, ::-1].copy()  # BGR -> RGB
 
 
 def decode_wav_samples(payload: bytes):
@@ -545,8 +601,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 payload = bytes(payload)
                 mime = sniff_mime(payload)
                 if mime == "image/bmp":
-                    w, h, _ = decode_bmp(payload)
-                    px = decode_bmp_pixels(payload).reshape(h, w, 3)
+                    px = decode_bmp_pixels(payload)
                 elif mime == "image/png":
                     _w, _h, _c, px = decode_png(payload)
                 else:
@@ -592,9 +647,15 @@ def sample_audio_frames(df: DataFrame, n_frames: int) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 samples = decode_wav_samples(bytes(payload))
                 n = len(samples)
-                idx = (np.arange(n_frames) * n) // n_frames
                 ids.append(doc_id)
                 totals.append(n)
+                if n == 0:
+                    # Empty data chunk: idx would be all zeros and
+                    # samples[0] would IndexError inside the worker
+                    # (ADVICE r3) — emit an empty sample list instead.
+                    sampled.append([])
+                    continue
+                idx = (np.arange(n_frames) * n) // n_frames
                 sampled.append([int(samples[i]) for i in idx])
             yield pd.DataFrame(
                 {
@@ -651,8 +712,7 @@ def image_ahashes(df: DataFrame) -> DataFrame:
                 payload = bytes(payload)
                 mime = sniff_mime(payload)
                 if mime == "image/bmp":
-                    w, h, _ = decode_bmp(payload)
-                    px = decode_bmp_pixels(payload).reshape(h, w, 3)
+                    px = decode_bmp_pixels(payload)
                 elif mime == "image/png":
                     _w, _h, _c, px = decode_png(payload)
                 else:

@@ -520,15 +520,35 @@ def pq_codebooks(
     each — codebooks are tiny plan constants exactly like IVF
     centroids and LSH planes, so the fit cost is O(sample), never
     O(corpus). Returns a list of m (k x d/m) float arrays.
+
+    The sample is taken by CONTENT-hash order (TakeOrderedAndProject
+    over md5 of the vector bytes), not ``limit``: a bare limit is
+    partition-layout-dependent, so the same corpus written in a
+    different file order yielded different codebooks despite the fixed
+    seed (ADVICE r3). Hash order is a property of the data alone —
+    codebooks are now stable across repartitions/sorts — and a
+    hash-ordered prefix is an unbiased sample of a sorted/clustered
+    corpus, where a positional prefix is maximally biased. ``k`` is
+    clamped to the sample size so undersized corpora degrade to fewer
+    centroids instead of raising inside ``rng.choice``.
     """
     import numpy as np
 
     sample = np.array(
-        [r[0] for r in emb.select(vec_col).limit(sample_limit).collect()]
+        [
+            r[0]
+            for r in emb.select(vec_col)
+            .orderBy(F.md5(F.to_json(F.col(vec_col))), F.col(vec_col))
+            .limit(sample_limit)
+            .collect()
+        ]
     )
+    if len(sample) == 0:
+        raise ValueError("pq_codebooks: empty corpus")
     d = sample.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
+    k = min(k, len(sample))
     sub = d // m
     rng = np.random.default_rng(seed)
     books = []

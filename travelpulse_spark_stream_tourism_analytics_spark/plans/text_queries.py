@@ -452,9 +452,11 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lookarounds).
 _BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
 
-# DuckDB mirror of functions.text.pii_count (same RE2-safe patterns).
+# DuckDB mirror of functions.text.pii_count (same RE2-safe patterns,
+# case-insensitive via the inline (?i) flag, run on the original-case
+# text exactly as the engine does).
 _PII_HITS_SQL = " + ".join(
-    f"len(regexp_extract_all(lower(text), '{pat}'))"
+    f"len(regexp_extract_all(text, '{pat}'))"
     for pat in PII_PATTERNS.values()
 )
 
@@ -808,15 +810,21 @@ _LANG_HITS = {
     profile AS (
         SELECT doc_id, lang, n_chars,
                CAST(len(toks) AS BIGINT) AS n_tokens,
-               round(length(array_to_string(toks, '')) / len(toks)::DOUBLE, 6)
-                   AS avg_token_len,
-               round(len(list_filter(toks, x -> list_contains(
-                         ['the', 'a', 'of', 'and', 'in', 'to', 'is'], x)))
-                     / len(toks)::DOUBLE, 6) AS stopword_ratio,
-               round(least(1.0, len(toks) / 200.0)
-                     * (1.0 - len(list_filter(toks, x -> list_contains(
-                           ['the', 'a', 'of', 'and', 'in', 'to', 'is'], x)))
-                       / len(toks)::DOUBLE), 6) AS quality_score,
+               CASE WHEN len(toks) > 0 THEN
+                   round(length(array_to_string(toks, ''))
+                         / len(toks)::DOUBLE, 6)
+               END AS avg_token_len,
+               CASE WHEN len(toks) > 0 THEN
+                   round(len(list_filter(toks, x -> list_contains(
+                             ['the', 'a', 'of', 'and', 'in', 'to', 'is'], x)))
+                         / len(toks)::DOUBLE, 6)
+               END AS stopword_ratio,
+               CASE WHEN len(toks) > 0 THEN
+                   round(least(1.0, len(toks) / 200.0)
+                         * (1.0 - len(list_filter(toks, x -> list_contains(
+                               ['the', 'a', 'of', 'and', 'in', 'to', 'is'], x)))
+                           / len(toks)::DOUBLE), 6)
+               END AS quality_score,
                CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}'))
                     AS BIGINT) AS n_bpe_tokens,
                CASE WHEN len(ngrams) > 0
@@ -829,9 +837,11 @@ _LANG_HITS = {
                     THEN round(1.0 - len(list_distinct(ngrams))
                                / len(ngrams)::DOUBLE, 6)
                     ELSE 0.0 END AS dup_3gram_frac,
-               round(len(list_filter(toks,
-                         x -> regexp_full_match(x, '[0-9]+')))
-                     / len(toks)::DOUBLE, 6) AS digit_token_frac,
+               CASE WHEN len(toks) > 0 THEN
+                   round(len(list_filter(toks,
+                             x -> regexp_full_match(x, '[0-9]+')))
+                         / len(toks)::DOUBLE, 6)
+               END AS digit_token_frac,
                CAST({_PII_HITS_SQL} AS BIGINT) AS n_pii_hits
         FROM arrs
     )
@@ -883,19 +893,27 @@ def docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     it_hits = sum(
         (F.regexp_count(lowered, F.lit(b)) for b in _IT_BIGRAMS), F.lit(0)
     )
+    # n_tok-guarded ratios: unguarded division throws DIVIDE_BY_ZERO
+    # under ANSI mode on an empty/punctuation-only doc (ADVICE r3);
+    # zero-token docs get NULL signals and a false passes_quality.
+    has_tok = F.size("toks") > 0
     profile = stage2.select(
         "doc_id",
         "lang",
         "n_chars",
         F.size("toks").cast("long").alias("n_tokens"),
-        F.round(F.length(F.concat_ws("", F.col("toks"))) / n_tok, 6).alias(
-            "avg_token_len"
-        ),
-        F.round(n_stop / n_tok, 6).alias("stopword_ratio"),
-        F.round(
-            F.least(F.lit(1.0), F.size("toks") / F.lit(200.0))
-            * (F.lit(1.0) - n_stop / n_tok),
-            6,
+        F.when(
+            has_tok,
+            F.round(F.length(F.concat_ws("", F.col("toks"))) / n_tok, 6),
+        ).alias("avg_token_len"),
+        F.when(has_tok, F.round(n_stop / n_tok, 6)).alias("stopword_ratio"),
+        F.when(
+            has_tok,
+            F.round(
+                F.least(F.lit(1.0), F.size("toks") / F.lit(200.0))
+                * (F.lit(1.0) - n_stop / n_tok),
+                6,
+            ),
         ).alias("quality_score"),
         F.regexp_count(lowered, F.lit(_BPE_PATTERN)).cast("long").alias(
             "n_bpe_tokens"
@@ -921,8 +939,13 @@ def docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("dup_3gram_frac"),
-        F.round(
-            F.size(F.filter("toks", lambda x: x.rlike("^[0-9]+$"))) / n_tok, 6
+        F.when(
+            has_tok,
+            F.round(
+                F.size(F.filter("toks", lambda x: x.rlike("^[0-9]+$")))
+                / n_tok,
+                6,
+            ),
         ).alias("digit_token_frac"),
         pii_count(F.col("text")).alias("n_pii_hits"),
     )
