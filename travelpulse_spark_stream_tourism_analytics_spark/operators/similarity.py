@@ -505,6 +505,45 @@ def semantic_dedup_assigned(
 # --- Product quantization (round 3) --------------------------------------
 
 
+def _round_half_up(x: float, scale: int = 6) -> float:
+    """SQL-compatible rounding (half away from zero for positives);
+    Python round() is banker's and disagrees on exact ties."""
+    import math
+
+    p = 10.0**scale
+    return math.floor(x * p + 0.5) / p
+
+
+def seeded_pq_codebooks(
+    m: int, k: int, dim: int, seed: str = "pq", scale: float = 0.25
+) -> list:
+    """Data-INDEPENDENT codebooks from the same seeded-hash generator
+    as the LSH hyperplanes: m subspace codebooks of k centroids each,
+    entries in ``[-scale, scale)``. These exist so the PQ encode + ADC
+    search machinery can be driven through the DuckDB oracle — the
+    codebook floats are plan constants embeddable as SQL literals,
+    exactly like the seeded IVF centroids. Production fits
+    :func:`pq_codebooks` (k-means) instead; everything downstream
+    (encode, ADC) is the identical code path."""
+    import numpy as np
+
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    return [
+        np.array(
+            [
+                [
+                    _seeded_unit(f"{seed}:{j}:{c}:{d}") * scale
+                    for d in range(sub)
+                ]
+                for c in range(k)
+            ]
+        )
+        for j in range(m)
+    ]
+
+
 def pq_codebooks(
     emb: DataFrame,
     vec_col: str = "v",
@@ -571,12 +610,20 @@ def pq_encode(
     id_col: str,
     vec_col: str,
     codebooks: list,
+    dist_round: int | None = None,
 ) -> DataFrame:
     """Encode vectors to m small codes (nearest centroid per
     subspace) — the 4-bit/8-bit-per-subspace representation that cuts
     vector storage ~32-64x. Vectorized numpy over ``mapInPandas``
     (per-row argmin over m*k centroids is the designed Pandas-UDF
-    site; everything downstream of the codes stays in pure exprs)."""
+    site; everything downstream of the codes stays in pure exprs).
+
+    ``dist_round``: round subspace distances (half away from zero) at
+    this scale BEFORE the argmin, making the code assignment portable
+    across engines that compute the same distance with a different
+    floating-point expression order (the DuckDB oracle uses the
+    |a|^2 - 2ab + |b|^2 expansion); argmin tie-break is first-index on
+    both sides. None (default) keeps the production exact argmin."""
     import numpy as np
     import pandas as pd
 
@@ -596,6 +643,9 @@ def pq_encode(
                 d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(
                     axis=2
                 )
+                if dist_round is not None:
+                    p = 10.0**dist_round
+                    d2 = np.floor(d2 * p + 0.5) / p
                 codes[:, j] = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].values, "codes": list(codes)}
@@ -612,8 +662,15 @@ def pq_search_adc(
     query_id_col: str,
     qvec_col: str = "qv",
     k: int = 5,
+    table_round: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes.
+
+    ``table_round``: round each per-(query, subspace, centroid) table
+    entry (half away from zero) before shipping, so an oracle engine
+    recomputing the same entries with a different float expression
+    order sums IDENTICAL values — the final sum of m rounded doubles
+    is then bit-equal under the same left-to-right fold order.
 
     Per query, the m x k table of exact subspace distances to every
     centroid is precomputed driver-side (queries are few by the same
@@ -635,9 +692,10 @@ def pq_search_adc(
         tables = []
         for j in range(m):
             qs = qv[j * sub : (j + 1) * sub]
-            tables.append(
-                [float(((qs - c) ** 2).sum()) for c in codebooks[j]]
-            )
+            ent = [float(((qs - c) ** 2).sum()) for c in codebooks[j]]
+            if table_round is not None:
+                ent = [_round_half_up(v, table_round) for v in ent]
+            tables.append(ent)
         rows.append((r[query_id_col], tables))
     spark = queries.sparkSession
     q_df = spark.createDataFrame(

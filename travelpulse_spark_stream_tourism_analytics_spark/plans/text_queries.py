@@ -426,24 +426,111 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_label_centroids",
     oracle="""
-    SELECT label, i AS pos, round(avg(emb[i]), 6) AS mean_v
+    SELECT 'centroid' AS branch, label, i AS pos,
+           round(avg(emb[i]), 6) AS mean_v
     FROM (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
          generate_series(1, 64) t(i)
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    -- Distributed PCA (round 4): the 2x2 eigenproblem over embedding
+    -- dims 1-2 is CLOSED-FORM (quadratic characteristic polynomial),
+    -- so the engine's generic pca_fit/pca_project machinery — the
+    -- mapInPandas (count, sum, gram) partial pass, driver
+    -- eigendecomposition, plan-constant projection — is hash-checked
+    -- end to end against an independent algebraic derivation.
+    -- Eigenvector of [[a,b],[b,c]] for eigenvalue l is (b, l - a)
+    -- (valid while b != 0); sign fixed so the largest-|.| entry is
+    -- positive, matching pca_fit's convention (first index wins ties).
+    SELECT 'pca2' AS branch, ci AS label, pos, mean_v
+    FROM (
+        WITH two AS (
+            SELECT vec_id, embedding[1]::DOUBLE AS x,
+                   embedding[2]::DOUBLE AS y
+            FROM embeddings
+        ), stats AS (
+            SELECT count(*)::DOUBLE AS n, avg(x) AS mx, avg(y) AS my,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy,
+                   sum(y * y) AS syy
+            FROM two
+        ), cov AS (
+            SELECT mx, my,
+                   sxx / n - mx * mx AS a,
+                   sxy / n - mx * my AS b,
+                   syy / n - my * my AS c
+            FROM stats
+        ), eig AS (
+            SELECT mx, my, a, b, c,
+                   (a + c) / 2 + sqrt((a - c) * (a - c) / 4 + b * b) AS l1,
+                   (a + c) / 2 - sqrt((a - c) * (a - c) / 4 + b * b) AS l2
+            FROM cov
+        ), comps AS (
+            SELECT 0 AS ci, b AS wx, l1 - a AS wy, mx, my FROM eig
+            UNION ALL
+            SELECT 1 AS ci, b AS wx, l2 - a AS wy, mx, my FROM eig
+        ), units AS (
+            SELECT ci, mx, my,
+                   CASE WHEN (CASE WHEN abs(wx) >= abs(wy)
+                                   THEN wx ELSE wy END) < 0
+                        THEN -wx / nrm ELSE wx / nrm END AS ux,
+                   CASE WHEN (CASE WHEN abs(wx) >= abs(wy)
+                                   THEN wx ELSE wy END) < 0
+                        THEN -wy / nrm ELSE wy / nrm END AS uy
+            FROM (SELECT *, sqrt(wx * wx + wy * wy) AS nrm FROM comps)
+        )
+        SELECT u.ci::INTEGER AS ci, t.vec_id AS pos,
+               round((t.x - u.mx) * u.ux + (t.y - u.my) * u.uy, 6)
+                   AS mean_v
+        FROM two t, units u
+    ) p
     """,
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label element-wise centroid (long format) — dataset
-    statistics over vector columns via posexplode; the building block
-    for class prototypes / drift monitoring in a training pipeline."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "label", similarity.as_double_vec(F.col("embedding")).alias("v")
+    """Merged vector-statistics entry.
+
+    branch='centroid' — per-label element-wise centroid (long format):
+    dataset statistics over vector columns via posexplode; the
+    building block for class prototypes / drift monitoring.
+
+    branch='pca2' — distributed PCA (round 4, operators/pca.py) over
+    embedding dims 1-2: one mapInPandas pass reduces each partition to
+    (count, sum, gram) partials (d x d floats, independent of row
+    count), the driver eigendecomposes the 2x2 covariance, and the
+    projection is a plan-constant dot product per component — the
+    identical fit/project code path used for the full-width PCA and
+    whitening (pytest: test_distributed_pca_matches_numpy). The 2-dim
+    restriction is what makes a SQL oracle possible: the 2x2
+    eigenproblem has a closed algebraic form DuckDB can evaluate,
+    which then pins the engine's WHOLE machinery (partial pass, eigh,
+    sign convention, projection) value-exactly. Rows are (component
+    as label, vec_id as pos, projection as mean_v)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.pca import (
+        pca_fit,
+        pca_project,
     )
-    return (
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        similarity.as_double_vec(F.col("embedding")).alias("v"),
+    )
+    centroid = (
         emb.select("label", F.posexplode("v").alias("pos0", "val"))
         .groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
         .agg(F.round(F.avg("val"), 6).alias("mean_v"))
+        .select(F.lit("centroid").alias("branch"), "label", "pos", "mean_v")
     )
+    two = emb.select("vec_id", F.slice("v", 1, 2).alias("v2"))
+    model = pca_fit(two, "v2", k=2)
+    pca = (
+        pca_project(two, model, "v2", "pc", scale=6)
+        .select("vec_id", F.posexplode("pc").alias("ci", "coord"))
+        .select(
+            F.lit("pca2").alias("branch"),
+            F.col("ci").cast("integer").alias("label"),
+            F.col("vec_id").alias("pos"),
+            F.col("coord").alias("mean_v"),
+        )
+    )
+    return centroid.unionByName(pca)
 
 
 # BPE-ish subword pattern: word pieces, digit runs, punctuation runs,
@@ -546,7 +633,7 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     term_branch AS (
         SELECT 'term' AS branch, term, NULL::BIGINT AS doc_id,
-               n_occurrences, n_docs
+               n_occurrences, n_docs, NULL::DOUBLE AS score
         FROM (
             SELECT term,
                    count(*) AS n_occurrences,
@@ -570,15 +657,62 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     contam_branch AS (
         SELECT 'contam' AS branch, NULL::VARCHAR AS term, t.doc_id,
                count(DISTINCT t.ng) AS n_occurrences,
-               count(DISTINCT e.doc_id) AS n_docs
+               count(DISTINCT e.doc_id) AS n_docs, NULL::DOUBLE AS score
         FROM ng t
         JOIN ng e ON e.ng = t.ng AND e.doc_id < 20
         WHERE t.doc_id >= 20
         GROUP BY t.doc_id
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+    ),
+    dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+    tfidf_branch AS (
+        SELECT 'tfidf' AS branch, term, doc_id,
+               tf AS n_occurrences, df AS n_docs, tfidf AS score
+        FROM (
+            SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+                   round(tf.tf * ln((nn.n + 1) / (dfx.df + 1.0)), 6)
+                       AS tfidf,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY round(tf.tf * ln((nn.n + 1)
+                                      / (dfx.df + 1.0)), 6) DESC, tf.term
+                   ) AS rank
+            FROM tf JOIN dfx ON tf.term = dfx.term, nn
+        ) WHERE rank <= 3
+    ),
+    lm_counts AS (
+        SELECT term, count(*) AS n FROM terms WHERE doc_id < 100
+        GROUP BY term
+    ),
+    lm_tot AS (
+        SELECT sum(n)::DOUBLE + 0.5 * (count(*)::DOUBLE + 1.0) AS denom
+        FROM lm_counts
+    ),
+    lm AS (
+        SELECT term, ln((n + 0.5) / lm_tot.denom) AS logp
+        FROM lm_counts, lm_tot
+    ),
+    lm_branch AS (
+        SELECT 'lm' AS branch, NULL::VARCHAR AS term, doc_id,
+               count(*) AS n_occurrences, NULL::BIGINT AS n_docs,
+               round(-avg(logp), 6) AS score
+        FROM (
+            SELECT t.doc_id,
+                   coalesce(lm.logp, ln(0.5 / lm_tot.denom)) AS logp
+            FROM terms t LEFT JOIN lm ON t.term = lm.term, lm_tot
+        )
+        GROUP BY doc_id
     )
     SELECT * FROM term_branch
     UNION ALL
     SELECT * FROM contam_branch
+    UNION ALL
+    SELECT * FROM tfidf_branch
+    UNION ALL
+    SELECT * FROM lm_branch
     """,
 )
 def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,6 +726,21 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (small) per-term aggregate — no global sort. At skewed corpora
     the term key can be salted (operators/skew.py) without changing
     results.
+
+    branch='tfidf' — per-document distinctive terms (round 4,
+    operators/keywords.py tfidf_top_keywords): top-3 terms per doc by
+    smoothed tf*idf, score rounded at 1e-6 before ranking with a term
+    tiebreak. tf is one (doc, term) shuffle with map-side combine; the
+    vocabulary-sized df side broadcasts; the top-k window partitions
+    per doc, never globally.
+
+    branch='lm' — unigram-LM fluency scoring (round 4,
+    operators/lm.py, the CCNet shape): the LM trains in one
+    aggregation over the trusted seed corpus (doc_id < 100,
+    add-0.5 smoothing, an unknown-term slot), broadcasts the
+    vocabulary like a dimension, and every document gets its mean
+    per-token negative log-likelihood (score; n_occurrences = tokens
+    scored). Swapping KenLM in changes only the scorer.
 
     branch='contam' — n-gram benchmark contamination (round 3): flag
     every training doc (doc_id >= 20) sharing a distinct word 3-gram
@@ -620,7 +769,34 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("doc_id"),
             "n_occurrences",
             "n_docs",
+            F.lit(None).cast("double").alias("score"),
         )
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.keywords import (
+        tfidf_top_keywords,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.lm import (
+        lm_score_docs,
+        unigram_lm,
+    )
+
+    tfidf = tfidf_top_keywords(docs, top_k=3).select(
+        F.lit("tfidf").alias("branch"),
+        "term",
+        "doc_id",
+        F.col("tf").alias("n_occurrences"),
+        F.col("df").alias("n_docs"),
+        F.col("tfidf").alias("score"),
+    )
+    lm = lm_score_docs(
+        docs, unigram_lm(docs.filter(F.col("doc_id") < 100))
+    ).select(
+        F.lit("lm").alias("branch"),
+        F.lit(None).cast("string").alias("term"),
+        "doc_id",
+        F.col("n_scored_tokens").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.col("nll").alias("score"),
     )
 
     def doc_ngrams(df: DataFrame) -> DataFrame:
@@ -655,9 +831,10 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_occurrences",
             "n_docs",
+            F.lit(None).cast("double").alias("score"),
         )
     )
-    return top.unionByName(contam)
+    return top.unionByName(contam).unionByName(tfidf).unionByName(lm)
 
 
 _IVF_SEEDED_ORACLE = """
@@ -1150,6 +1327,58 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stub.unionByName(media)
 
 
+# --- PQ/ADC oracle fragments (round 4) -----------------------------------
+# Seeded data-INDEPENDENT codebooks (4 subspaces x 8 centroids over the
+# 64-dim embeddings) from the same md5-seeded stream as the LSH
+# hyperplanes: the floats are plan constants, so the identical literals
+# embed in both the Spark plan and the DuckDB oracle, and the whole
+# encode (nearest-centroid codes) + ADC search (per-query distance
+# tables, m lookups per corpus row) machinery is hash-checked. The
+# k-means-FIT codebook path (similarity.pq_codebooks) has no SQL twin
+# by nature (iterative); it shares this exact encode/search code and
+# is value-checked against numpy in tests/test_dedup_scale.py.
+_PQ_M, _PQ_K, _PQ_DIM = 4, 8, 64
+_PQ_SUB = _PQ_DIM // _PQ_M
+_PQ_BOOKS = similarity.seeded_pq_codebooks(
+    _PQ_M, _PQ_K, _PQ_DIM, seed="tp-pq", scale=0.25
+)
+
+
+def _pq_dist_sql(vec: str, j: int, c: int) -> str:
+    """Squared L2 of subspace j of `vec` to centroid c via the
+    |a|^2 - 2ab + |b|^2 expansion (list_dot_product), rounded at 1e-6
+    — the same scale the engine rounds its direct-form distances, so
+    argmin/sums agree bit-exactly across the two formulations."""
+    lo, hi = j * _PQ_SUB + 1, (j + 1) * _PQ_SUB
+    cent = _PQ_BOOKS[j][c]
+    lit = "[" + ", ".join(repr(float(x)) for x in cent) + "]"
+    cnorm = repr(float((cent * cent).sum()))
+    sub = f"{vec}[{lo}:{hi}]"
+    return (
+        f"round(list_dot_product({sub}, {sub})"
+        f" - 2 * list_dot_product({sub}, {lit}) + {cnorm}, 6)"
+    )
+
+
+# per-subspace code: 1-based first-min index over the 8 centroid dists
+_PQ_CODE_COLS = ", ".join(
+    "list_position({dl}, list_min({dl})) AS c{j}".format(
+        dl="[" + ", ".join(_pq_dist_sql("v", j, c) for c in range(_PQ_K)) + "]",
+        j=j,
+    )
+    for j in range(_PQ_M)
+)
+_PQ_TABLE_COLS = ", ".join(
+    "["
+    + ", ".join(_pq_dist_sql("qv", j, c) for c in range(_PQ_K))
+    + f"] AS t{j}"
+    for j in range(_PQ_M)
+)
+_PQ_ADC_EXPR = (
+    "round(" + " + ".join(f"t{j}[c{j}]" for j in range(_PQ_M)) + ", 6)"
+)
+
+
 @query(
     "embedding_knn_variants",
     oracle="""
@@ -1165,7 +1394,7 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q, base
         WHERE vec_id <> query_id
     )
-    SELECT 'brute' AS variant, query_id, neighbor_id, cosine
+    SELECT 'brute' AS variant, query_id, neighbor_id, cosine AS score
     FROM (
         SELECT *, row_number() OVER (
                    PARTITION BY query_id
@@ -1174,12 +1403,12 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored
     ) WHERE rn <= 5
     UNION ALL
-    SELECT 'ivf_seeded' AS variant, query_id, neighbor_id, cosine
+    SELECT 'ivf_seeded' AS variant, query_id, neighbor_id, cosine AS score
     FROM ("""
     + _IVF_SEEDED_ORACLE
     + """) ivf
     UNION ALL
-    SELECT 'int8_corpus' AS variant, query_id, neighbor_id, cosine
+    SELECT 'int8_corpus' AS variant, query_id, neighbor_id, cosine AS score
     FROM (
         WITH base AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1218,7 +1447,7 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- no chaining -> closed-form). Planted exact copies (vec_id +
     -- 1000000 of the 10 lowest ids) co-locate with their originals by
     -- construction and are the expected drop set.
-    SELECT 'semdedup' AS variant, query_id, neighbor_id, cosine
+    SELECT 'semdedup' AS variant, query_id, neighbor_id, cosine AS score
     FROM (
         WITH corpus AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1255,6 +1484,39 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM close_pairs WHERE c >= 0.99
         ) WHERE rn = 1
     ) sd
+    UNION ALL
+    -- PQ/ADC (round 4): corpus rows encoded to 4 one-byte codes
+    -- (nearest seeded centroid per subspace), queries carry 4x8
+    -- distance tables; approximate distance = 4 table lookups summed.
+    SELECT 'pq_adc' AS variant, query_id, neighbor_id, score
+    FROM (
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), codes AS (
+            SELECT vec_id, """
+    + _PQ_CODE_COLS
+    + """ FROM base
+        ), q AS (
+            SELECT query_id, """
+    + _PQ_TABLE_COLS
+    + """
+            FROM (SELECT vec_id AS query_id, v AS qv FROM base
+                  WHERE vec_id < 5)
+        ), adc AS (
+            SELECT query_id, vec_id AS neighbor_id, """
+    + _PQ_ADC_EXPR
+    + """ AS score
+            FROM q, codes WHERE vec_id <> query_id
+        )
+        SELECT query_id, neighbor_id, score
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score ASC, neighbor_id
+                   ) AS rn
+            FROM adc
+        ) WHERE rn <= 5
+    ) pq
     """,
 )
 def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1267,15 +1529,22 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     dequantizes on the fly), plus SemDedup-shape semantic dedup
     (similarity.semantic_dedup: cluster by max-cosine centroid, prune
     in-cluster vectors >= 0.99 cosine to an earlier member; planted
-    exact copies are the drop set). Cosine rounded to 1e-6 BEFORE
-    ranking on all sides so summation-order ulps cannot flip
-    orderings. Constituents: embedding_knn + embedding_ivf_seeded_knn
-    above."""
+    exact copies are the drop set), plus product-quantization ADC
+    search (round 4: similarity.pq_encode + pq_search_adc over the
+    seeded plan-constant codebooks — codes are 4 one-byte ints per
+    64-dim vector, the 32x storage path; search is m table lookups in
+    pure exprs, no float vectors in the join). The metric column is
+    ``score``: cosine for the knn/semdedup branches, approximate
+    squared L2 for pq_adc. Rounded to 1e-6 BEFORE ranking on all
+    sides so summation-order ulps cannot flip orderings. Constituents:
+    embedding_knn + embedding_ivf_seeded_knn above."""
     brute = embedding_knn(spark, sf_dir).select(
-        F.lit("brute").alias("variant"), "query_id", "neighbor_id", "cosine"
+        F.lit("brute").alias("variant"), "query_id", "neighbor_id",
+        F.col("cosine").alias("score"),
     )
     ivf = embedding_ivf_seeded_knn(spark, sf_dir).select(
-        F.lit("ivf_seeded").alias("variant"), "query_id", "neighbor_id", "cosine"
+        F.lit("ivf_seeded").alias("variant"), "query_id", "neighbor_id",
+        F.col("cosine").alias("score"),
     )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", similarity.as_double_vec(F.col("embedding")).alias("v")
@@ -1290,7 +1559,8 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     int8 = similarity.brute_force_knn(
         qcorpus, queries, "vec_id", "query_id", "v", k=5
     ).select(
-        F.lit("int8_corpus").alias("variant"), "query_id", "neighbor_id", "cosine"
+        F.lit("int8_corpus").alias("variant"), "query_id", "neighbor_id",
+        F.col("cosine").alias("score"),
     )
     # SemDedup branch (operators/similarity.semantic_dedup): planted
     # exact copies — same corpus trick as embedding_lsh_neardups —
@@ -1317,9 +1587,23 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("semdedup").alias("variant"),
         F.col("vec_id").alias("query_id"),
         F.col("dup_of").alias("neighbor_id"),
-        "cosine",
+        F.col("cosine").alias("score"),
     )
-    return brute.unionByName(ivf).unionByName(int8).unionByName(sem)
+    codes = similarity.pq_encode(emb, "vec_id", "v", _PQ_BOOKS, dist_round=6)
+    pq = similarity.pq_search_adc(
+        codes, _PQ_BOOKS, queries, "vec_id", "query_id", k=5, table_round=6
+    ).select(
+        F.lit("pq_adc").alias("variant"),
+        "query_id",
+        "neighbor_id",
+        F.col("adc_dist").alias("score"),
+    )
+    return (
+        brute.unionByName(ivf)
+        .unionByName(int8)
+        .unionByName(sem)
+        .unionByName(pq)
+    )
 
 
 @query(
