@@ -459,31 +459,38 @@ def semantic_dedup_assigned(
     already carries a cluster column — e.g. the `cell` assignment an
     ``ivf_index`` KMeans model produces. This is the production
     composition: fit the quantizer once (cells sized ~n/64), reuse the
-    assignment for BOTH the ANN index and semantic dedup."""
-    a = assigned.select(
-        F.col(id_col).alias("__id_a"),
-        F.col(cell_col).alias("cell_id"),
-        F.col(vec_col).alias("__va"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__na"),
+    assignment for BOTH the ANN index and semantic dedup.
+
+    In-cluster pairs are generated with dedup.blocked_self_join_pairs
+    (VERDICT r3 nit 1): a plain cell_id equi-join put a mega-cluster's
+    k^2/2 pairs in ONE task (AQE can't split it — it sizes by input
+    bytes, the cost is output rows); the tiled generator fans each
+    cluster over block-pair cells, so the worst task is bounded at
+    ~block_rows^2 pairs regardless of cluster skew — the same pair
+    machinery lsh_neardup_pairs uses."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+        blocked_self_join_pairs,
     )
-    b = assigned.select(
-        F.col(id_col).alias("__id_b"),
+
+    with_norm = assigned.select(
+        F.col(id_col).alias("__id"),
         F.col(cell_col).alias("cell_id"),
-        F.col(vec_col).alias("__vb"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nb"),
+        F.col(vec_col).alias("__v"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
     )
     pairs = (
-        a.join(b, "cell_id")
-        .filter(F.col("__id_a") < F.col("__id_b"))
+        blocked_self_join_pairs(
+            with_norm, ["cell_id"], "__id", ("__v", "__nrm")
+        )
         .select(
             "cell_id",
-            "__id_a",
-            "__id_b",
+            F.col("id_a").alias("__id_a"),
+            F.col("id_b").alias("__id_b"),
             cosine(
-                F.col("__va"),
-                F.col("__vb"),
-                norm_a=F.col("__na"),
-                norm_b=F.col("__nb"),
+                F.col("__v_a"),
+                F.col("__v_b"),
+                norm_a=F.col("__nrm_a"),
+                norm_b=F.col("__nrm_b"),
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= min_cosine)
