@@ -41,7 +41,53 @@ HEADLINE = [
     "docs_text_profile",       # r1: docs_token_stats (+fingerprint, simhash, ...)
     "docs_minhash_neardup_pairs",  # r1: docs_minhash_lsh_pairs (+jaccard)
     "embedding_knn_variants",  # r1: embedding_knn (+seeded IVF)
+    # round 4: the end-to-end curation pipeline (the production surface
+    # of the LLM-data layer) and the per-source health report — timed
+    # as named entries, not just their constituent stages.
+    "curate_corpus_fuzzy",
+    "corpus_report",
 ]
+
+
+def _curate_corpus_fuzzy(spark, sf_dir):
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.curate import (
+        curate_corpus,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return curate_corpus(docs, fuzzy=True)
+
+
+def _corpus_report(spark, sf_dir):
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.curate import (
+        corpus_report,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+        load_table,
+    )
+
+    return corpus_report(load_table(spark, sf_dir, "documents"))
+
+
+# Bench-only surfaces that are operator pipelines, not catalog entries.
+EXTRA = {
+    "curate_corpus_fuzzy": _curate_corpus_fuzzy,
+    "corpus_report": _corpus_report,
+}
+
+# Branch-tagged merged entries: time each branch alone by filtering on
+# the literal tag column — Catalyst folds the contradictory-literal
+# union legs away, so each timing runs ONLY that branch's subtree.
+# Covers the merged entries whose branches are inline plans (no
+# module-level constituent function to time).
+BRANCHES = {
+    "embedding_knn_variants": (
+        "variant", ["brute", "ivf_seeded", "int8_corpus", "semdedup", "pq_adc"]
+    ),
+}
 
 # Constituent transforms still defined as plain functions in plans/*.py
 # (the merged catalog entries call them unchanged). Timing them
@@ -93,7 +139,7 @@ def main() -> None:
 
     def time_query(fn) -> float:
         runs = []
-        for _ in range(2):  # min-of-2: steady-state, noise-resistant
+        for _ in range(3):  # min-of-3: steady-state, noise-resistant
             t0 = time.perf_counter()
             _rows = len(fn(spark, sf_dir).collect())  # full materialization
             runs.append(time.perf_counter() - t0)
@@ -103,12 +149,25 @@ def main() -> None:
     timings: dict[str, float] = {}
     constituents: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
-        timings[name] = time_query(catalog[name])
+        fn = EXTRA.get(name) or catalog[name]
+        timings[name] = time_query(fn)
         parts = CONSTITUENTS.get(name)
         if parts:
             constituents[name] = {
                 attr: time_query(getattr(mod, attr)) for mod, attr in parts
             }
+        if name in BRANCHES:
+            from pyspark.sql import functions as F
+
+            col, tags = BRANCHES[name]
+            constituents.setdefault(name, {}).update(
+                {
+                    tag: time_query(
+                        lambda s, d, t=tag: fn(s, d).filter(F.col(col) == t)
+                    )
+                    for tag in tags
+                }
+            )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -210,6 +210,121 @@ def bucket_histograms(spark, sf_dir: str) -> dict:
     return out
 
 
+def streaming_dedup_soak(
+    spark, work_dir: str, n_batches: int = 20, docs_per_batch: int = 200
+) -> dict:
+    """Sustained streaming near-dup run at the PRODUCTION fingerprint
+    width (bits=64, 4 bands) — VERDICT r3 item 7. Drives ``n_batches``
+    micro-batches of fresh documents through
+    streaming_neardup_evidence twice — with a processing-time TTL and
+    without — and records the per-batch state-row/byte curve from the
+    query progress. Evidence sought: under TTL the state size
+    PLATEAUS (idle buckets evict, state is bounded for an unbounded
+    stream); without TTL it grows linearly with documents seen."""
+    import json as _json
+    import random
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+        words_of,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+        simhash64_expr,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.stateful import (
+        streaming_neardup_evidence,
+    )
+
+    out = {}
+    for label, ttl in (("ttl_1ms", 1), ("no_ttl", None)):
+        docs = os.path.join(work_dir, f"docs_{label}")
+        chk = os.path.join(work_dir, f"chk_{label}")
+        shutil.rmtree(docs, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+        os.makedirs(docs)
+        rng = random.Random(7)
+        doc_id = 0
+        for b in range(n_batches):
+            with open(os.path.join(docs, f"f{b:04d}.json"), "w") as f:
+                for _ in range(docs_per_batch):
+                    words = " ".join(
+                        f"w{rng.randrange(1_000_000)}" for _ in range(12)
+                    )
+                    f.write(
+                        _json.dumps({"doc_id": doc_id, "text": words}) + "\n"
+                    )
+                    doc_id += 1
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(docs)
+            .select(
+                "doc_id",
+                simhash64_expr(
+                    F.array_distinct(words_of(F.col("text")))
+                ).alias("fp"),
+            )
+        )
+        q = (
+            streaming_neardup_evidence(
+                stream, "doc_id", "fp", bits=64, n_bands=4, ttl_ms=ttl
+            )
+            .writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        # Drain by polling progress, NOT processAllAvailable(): with a
+        # processing-time TTL the stream schedules timeout-check
+        # batches continuously even after the source is empty, so
+        # processAllAvailable never returns. We wait until every input
+        # file has been consumed plus one empty batch (which fires the
+        # final evictions), then read the curve off recentProgress.
+        deadline = time.time() + 900
+        drained = 0
+        while time.time() < deadline:
+            lp = q.lastProgress
+            if (
+                lp
+                and lp["batchId"] >= n_batches - 1
+                and lp["numInputRows"] == 0
+            ):
+                drained += 1
+                if drained >= 2:
+                    break
+            time.sleep(0.5)
+        curve = [
+            {
+                "batch": p["batchId"],
+                "input_rows": p["numInputRows"],
+                "state_rows": p["stateOperators"][0]["numRowsTotal"],
+                "state_bytes": p["stateOperators"][0]["memoryUsedBytes"],
+            }
+            for p in q.recentProgress
+            if p.get("stateOperators") and p["numInputRows"] > 0
+        ]
+        q.stop()
+        out[label] = curve
+    ttl_rows = [c["state_rows"] for c in out["ttl_1ms"]]
+    raw_rows = [c["state_rows"] for c in out["no_ttl"]]
+    out["summary"] = {
+        "ttl_max_rows": max(ttl_rows, default=0),
+        "ttl_final_rows": ttl_rows[-1] if ttl_rows else 0,
+        "no_ttl_final_rows": raw_rows[-1] if raw_rows else 0,
+        # Plateau check: the TTL curve's ceiling stays within ~2
+        # batches' worth of buckets (4 band rows/doc), while the
+        # unbounded curve ends at n_batches' worth.
+        "ttl_plateaued": (
+            bool(ttl_rows)
+            and max(ttl_rows) <= 3 * 4 * docs_per_batch
+            and raw_rows[-1] >= 0.9 * 4 * docs_per_batch * n_batches
+        ),
+    }
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", default="/tmp/tp_sf1")
@@ -230,7 +345,13 @@ def main() -> None:
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
 
-    catalog = all_queries()
+    catalog = dict(all_queries())
+    # Round 4: the end-to-end curation pipeline + health report soak
+    # alongside the catalog (the curate chain includes the LSH ->
+    # Jaccard -> star-CC fuzzy stage, the heaviest composed plan).
+    from bench import EXTRA
+
+    catalog.update(EXTRA)
     result = {"sf1_dir": args.data_dir, "queries": {}, "buckets": {}}
     anomalies = []
 
@@ -272,6 +393,15 @@ def main() -> None:
 
     for sf_name, d in (("sf0.1", SF01), ("sf1", args.data_dir)):
         result["buckets"][sf_name] = bucket_histograms(spark, d)
+
+    result["streaming_dedup"] = streaming_dedup_soak(
+        spark, os.path.join(args.data_dir, "_stream_soak")
+    )
+    print(
+        "streaming dedup soak:",
+        json.dumps(result["streaming_dedup"]["summary"]),
+        flush=True,
+    )
 
     result["anomalies"] = anomalies
     result["notes"] = [

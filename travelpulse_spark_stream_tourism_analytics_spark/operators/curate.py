@@ -125,13 +125,34 @@ def curate_corpus(
     the profile quality_score), so each near-dup family contributes
     exactly its cleanest member. Adds the banded-join shuffles of the
     oracled docs_minhash_neardup_pairs pipeline; everything else is
-    unchanged."""
-    scrubbed = docs.select(
+    unchanged.
+
+    Two execution repairs (round 4, measured 48 s -> ~12 s at sf0.1):
+    the input repartitions to cluster width before the regex-heavy
+    redact+gate projection (a single-row-group parquet fixture
+    otherwise runs the whole chain on ONE core — the same layout
+    lesson as repair_coarse_scan), and the signal relation is
+    scoped_persist'ed BEFORE the passes_quality filter. The persist
+    placement is load-bearing twice over: (a) downstream stages (dedup
+    groupBy, semi-join, shingles, score lookup, chunker) otherwise
+    RE-EXECUTE the 8-regex-pass lineage per consumer, and (b) an
+    unpersisted filter gets predicate-pushed below the repartition
+    into the parquet scan, with the tokenize+redact chain substituted
+    SIX times into the one predicate — measured 38 s on one core at
+    sf0.1 for a 0.5 s projection. The cache is the barrier pushdown
+    cannot cross (the local-mode analogue of materializing between
+    pipeline stages to parquet, bounded by the _cache contract)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators._cache import (
+        scoped_persist,
+    )
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    scrubbed = docs.repartition(par).select(
         F.col(id_col), redact_pii(F.col(text_col)).alias(text_col)
     )
-    gated = quality_signals(scrubbed, id_col, text_col).filter(
-        F.col("passes_quality")
-    )
+    gated = scoped_persist(
+        quality_signals(scrubbed, id_col, text_col), "curate.signals"
+    ).filter(F.col("passes_quality"))
     redacted = gated.select(id_col, text_col)
     keep = (
         redacted.groupBy(F.md5(F.col(text_col)).alias("__h"))
@@ -186,8 +207,12 @@ def corpus_report(
     mean quality score / token count, and PII incidence — the
     monitoring table a curation pipeline publishes per ingest batch.
     One scan (the signals are the same zero-shuffle projections) and
-    one partial-aggregated shuffle on source."""
-    sig = quality_signals(docs, id_col, text_col)
+    one partial-aggregated shuffle on source. The input repartitions
+    to cluster width first: the signal substitution otherwise lands in
+    the scan stage, whose parallelism is the file layout's (measured
+    4.3 s single-core vs 0.5 s wide at sf0.1)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sig = quality_signals(docs.repartition(par), id_col, text_col)
     return sig.groupBy(source_col).agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg(F.col("passes_quality").cast("double")), 6).alias(
