@@ -176,12 +176,12 @@ def test_extract_media_features_plumbing(spark):
     assert out[205]["channels"] == 3
     assert out[205]["content_mean"] is not None
 
-    jpeg = spark.createDataFrame(
-        [(1, bytearray(b"\xff\xd8\xff\xe0JFIF...."))],
+    gif = spark.createDataFrame(
+        [(1, bytearray(b"GIF89a...."))],
         "doc_id long, payload binary",
     )
     with pytest.raises(Exception, match="no pure-Python codec"):
-        extract_media_features(jpeg).collect()
+        extract_media_features(gif).collect()
 
 
 def test_resize_images_nearest_neighbor_reference(spark):
@@ -359,3 +359,153 @@ def test_sample_audio_frames_empty_data_chunk(spark):
     rows = {r["doc_id"]: r for r in sample_audio_frames(df, 4).collect()}
     assert rows[1]["n_source_samples"] == 0 and rows[1]["sampled"] == []
     assert rows[2]["n_source_samples"] == 40 and len(rows[2]["sampled"]) == 4
+
+
+def test_jpeg_roundtrip_block_constant_exact():
+    """Baseline JPEG: with the DC quantizer at 8, block-constant
+    rasters survive quantization exactly — the synth->decode
+    round-trip reproduces every pixel."""
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg,
+    )
+
+    for seed in range(8):
+        bw, bh = 1 + seed % 4, 1 + seed % 3
+        p = synth_jpeg(bw, bh, seed=seed)
+        assert sniff_mime(p) == "image/jpeg"
+        w, h, px = decode_jpeg(p)
+        assert (w, h) == (8 * bw, 8 * bh)
+        expect = np.zeros((h, w), dtype=np.uint8)
+        for by in range(bh):
+            for bx in range(bw):
+                expect[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    bx * 3 + by * 7 + seed
+                ) % 256
+        assert (px == expect).all()
+        assert p == synth_jpeg(bw, bh, seed=seed)  # deterministic
+
+
+def test_jpeg_decoder_handles_ac_coefficients():
+    """The decoder is a GENERAL baseline decoder, not a DC-only
+    shortcut: a hand-built entropy stream with nonzero AC
+    coefficients (run-length skips included) must reproduce the
+    reference float IDCT within rounding."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        _BitWriter,
+        _SYNTH_DC_BITS,
+        _SYNTH_DC_VALS,
+        _ZIGZAG,
+        _huff_codes,
+        decode_jpeg,
+    )
+
+    # AC table with (run=0,size=2), (run=3,size=1) and EOB.
+    ac_bits = [0, 1, 2] + [0] * 13
+    ac_vals = [0x00, 0x02, 0x31]
+    dc_codes = _huff_codes(_SYNTH_DC_BITS, _SYNTH_DC_VALS)
+    ac_codes = _huff_codes(ac_bits, ac_vals)
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qtab = [8, 2] + [1] * 62  # non-trivial quant on the first AC
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0x00]) + bytes(qtab))
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    out += seg(
+        0xFFC4, bytes([0x00]) + bytes(_SYNTH_DC_BITS) + bytes(_SYNTH_DC_VALS)
+    )
+    out += seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+    # DC: category 3, value +5
+    c, ln = dc_codes[3]
+    bw.put(c, ln)
+    bw.put(5, 3)
+    # AC at zigzag 1: (0,2) value -2 -> magnitude bits 01
+    c, ln = ac_codes[0x02]
+    bw.put(c, ln)
+    bw.put(0b01, 2)
+    # skip 3 zeros, then size-1 value +1 at zigzag 5
+    c, ln = ac_codes[0x31]
+    bw.put(c, ln)
+    bw.put(1, 1)
+    c, ln = ac_codes[0x00]  # EOB
+    bw.put(c, ln)
+    out += bw.done() + b"\xff\xd9"
+
+    w, h, px = decode_jpeg(bytes(out))
+    assert (w, h) == (8, 8)
+
+    # Independent reference IDCT.
+    zz = np.zeros(64)
+    zz[0] = 5 * 8.0
+    zz[1] = -2 * 2.0
+    zz[5] = 1 * 1.0
+    block = np.zeros((8, 8))
+    block.flat[_ZIGZAG] = zz
+    A = np.array(
+        [
+            [
+                (math.sqrt(0.5) if u == 0 else 1.0)
+                / 2.0
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    ref = np.clip(np.floor(A.T @ block @ A + 128.0 + 0.5), 0, 255)
+    assert (px == ref.astype(np.uint8)).all()
+
+
+def test_jpeg_unsupported_shapes_raise():
+    import struct
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg,
+    )
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0junkjunk")
+    # color (3-component) SOF0 -> NotImplementedError (PIL plug-in)
+    p = bytearray(synth_jpeg(1, 1))
+    i = p.find(b"\xff\xc0")
+    ncomp_off = i + 4 + 5  # marker(2) len(2) prec(1) h(2) w(2)
+    p[ncomp_off] = 3
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(p))
+    # progressive SOF2 -> NotImplementedError
+    p = bytearray(synth_jpeg(1, 1))
+    p[p.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(p))
+
+
+def test_jpeg_ahash_and_resize_ride_image_machinery(spark):
+    """JPEG payloads flow through the same resize / aHash consumers as
+    BMP/PNG (grayscale raster as a 1-channel image)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        image_ahashes,
+        resize_images,
+        synth_jpeg,
+    )
+
+    df = spark.createDataFrame(
+        [(0, synth_jpeg(2, 2, seed=3)), (1, synth_jpeg(3, 2, seed=4))],
+        "doc_id long, payload binary",
+    )
+    rz = {r["doc_id"]: r for r in resize_images(df, 4, 4).collect()}
+    assert rz[0]["mime"] == "image/jpeg"
+    assert rz[0]["out_width"] == 4 and rz[0]["resized_mean"] is not None
+    hashes = {r["doc_id"]: r["simhash"] for r in image_ahashes(df).collect()}
+    assert len(hashes) == 2

@@ -1216,17 +1216,21 @@ def docs_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 44 + (100 + doc_id % 50) * 2
                          * (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END)
            END::BIGINT AS n_bytes,
-           CASE WHEN doc_id >= 200 THEN 'image/png'
+           CASE WHEN doc_id >= 300 THEN 'image/jpeg'
+                WHEN doc_id >= 200 THEN 'image/png'
                 WHEN doc_id % 2 = 0 THEN 'image/bmp'
                 ELSE 'audio/wav' END AS mime,
            NULL::BIGINT AS head_byte, NULL::DOUBLE AS byte_mean,
-           CASE WHEN doc_id >= 200 THEN 1 + doc_id % 6
+           CASE WHEN doc_id >= 300 THEN 8 * (1 + doc_id % 4)
+                WHEN doc_id >= 200 THEN 1 + doc_id % 6
                 WHEN doc_id % 2 = 0 THEN 1 + doc_id % 7
            END::BIGINT AS width,
-           CASE WHEN doc_id >= 200 THEN 1 + doc_id % 9
+           CASE WHEN doc_id >= 300 THEN 8 * (1 + doc_id % 3)
+                WHEN doc_id >= 200 THEN 1 + doc_id % 9
                 WHEN doc_id % 2 = 0 THEN 1 + doc_id % 5
            END::BIGINT AS height,
-           CASE WHEN doc_id >= 200 THEN 3
+           CASE WHEN doc_id >= 300 THEN 1
+                WHEN doc_id >= 200 THEN 3
                 WHEN doc_id % 2 = 1 THEN
                 CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END
            END::BIGINT AS channels,
@@ -1235,7 +1239,22 @@ def docs_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN doc_id < 200 AND doc_id % 2 = 1
                 THEN round((100 + doc_id % 50) / 8000.0, 6)
            END::DOUBLE AS duration_s,
-           CASE WHEN doc_id >= 200 OR doc_id % 2 = 0 THEN
+           CASE WHEN doc_id >= 300 THEN
+                -- block-constant baseline JPEG: the DC quantizer is 8,
+                -- so decode returns the source raster exactly and the
+                -- decoded mean is the mean over the block grid of
+                -- (3*bx + 7*by + doc_id) % 256 — this row pins the
+                -- Huffman entropy decode + dequant + IDCT end to end
+                floor(
+                  list_sum(list_transform(
+                    generate_series(0, (1 + doc_id % 3) - 1),
+                    by -> list_sum(list_transform(
+                      generate_series(0, (1 + doc_id % 4) - 1),
+                      bx -> CAST((3*bx + 7*by + doc_id) % 256
+                                 AS DOUBLE)))))
+                  / ((1 + doc_id % 4) * (1 + doc_id % 3))
+                  * 1e6 + 0.5) / 1e6
+           WHEN doc_id >= 200 OR doc_id % 2 = 0 THEN
                 -- gradient image: mean over h rows x 3w bytes of
                 -- (3i + 7y + doc_id) % 256
                 floor(
@@ -1268,7 +1287,7 @@ def docs_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END))
                   * 1e6 + 0.5) / 1e6
            END::DOUBLE AS content_mean
-    FROM documents WHERE doc_id < 300
+    FROM documents WHERE doc_id < 400
     """,
 )
 def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1280,18 +1299,23 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       the fixture corpus is pure ASCII so even the Python path gets a
       full SQL oracle.
     - ``media``: the REAL codec path (VERDICT r2 item 7) — each id
-      synthesizes an actual BMP (even, < 200), WAV (odd, < 200) or
-      PNG (>= 200) whose dimensions are closed-form in the id, and
+      synthesizes an actual BMP (even, < 200), WAV (odd, < 200),
+      PNG (200-299) or baseline JPEG (>= 300, round 4) whose
+      dimensions are closed-form in the id, and
       extract_media_features decodes the bytes back with pure-Python
       codecs: BMP stride-aware pixel read, PNG zlib inflate + all
-      five scanline unfilters, WAV PCM sample decode. The oracle
-      recomputes width/height/channels/rate/duration, the exact
-      BMP/WAV file sizes (stride padding included) AND the mean
-      decoded pixel/sample value arithmetically, so any drift in the
-      synthesizer, the header parsers, or the pixel/sample decode
-      itself flips the row red. (PNG n_bytes is nulled on both sides:
-      the DEFLATE stream length is a zlib artifact, not part of the
-      decode contract.)
+      five scanline unfilters, WAV PCM sample decode, JPEG marker
+      walk + canonical Huffman entropy decode + dequant + IDCT. The
+      oracle recomputes width/height/channels/rate/duration, the
+      exact BMP/WAV file sizes (stride padding included) AND the mean
+      decoded pixel/sample value arithmetically — the JPEG fixtures
+      are block-constant with DC quant 8, the one family a lossy
+      format reproduces exactly, so the decoded mean pins the full
+      entropy-decode+IDCT path. Any drift in the synthesizer, the
+      header parsers, or the pixel/sample decode itself flips the row
+      red. (PNG/JPEG n_bytes is nulled on both sides: compressed
+      stream length is a codec artifact, not part of the decode
+      contract.)
     """
     docs = load_table(spark, sf_dir, "documents")
     blobbed = multimodal.attach_blob(docs)
@@ -1311,11 +1335,14 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     media = multimodal.extract_media_features(
-        multimodal.attach_media_blob(docs.filter(F.col("doc_id") < 300))
+        multimodal.attach_media_blob(docs.filter(F.col("doc_id") < 400))
     ).select(
         F.lit("media").alias("branch"),
         "doc_id",
-        F.when(F.col("mime") == "image/png", F.lit(None).cast("long"))
+        F.when(
+            F.col("mime").isin("image/png", "image/jpeg"),
+            F.lit(None).cast("long"),
+        )
         .otherwise(F.col("n_bytes"))
         .alias("n_bytes"),
         "mime",
