@@ -81,7 +81,12 @@ def map_city_topn(
     ranked = kpis.per_window_topn(df, value_col, topn, "city_id")
     metrics: MetricDict = {}
     for r in ranked.collect():
-        labels = {"city_id": str(r["city_id"] or "NA"), "period": period}
+        # `or "NA"` would mislabel the legitimate city_id 0 as NA
+        # (caught by the PromQL parity pack) — only None is missing.
+        labels = {
+            "city_id": "NA" if r["city_id"] is None else str(r["city_id"]),
+            "period": period,
+        }
         if r["city_name"]:
             labels["city_name"] = r["city_name"]
         metrics[f"tourism_city_bookings_top|{r['city_id']}:{period}"] = (
