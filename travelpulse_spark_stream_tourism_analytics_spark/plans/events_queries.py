@@ -117,35 +117,125 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed query shape for the time-series branch; z-normalized
+# driver-side and embedded as literals on both sides (a plan constant,
+# like the LSH planes).
+_TS_PATTERN = [1.0, 3.0, 2.0, 5.0]
+_TS_M = len(_TS_PATTERN)
+
+
+def _ts_q_sql() -> str:
+    import math
+
+    mu = sum(_TS_PATTERN) / _TS_M
+    sd = math.sqrt(sum((x - mu) ** 2 for x in _TS_PATTERN) / _TS_M)
+    return (
+        "["
+        + ", ".join(repr((x - mu) / sd) for x in _TS_PATTERN)
+        + "]::DOUBLE[]"
+    )
+
+
+_TS_Q_SQL = _ts_q_sql()
+
+
 @query(
     "latest_event_per_user",
-    oracle="""
-    SELECT user_id, ts::TIMESTAMP AS last_ts, event_type AS last_type,
-           event_id AS last_event_id
+    oracle=f"""
+    SELECT 'latest' AS branch, user_id, ts::TIMESTAMP AS last_ts,
+           event_type AS last_type, event_id AS last_event_id,
+           NULL::BIGINT AS "offset", NULL::DOUBLE AS zdist
     FROM (
         SELECT *, row_number() OVER (
                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
                ) AS rn
         FROM events
     ) WHERE rn = 1
+    UNION ALL
+    -- Time-series pattern search (round 4, operators/timeseries.py):
+    -- top-10 sliding windows of each user's time-ordered value series
+    -- by z-normalized Euclidean distance to the fixed query shape.
+    SELECT 'tsmatch' AS branch, user_id, NULL::TIMESTAMP AS last_ts,
+           NULL::VARCHAR AS last_type, NULL::BIGINT AS last_event_id,
+           "offset", zdist
+    FROM (
+        WITH series AS (
+            SELECT user_id, list(value ORDER BY ts, value) AS vals
+            FROM events GROUP BY user_id
+        ),
+        wins AS (
+            SELECT user_id, i AS "offset",
+                   vals[i:i+{_TS_M - 1}] AS w
+            FROM series, LATERAL unnest(
+                generate_series(1, len(vals) - {_TS_M - 1})) t(i)
+            WHERE len(vals) >= {_TS_M}
+        ),
+        stats AS (
+            SELECT user_id, "offset", w,
+                   list_avg(w) AS mu,
+                   sqrt(list_sum(list_transform(w,
+                        x -> (x - list_avg(w)) * (x - list_avg(w))))
+                        / {_TS_M}) AS sd
+            FROM wins
+        )
+        SELECT user_id, "offset",
+               round(sqrt(list_sum(list_transform(
+                   list_zip(list_transform(w, x -> (x - mu) / sd),
+                            {_TS_Q_SQL}),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS zdist
+        FROM stats WHERE sd > 0
+        ORDER BY zdist, user_id, "offset"
+        LIMIT 10
+    ) ts
     """,
 )
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Latest-per-key temporal dedup (reference T3, SURVEY.md §2.6)."""
+    """Merged temporal entry.
+
+    branch='latest' — latest-per-key temporal dedup (reference T3,
+    SURVEY.md §2.6).
+
+    branch='tsmatch' — time-series similarity search (round 4,
+    operators/timeseries.py pattern_matches): top-10 (user, offset)
+    sliding windows most similar to a fixed query pattern under
+    z-normalized Euclidean distance. Series assembly is one shuffle on
+    user_id; every window scores map-side with pure array exprs; the
+    pattern is a z-normalized plan constant like the LSH planes, and
+    the top-k is TakeOrderedAndProject. Constant (sd=0) windows have
+    no shape and are skipped on both sides."""
     from pyspark.sql.window import Window
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.timeseries import (
+        pattern_matches,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
+    latest = (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
+            F.lit("latest").alias("branch"),
             "user_id",
             F.col("ts").alias("last_ts"),
             F.col("event_type").alias("last_type"),
             F.col("event_id").alias("last_event_id"),
+            F.lit(None).cast("long").alias("offset"),
+            F.lit(None).cast("double").alias("zdist"),
         )
     )
+    tsmatch = pattern_matches(
+        ev, _TS_PATTERN, "user_id", "ts", "value", k=10
+    ).select(
+        F.lit("tsmatch").alias("branch"),
+        "user_id",
+        F.lit(None).cast("timestamp_ntz").alias("last_ts"),
+        F.lit(None).cast("string").alias("last_type"),
+        F.lit(None).cast("long").alias("last_event_id"),
+        "offset",
+        "zdist",
+    )
+    return latest.unionByName(tsmatch)
 
 
 _SESSIONS_SQL = """

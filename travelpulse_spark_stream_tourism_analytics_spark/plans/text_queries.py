@@ -233,6 +233,12 @@ _BUCKET_SQL = " || ".join(
 )
 
 
+_DOTS_SQL = (
+    "[" + ", ".join(f"list_dot_product(v, {_plane_sql(p)})" for p in _PLANES) + "]"
+)
+_N_PLANES = len(_PLANES)
+
+
 @query(
     "embedding_lsh_neardups",
     oracle=f"""
@@ -243,7 +249,7 @@ _BUCKET_SQL = " || ".join(
         FROM embeddings WHERE vec_id < 10
     ),
     bucketed AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM corpus)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    SELECT 'home' AS branch, a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v))
                     * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
@@ -252,12 +258,73 @@ _BUCKET_SQL = " || ".join(
     WHERE round(list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v))
                     * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.99
+    UNION ALL
+    -- Multi-probe (round 4): each vector also probes the buckets
+    -- reached by flipping its 2 lowest-|margin| hyperplane signs (the
+    -- planes a true near-duplicate most plausibly disagrees on), so
+    -- near-misses split by one plane are recovered without
+    -- coarsening the whole table.
+    SELECT 'multiprobe' AS branch, id_a, id_b, cosine
+    FROM (
+        WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id < 10
+        ),
+        geom AS (
+            SELECT vec_id, v, {_DOTS_SQL} AS dots,
+                   {_BUCKET_SQL} AS home
+            FROM corpus
+        ),
+        flipped AS (
+            SELECT vec_id, v, home,
+                   list_transform(
+                       list_transform(
+                           list_sort(list_transform(
+                               generate_series(0, {_N_PLANES - 1}),
+                               i -> {{'m': abs(dots[i + 1]), 'i': i}})),
+                           s -> s.i)[1:2],
+                       fi -> substr(home, 1, fi)
+                             || (CASE WHEN substr(home, fi + 1, 1) = '1'
+                                      THEN '0' ELSE '1' END)
+                             || substr(home, fi + 2, {_N_PLANES}))
+                       AS flips
+            FROM geom
+        ),
+        probed AS (
+            SELECT vec_id, v,
+                   unnest(list_prepend(home, flips)) AS probe
+            FROM flipped
+        )
+        SELECT DISTINCT
+               least(p.vec_id, h.vec_id) AS id_a,
+               greatest(p.vec_id, h.vec_id) AS id_b,
+               round(list_dot_product(p.v, h.v)
+                     / (sqrt(list_dot_product(p.v, p.v))
+                        * sqrt(list_dot_product(h.v, h.v))), 6) AS cosine
+        FROM probed p
+        JOIN geom h ON p.probe = h.home AND p.vec_id <> h.vec_id
+        WHERE round(list_dot_product(p.v, h.v)
+                     / (sqrt(list_dot_product(p.v, p.v))
+                        * sqrt(list_dot_product(h.v, h.v))), 6) >= 0.99
+    ) mp
     """,
 )
 def embedding_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed near-duplicate vectors: bucket equi-join
-    + in-bucket exact cosine (planted exact copies give cosine 1.0).
-    This is the join shape that survives 100 TB — no cross join."""
+    """Merged hyperplane-LSH near-dup entry.
+
+    branch='home' — bucket equi-join + in-bucket exact cosine (planted
+    exact copies give cosine 1.0). This is the join shape that
+    survives 100 TB — no cross join.
+
+    branch='multiprobe' — similarity.lsh_neardup_pairs_multiprobe
+    (round 4): besides its home bucket every vector probes the buckets
+    reached by flipping its 2 lowest-margin hyperplane signs — the
+    recall lever that pairs with auto_n_planes (finer buckets, same
+    recall). The probe fan-out is a bounded 3x row multiplier; the
+    join stays a bucket equi-join through the blocked bipartite pair
+    generator."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", similarity.as_double_vec(F.col("embedding")).alias("v")
     )
@@ -265,7 +332,13 @@ def embedding_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1000000).alias("vec_id"), "v"
     )
     corpus = emb.unionByName(planted)
-    return similarity.lsh_neardup_pairs(corpus, "vec_id", "v", _PLANES, 0.99)
+    home = similarity.lsh_neardup_pairs(
+        corpus, "vec_id", "v", _PLANES, 0.99
+    ).select(F.lit("home").alias("branch"), "id_a", "id_b", "cosine")
+    mp = similarity.lsh_neardup_pairs_multiprobe(
+        corpus, "vec_id", "v", _PLANES, 0.99, n_probe_bits=2
+    ).select(F.lit("multiprobe").alias("branch"), "id_a", "id_b", "cosine")
+    return home.unionByName(mp)
 
 
 # ---------------------------------------------------------------------------
@@ -1193,7 +1266,8 @@ def docs_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / length(text), 6) END AS byte_mean,
            NULL::BIGINT AS width, NULL::BIGINT AS height,
            NULL::BIGINT AS channels, NULL::BIGINT AS sample_rate,
-           NULL::DOUBLE AS duration_s, NULL::DOUBLE AS content_mean
+           NULL::DOUBLE AS duration_s, NULL::DOUBLE AS content_mean,
+           NULL::BIGINT AS ahash64
     FROM documents
     UNION ALL
     -- Closed-form twin of the synth->decode round-trip: the engine
@@ -1286,8 +1360,37 @@ def docs_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / ((100 + doc_id % 50)
                      * (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END))
                   * 1e6 + 0.5) / 1e6
-           END::DOUBLE AS content_mean
+           END::DOUBLE AS content_mean,
+           NULL::BIGINT AS ahash64
     FROM documents WHERE doc_id < 400
+    UNION ALL
+    -- Perceptual aHash over the decoded JPEG rasters (round 4): the
+    -- block-constant gray raster NN-resamples to an 8x8 grid whose
+    -- cell (r, c) is the block value at ((c*bw)//8, (r*bh)//8); bit
+    -- j (row-major) is set when that cell exceeds the 8x8 mean (the
+    -- mean of 64 ints over 2^6 is exactly representable, so the
+    -- strict comparison is engine-stable). Bit 63 wraps to the signed
+    -- int64 the banded-Hamming machinery consumes.
+    SELECT 'ahash' AS branch, doc_id,
+           NULL::BIGINT AS n_bytes, 'image/jpeg' AS mime,
+           NULL::BIGINT AS head_byte, NULL::DOUBLE AS byte_mean,
+           NULL::BIGINT AS width, NULL::BIGINT AS height,
+           NULL::BIGINT AS channels, NULL::BIGINT AS sample_rate,
+           NULL::DOUBLE AS duration_s, NULL::DOUBLE AS content_mean,
+           list_sum(list_transform(generate_series(0, 63), j ->
+               CASE WHEN small[j + 1] > list_avg(small)
+                    THEN CASE WHEN j = 63
+                              THEN (-9223372036854775807 - 1)
+                              ELSE (1::BIGINT << j) END
+                    ELSE 0 END))::BIGINT AS ahash64
+    FROM (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63), j ->
+                   CAST((3 * (((j % 8) * (1 + doc_id % 4)) // 8)
+                         + 7 * (((j // 8) * (1 + doc_id % 3)) // 8)
+                         + doc_id) % 256 AS DOUBLE)) AS small
+        FROM documents WHERE doc_id >= 300 AND doc_id < 400
+    ) g
     """,
 )
 def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1332,6 +1435,7 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("sample_rate"),
             F.lit(None).cast("double").alias("duration_s"),
             F.lit(None).cast("double").alias("content_mean"),
+            F.lit(None).cast("long").alias("ahash64"),
         )
     )
     media = multimodal.extract_media_features(
@@ -1350,8 +1454,33 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("byte_mean"),
         "width", "height", "channels", "sample_rate", "duration_s",
         "content_mean",
+        F.lit(None).cast("long").alias("ahash64"),
     )
-    return stub.unionByName(media)
+    # Perceptual aHash over the decoded JPEG rasters (round 4): the
+    # image-fingerprint operator (multimodal.image_ahashes) driven
+    # through its real decode path, oracled via the closed-form
+    # block-grid resample of the synthetic rasters.
+    jpeg_ids = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 400)
+    )
+    ahash = multimodal.image_ahashes(
+        multimodal.attach_media_blob(jpeg_ids)
+    ).select(
+        F.lit("ahash").alias("branch"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.lit("image/jpeg").alias("mime"),
+        F.lit(None).cast("long").alias("head_byte"),
+        F.lit(None).cast("double").alias("byte_mean"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("channels"),
+        F.lit(None).cast("long").alias("sample_rate"),
+        F.lit(None).cast("double").alias("duration_s"),
+        F.lit(None).cast("double").alias("content_mean"),
+        F.col("simhash").alias("ahash64"),
+    )
+    return stub.unionByName(media).unionByName(ahash)
 
 
 # --- PQ/ADC oracle fragments (round 4) -----------------------------------
