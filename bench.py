@@ -87,6 +87,7 @@ BRANCHES = {
     "embedding_knn_variants": (
         "variant", ["brute", "ivf_seeded", "int8_corpus", "semdedup", "pq_adc"]
     ),
+    "latest_event_per_user": ("branch", ["latest", "tsmatch"]),
 }
 
 # Constituent transforms still defined as plain functions in plans/*.py
