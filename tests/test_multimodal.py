@@ -509,3 +509,59 @@ def test_jpeg_ahash_and_resize_ride_image_machinery(spark):
     assert rz[0]["out_width"] == 4 and rz[0]["resized_mean"] is not None
     hashes = {r["doc_id"]: r["simhash"] for r in image_ahashes(df).collect()}
     assert len(hashes) == 2
+
+
+def test_mjpeg_video_frame_sampling(spark):
+    """Video modality (round 4): MJPEG = concatenated baseline JPEG
+    frames (a REAL container — IP-camera / multipart streams). The
+    frame-sample step splits on SOI/EOI spans, keeps uniformly spaced
+    indices, and decodes ONLY the sampled frames; per-frame means must
+    equal the closed-form block values of the synthesized frames."""
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        decode_jpeg,
+        sample_video_frames,
+        split_mjpeg_frames,
+        synth_mjpeg,
+    )
+
+    vid = synth_mjpeg(n_frames=10, blocks_w=2, blocks_h=1, seed=5)
+    frames = split_mjpeg_frames(vid)
+    assert len(frames) == 10
+    # every frame is a standalone JPEG of the expected geometry
+    for f, p in enumerate(frames):
+        w, h, px = decode_jpeg(p)
+        assert (w, h) == (16, 8)
+        # block-constant: frame f, block bx -> (3*bx + 5 + f) % 256
+        assert px[0, 0] == (5 + f) % 256 and px[0, 8] == (3 + 5 + f) % 256
+
+    df = spark.createDataFrame(
+        [(1, vid), (2, synth_mjpeg(3, 1, 1, seed=9))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in sample_video_frames(df, 4).collect()}
+    r1 = rows[1]
+    assert r1["n_source_frames"] == 10
+    assert (r1["width"], r1["height"]) == (16, 8)
+    idx = [(i * 10) // 4 for i in range(4)]  # 0, 2, 5, 7
+    expect = []
+    for i in idx:
+        vals = [(3 * bx + 5 + i) % 256 for bx in (0, 1)]
+        expect.append(round(float(np.mean(np.repeat(vals, 64))), 6))
+    assert r1["frame_means"] == expect
+    # 3-frame clip sampled at 4: fixed-length output, repeats allowed
+    assert rows[2]["n_source_frames"] == 3
+    assert len(rows[2]["frame_means"]) == 4
+
+
+def test_mjpeg_rejects_garbage():
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        split_mjpeg_frames,
+        synth_mjpeg,
+    )
+
+    with pytest.raises(ValueError, match="expected SOI"):
+        split_mjpeg_frames(b"not a video")
+    with pytest.raises(ValueError, match="unterminated"):
+        split_mjpeg_frames(synth_mjpeg(2, 1, 1)[:-2])

@@ -979,6 +979,104 @@ def sample_audio_frames(df: DataFrame, n_frames: int) -> DataFrame:
     )
 
 
+# --- MJPEG video (round 4) ------------------------------------------------
+#
+# Motion-JPEG is the simplest real video container: a stream of
+# concatenated baseline JPEG frames (the format IP cameras and
+# multipart/x-mixed-replace HTTP streams emit). With the baseline JPEG
+# codec above, the VIDEO modality's frame-sample step becomes real:
+# split on SOI/EOI marker pairs, decode the selected frames only.
+
+
+def synth_mjpeg(n_frames: int, blocks_w: int, blocks_h: int, seed: int = 0) -> bytes:
+    """Deterministic MJPEG stream: ``n_frames`` concatenated baseline
+    JPEGs; frame f uses seed ``seed + f`` so frames differ but stay
+    closed-form."""
+    return b"".join(
+        synth_jpeg(blocks_w, blocks_h, seed=seed + f) for f in range(n_frames)
+    )
+
+
+def split_mjpeg_frames(payload: bytes) -> list[bytes]:
+    """Split an MJPEG byte stream into its JPEG frame payloads by
+    SOI..EOI spans. Scans for the EOI marker OUTSIDE entropy data by
+    honoring byte stuffing (0xFF 0xD9 inside entropy data cannot occur
+    unstuffed), which for baseline frames means: any 0xFF 0xD9 pair is
+    a real EOI."""
+    frames = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 2] != b"\xff\xd8":
+            raise ValueError(f"MJPEG: expected SOI at offset {pos}")
+        end = payload.find(b"\xff\xd9", pos + 2)
+        if end < 0:
+            raise ValueError("MJPEG: unterminated frame (no EOI)")
+        frames.append(payload[pos : end + 2])
+        pos = end + 2
+    return frames
+
+
+VIDEO_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_source_frames", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("frame_means", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def sample_video_frames(df: DataFrame, n_frames: int) -> DataFrame:
+    """Video FRAME-SAMPLE step: keep ``n_frames`` uniformly spaced
+    frames (``idx = floor(i * n / n_frames)``) of each MJPEG payload
+    and DECODE ONLY THOSE — the fixed-length representation a vision
+    feature extractor consumes, and the point of frame sampling at
+    100 TB: the decode cost is per *sampled* frame, not per stored
+    frame. Emits each sampled frame's decoded pixel mean (the
+    only-after-decode value the tests pin). Same Arrow ``mapInPandas``
+    shape as the image/audio stages; an empty stream yields an empty
+    sample list."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, totals, widths, heights, means = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = split_mjpeg_frames(bytes(payload))
+                n = len(frames)
+                ids.append(doc_id)
+                totals.append(n)
+                if n == 0:
+                    widths.append(None)
+                    heights.append(None)
+                    means.append([])
+                    continue
+                idx = (np.arange(n_frames) * n) // n_frames
+                w = h = None
+                decoded = {}  # each distinct frame decodes ONCE
+                for i in sorted(set(int(i) for i in idx)):
+                    w, h, px = decode_jpeg(frames[i])
+                    decoded[i] = round6_half_up(float(px.mean()))
+                widths.append(w)
+                heights.append(h)
+                means.append([decoded[int(i)] for i in idx])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_source_frames": pd.Series(totals, dtype="int64"),
+                    "width": pd.Series(widths, dtype="Int64"),
+                    "height": pd.Series(heights, dtype="Int64"),
+                    "frame_means": pd.Series(means, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, VIDEO_SAMPLE_SCHEMA
+    )
+
+
 def ahash64(pixels) -> int:
     """64-bit average hash of an image raster: grayscale, NN-resize to
     8x8, set bit j when cell j is brighter than the 8x8 mean —
