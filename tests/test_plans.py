@@ -382,3 +382,47 @@ def test_pack_chunks_window_partitions_by_shard(spark):
     assert "hashpartitioning(shard_id" in plan
     # ...never a single-partition exchange feeding the window.
     assert "SinglePartition" not in plan
+
+
+def test_pq_adc_branch_plan_shape(spark):
+    """pq_adc (round 4): codes come from ONE MapInPandas encode pass;
+    the query tables broadcast (never shuffle the corpus for 5
+    queries); the top-5 applies a PARTIAL WindowGroupLimit before the
+    exchange so only candidate rows shuffle — the plan that survives a
+    100x corpus."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    df = _CATALOG["embedding_knn_variants"](spark, SF_SMOKE).filter(
+        F.col("variant") == "pq_adc"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast query tables
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final top-5
+    # Catalyst folded the other four union legs away entirely.
+    assert "semdedup" not in plan and "ivf_seeded" not in plan
+
+
+def test_tsmatch_branch_plan_shape(spark):
+    """tsmatch (round 4): series assembly is the only shuffle; the
+    global top-10 is TakeOrderedAndProject (no global sort)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    df = _CATALOG["latest_event_per_user"](spark, SF_SMOKE).filter(
+        F.col("branch") == "tsmatch"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") <= 2  # the user_id agg (+AQE read)
