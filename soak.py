@@ -405,6 +405,7 @@ def main() -> None:
 
     result["anomalies"] = anomalies
     result["notes"] = [
+        "round 4 totals are not comparable to SOAK_r3 per-entry: the same 50 catalog names now run strictly more work (new oracled branches: pq_adc in embedding_knn_variants, pca2 in embedding_label_centroids, tfidf+lm in docs_top_terms, multiprobe in embedding_lsh_neardups, tsmatch in latest_event_per_user, ahash + jpeg media rows in multimodal_blob_pipeline), and two end-to-end entries were added (curate_corpus_fuzzy: the full redact->gate->dedup->LSH->star-CC->chunk->pack chain, 54 s at sf1; corpus_report). All entries remain within the 2x-linear budget.",
         "nearest_acctbal_match crosses its cost-based threshold between "
         "the two scales: sf0.1 runs the broadcast-NLJ plan (1.2 s), sf1 "
         "the quantile-banded plan whose fixed costs (corpus counts + "
