@@ -176,12 +176,12 @@ def test_extract_media_features_plumbing(spark):
     assert out[205]["channels"] == 3
     assert out[205]["content_mean"] is not None
 
-    gif = spark.createDataFrame(
-        [(1, bytearray(b"GIF89a...."))],
+    pdf = spark.createDataFrame(
+        [(1, bytearray(b"%PDF-1.4...."))],
         "doc_id long, payload binary",
     )
     with pytest.raises(Exception, match="no pure-Python codec"):
-        extract_media_features(gif).collect()
+        extract_media_features(pdf).collect()
 
 
 def test_resize_images_nearest_neighbor_reference(spark):
@@ -565,3 +565,75 @@ def test_mjpeg_rejects_garbage():
         split_mjpeg_frames(b"not a video")
     with pytest.raises(ValueError, match="unterminated"):
         split_mjpeg_frames(synth_mjpeg(2, 1, 1)[:-2])
+
+
+def test_gif_roundtrip_and_real_world_vector():
+    """GIF codec: real LZW (variable-width codes, clear/EOI, KwKwK,
+    width bumps) + palette lookup. Round-trips the synthesizer across
+    palettes/geometries incl. a 64x64 image that forces code-width
+    growth, and decodes the CLASSIC 1x1 transparent GIF byte-for-byte
+    — a real-world file (which omits the EOI code), not a
+    self-round-trip."""
+    import base64
+
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        _gif_palette,
+        decode_gif,
+        synth_gif,
+    )
+
+    for seed in range(12):
+        w, h, nc = 1 + seed % 9, 1 + (seed * 3) % 7, 2 + seed % 5
+        p = synth_gif(w, h, seed=seed, n_colors=nc)
+        assert sniff_mime(p) == "image/gif"
+        gw, gh, px = decode_gif(p)
+        pal = _gif_palette(nc, seed)
+        expect = np.array(
+            [[pal[(x + 3 * y + seed) % nc] for x in range(w)]
+             for y in range(h)],
+            dtype=np.uint8,
+        )
+        assert (gw, gh) == (w, h) and (px == expect).all()
+        assert p == synth_gif(w, h, seed=seed, n_colors=nc)
+    big = decode_gif(synth_gif(64, 64, seed=3, n_colors=7))
+    assert big[2].shape == (64, 64, 3)
+
+    tiny = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    w, h, px = decode_gif(tiny)
+    assert (w, h) == (1, 1) and px.tolist() == [[[0, 0, 0]]]
+
+
+def test_gif_unsupported_and_garbage():
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        decode_gif,
+        synth_gif,
+    )
+
+    with pytest.raises(ValueError):
+        decode_gif(b"not a gif")
+    p = bytearray(synth_gif(3, 3))
+    # flip the interlace bit in the image descriptor's packed byte
+    idx = p.index(0x2C)
+    p[idx + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        decode_gif(bytes(p))
+
+
+def test_gif_rides_resize_and_ahash(spark):
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        image_ahashes,
+        resize_images,
+        synth_gif,
+    )
+
+    df = spark.createDataFrame(
+        [(0, synth_gif(6, 5, seed=2, n_colors=4))],
+        "doc_id long, payload binary",
+    )
+    rz = resize_images(df, 3, 3).collect()[0]
+    assert rz["mime"] == "image/gif" and rz["resized_mean"] is not None
+    assert image_ahashes(df).count() == 1

@@ -89,10 +89,11 @@ def extract_blob_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
 #
 # BMP and WAV are fully header-parseable with the stdlib; PNG needs
 # only stdlib zlib plus the five scanline filters (None/Sub/Up/
-# Average/Paeth, RFC 2083 §6) which are implemented below — so the
-# codec step is REAL for all three: full pixel/sample decode, no
-# external libs. Other formats (JPEG/MP3/...) still need PIL/librosa
-# and raise.
+# Average/Paeth, RFC 2083 §6); round 4 adds baseline-DCT JPEG (marker
+# walk + canonical Huffman entropy decode + dequant + IDCT), LZW GIF,
+# and MJPEG video — so the codec step is REAL for six formats: full
+# pixel/sample/frame decode, no external libs. Remaining formats
+# (MP3/H.264/...) still need PIL/librosa/ffmpeg and raise.
 
 BMP_HEADER_BYTES = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
 WAV_HEADER_BYTES = 44  # RIFF + fmt(16) + data chunk headers
@@ -166,6 +167,8 @@ def sniff_mime(payload: bytes) -> str:
         return "image/png"
     if payload[:3] == b"\xff\xd8\xff":
         return "image/jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
     return "application/octet-stream"
 
 
@@ -798,6 +801,12 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                         width=w, height=h, channels=1,
                         content_mean=round6_half_up(float(px.mean())),
                     )
+                elif mime == "image/gif":
+                    w, h, px = decode_gif(payload)
+                    row.update(
+                        width=w, height=h, channels=3,
+                        content_mean=round6_half_up(float(px.mean())),
+                    )
                 elif mime == "audio/wav":
                     c, r, _n, dur = decode_wav(payload)
                     samples = decode_wav_samples(payload)
@@ -848,6 +857,9 @@ def attach_media_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def synth(ids: pd.Series) -> pd.Series:
         def make(d: int) -> bytes:
             d = int(d)
+            if d >= 400:
+                return synth_gif(1 + d % 5, 1 + d % 6, seed=d,
+                                 n_colors=2 + d % 5)
             if d >= 300:
                 return synth_jpeg(1 + d % 4, 1 + d % 3, seed=d)
             if d >= 200:
@@ -913,6 +925,8 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 elif mime == "image/jpeg":
                     _w, _h, gray = decode_jpeg(payload)
                     px = gray[:, :, None]  # single-channel raster
+                elif mime == "image/gif":
+                    _w, _h, px = decode_gif(payload)
                 else:
                     raise NotImplementedError(f"not an image: {mime}")
                 rz = resize_nn(px, out_h, out_w)
@@ -977,6 +991,211 @@ def sample_audio_frames(df: DataFrame, n_frames: int) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         run, FRAME_SAMPLE_SCHEMA
     )
+
+
+# --- GIF (round 4) ---------------------------------------------------------
+#
+# Real LZW GIF codec (GIF87a/89a, global palette, single image, no
+# interlace): variable-width LSB-first codes, clear/EOI handling, the
+# KwKwK case, and the encoder/decoder width-bump off-by-one (the
+# encoder bumps one code LATER than the decoder because the decoder
+# learns each dictionary entry one code behind). Decode correctness is
+# pinned against the classic 1x1 transparent-GIF byte vector (a
+# real-world file, not a self-round-trip).
+
+
+def _lzw_compress(data: bytes, mcs: int) -> bytes:
+    """GIF LZW: returns the packed code bytes for `data` indices."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(1 << mcs)}, eoi + 1, mcs + 1
+
+    table, next_code, width = fresh()
+    put(clear, width)
+    w = b""
+    for b in data:
+        wb = w + bytes([b])
+        if wb in table:
+            w = wb
+            continue
+        put(table[w], width)
+        table[wb] = next_code
+        next_code += 1
+        # encoder bumps one code AFTER the decoder's 2^width boundary
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4095:  # table full: reset both sides
+            put(clear, width)
+            table, next_code, width = fresh()
+        w = bytes([b])
+    if w:
+        put(table[w], width)
+        # the decoder ADDS an entry after this final code too, and may
+        # bump its width before reading EOI — mirror the bookkeeping
+        # (no table entry needed, only the width sync)
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+    put(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, mcs: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = acc = nbits = 0
+
+    def get(width: int) -> int | None:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                return None  # end of data: real files may omit EOI
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    def fresh():
+        return [bytes([i]) for i in range(1 << mcs)] + [b"", b""], mcs + 1
+
+    table, width = fresh()
+    out = bytearray()
+    prev = None
+    while True:
+        code = get(width)
+        if code is None:
+            # missing EOI (the classic 1x1 GIF does this); the caller
+            # validates the decoded pixel count against w*h
+            return bytes(out)
+        if code == clear:
+            table, width = fresh()
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _gif_palette(n_colors: int, seed: int) -> list:
+    return [
+        ((i * 40 + seed) % 256, (i * 85 + seed) % 256, (i * 170 + seed) % 256)
+        for i in range(n_colors)
+    ]
+
+
+def synth_gif(width: int, height: int, seed: int = 0, n_colors: int = 4) -> bytes:
+    """Deterministic GIF89a: global palette ``_gif_palette`` padded to
+    a power of two, pixel (x, y) = palette index ``(x + 3*y + seed) %
+    n_colors``, REAL LZW compression."""
+    import struct
+
+    bits = max(2, (n_colors - 1).bit_length())
+    table_n = 1 << bits
+    palette = _gif_palette(n_colors, seed) + [(0, 0, 0)] * (table_n - n_colors)
+    indices = bytes(
+        (x + 3 * y + seed) % n_colors
+        for y in range(height)
+        for x in range(width)
+    )
+    mcs = bits
+    lzw = _lzw_compress(indices, mcs)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF0 | (bits - 1), 0, 0)
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)  # image desc
+    out.append(mcs)
+    for i in range(0, len(lzw), 255):  # data sub-blocks
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """GIF decode with the stdlib only: header + logical screen
+    descriptor, global color table, extension skip, image descriptor,
+    full LZW decompression, palette lookup — returns ``(width, height,
+    pixels)`` with pixels an ``h x w x 3`` RGB uint8 ndarray.
+    Interlaced images and local color tables raise (the PIL plug-in
+    point)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _x, _y, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            if ipacked & 0x80:
+                raise NotImplementedError("local color table")
+            if palette is None:
+                raise ValueError("GIF missing global color table")
+            mcs = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            indices = _lzw_decompress(bytes(lzw), mcs)
+            if len(indices) != w * h:
+                raise ValueError("GIF pixel count mismatch")
+            idx = np.frombuffer(indices, dtype=np.uint8)
+            return w, h, palette[idx].reshape(h, w, 3).copy()
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF missing image data")
 
 
 # --- MJPEG video (round 4) ------------------------------------------------
@@ -1125,6 +1344,8 @@ def image_ahashes(df: DataFrame) -> DataFrame:
                 elif mime == "image/jpeg":
                     _w, _h, gray = decode_jpeg(payload)
                     px = gray[:, :, None]
+                elif mime == "image/gif":
+                    _w, _h, px = decode_gif(payload)
                 else:
                     raise NotImplementedError(f"not an image: {mime}")
                 ids.append(doc_id)

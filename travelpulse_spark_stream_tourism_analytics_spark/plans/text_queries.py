@@ -1290,20 +1290,24 @@ def docs_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 44 + (100 + doc_id % 50) * 2
                          * (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END)
            END::BIGINT AS n_bytes,
-           CASE WHEN doc_id >= 300 THEN 'image/jpeg'
+           CASE WHEN doc_id >= 400 THEN 'image/gif'
+                WHEN doc_id >= 300 THEN 'image/jpeg'
                 WHEN doc_id >= 200 THEN 'image/png'
                 WHEN doc_id % 2 = 0 THEN 'image/bmp'
                 ELSE 'audio/wav' END AS mime,
            NULL::BIGINT AS head_byte, NULL::DOUBLE AS byte_mean,
-           CASE WHEN doc_id >= 300 THEN 8 * (1 + doc_id % 4)
+           CASE WHEN doc_id >= 400 THEN 1 + doc_id % 5
+                WHEN doc_id >= 300 THEN 8 * (1 + doc_id % 4)
                 WHEN doc_id >= 200 THEN 1 + doc_id % 6
                 WHEN doc_id % 2 = 0 THEN 1 + doc_id % 7
            END::BIGINT AS width,
-           CASE WHEN doc_id >= 300 THEN 8 * (1 + doc_id % 3)
+           CASE WHEN doc_id >= 400 THEN 1 + doc_id % 6
+                WHEN doc_id >= 300 THEN 8 * (1 + doc_id % 3)
                 WHEN doc_id >= 200 THEN 1 + doc_id % 9
                 WHEN doc_id % 2 = 0 THEN 1 + doc_id % 5
            END::BIGINT AS height,
-           CASE WHEN doc_id >= 300 THEN 1
+           CASE WHEN doc_id >= 400 THEN 3
+                WHEN doc_id >= 300 THEN 1
                 WHEN doc_id >= 200 THEN 3
                 WHEN doc_id % 2 = 1 THEN
                 CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END
@@ -1313,7 +1317,25 @@ def docs_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN doc_id < 200 AND doc_id % 2 = 1
                 THEN round((100 + doc_id % 50) / 8000.0, 6)
            END::DOUBLE AS duration_s,
-           CASE WHEN doc_id >= 300 THEN
+           CASE WHEN doc_id >= 400 THEN
+                -- palette GIF: pixel (x, y) is palette index
+                -- (x + 3y + id) % nc with the deterministic palette
+                -- channels (i*40+id, i*85+id, i*170+id) % 256 — this
+                -- row pins the LZW decompression + palette lookup
+                floor(
+                  list_sum(list_transform(
+                    generate_series(0, (1 + doc_id % 6) - 1),
+                    y -> list_sum(list_transform(
+                      generate_series(0, (1 + doc_id % 5) - 1),
+                      x -> CAST((((x + 3*y + doc_id) % (2 + doc_id % 5))
+                                     * 40 + doc_id) % 256
+                                + (((x + 3*y + doc_id) % (2 + doc_id % 5))
+                                     * 85 + doc_id) % 256
+                                + (((x + 3*y + doc_id) % (2 + doc_id % 5))
+                                     * 170 + doc_id) % 256 AS DOUBLE)))))
+                  / (3.0 * (1 + doc_id % 5) * (1 + doc_id % 6))
+                  * 1e6 + 0.5) / 1e6
+           WHEN doc_id >= 300 THEN
                 -- block-constant baseline JPEG: the DC quantizer is 8,
                 -- so decode returns the source raster exactly and the
                 -- decoded mean is the mean over the block grid of
@@ -1362,7 +1384,7 @@ def docs_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * 1e6 + 0.5) / 1e6
            END::DOUBLE AS content_mean,
            NULL::BIGINT AS ahash64
-    FROM documents WHERE doc_id < 400
+    FROM documents WHERE doc_id < 500
     UNION ALL
     -- Perceptual aHash over the decoded JPEG rasters (round 4): the
     -- block-constant gray raster NN-resamples to an 8x8 grid whose
@@ -1439,12 +1461,12 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     media = multimodal.extract_media_features(
-        multimodal.attach_media_blob(docs.filter(F.col("doc_id") < 400))
+        multimodal.attach_media_blob(docs.filter(F.col("doc_id") < 500))
     ).select(
         F.lit("media").alias("branch"),
         "doc_id",
         F.when(
-            F.col("mime").isin("image/png", "image/jpeg"),
+            F.col("mime").isin("image/png", "image/jpeg", "image/gif"),
             F.lit(None).cast("long"),
         )
         .otherwise(F.col("n_bytes"))
