@@ -747,3 +747,97 @@ def test_pii_case_insensitive_patterns_match_in_duckdb():
             for p in PII_PATTERNS.values()
         )
         assert duck == py_hits >= 1
+
+
+def test_count_min_sketch_mergeable_term_frequencies(spark):
+    """Count-min frequency sketches (round 4): per-source sketches
+    merged == whole-corpus estimates within the eps*N guarantee, and
+    every estimate >= the true count (the CM one-sided bound)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.sketches import (
+        estimate_counts,
+        merge_sketches,
+        read_sketch,
+        term_count_sketches,
+    )
+
+    rows = []
+    did = 0
+    for src, reps in (("a", 40), ("b", 25)):
+        for i in range(reps):
+            rows.append((did, f"common shared w{i % 5} rare{did}", src))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    per_source = term_count_sketches(docs, "source", eps=0.001, seed=7)
+    got = {r["source"]: r for r in per_source.collect()}
+    assert set(got) == {"a", "b"}
+    n_total = sum(r["n_terms"] for r in got.values())
+    assert n_total == 65 * 4
+
+    # true counts
+    # w0 appears for i % 5 == 0: 8 times in source a (40 docs), 5 in b
+    truth = {"common": 65, "shared": 65, "w0": 8 + 5, "rare5": 1}
+    merged = merge_sketches(
+        spark, [bytes(got["a"]["sketch"]), bytes(got["b"]["sketch"])]
+    )
+    est = estimate_counts(merged, list(truth))
+    for term, true_n in truth.items():
+        assert est[term] >= true_n  # never underestimates
+        assert est[term] <= true_n + 0.001 * n_total + 1
+
+    # merged sketch == sketch of the whole corpus (same estimates)
+    whole_raw = bytes(
+        term_count_sketches(
+            docs.withColumn("source", F.lit("all")), "source", eps=0.001, seed=7
+        ).collect()[0]["sketch"]
+    )
+    whole = read_sketch(spark, whole_raw)
+    for term in truth:
+        assert whole.estimateCount(term) == merged.estimateCount(term)
+
+
+def test_psi_drift_detection(spark, tmp_path):
+    """PSI (round 4): identical distributions score ~0; a location
+    shift scores far past the 0.25 action threshold; the bucket shares
+    match a DuckDB twin exactly."""
+    import duckdb
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.drift import (
+        bucket_shares,
+        psi,
+        quantile_edges,
+    )
+
+    base = spark.createDataFrame(
+        [(i, (i * 37 % 100) / 10.0) for i in range(400)], "id long, v double"
+    )
+    same = spark.createDataFrame(
+        [(i, (i * 53 % 100) / 10.0) for i in range(300)], "id long, v double"
+    )
+    shifted = spark.createDataFrame(
+        [(i, 6.0 + (i * 37 % 100) / 25.0) for i in range(300)],
+        "id long, v double",
+    )
+    assert abs(psi(base, same, "v")) < 0.02
+    assert psi(base, shifted, "v") > 1.0
+
+    # DuckDB twin of the bucket shares on the same edges.
+    edges = quantile_edges(base, "v", 10)
+    base.write.mode("overwrite").parquet(f"{tmp_path}/base.parquet")
+    bucket_expr = " + ".join(
+        f"CASE WHEN v >= {e!r} THEN 1 ELSE 0 END" for e in edges
+    )
+    duck = {
+        int(b): s
+        for b, s in duckdb.sql(
+            f"""
+            SELECT ({bucket_expr}) AS bucket,
+                   round(count(*) / sum(count(*)) OVER (), 6) AS share
+            FROM '{tmp_path}/base.parquet/*.parquet' GROUP BY 1
+            """
+        ).fetchall()
+    }
+    got = {
+        r["bucket"]: r["share"]
+        for r in bucket_shares(base, "v", edges).collect()
+    }
+    assert got == duck

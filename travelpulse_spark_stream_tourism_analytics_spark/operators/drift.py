@@ -1,0 +1,78 @@
+"""Distribution-drift monitoring between corpus snapshots.
+
+Population Stability Index over a numeric column: the standard
+ingest-batch drift alarm a training-data pipeline runs between
+yesterday's corpus and today's (quality-score drift, token-count
+drift, embedding-norm drift). PSI = sum_b (p_b - q_b) * ln(p_b / q_b)
+over buckets fixed from the BASELINE's quantiles; the conventional
+alert thresholds are 0.1 (investigate) / 0.25 (act).
+
+Scale shape: bucket edges come from one exact-percentile aggregation
+over the baseline (`n_buckets` is a bounded contract, like quantizer
+sizes); both snapshots then bucket with a plan-constant CASE chain and
+aggregate with one partial-agg shuffle each — no join, no sort, no
+driver data beyond the edge list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def quantile_edges(
+    base: DataFrame, value_col: str, n_buckets: int = 10
+) -> list:
+    """Interior bucket edges: the baseline's exact k/n quantiles
+    (deterministic — percentile, not percentile_approx, so two runs
+    and the DuckDB twin agree exactly)."""
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    row = base.agg(
+        F.percentile(F.col(value_col), F.array(*[F.lit(f) for f in fracs]))
+        .alias("e")
+    ).first()
+    return [float(x) for x in row["e"]]
+
+
+def bucket_shares(
+    df: DataFrame, value_col: str, edges: list, scale: int = 6
+) -> DataFrame:
+    """(bucket, share) with bucket = count of edges <= value (0-based;
+    right-open buckets), share rounded for engine portability."""
+    b = F.lit(0)
+    for e in edges:
+        b = b + F.when(F.col(value_col) >= F.lit(e), 1).otherwise(0)
+    counts = (
+        df.select(b.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.select(
+        "bucket", F.round(F.col("n") / total, scale).alias("share")
+    )
+
+
+def psi(
+    base: DataFrame,
+    cand: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    floor: float = 1e-4,
+) -> float:
+    """Population Stability Index of ``cand`` vs ``base`` on
+    ``value_col``. ``floor`` guards empty buckets (standard practice —
+    PSI is undefined at zero shares). Returns a plain float: PSI is a
+    monitoring scalar, not a relation."""
+    edges = quantile_edges(base, value_col, n_buckets)
+    p = {r["bucket"]: r["share"] for r in bucket_shares(base, value_col, edges).collect()}
+    q = {r["bucket"]: r["share"] for r in bucket_shares(cand, value_col, edges).collect()}
+    import math
+
+    out = 0.0
+    for b in range(n_buckets):
+        pb = max(p.get(b, 0.0), floor)
+        qb = max(q.get(b, 0.0), floor)
+        out += (pb - qb) * math.log(pb / qb)
+    return out
