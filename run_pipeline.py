@@ -184,29 +184,71 @@ def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False) -> dict
     }
 
 
-def run_report(spark, docs_path: str, out_dir: str | None = None) -> list:
+def _load_docs(spark, docs_path: str):
+    from pyspark.sql import functions as F
+
+    table = os.path.join(docs_path, "documents.parquet")
+    docs = spark.read.parquet(table if os.path.exists(table) else docs_path)
+    if "source" not in docs.columns:
+        docs = docs.withColumn("source", F.lit("all"))
+    return docs
+
+
+def run_report(
+    spark,
+    docs_path: str,
+    out_dir: str | None = None,
+    baseline_path: str | None = None,
+) -> list:
     """Corpus health report (``--mode report``): per-source pass rate,
     mean quality/tokens, PII incidence over a documents dir
     (operators/curate.corpus_report); optionally written as parquet
-    for dashboarding, always printed as one JSON line per source."""
+    for dashboarding, always printed as one JSON line per source.
+
+    With ``--baseline <docs dir>`` (round 4) the report also emits a
+    drift line: the PSI of this batch's quality_score and n_tokens
+    distributions against the baseline corpus (operators/drift.py) —
+    the ingest-batch alarm that catches a source going stale or a
+    scraper change shifting the quality profile, with the conventional
+    0.1 / 0.25 investigate/act thresholds attached."""
     import json as _json
 
     from pyspark.sql import functions as F
 
     from travelpulse_spark_stream_tourism_analytics_spark.operators.curate import (
         corpus_report,
+        quality_signals,
     )
 
-    table = os.path.join(docs_path, "documents.parquet")
-    docs = spark.read.parquet(table if os.path.exists(table) else docs_path)
-    if "source" not in docs.columns:
-        docs = docs.withColumn("source", F.lit("all"))
+    docs = _load_docs(spark, docs_path)
     rep = corpus_report(docs)
     if out_dir:
         rep.write.mode("overwrite").parquet(out_dir)
     rows = [r.asDict() for r in rep.orderBy("source").collect()]
     for r in rows:
         print(_json.dumps(r))
+    if baseline_path:
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.drift import (
+            psi,
+        )
+
+        par = spark.sparkContext.defaultParallelism
+        cand_sig = quality_signals(docs.repartition(par)).filter(
+            F.col("n_tokens") > 0
+        )
+        base_sig = quality_signals(
+            _load_docs(spark, baseline_path).repartition(par)
+        ).filter(F.col("n_tokens") > 0)
+        drift = {
+            "drift_vs": baseline_path,
+            "psi_quality_score": round(
+                psi(base_sig, cand_sig, "quality_score"), 6
+            ),
+            "psi_n_tokens": round(psi(base_sig, cand_sig, "n_tokens"), 6),
+            "thresholds": {"investigate": 0.1, "act": 0.25},
+        }
+        print(_json.dumps(drift))
+        rows.append(drift)
     return rows
 
 
@@ -224,6 +266,11 @@ def main() -> None:
         "health JSON over a documents dir (--path; --out optional)",
     )
     ap.add_argument("--out", help="output dir for --mode dedup/curate")
+    ap.add_argument(
+        "--baseline",
+        help="--mode report: docs dir of a BASELINE corpus; emits PSI "
+        "drift of quality_score / n_tokens vs it",
+    )
     ap.add_argument(
         "--source", choices=["kafka", "file", "kafka-replay"], default="file"
     )
@@ -276,7 +323,7 @@ def main() -> None:
     if args.mode == "report":
         if not args.path:
             ap.error("--mode report requires --path (docs dir)")
-        run_report(spark, args.path, args.out)
+        run_report(spark, args.path, args.out, baseline_path=args.baseline)
         return
 
     if args.mode == "curate":

@@ -841,3 +841,58 @@ def test_psi_drift_detection(spark, tmp_path):
         for r in bucket_shares(base, "v", edges).collect()
     }
     assert got == duck
+
+
+def test_report_cli_with_baseline_drift(spark, tmp_path, capsys):
+    """--mode report --baseline: the report gains a PSI drift line; a
+    same-distribution baseline stays under the investigate threshold,
+    a degraded batch (numbers-heavy docs) trips it."""
+    import json
+
+    from run_pipeline import run_report
+
+    # base docs VARY in length and stopword mix (a real corpus has a
+    # spread — PSI needs non-degenerate baseline quantiles)
+    base_rows = [
+        (
+            i,
+            "the quick brown fox jumps over a lazy dog near town "
+            + " ".join(f"w{j}" for j in range(i % 9)),
+            "web",
+            50,
+        )
+        for i in range(120)
+    ]
+    bad_rows = [
+        (i, "the old server logs 404 500 301 999 123 867 5309 777 " * 4,
+         "web", 30)
+        for i in range(120)
+    ]
+    for name, rows in (("base", base_rows), ("same", base_rows),
+                       ("bad", bad_rows)):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(
+            str(tmp_path / name / "documents.parquet")
+        )
+
+    out = run_report(
+        spark, str(tmp_path / "same"), baseline_path=str(tmp_path / "base")
+    )
+    drift = out[-1]
+    # identical corpus: both distributions sit inside 'investigate'
+    assert drift["psi_quality_score"] < 0.1
+    assert drift["psi_n_tokens"] < 0.1
+
+    out = run_report(
+        spark, str(tmp_path / "bad"), baseline_path=str(tmp_path / "base")
+    )
+    drift = out[-1]
+    # degraded batch (4x-longer numbers-heavy docs): past 'act'
+    assert max(drift["psi_quality_score"], drift["psi_n_tokens"]) > 0.25
+    # the drift line is printed as JSON for the operator
+    printed = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert any("psi_quality_score" in p for p in printed)
