@@ -305,3 +305,113 @@ def test_pack_chunks_matches_sequential_definition(
         before = runs.get(shard, 0)
         assert got[(doc_id, chunk_idx)] == (shard, before // capacity)
         runs[shard] = before + n
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    mcs=st.sampled_from([2, 3, 4, 8]),
+    data=st.data(),
+)
+def test_gif_lzw_roundtrip_property(mcs, data):
+    """GIF LZW compress/decompress is the identity for ANY index
+    stream — including the adversarial shapes: highly repetitive data
+    (dictionary growth across code-width bumps) and streams whose
+    final code lands exactly on a width boundary (the encoder's
+    phantom-add-before-EOI case, a real bug this property caught)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    n = data.draw(st.integers(min_value=1, max_value=400))
+    if data.draw(st.booleans()):
+        period = data.draw(st.integers(min_value=1, max_value=6))
+        payload = bytes((i % period) % (1 << mcs) for i in range(n))
+    else:
+        payload = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=(1 << mcs) - 1),
+                    min_size=n,
+                    max_size=n,
+                )
+            )
+        )
+    assert _lzw_decompress(_lzw_compress(payload, mcs), mcs) == payload
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    bw=st.integers(min_value=1, max_value=5),
+    bh=st.integers(min_value=1, max_value=4),
+    vals=st.data(),
+)
+def test_jpeg_block_constant_roundtrip_property(bw, bh, vals):
+    """Baseline JPEG with the DC quantizer at 8 reproduces ANY
+    block-constant raster exactly — not just the synth gradient: the
+    encoder's Huffman DC-diff path is exercised across arbitrary
+    category sizes (diffs from -255 to 255)."""
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        _SYNTH_AC_BITS,
+        _SYNTH_AC_VALS,
+        _SYNTH_DC_BITS,
+        _SYNTH_DC_VALS,
+        _BitWriter,
+        _huff_codes,
+        decode_jpeg,
+    )
+    import struct
+
+    blocks = vals.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=255),
+            min_size=bw * bh,
+            max_size=bw * bh,
+        )
+    )
+    # encode the arbitrary block grid with the same table set synth uses
+    dc_codes = _huff_codes(_SYNTH_DC_BITS, _SYNTH_DC_VALS)
+    ac_codes = _huff_codes(_SYNTH_AC_BITS, _SYNTH_AC_VALS)
+    w, h = 8 * bw, 8 * bh
+    qtab = [8] + [1] * 63
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0x00]) + bytes(qtab))
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(
+        0xFFC4, bytes([0x00]) + bytes(_SYNTH_DC_BITS) + bytes(_SYNTH_DC_VALS)
+    )
+    out += seg(
+        0xFFC4, bytes([0x10]) + bytes(_SYNTH_AC_BITS) + bytes(_SYNTH_AC_VALS)
+    )
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bwr = _BitWriter()
+    prev = 0
+    for v in blocks:
+        dc = v - 128
+        diff = dc - prev
+        prev = dc
+        mag, s = abs(diff), 0
+        while mag:
+            s += 1
+            mag >>= 1
+        code, ln = dc_codes[s]
+        bwr.put(code, ln)
+        if s:
+            bwr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        code, ln = ac_codes[0x00]
+        bwr.put(code, ln)
+    out += bwr.done() + b"\xff\xd9"
+
+    gw, gh, px = decode_jpeg(bytes(out))
+    assert (gw, gh) == (w, h)
+    expect = np.zeros((h, w), dtype=np.uint8)
+    for i, v in enumerate(blocks):
+        by, bx = divmod(i, bw)
+        expect[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    assert (px == expect).all()
