@@ -796,3 +796,28 @@ def test_pq_codebooks_layout_independent_and_k_clamped(spark):
     tiny = emb.limit(5)
     books = S.pq_codebooks(tiny, "v", m=8, k=16, seed=7)
     assert books[0].shape == (5, 8)  # k clamped to corpus size
+
+
+def test_substring_dup_spans_finds_cross_doc_boilerplate(spark):
+    """Exact-substring dedup (round 4): a verbatim 8-token span shared
+    by two otherwise-different docs is reported (with the distinct-doc
+    count), intra-doc repetition alone is NOT, and short docs drop
+    out."""
+    boiler = "this content is provided as is without any warranty"  # 9 toks
+    rows = [
+        (1, "intro words here " + boiler + " and then doc one continues"),
+        (2, boiler + " totally different tail for document two"),
+        # intra-doc repetition only: the span repeats INSIDE one doc
+        (3, ("repeat me eight times over in this document " * 2).strip()),
+        (4, "short doc"),
+        (5, "unrelated text with no shared spans at all whatsoever here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.substring_dup_spans(docs, "text", "doc_id", 8).collect()
+    assert len(out) > 0
+    # every reported span is cross-doc (n_copies = distinct docs >= 2)
+    assert all(r["n_copies"] >= 2 for r in out)
+    # all reported spans involve the boilerplate pair, kept by doc 1
+    assert {r["keep_doc_id"] for r in out} == {1}
+    # the 9-token boilerplate yields 2 distinct 8-token windows
+    assert len(out) == 2

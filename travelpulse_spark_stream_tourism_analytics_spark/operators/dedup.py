@@ -51,6 +51,39 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def substring_dup_spans(
+    df: DataFrame, text_col: str, id_col: str, window_tokens: int = 8
+) -> DataFrame:
+    """Exact-SUBSTRING duplication report (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" family:
+    long verbatim spans repeated ACROSS documents — boilerplate,
+    licenses, templated passages — that document-level dedup cannot
+    see because the surrounding text differs).
+
+    Every ``window_tokens``-token window of every document hashes to a
+    16-byte key (distinct per doc — a span repeated within one doc is
+    intra-doc repetition, the dup_3gram signal's job); windows shared
+    by >= 2 documents come back as (text_hash, keep_<id>, n_copies =
+    distinct docs carrying the span). Downstream removal is a semi-join
+    of chunk hashes against this table. ``window_tokens`` is the scale
+    knob — production uses ~50; the plan is identical: map-side window
+    explode, one partial-agg shuffle on the hash, never pairwise."""
+    windows = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(words_of(F.col(text_col)), window_tokens))
+        ).alias("__w"),
+    )
+    return (
+        windows.groupBy(F.md5("__w").alias("text_hash"))
+        .agg(
+            F.min(id_col).alias(f"keep_{id_col}"),
+            F.countDistinct(id_col).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) pairs; docs shorter than n words drop out.
 

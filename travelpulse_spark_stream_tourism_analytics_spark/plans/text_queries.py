@@ -45,19 +45,56 @@ _NGRAMS3_SQL = (
 
 @query(
     "docs_exact_dedup",
-    oracle="""
-    SELECT md5(text) AS text_hash,
+    oracle=f"""
+    SELECT 'doc' AS branch, md5(text) AS text_hash,
            min(doc_id) AS keep_doc_id,
            count(*) AS n_copies
     FROM documents
-    GROUP BY 1
+    GROUP BY 2
+    UNION ALL
+    -- Exact-substring duplication (round 4, Lee et al. 2022 shape):
+    -- 8-token windows shared verbatim by >= 2 documents.
+    SELECT 'substring' AS branch, md5(w) AS text_hash,
+           min(doc_id) AS keep_doc_id,
+           count(DISTINCT doc_id) AS n_copies
+    FROM (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(
+                generate_series(1, greatest(len(toks) - 7, 0)),
+                i -> array_to_string(toks[i:i+7], ' ')))) AS w
+        FROM (
+            SELECT doc_id, {_WORDS_SQL.format(c="text")} AS toks
+            FROM documents
+        )
+    )
+    GROUP BY 2
+    HAVING count(DISTINCT doc_id) >= 2
     """,
 )
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy, keep lowest doc_id. At 100 TB this is
-    one shuffle on a 16-byte key with map-side combine."""
+    """Merged exact-duplication entry.
+
+    branch='doc' — whole-document exact dedup: hash-groupBy, keep
+    lowest doc_id. At 100 TB this is one shuffle on a 16-byte key with
+    map-side combine.
+
+    branch='substring' — exact-substring duplication (round 4,
+    dedup.substring_dup_spans): verbatim 8-token windows repeated
+    ACROSS documents (boilerplate/templates document-level dedup
+    cannot see). Map-side window explode, one partial-agg shuffle on
+    the window hash — never pairwise; production window ~50 tokens,
+    same plan."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.exact_dedup(docs, "text", "doc_id")
+    doc = dedup.exact_dedup(docs, "text", "doc_id").select(
+        F.lit("doc").alias("branch"), "text_hash", "keep_doc_id", "n_copies"
+    )
+    sub = dedup.substring_dup_spans(docs, "text", "doc_id", 8).select(
+        F.lit("substring").alias("branch"),
+        "text_hash",
+        "keep_doc_id",
+        "n_copies",
+    )
+    return doc.unionByName(sub)
 
 
 def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
