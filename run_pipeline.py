@@ -142,7 +142,8 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
     return stats
 
 
-def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False) -> dict:
+def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False,
+               strip_boilerplate: int | None = None) -> dict:
     """Batch corpus curation (``--mode curate``): documents (a parquet
     dir/file or JSONL dir with {doc_id, text}) flow through the
     quality gate -> PII redaction -> exact dedup -> chunking ->
@@ -168,7 +169,8 @@ def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False) -> dict
         docs = spark.read.parquet(
             table if os.path.exists(table) else docs_path
         )
-    packed = curate_corpus(docs, fuzzy=fuzzy)
+    packed = curate_corpus(docs, fuzzy=fuzzy,
+                           strip_boilerplate=strip_boilerplate)
     packed.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
     out = spark.read.parquet(out_dir)
     agg = out.agg(
@@ -267,6 +269,14 @@ def main() -> None:
     )
     ap.add_argument("--out", help="output dir for --mode dedup/curate")
     ap.add_argument(
+        "--strip-boilerplate",
+        type=int,
+        default=None,
+        metavar="K",
+        help="--mode curate: drop chunks containing a window repeated "
+        "verbatim in >= K kept docs (exact-substring boilerplate)",
+    )
+    ap.add_argument(
         "--baseline",
         help="--mode report: docs dir of a BASELINE corpus; emits PSI "
         "drift of quality_score / n_tokens vs it",
@@ -329,7 +339,8 @@ def main() -> None:
     if args.mode == "curate":
         if not args.path or not args.out:
             ap.error("--mode curate requires --path (docs dir) and --out")
-        stats = run_curate(spark, args.path, args.out, fuzzy=args.fuzzy)
+        stats = run_curate(spark, args.path, args.out, fuzzy=args.fuzzy,
+                         strip_boilerplate=args.strip_boilerplate)
         print(
             f">>> curated; {stats['docs']} docs in, {stats['kept']} kept, "
             f"{stats['samples']} packed samples in {stats['packs']} "

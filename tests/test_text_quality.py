@@ -896,3 +896,38 @@ def test_report_cli_with_baseline_drift(spark, tmp_path, capsys):
         for line in capsys.readouterr().out.strip().splitlines()
     ]
     assert any("psi_quality_score" in p for p in printed)
+
+
+def test_curate_strip_boilerplate_drops_tainted_chunks(spark):
+    """strip_boilerplate=K (round 4): chunks containing a verbatim
+    window shared by >= K kept docs are dropped before packing; clean
+    chunks of the same documents survive."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    boiler = (
+        "this material is provided under the common license terms here"
+    )
+    uniq = [
+        " ".join(
+            f"the body{d}{j} is a tale of word{d}{j} and item{j}{d} in town{j}"
+            for j in range(6)
+        )
+        for d in range(4)
+    ]
+    rows = [(d, uniq[d] + " " + boiler) for d in range(3)]
+    rows.append((3, uniq[3]))  # clean doc, no boilerplate
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kept_plain = curate_corpus(docs, chunk_tokens=16, overlap=0, fuzzy=False)
+    kept_strip = curate_corpus(
+        docs, chunk_tokens=16, overlap=0, fuzzy=False, strip_boilerplate=3
+    )
+    plain = [(r["doc_id"], r["chunk_text"]) for r in kept_plain.collect()]
+    strip = [(r["doc_id"], r["chunk_text"]) for r in kept_strip.collect()]
+    assert len(strip) < len(plain)
+    # no surviving chunk contains the boilerplate span
+    assert all("common license terms" not in t for _, t in strip)
+    # the clean doc and the clean chunks of tainted docs survive
+    assert {d for d, _ in strip} == {0, 1, 2, 3}

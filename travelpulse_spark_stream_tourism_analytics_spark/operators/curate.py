@@ -42,6 +42,10 @@ from travelpulse_spark_stream_tourism_analytics_spark.operators.quality import (
 
 _STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
 
+# Window width for the strip-boilerplate stage (fixture scale;
+# production corpora use ~50 tokens — same plan, one knob).
+_BOILER_WINDOW = 8
+
 
 def quality_signals(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -113,6 +117,7 @@ def curate_corpus(
     n_shards: int = 8,
     fuzzy: bool = False,
     jaccard_threshold: float = 0.5,
+    strip_boilerplate: int | None = None,
 ) -> DataFrame:
     """Run the full curation chain; returns packed training samples
     (doc_id, chunk_idx, chunk_uid, chunk_text, n_chunk_tokens,
@@ -126,6 +131,16 @@ def curate_corpus(
     exactly its cleanest member. Adds the banded-join shuffles of the
     oracled docs_minhash_neardup_pairs pipeline; everything else is
     unchanged.
+
+    With ``strip_boilerplate=K`` (round 4) a CHUNK-level boilerplate
+    filter runs after chunking: any chunk containing a
+    ``_BOILER_WINDOW``-token window that appears verbatim in >= K
+    distinct kept documents (dedup.substring_dup_spans — the
+    Lee et al. 2022 exact-substring family) is dropped before packing.
+    This removes licenses/templates/navigation that survive
+    document-level dedup because their surrounding text differs. Two
+    extra shuffles: the span-hash aggregation and the chunk anti-join
+    on a broadcastable span table.
 
     Two execution repairs (round 4, measured 48 s -> ~12 s at sf0.1):
     the input repartitions to cluster width before the regex-heavy
@@ -189,6 +204,26 @@ def curate_corpus(
     chunks = chunk_documents(
         unique, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
     )
+    if strip_boilerplate is not None:
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+            substring_dup_spans,
+        )
+
+        spans = substring_dup_spans(
+            unique, text_col, id_col, _BOILER_WINDOW
+        ).filter(F.col("n_copies") >= strip_boilerplate)
+        chunk_windows = chunks.select(
+            "chunk_uid",
+            F.explode(
+                F.array_distinct(
+                    word_ngrams(words_of(F.col("chunk_text")), _BOILER_WINDOW)
+                )
+            ).alias("__w"),
+        ).select("chunk_uid", F.md5("__w").alias("text_hash"))
+        tainted = chunk_windows.join(
+            F.broadcast(spans.select("text_hash")), "text_hash", "left_semi"
+        ).select("chunk_uid").distinct()
+        chunks = chunks.join(tainted, "chunk_uid", "left_anti")
     return pack_chunks(
         chunks,
         id_col=id_col,
