@@ -88,6 +88,7 @@ BRANCHES = {
         "variant", ["brute", "ivf_seeded", "int8_corpus", "semdedup", "pq_adc"]
     ),
     "latest_event_per_user": ("branch", ["latest", "tsmatch"]),
+    "docs_exact_dedup": ("branch", ["doc", "substring"]),
 }
 
 # Constituent transforms still defined as plain functions in plans/*.py
