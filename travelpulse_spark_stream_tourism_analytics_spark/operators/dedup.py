@@ -67,8 +67,14 @@ def substring_dup_spans(
     distinct docs carrying the span). Downstream removal is a semi-join
     of chunk hashes against this table. ``window_tokens`` is the scale
     knob — production uses ~50; the plan is identical: map-side window
-    explode, one partial-agg shuffle on the hash, never pairwise."""
-    windows = df.select(
+    explode, one partial-agg shuffle on the hash, never pairwise.
+    Repartitions on the id first (with an EXPLICIT partition count:
+    AQE coalesces a bare repartition(col) back to one partition when
+    the input is small by bytes — and the cost here is per-row
+    compute, not bytes): the window build otherwise runs at the scan's
+    layout-determined width (measured 3.8 s -> 0.7 s at sf0.1)."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    windows = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(word_ngrams(words_of(F.col(text_col)), window_tokens))
@@ -89,8 +95,12 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
 
     Repartitions on the id first: document corpora often arrive in a
     few large files, and without this the explode + k-hash compute runs
-    on as many tasks as there are input splits."""
-    return df.repartition(F.col(id_col)).select(
+    on as many tasks as there are input splits. The partition count is
+    EXPLICIT — AQE coalesces a bare repartition(col) to one partition
+    when the input is small by bytes, re-serializing the compute-bound
+    shingle build (round 4; the same lesson as blocked pair cells)."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
     )
 
