@@ -220,8 +220,12 @@ def curate_corpus(
                 )
             ).alias("__w"),
         ).select("chunk_uid", F.md5("__w").alias("text_hash"))
+        # No forced broadcast: the span table is usually small (spans
+        # repeated in >= K docs), but a boilerplate-heavy crawl can
+        # produce millions — let Spark pick broadcast vs shuffle
+        # semi-join by size.
         tainted = chunk_windows.join(
-            F.broadcast(spans.select("text_hash")), "text_hash", "left_semi"
+            spans.select("text_hash"), "text_hash", "left_semi"
         ).select("chunk_uid").distinct()
         chunks = chunks.join(tainted, "chunk_uid", "left_anti")
     return pack_chunks(

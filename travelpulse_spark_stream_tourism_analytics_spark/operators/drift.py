@@ -26,7 +26,11 @@ def quantile_edges(
 ) -> list:
     """Interior bucket edges: the baseline's exact k/n quantiles
     (deterministic — percentile, not percentile_approx, so two runs
-    and the DuckDB twin agree exactly)."""
+    and the DuckDB twin agree exactly). At 100 TB swap in
+    ``approx_percentile`` (one line): edge placement tolerates
+    approximation — PSI compares SHARES against whatever edges were
+    fixed — while the exact form is what makes the twin test
+    value-identical."""
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     row = base.agg(
         F.percentile(F.col(value_col), F.array(*[F.lit(f) for f in fracs]))
