@@ -637,3 +637,17 @@ def test_gif_rides_resize_and_ahash(spark):
     rz = resize_images(df, 3, 3).collect()[0]
     assert rz["mime"] == "image/gif" and rz["resized_mean"] is not None
     assert image_ahashes(df).count() == 1
+
+
+def test_gif_truncation_raises_cleanly():
+    """Truncated GIFs fail with a ValueError from the decoder, not an
+    IndexError from deep inside a worker."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        decode_gif,
+        synth_gif,
+    )
+
+    full = synth_gif(5, 4, seed=1, n_colors=4)
+    for cut in (10, 20, len(full) // 2, len(full) - 3):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_gif(full[:cut])

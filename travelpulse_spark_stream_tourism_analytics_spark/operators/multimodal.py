@@ -1153,11 +1153,15 @@ def decode_gif(payload: bytes):
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF truncated in the logical screen descriptor")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     palette = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("GIF truncated in the global color table")
         palette = np.frombuffer(
             payload, dtype=np.uint8, count=3 * n, offset=pos
         ).reshape(n, 3)
@@ -1166,10 +1170,14 @@ def decode_gif(payload: bytes):
         block = payload[pos]
         if block == 0x21:  # extension: skip sub-blocks
             pos += 2
-            while payload[pos] != 0:
+            while pos < len(payload) and payload[pos] != 0:
                 pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("GIF truncated inside an extension")
             pos += 1
         elif block == 0x2C:  # image descriptor
+            if pos + 11 > len(payload):
+                raise ValueError("GIF truncated in the image descriptor")
             _x, _y, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
             pos += 10
             if ipacked & 0x40:
@@ -1181,10 +1189,12 @@ def decode_gif(payload: bytes):
             mcs = payload[pos]
             pos += 1
             lzw = bytearray()
-            while payload[pos] != 0:
+            while pos < len(payload) and payload[pos] != 0:
                 ln = payload[pos]
                 lzw += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            if pos >= len(payload):
+                raise ValueError("GIF truncated inside image data")
             pos += 1
             indices = _lzw_decompress(bytes(lzw), mcs)
             if len(indices) != w * h:
