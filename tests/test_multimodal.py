@@ -651,3 +651,15 @@ def test_gif_truncation_raises_cleanly():
     for cut in (10, 20, len(full) // 2, len(full) - 3):
         with pytest.raises((ValueError, NotImplementedError)):
             decode_gif(full[:cut])
+
+
+def test_jpeg_truncation_raises_cleanly():
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg,
+    )
+
+    full = synth_jpeg(2, 2, seed=1)
+    for cut in (4, 10, 30, len(full) // 2, len(full) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(full[:cut])
