@@ -82,7 +82,11 @@ EXTRA = {
 # the literal tag column — Catalyst folds the contradictory-literal
 # union legs away, so each timing runs ONLY that branch's subtree.
 # Covers the merged entries whose branches are inline plans (no
-# module-level constituent function to time).
+# module-level constituent function to time). NOTE: branch numbers
+# include the entry's DataFrame-BUILD cost (driver-side collects of
+# seed centroids / PQ tables, shared by every branch), so they exceed
+# the standalone constituent functions where those exist — compare
+# branches to each other, constituents across rounds.
 BRANCHES = {
     "embedding_knn_variants": (
         "variant", ["brute", "ivf_seeded", "int8_corpus", "semdedup", "pq_adc"]
