@@ -821,3 +821,39 @@ def test_substring_dup_spans_finds_cross_doc_boilerplate(spark):
     assert {r["keep_doc_id"] for r in out} == {1}
     # the 9-token boilerplate yields 2 distinct 8-token windows
     assert len(out) == 2
+
+
+def test_cluster_safe_split_no_neardup_leakage(spark):
+    """Leakage-safe splitting (round 4): every member of a near-dup
+    component lands on the SAME side; the split is deterministic
+    across runs; both sides are non-empty on a mixed corpus."""
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.components import (
+        connected_components_star,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+        cluster_safe_split,
+    )
+
+    # 30 near-dup pairs (2i <-> 2i+1) + 60 singleton docs
+    pairs = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    comp = connected_components_star(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    docs = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+
+    out = cluster_safe_split(docs, comp, "doc_id")
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 120
+    # no pair straddles the split
+    for i in range(30):
+        assert rows[2 * i] == rows[2 * i + 1], i
+    # both sides populated, val share in a sane band around 3/16
+    n_val = sum(1 for s in rows.values() if s == "val")
+    assert 0 < n_val < 120
+    # deterministic: identical second run
+    rows2 = {r["doc_id"]: r["split"] for r in cluster_safe_split(docs, comp, "doc_id").collect()}
+    assert rows == rows2
