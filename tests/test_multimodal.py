@@ -477,11 +477,12 @@ def test_jpeg_unsupported_shapes_raise():
 
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xe0junkjunk")
-    # color (3-component) SOF0 -> NotImplementedError (PIL plug-in)
+    # 4-component (CMYK) SOF0 -> NotImplementedError (PIL plug-in).
+    # (3-component color is decoded natively since round 5.)
     p = bytearray(synth_jpeg(1, 1))
     i = p.find(b"\xff\xc0")
     ncomp_off = i + 4 + 5  # marker(2) len(2) prec(1) h(2) w(2)
-    p[ncomp_off] = 3
+    p[ncomp_off] = 4
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(p))
     # progressive SOF2 -> NotImplementedError
@@ -489,6 +490,119 @@ def test_jpeg_unsupported_shapes_raise():
     p[p.find(b"\xff\xc0") + 1] = 0xC2
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(p))
+
+
+def _expected_color_raster(mcus_w, mcus_h, seed, subsampling):
+    """Closed-form RGB raster of a synth_jpeg_color fixture."""
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        jpeg_color_mcu,
+        ycbcr_to_rgb_int,
+    )
+
+    bw = {"420": 16, "422": 16, "444": 8}[subsampling]
+    bh = {"420": 16, "422": 8, "444": 8}[subsampling]
+    out = np.zeros((bh * mcus_h, bw * mcus_w, 3), dtype=np.uint8)
+    for my in range(mcus_h):
+        for mx in range(mcus_w):
+            rgb = ycbcr_to_rgb_int(*jpeg_color_mcu(mx, my, seed))
+            out[my * bh : (my + 1) * bh, mx * bw : (mx + 1) * bw] = rgb
+    return out
+
+
+def test_color_jpeg_roundtrip_exact_all_subsamplings():
+    """Round 5: baseline YCbCr color decode — MCU-constant fixtures
+    survive quantization exactly for 4:2:0, 4:2:2 AND 4:4:4, so the
+    synth->decode round-trip reproduces every RGB pixel (per-component
+    quant/Huffman table selection, interleaved MCU order, chroma
+    upsampling, and the float YCbCr->RGB conversion all pinned)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg_color,
+    )
+
+    for sub in ("420", "422", "444"):
+        for seed in (0, 7, 129, 255):
+            mw, mh = 1 + seed % 3, 1 + (seed // 3) % 2
+            p = synth_jpeg_color(mw, mh, seed=seed, subsampling=sub)
+            assert sniff_mime(p) == "image/jpeg"
+            w, h, px = decode_jpeg(p)
+            exp = _expected_color_raster(mw, mh, seed, sub)
+            assert (w, h) == (exp.shape[1], exp.shape[0])
+            assert px.shape == exp.shape
+            assert (px == exp).all(), (sub, seed)
+            # deterministic bytes
+            assert p == synth_jpeg_color(mw, mh, seed=seed, subsampling=sub)
+
+
+def test_color_jpeg_cross_format_placement_consistency():
+    """The same picture stored as color JPEG (both chroma layouts),
+    BMP, and PNG must decode to the identical top-down RGB raster —
+    and therefore fingerprint identically (aHash) — or cross-format
+    near-dup detection is broken for the format that dominates real
+    image corpora."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        ahash64,
+        bmp_from_pixels,
+        decode_jpeg,
+        png_from_pixels,
+        resize_nn,
+        synth_jpeg_color,
+    )
+
+    for sub in ("420", "444"):
+        seed, mw, mh = 23, 3, 2
+        jp = synth_jpeg_color(mw, mh, seed=seed, subsampling=sub)
+        _w, _h, px_j = decode_jpeg(jp)
+        bmp, png = bmp_from_pixels(px_j), png_from_pixels(px_j, seed=3)
+        px_b = decode_bmp_pixels(bmp)
+        _w2, _h2, _c, px_p = decode_png(png)
+        assert (px_b == px_j).all()
+        assert (px_p == px_j).all()
+        assert ahash64(px_j) == ahash64(px_b) == ahash64(px_p)
+        assert (resize_nn(px_j, 4, 4) == resize_nn(px_b, 4, 4)).all()
+
+
+def test_color_jpeg_media_features_and_ahash(spark):
+    """Color JPEG payloads flow through extract_media_features
+    (channels=3, decoded-RGB content_mean) and the aHash fingerprint
+    machinery, like every other image format."""
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        image_ahashes,
+        round6_half_up,
+        synth_jpeg_color,
+    )
+
+    payloads = {
+        0: synth_jpeg_color(2, 2, seed=3, subsampling="420"),
+        1: synth_jpeg_color(3, 2, seed=4, subsampling="444"),
+    }
+    df = spark.createDataFrame(
+        list(payloads.items()), "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r for r in extract_media_features(df).collect()}
+    exp0 = _expected_color_raster(2, 2, 3, "420")
+    exp1 = _expected_color_raster(3, 2, 4, "444")
+    assert rows[0]["mime"] == "image/jpeg"
+    assert (rows[0]["width"], rows[0]["height"]) == (32, 32)
+    assert rows[0]["channels"] == 3
+    assert rows[0]["content_mean"] == round6_half_up(float(exp0.mean()))
+    assert (rows[1]["width"], rows[1]["height"]) == (24, 16)
+    assert rows[1]["content_mean"] == round6_half_up(float(exp1.mean()))
+    hashes = {r["doc_id"]: r["simhash"] for r in image_ahashes(df).collect()}
+    assert hashes[0] == ahash64_ref(exp0)
+    assert hashes[1] == ahash64_ref(exp1)
+
+
+def ahash64_ref(px):
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        ahash64,
+    )
+
+    return ahash64(px)
 
 
 def test_jpeg_ahash_and_resize_ride_image_machinery(spark):

@@ -411,9 +411,12 @@ def decode_png(payload: bytes):
 # BLOCK-CONSTANT grayscale images with the DC quantizer set to 8, so
 # round(8*(v-128)/8) is exact and the decoded raster equals the source
 # exactly — which is what makes a closed-form SQL oracle possible for
-# a lossy format. The decoder itself is general baseline grayscale
-# (any quant table, any AC content, standard-table files included);
-# color (multi-component) JPEGs raise at the PIL plug-in point.
+# a lossy format. The decoder is general baseline (any quant table,
+# any AC content, standard-table files included), grayscale AND
+# 3-component YCbCr color with per-component table selection,
+# interleaved MCUs, and integer-ratio chroma subsampling (4:2:0 /
+# 4:2:2 / 4:4:4); progressive/restart files raise at the PIL plug-in
+# point.
 
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -522,6 +525,123 @@ def synth_jpeg(blocks_w: int, blocks_h: int, seed: int = 0) -> bytes:
     return bytes(out)
 
 
+def jpeg_color_mcu(mx: int, my: int, seed: int) -> tuple[int, int, int]:
+    """The deterministic per-MCU (Y, Cb, Cr) constants of the color
+    fixture family — closed-form in (mx, my, seed) so a SQL oracle can
+    recompute the decoded RGB without seeing the bytes."""
+    y = (3 * mx + 7 * my + seed) % 256
+    cb = (5 * mx + 11 * my + 2 * seed) % 256
+    cr = (2 * mx + 9 * my + 3 * seed) % 256
+    return y, cb, cr
+
+
+def ycbcr_to_rgb_int(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """Scalar JFIF YCbCr -> RGB with the exact float expression and
+    round-half-up/clamp convention of the decoder's vectorized path
+    (same double ops in the same order, so both agree bit-exactly with
+    a SQL twin using the identical literals)."""
+    import math
+
+    def cvt(v: float) -> int:
+        return int(min(255.0, max(0.0, math.floor(v + 0.5))))
+
+    r = cvt(y + 1.402 * (cr - 128.0))
+    g = cvt(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0))
+    b = cvt(y + 1.772 * (cb - 128.0))
+    return r, g, b
+
+
+def synth_jpeg_color(
+    mcus_w: int, mcus_h: int, seed: int = 0, subsampling: str = "420"
+) -> bytes:
+    """Deterministic baseline COLOR (YCbCr) JFIF. Each MCU carries the
+    constant ``jpeg_color_mcu(mx, my, seed)`` triple: with subsampling
+    '420' (Y sampling 2x2, chroma 1x1 — the ratio that dominates real
+    corpora) the image is ``16*mcus_w x 16*mcus_h`` and all four luma
+    blocks of an MCU share the MCU's Y value; '422' is Y 2x1
+    (``16*mcus_w x 8*mcus_h``); with '444' every component is 1x1 and
+    the image is ``8*mcus_w x 8*mcus_h``. All
+    three DC quantizers are 8, so the decoded YCbCr planes equal the
+    source constants exactly and the RGB conversion (the only lossy-
+    looking step) is pure double arithmetic a SQL oracle replays. The
+    luma and chroma components deliberately use DIFFERENT quant-table
+    ids and Huffman-table ids so per-component table selection in the
+    decoder is actually exercised."""
+    import struct
+
+    if subsampling == "420":
+        hy, vy = 2, 2
+    elif subsampling == "422":
+        hy, vy = 2, 1
+    elif subsampling == "444":
+        hy, vy = 1, 1
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    w, h = 8 * hy * mcus_w, 8 * vy * mcus_h
+    qtab = [8] + [1] * 63  # zigzag; DC quant 8 = exact for v-128
+    dc_codes = _huff_codes(_SYNTH_DC_BITS, _SYNTH_DC_VALS)
+    ac_codes = _huff_codes(_SYNTH_AC_BITS, _SYNTH_AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    # Two quant tables in ONE DQT segment (multi-table parse path).
+    out += seg(
+        0xFFDB,
+        bytes([0x00]) + bytes(qtab) + bytes([0x01]) + bytes(qtab),
+    )
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (hy << 4) | vy, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    # Four Huffman tables in ONE DHT segment: DC/AC id 0 (luma),
+    # DC/AC id 1 (chroma).
+    out += seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_SYNTH_DC_BITS) + bytes(_SYNTH_DC_VALS)
+        + bytes([0x10]) + bytes(_SYNTH_AC_BITS) + bytes(_SYNTH_AC_VALS)
+        + bytes([0x01]) + bytes(_SYNTH_DC_BITS) + bytes(_SYNTH_DC_VALS)
+        + bytes([0x11]) + bytes(_SYNTH_AC_BITS) + bytes(_SYNTH_AC_VALS),
+    )
+    out += seg(
+        0xFFDA,
+        bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
+    )
+
+    bw = _BitWriter()
+    prev_dc = {1: 0, 2: 0, 3: 0}
+
+    def put_block(dc: int, cid: int) -> None:
+        diff = dc - prev_dc[cid]
+        prev_dc[cid] = dc
+        mag, s = abs(diff), 0
+        while mag:
+            s += 1
+            mag >>= 1
+        code, length = dc_codes[s]
+        bw.put(code, length)
+        if s:
+            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        code, length = ac_codes[0x00]  # EOB: all ACs zero
+        bw.put(code, length)
+
+    for my in range(mcus_h):
+        for mx in range(mcus_w):
+            yv, cb, cr = jpeg_color_mcu(mx, my, seed)
+            for _ in range(hy * vy):
+                put_block(yv - 128, 1)
+            put_block(cb - 128, 2)
+            put_block(cr - 128, 3)
+    out += bw.done()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 class _BitReader:
     def __init__(self, data: bytes):
         self.data = data
@@ -572,14 +692,16 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes):
-    """Baseline grayscale JPEG decode with the stdlib + numpy only:
-    returns ``(width, height, pixels)`` with pixels an ``h x w`` uint8
-    ndarray. Full pipeline — marker walk, DQT/DHT parse, canonical
-    Huffman entropy decode (DC diffs, AC run/size symbols, ZRL, EOB,
-    byte unstuffing), dequantize, dezigzag, float IDCT, level shift,
-    clamp. Multi-component (color), progressive, and
-    restart-interval files raise NotImplementedError (the PIL plug-in
-    point)."""
+    """Baseline JPEG decode with the stdlib + numpy only: returns
+    ``(width, height, pixels)`` — pixels an ``h x w`` uint8 ndarray for
+    grayscale files, ``h x w x 3`` RGB for 3-component (YCbCr) files.
+    Full pipeline — marker walk, DQT/DHT parse, canonical Huffman
+    entropy decode (DC diffs, AC run/size symbols, ZRL, EOB, byte
+    unstuffing), per-component table selection, interleaved-MCU scan
+    order, dequantize, dezigzag, float IDCT, chroma upsample (any
+    integer factor: 4:2:0, 4:2:2, 4:4:4), JFIF YCbCr -> RGB with
+    round-half-up + clamp. Progressive and restart-interval files
+    raise NotImplementedError (the PIL plug-in point)."""
     import math
     import struct
 
@@ -590,7 +712,8 @@ def decode_jpeg(payload: bytes):
     qtabs: dict[int, list] = {}
     htabs: dict[tuple, dict] = {}
     w = h = None
-    qsel = 0
+    comps: list[tuple] = []  # (cid, hi, vi, tq) in SOF order
+    scan_sel: dict[int, tuple] = {}  # cid -> (td, ta)
     pos = 2
     scan_data = None
     while pos + 4 <= len(payload):
@@ -609,7 +732,7 @@ def decode_jpeg(payload: bytes):
                     raise NotImplementedError("16-bit quant tables")
                 qtabs[tq] = list(body[i + 1 : i + 65])
                 i += 65
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (possibly several tables per seg)
             i = 0
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0xF
@@ -625,27 +748,30 @@ def decode_jpeg(payload: bytes):
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise NotImplementedError("non-8-bit JPEG")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "pure-Python JPEG path decodes baseline GRAYSCALE "
-                    f"only ({ncomp} components); plug PIL here"
+                    f"baseline JPEG with {ncomp} components (CMYK?); "
+                    "plug PIL here"
                 )
-            # component spec starts at byte 6: (id, sampling, quant sel)
-            qsel = body[8]
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("non-baseline JPEG")
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals")
         elif marker == 0xDA:  # SOS: entropy data follows to EOI
-            td, ta = body[2] >> 4, body[2] & 0xF
+            ns = body[0]
+            for si in range(ns):
+                cid, tsel = body[1 + 2 * si : 3 + 2 * si]
+                scan_sel[cid] = (tsel >> 4, tsel & 0xF)
             scan_data = payload[pos + 2 + length : -2]
-            dc_tab = htabs[(0, td)]
-            ac_tab = htabs[(1, ta)]
             break
         pos += 2 + length
-    if w is None or scan_data is None:
+    if w is None or scan_data is None or not comps:
         raise ValueError("JPEG missing SOF/SOS")
-    q = qtabs[qsel]
+    if set(scan_sel) != {c[0] for c in comps}:
+        raise NotImplementedError("non-interleaved (multi-scan) JPEG")
 
     # Float IDCT basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16).
     A = np.array(
@@ -660,41 +786,84 @@ def decode_jpeg(payload: bytes):
         ]
     )
 
-    bw_blocks = (w + 7) // 8
-    bh_blocks = (h + 7) // 8
-    img = np.zeros((bh_blocks * 8, bw_blocks * 8), dtype=np.uint8)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_w = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_h = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        cid: np.zeros((mcus_h * vi * 8, mcus_w * hi * 8), dtype=np.uint8)
+        for cid, hi, vi, _tq in comps
+    }
     reader = _BitReader(scan_data)
-    prev_dc = 0
-    for by in range(bh_blocks):
-        for bx in range(bw_blocks):
-            zz = np.zeros(64, dtype=np.float64)
-            s = _huff_decode(reader, dc_tab)
-            diff = _extend(reader.bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc * q[0]
-            k = 1
-            while k < 64:
-                sym = _huff_decode(reader, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if size == 0:
-                    if run == 15:  # ZRL: 16 zeros
-                        k += 16
-                        continue
-                    raise ValueError("bad JPEG AC symbol")
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG AC index overflow")
-                zz[k] = _extend(reader.bits(size), size) * q[k]
-                k += 1
-            block = np.zeros((8, 8))
-            block.flat[_ZIGZAG] = zz
-            pix = A.T @ block @ A + 128.0
-            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.floor(pix + 0.5), 0, 255
-            ).astype(np.uint8)
-    return w, h, img[:h, :w]
+    prev_dc = {cid: 0 for cid, *_ in comps}
+
+    def read_block(cid: int, q: list, dc_tab: dict, ac_tab: dict):
+        zz = np.zeros(64, dtype=np.float64)
+        s = _huff_decode(reader, dc_tab)
+        diff = _extend(reader.bits(s), s) if s else 0
+        prev_dc[cid] += diff
+        zz[0] = prev_dc[cid] * q[0]
+        k = 1
+        while k < 64:
+            sym = _huff_decode(reader, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0xF
+            if size == 0:
+                if run == 15:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                raise ValueError("bad JPEG AC symbol")
+            k += run
+            if k > 63:
+                raise ValueError("JPEG AC index overflow")
+            zz[k] = _extend(reader.bits(size), size) * q[k]
+            k += 1
+        block = np.zeros((8, 8))
+        block.flat[_ZIGZAG] = zz
+        pix = A.T @ block @ A + 128.0
+        return np.clip(np.floor(pix + 0.5), 0, 255).astype(np.uint8)
+
+    # Interleaved MCU order: per MCU, each component contributes its
+    # hi x vi blocks in raster order (JPEG A.2.3).
+    for my in range(mcus_h):
+        for mx in range(mcus_w):
+            for cid, hi, vi, tq in comps:
+                q = qtabs[tq]
+                td, ta = scan_sel[cid]
+                dc_tab, ac_tab = htabs[(0, td)], htabs[(1, ta)]
+                for by in range(vi):
+                    for bx in range(hi):
+                        r0 = (my * vi + by) * 8
+                        c0 = (mx * hi + bx) * 8
+                        planes[cid][r0 : r0 + 8, c0 : c0 + 8] = read_block(
+                            cid, q, dc_tab, ac_tab
+                        )
+
+    if len(comps) == 1:
+        return w, h, planes[comps[0][0]][:h, :w]
+
+    # Chroma upsample by per-axis replication (exact for the integer
+    # factors baseline JFIF uses), crop to the true raster, then the
+    # JFIF YCbCr -> RGB conversion in float64 with round-half-up —
+    # the exact scalar expression ycbcr_to_rgb_int mirrors.
+    full = {}
+    for cid, hi, vi, _tq in comps:
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError("non-integer chroma sampling ratio")
+        up = planes[cid].repeat(vmax // vi, axis=0).repeat(hmax // hi, axis=1)
+        full[cid] = up[:h, :w].astype(np.float64)
+    y_id, cb_id, cr_id = (c[0] for c in comps)
+    y, cb, cr = full[y_id], full[cb_id], full[cr_id]
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=2,
+    )
+    return w, h, np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
 
 
 def decode_bmp_pixels(payload: bytes):
@@ -798,7 +967,8 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                 elif mime == "image/jpeg":
                     w, h, px = decode_jpeg(payload)
                     row.update(
-                        width=w, height=h, channels=1,
+                        width=w, height=h,
+                        channels=1 if px.ndim == 2 else px.shape[2],
                         content_mean=round6_half_up(float(px.mean())),
                     )
                 elif mime == "image/gif":
@@ -857,6 +1027,15 @@ def attach_media_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def synth(ids: pd.Series) -> pd.Series:
         def make(d: int) -> bytes:
             d = int(d)
+            if d >= 500:
+                # Color JPEG (round 5): even ids 4:2:0, odd ids 4:4:4.
+                if d % 2 == 0:
+                    return synth_jpeg_color(
+                        1 + d % 3, 1 + d % 2, seed=d, subsampling="420"
+                    )
+                return synth_jpeg_color(
+                    1 + d % 4, 1 + d % 3, seed=d, subsampling="444"
+                )
             if d >= 400:
                 return synth_gif(1 + d % 5, 1 + d % 6, seed=d,
                                  n_colors=2 + d % 5)
@@ -923,8 +1102,8 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 elif mime == "image/png":
                     _w, _h, _c, px = decode_png(payload)
                 elif mime == "image/jpeg":
-                    _w, _h, gray = decode_jpeg(payload)
-                    px = gray[:, :, None]  # single-channel raster
+                    _w, _h, jp = decode_jpeg(payload)
+                    px = jp if jp.ndim == 3 else jp[:, :, None]
                 elif mime == "image/gif":
                     _w, _h, px = decode_gif(payload)
                 else:
@@ -1352,8 +1531,8 @@ def image_ahashes(df: DataFrame) -> DataFrame:
                 elif mime == "image/png":
                     _w, _h, _c, px = decode_png(payload)
                 elif mime == "image/jpeg":
-                    _w, _h, gray = decode_jpeg(payload)
-                    px = gray[:, :, None]
+                    _w, _h, jp = decode_jpeg(payload)
+                    px = jp if jp.ndim == 3 else jp[:, :, None]
                 elif mime == "image/gif":
                     _w, _h, px = decode_gif(payload)
                 else:

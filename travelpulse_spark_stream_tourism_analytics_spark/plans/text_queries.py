@@ -1288,9 +1288,53 @@ def docs_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.withColumn("is_neardup", F.col("jaccard") >= 0.5)
 
 
+# --- Color JPEG oracle fragments (round 5) --------------------------------
+# The color fixtures are MCU-constant YCbCr rasters (synth_jpeg_color):
+# per MCU (mx, my) the decoded Y/Cb/Cr planes equal the closed-form
+# jpeg_color_mcu constants exactly (DC quant 8), so the only float
+# step the oracle must replay is the JFIF YCbCr -> RGB conversion —
+# the same double expression, in the same operation order, with the
+# same floor(v + 0.5) / clamp convention as decode_jpeg's vectorized
+# path. Both engines then divide the exact integer channel sum by the
+# pixel count, so the means match bit-for-bit.
+_CJ_Y = "((3*mx + 7*my + d) % 256)"
+_CJ_CB = "((5*mx + 11*my + 2*d) % 256)"
+_CJ_CR = "((2*mx + 9*my + 3*d) % 256)"
+_CJ_R = f"least(255, greatest(0, floor({_CJ_Y} + 1.402 * ({_CJ_CR} - 128) + 0.5)))"
+_CJ_G = (
+    f"least(255, greatest(0, floor({_CJ_Y} - 0.344136 * ({_CJ_CB} - 128)"
+    f" - 0.714136 * ({_CJ_CR} - 128) + 0.5)))"
+)
+_CJ_B = f"least(255, greatest(0, floor({_CJ_Y} + 1.772 * ({_CJ_CB} - 128) + 0.5)))"
+# MCU grid: even ids are 4:2:0 (16x16-pixel MCUs), odd ids 4:4:4
+# (8x8); dims are closed-form in the id.
+_CJ_MW = "(CASE WHEN d % 2 = 0 THEN 1 + d % 3 ELSE 1 + d % 4 END)"
+_CJ_MH = "(CASE WHEN d % 2 = 0 THEN 1 + d % 2 ELSE 1 + d % 3 END)"
+_CJ_MEAN = f"""floor(
+                  list_sum(list_transform(
+                    generate_series(0, {_CJ_MH} - 1),
+                    my -> list_sum(list_transform(
+                      generate_series(0, {_CJ_MW} - 1),
+                      mx -> ({_CJ_R} + {_CJ_G} + {_CJ_B})))))
+                  / (3.0 * {_CJ_MW} * {_CJ_MH}) * 1e6 + 0.5) / 1e6"""
+
+
 @query(
     "multimodal_blob_pipeline",
-    oracle="""
+    oracle=f"""
+    SELECT 'color_jpeg' AS branch, d AS doc_id,
+           NULL::BIGINT AS n_bytes, 'image/jpeg' AS mime,
+           NULL::BIGINT AS head_byte, NULL::DOUBLE AS byte_mean,
+           (CASE WHEN d % 2 = 0 THEN 16 ELSE 8 END * {_CJ_MW})::BIGINT
+               AS width,
+           (CASE WHEN d % 2 = 0 THEN 16 ELSE 8 END * {_CJ_MH})::BIGINT
+               AS height,
+           3::BIGINT AS channels, NULL::BIGINT AS sample_rate,
+           NULL::DOUBLE AS duration_s,
+           ({_CJ_MEAN})::DOUBLE AS content_mean,
+           NULL::BIGINT AS ahash64
+    FROM (SELECT doc_id + 500 AS d FROM documents WHERE doc_id < 100)
+    UNION ALL
     SELECT 'stub_text' AS branch, doc_id,
            octet_length(encode(text)) AS n_bytes,
            'text/plain' AS mime,
@@ -1478,6 +1522,12 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       red. (PNG/JPEG n_bytes is nulled on both sides: compressed
       stream length is a codec artifact, not part of the decode
       contract.)
+    - ``color_jpeg``: baseline COLOR YCbCr decode (round 5) — ids
+      shifted +500 synthesize MCU-constant 4:2:0 (even) / 4:4:4 (odd)
+      color JPEGs with distinct luma/chroma quant + Huffman tables;
+      the decoded RGB means pin per-component table selection, the
+      interleaved-MCU entropy decode, chroma upsampling, and the
+      YCbCr->RGB float conversion against a closed-form SQL replay.
     """
     docs = load_table(spark, sf_dir, "documents")
     blobbed = multimodal.attach_blob(docs)
@@ -1539,7 +1589,30 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("content_mean"),
         F.col("simhash").alias("ahash64"),
     )
-    return stub.unionByName(media).unionByName(ahash)
+    # Color baseline JPEG (round 5): ids shift by +500 into the color
+    # family of attach_media_blob (even = 4:2:0, odd = 4:4:4), so the
+    # branch drives synth -> full color decode (per-component tables,
+    # interleaved MCUs, chroma upsample, YCbCr->RGB) against the
+    # closed-form MCU-constant oracle.
+    cj_ids = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 500).alias("doc_id")
+    )
+    cjpeg = multimodal.extract_media_features(
+        multimodal.attach_media_blob(cj_ids)
+    ).select(
+        F.lit("color_jpeg").alias("branch"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_bytes"),
+        "mime",
+        F.lit(None).cast("long").alias("head_byte"),
+        F.lit(None).cast("double").alias("byte_mean"),
+        "width", "height", "channels",
+        F.lit(None).cast("long").alias("sample_rate"),
+        F.lit(None).cast("double").alias("duration_s"),
+        "content_mean",
+        F.lit(None).cast("long").alias("ahash64"),
+    )
+    return stub.unionByName(media).unionByName(ahash).unionByName(cjpeg)
 
 
 # --- PQ/ADC oracle fragments (round 4) -----------------------------------
