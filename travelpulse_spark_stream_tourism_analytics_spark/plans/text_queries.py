@@ -492,9 +492,40 @@ reach(u, v) AS (
     UNION
     SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
 ),
-comp AS (SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u)
-SELECT comp AS canonical_id, count(*) AS cluster_size
+comp AS (SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u),
+-- Leakage-safe train/val assignment (round 5, operators/splits.py):
+-- the split unit is the near-dup COMPONENT — grp = component label
+-- (or own id for singletons), side = md5-hex threshold on grp
+-- ('0'/'1'/'2' -> val, ~3/16), so every member of a cluster lands on
+-- the same side by construction and the assignment is reproducible
+-- across engines without RNG state.
+assigned AS (
+    SELECT d.doc_id,
+           coalesce(c.comp, d.doc_id) AS canonical_id,
+           CASE WHEN substr(md5(coalesce(c.comp, d.doc_id)::VARCHAR), 1, 1)
+                     IN ('0', '1', '2')
+                THEN 'val' ELSE 'train' END AS split
+    FROM (SELECT doc_id FROM corpus) d
+    LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT 'clusters' AS branch, comp AS canonical_id,
+       count(*) AS cluster_size, NULL::VARCHAR AS split
 FROM comp GROUP BY comp HAVING count(*) > 1
+UNION ALL
+SELECT 'split_comp' AS branch, canonical_id, n AS cluster_size, split
+FROM (SELECT canonical_id, split, count(*) AS n,
+             sum(count(*)) OVER (PARTITION BY canonical_id) AS tot
+      FROM assigned GROUP BY canonical_id, split)
+WHERE tot > 1
+UNION ALL
+SELECT 'split_sizes' AS branch, NULL::BIGINT AS canonical_id,
+       count(*) AS cluster_size, split
+FROM assigned GROUP BY split
+UNION ALL
+SELECT 'split_leak' AS branch, NULL::BIGINT AS canonical_id,
+       count(*) AS cluster_size, NULL::VARCHAR AS split
+FROM (SELECT canonical_id FROM assigned
+      GROUP BY canonical_id HAVING count(DISTINCT split) > 1)
 """
 
 
@@ -513,10 +544,24 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     immune to the O(diameter) blowup on chain-shaped dup families.
     The pair stage feeding it is oracle-checked
     (docs_minhash_lsh_pairs) and the component math is pinned exactly
-    in tests/test_etl.py plus union-find parity tests."""
+    in tests/test_etl.py plus union-find parity tests.
+
+    Round 5 adds the LEAKAGE-SAFE TRAIN/VAL SPLIT branches
+    (operators/splits.cluster_safe_split): the split unit is the
+    near-dup component, assigned by md5-hex threshold on the component
+    label (singletons hash on their own id) —
+    branch='split_comp' pins the per-(component, side) membership of
+    every multi-doc cluster, 'split_sizes' the corpus-wide side
+    counts (singleton hashing included), and 'split_leak' the number
+    of components straddling the split, which must be 0 — the
+    anti-leakage contract itself, recomputed by the engine from the
+    assignment rather than assumed."""
     from travelpulse_spark_stream_tourism_analytics_spark.operators.components import (
         canonical_ids,
         connected_components_star,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+        cluster_safe_split,
     )
 
     corpus = _planted_docs(spark, sf_dir)
@@ -525,11 +570,62 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = dedup.lsh_bands(sigs, "doc_id", _LSH_BANDS, _LSH_ROWS)
     pairs = dedup.lsh_candidate_pairs(bands, "doc_id")
     comp = connected_components_star(pairs)
-    return (
+    clusters = (
         canonical_ids(corpus.select("doc_id"), comp, "doc_id")
         .groupBy("canonical_id")
         .agg(F.count("*").alias("cluster_size"))
         .filter(F.col("cluster_size") > 1)
+        .select(
+            F.lit("clusters").alias("branch"),
+            "canonical_id",
+            "cluster_size",
+            F.lit(None).cast("string").alias("split"),
+        )
+    )
+    assigned = cluster_safe_split(
+        corpus.select("doc_id"),
+        comp.select(
+            F.col("node").alias("doc_id"), F.col("comp").alias("component")
+        ),
+    ).join(canonical_ids(corpus.select("doc_id"), comp, "doc_id"), "doc_id")
+    comp_split = assigned.groupBy("canonical_id", "split").agg(
+        F.count("*").alias("n")
+    )
+    tot = Window.partitionBy("canonical_id")
+    split_comp = (
+        comp_split.withColumn("__tot", F.sum("n").over(tot))
+        .filter(F.col("__tot") > 1)
+        .select(
+            F.lit("split_comp").alias("branch"),
+            "canonical_id",
+            F.col("n").alias("cluster_size"),
+            "split",
+        )
+    )
+    split_sizes = assigned.groupBy("split").agg(
+        F.count("*").alias("cluster_size")
+    ).select(
+        F.lit("split_sizes").alias("branch"),
+        F.lit(None).cast("long").alias("canonical_id"),
+        "cluster_size",
+        "split",
+    )
+    split_leak = (
+        assigned.groupBy("canonical_id")
+        .agg(F.countDistinct("split").alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .agg(F.count("*").alias("cluster_size"))
+        .select(
+            F.lit("split_leak").alias("branch"),
+            F.lit(None).cast("long").alias("canonical_id"),
+            "cluster_size",
+            F.lit(None).cast("string").alias("split"),
+        )
+    )
+    return (
+        clusters.unionByName(split_comp)
+        .unionByName(split_sizes)
+        .unionByName(split_leak)
     )
 
 
@@ -815,6 +911,25 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM terms t LEFT JOIN lm ON t.term = lm.term, lm_tot
         )
         GROUP BY doc_id
+    ),
+    -- Count-min sketch contract (round 5): for the exact top-20 terms
+    -- the engine must report the true count AND score=1.0, where the
+    -- engine's score is computed FROM THE SKETCHES: 1.0 iff the
+    -- whole-corpus sketch estimate is within [true, true + eps*N] and
+    -- equals the associative merge of the per-source sketches (the
+    -- pure-Python, Connect-safe reader). The oracle pins the verdict;
+    -- any regression in the sketch agg, the wire-format parse, the
+    -- murmur bucketing, or the merge flips score to 0.0 and the row
+    -- red. (Estimates are seed-deterministic, so the verdict is a
+    -- constant of the corpus, not a flaky probability.)
+    cms_branch AS (
+        SELECT 'cmsketch' AS branch, term, NULL::BIGINT AS doc_id,
+               n_occurrences, NULL::BIGINT AS n_docs, 1.0 AS score
+        FROM (
+            SELECT term, count(*) AS n_occurrences,
+                   row_number() OVER (ORDER BY count(*) DESC, term) AS rn
+            FROM terms GROUP BY term
+        ) WHERE rn <= 20
     )
     SELECT * FROM term_branch
     UNION ALL
@@ -823,6 +938,8 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM tfidf_branch
     UNION ALL
     SELECT * FROM lm_branch
+    UNION ALL
+    SELECT * FROM cms_branch
     """,
 )
 def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,7 +1061,54 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("score"),
         )
     )
-    return top.unionByName(contam).unionByName(tfidf).unionByName(lm)
+    # branch='cmsketch' (round 5, operators/sketches.py): for the
+    # exact top-20 terms, score=1.0 iff the whole-corpus count-min
+    # estimate respects the CM contract [true, true + eps*N] AND
+    # equals the associative merge of the per-source sketches —
+    # computed with the pure-Python wire-format reader (Connect-safe,
+    # no _jvm). Sketch binaries and the 20-term list are KB-scale
+    # driver-side monitoring scalars, like the IVF recall verdict.
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.sketches import (
+        merge_sketches,
+        read_sketch,
+        term_count_sketches,
+    )
+
+    eps = 0.001
+    per_source = term_count_sketches(docs, "source", eps=eps, seed=42).collect()
+    merged = merge_sketches([bytes(r["sketch"]) for r in per_source])
+    n_total = sum(r["n_terms"] for r in per_source)
+    whole = read_sketch(
+        bytes(
+            term_count_sketches(
+                docs.withColumn("source", F.lit("all")), "source",
+                eps=eps, seed=42,
+            ).collect()[0]["sketch"]
+        )
+    )
+    top20 = (
+        agg.orderBy(F.desc("n_occurrences"), F.asc("term")).limit(20).collect()
+    )
+    cms_rows = []
+    for r in top20:
+        est_w = whole.estimate_count(r["term"])
+        contract_ok = (
+            r["n_occurrences"] <= est_w <= r["n_occurrences"] + eps * n_total
+            and est_w == merged.estimate_count(r["term"])
+        )
+        cms_rows.append(
+            ("cmsketch", r["term"], None, r["n_occurrences"], None,
+             1.0 if contract_ok else 0.0)
+        )
+    cms = spark.createDataFrame(
+        cms_rows,
+        "branch string, term string, doc_id long, n_occurrences long, "
+        "n_docs long, score double",
+    )
+    return (
+        top.unionByName(contam).unionByName(tfidf).unionByName(lm)
+        .unionByName(cms)
+    )
 
 
 _IVF_SEEDED_ORACLE = """
