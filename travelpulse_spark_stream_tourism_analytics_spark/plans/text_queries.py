@@ -2058,6 +2058,21 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB mirror of functions/text.redact_pii: the chained
+# regexp_replace in PII_PATTERNS order with the global flag (DuckDB
+# replaces only the first match without 'g'; Spark regexp_replace is
+# always global).
+_REDACT_SQL = "text"
+for _kind, _pat in PII_PATTERNS.items():
+    _REDACT_SQL = f"regexp_replace({_REDACT_SQL}, '{_pat}', '<{_kind}>', 'g')"
+
+_NGRAMS8_SQL = (
+    "list_transform(generate_series(1, greatest(len({w}) - 7, 0)),"
+    " i -> array_to_string({w}[i:i+7], ' '))"
+)
+_STOP_SQL = "['the', 'a', 'of', 'and', 'in', 'to', 'is']"
+
+
 @query(
     "docs_chunked",
     oracle=f"""
@@ -2081,8 +2096,91 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
                array_to_string(toks[start:start + 63], ' ') AS chunk_text,
                CAST(len(toks[start:start + 63]) AS BIGINT) AS n_chunk_tokens
         FROM starts
+    ),
+    -- Curate chain (round 5): the flagship production surface
+    -- operators/curate.curate_corpus(fuzzy=False, strip_boilerplate=2)
+    -- replayed stage by stage: redact -> quality gate on the REDACTED
+    -- text -> exact dedup (keep min doc_id per md5) -> 64/16 token
+    -- chunking -> drop chunks carrying an 8-token window shared by
+    -- >= 2 kept docs -> shard/pack. Every rounding and boundary
+    -- mirrors the engine's quality_signals expressions.
+    red AS (SELECT doc_id, {_REDACT_SQL} AS text FROM documents),
+    rsig AS (
+        SELECT doc_id, text, toks,
+               len(toks) AS n_tokens,
+               CASE WHEN len(toks) > 0 THEN
+                   round(length(array_to_string(toks, ''))
+                         / len(toks)::DOUBLE, 6) END AS avg_token_len,
+               CASE WHEN len(toks) > 0 THEN
+                   round(len(list_filter(toks,
+                             x -> list_contains({_STOP_SQL}, x)))
+                         / len(toks)::DOUBLE, 6) END AS stopword_ratio,
+               CASE WHEN len(ngrams) > 0
+                    THEN round(1.0 - len(list_distinct(ngrams))
+                               / len(ngrams)::DOUBLE, 6)
+                    ELSE 0.0 END AS dup_3gram_frac,
+               CASE WHEN len(toks) > 0 THEN
+                   round(len(list_filter(toks,
+                             x -> regexp_full_match(x, '[0-9]+')))
+                         / len(toks)::DOUBLE, 6) END AS digit_token_frac,
+               {_PII_HITS_SQL} AS n_pii_hits
+        FROM (SELECT doc_id, text, {_WORDS_SQL.format(c="text")} AS toks,
+                     {_NGRAMS3_SQL.format(w=_WORDS_SQL.format(c="text"))}
+                         AS ngrams
+              FROM red)
+    ),
+    gated AS (
+        SELECT doc_id, text, toks FROM rsig
+        WHERE n_tokens BETWEEN 5 AND 10000
+          AND avg_token_len BETWEEN 2.0 AND 12.0
+          AND stopword_ratio >= 0.01
+          AND dup_3gram_frac <= 0.5
+          AND digit_token_frac <= 0.5
+          AND n_pii_hits = 0
+    ),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+    uniq AS (SELECT g.doc_id, g.toks FROM gated g
+             JOIN keepers k ON g.doc_id = k.doc_id),
+    cstarts AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 16, 1), 48))
+                   AS start,
+               generate_subscripts(
+                   generate_series(1, greatest(len(toks) - 16, 1), 48), 1) - 1
+                   AS chunk_idx
+        FROM uniq
+    ),
+    cchunks AS (
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               md5(doc_id || ':' || chunk_idx) AS chunk_uid,
+               toks[start:start + 63] AS ctoks
+        FROM cstarts
+    ),
+    spans AS (
+        SELECT md5(w) AS h
+        FROM (SELECT doc_id,
+                     unnest(list_distinct({_NGRAMS8_SQL.format(w="toks")}))
+                         AS w
+              FROM uniq)
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ),
+    tainted AS (
+        SELECT DISTINCT chunk_uid
+        FROM (SELECT chunk_uid,
+                     unnest(list_distinct({_NGRAMS8_SQL.format(w="ctoks")}))
+                         AS w
+              FROM cchunks) cw
+        JOIN spans s ON md5(cw.w) = s.h
+    ),
+    kept AS (
+        SELECT doc_id, chunk_idx, chunk_uid,
+               array_to_string(ctoks, ' ') AS chunk_text,
+               CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens
+        FROM cchunks
+        WHERE chunk_uid NOT IN (SELECT chunk_uid FROM tainted)
     )
-    SELECT *,
+    SELECT 'chunks' AS branch, *,
            doc_id % 8 AS shard_id,
            CAST(floor((sum(n_chunk_tokens) OVER (
                            PARTITION BY doc_id % 8
@@ -2090,6 +2188,15 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ROWS UNBOUNDED PRECEDING
                        ) - n_chunk_tokens) / 1024.0) AS BIGINT) AS pack_id
     FROM chunks
+    UNION ALL
+    SELECT 'curated' AS branch, *,
+           doc_id % 8 AS shard_id,
+           CAST(floor((sum(n_chunk_tokens) OVER (
+                           PARTITION BY doc_id % 8
+                           ORDER BY doc_id, chunk_idx
+                           ROWS UNBOUNDED PRECEDING
+                       ) - n_chunk_tokens) / 1024.0) AS BIGINT) AS pack_id
+    FROM kept
     """,
 )
 def docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2101,14 +2208,37 @@ def docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/chunking.pack_chunks): chunks are binned into
     1024-token training sequences by a per-shard running token sum (8
     hash shards, one shuffle on shard_id) — the distributed
-    approximation of next-fit packing, see the operator docstring."""
+    approximation of next-fit packing, see the operator docstring.
+
+    branch='curated' (round 5): the END-TO-END curation chain
+    operators/curate.curate_corpus(fuzzy=False, strip_boilerplate=2)
+    — PII redaction, quality gate over the redacted text, exact
+    dedup keeping the lowest id, 64/16 chunking, chunk-level
+    boilerplate stripping (8-token spans shared by >= 2 kept docs),
+    and shard/pack — driver-oracled as one surface, so the flagship
+    production pipeline itself is hash-checked, not only its stages."""
     from travelpulse_spark_stream_tourism_analytics_spark.operators.chunking import (
         chunk_documents,
         pack_chunks,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.curate import (
+        curate_corpus,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     chunks = chunk_documents(
         docs, "doc_id", "text", chunk_tokens=64, overlap=16
     )
-    return pack_chunks(chunks, capacity=1024, n_shards=8)
+    plain = pack_chunks(chunks, capacity=1024, n_shards=8).select(
+        F.lit("chunks").alias("branch"),
+        "doc_id", "chunk_idx", "chunk_uid", "chunk_text",
+        "n_chunk_tokens", "shard_id", "pack_id",
+    )
+    curated = curate_corpus(
+        docs.select("doc_id", "text"), fuzzy=False, strip_boilerplate=2
+    ).select(
+        F.lit("curated").alias("branch"),
+        "doc_id", "chunk_idx", "chunk_uid", "chunk_text",
+        "n_chunk_tokens", "shard_id", "pack_id",
+    )
+    return plain.unionByName(curated)
