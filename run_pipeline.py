@@ -63,7 +63,9 @@ CITY_DIM_ROWS = [
 
 def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
               trigger: str = "10 seconds", gate: bool = False,
-              bits: int = 16, ttl_ms: int | None = None) -> dict:
+              bits: int = 16, ttl_ms: int | None = None,
+              baseline_path: str | None = None, metric_sink=None,
+              max_files_per_trigger: int | None = None) -> dict:
     """Streaming ingest dedup pipeline (``--mode dedup``): a JSONL
     document stream ({doc_id, text} records) flows through a stateless
     SimHash projection into the stateful banded near-dup index
@@ -74,7 +76,21 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
     (operators/curate.quality_signals over the PII-redacted text) runs
     FIRST as a stateless projection, so low-quality docs never reach
     the stateful index — ingest-time filtering at stream speed.
-    Returns {'docs': n, 'dups': n} after draining (once=True)."""
+
+    With ``gate=True`` AND ``baseline_path`` (round 5) a MONITORING
+    query runs alongside the data plane: each micro-batch's
+    quality_score distribution is bucketed on the baseline corpus's
+    decile edges (computed once, a plan constant) and its PSI against
+    the baseline shares is pushed through ``metric_sink`` as the
+    ``ingest_psi_quality_score`` gauge — drift monitoring at ingest
+    time, not only in ``--mode report``. The monitor is a stateless
+    projection + one 10-row aggregate per batch; separating it from
+    the dedup query keeps the data plane's state/checkpoint lineage
+    untouched when monitoring is reconfigured (the standard
+    data/monitor plane split).
+
+    Returns {'docs': n, 'dups': n, 'psi_batches': n} after draining
+    (once=True)."""
     from pyspark.sql import functions as F
 
     from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
@@ -90,27 +106,79 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
         streaming_neardup_evidence,
     )
 
-    docs = spark.readStream.schema("doc_id long, text string").json(docs_path)
+    reader = spark.readStream.schema("doc_id long, text string")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.json(docs_path)
+    stats = {"docs": 0, "dups": 0, "psi_batches": 0}
+    monitor_q = None
     if gate:
         from travelpulse_spark_stream_tourism_analytics_spark.operators.curate import (
             quality_signals,
         )
 
-        docs = (
-            quality_signals(
-                docs.select(
-                    "doc_id", redact_pii(F.col("text")).alias("text")
-                )
+        signals = quality_signals(
+            docs.select("doc_id", redact_pii(F.col("text")).alias("text"))
+        )
+        if baseline_path:
+            from travelpulse_spark_stream_tourism_analytics_spark.operators.drift import (
+                bucket_shares,
+                psi_from_shares,
+                quantile_edges,
+                shares_dict,
             )
-            .filter(F.col("passes_quality"))
-            .select("doc_id", "text")
+            from travelpulse_spark_stream_tourism_analytics_spark.streaming.sinks import (
+                MemoryMetricSink,
+            )
+
+            sink = metric_sink if metric_sink is not None else MemoryMetricSink()
+            par = spark.sparkContext.defaultParallelism
+            base_sig = quality_signals(
+                _load_docs(spark, baseline_path).repartition(par)
+            ).filter(F.col("n_tokens") > 0)
+            edges = quantile_edges(base_sig, "quality_score", 10)
+            base_shares = shares_dict(base_sig, "quality_score", edges)
+
+            def monitor_fn(batch_df, batch_id):
+                scored = batch_df.filter(F.col("n_tokens") > 0)
+                rows = bucket_shares(scored, "quality_score", edges).collect()
+                if not rows:
+                    return
+                val = psi_from_shares(
+                    base_shares, {r["bucket"]: r["share"] for r in rows}
+                )
+                stats["psi_batches"] += 1
+                sink.push(
+                    {
+                        "ingest_psi_quality_score": (None, round(val, 6)),
+                        "ingest_batch_docs": (None, float(scored.count())),
+                    }
+                )
+
+            monitor_q = (
+                signals.select("doc_id", "n_tokens", "quality_score")
+                .writeStream.outputMode("append")
+                .foreachBatch(monitor_fn)
+                .option(
+                    "checkpointLocation",
+                    os.path.join(
+                        tempfile.mkdtemp(prefix="tp_psi_"), "chk"
+                    ),
+                )
+                .trigger(
+                    **({"availableNow": True} if once
+                       else {"processingTime": trigger})
+                )
+                .start()
+            )
+        docs = signals.filter(F.col("passes_quality")).select(
+            "doc_id", "text"
         )
     fp_expr = simhash64_expr if bits == 64 else simhash16_expr
     stream = docs.select(
         "doc_id",
         fp_expr(F.array_distinct(words_of(F.col("text")))).alias("fp"),
     )
-    stats = {"docs": 0, "dups": 0}
 
     def batch_fn(df, _bid):
         v = neardup_verdicts(df)
@@ -137,6 +205,8 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
     )
     if once:
         q.awaitTermination()
+        if monitor_q is not None:
+            monitor_q.awaitTermination()
     else:  # pragma: no cover - long-running service mode
         spark.streams.awaitAnyTermination()
     return stats
@@ -279,7 +349,9 @@ def main() -> None:
     ap.add_argument(
         "--baseline",
         help="--mode report: docs dir of a BASELINE corpus; emits PSI "
-        "drift of quality_score / n_tokens vs it",
+        "drift of quality_score / n_tokens vs it. --mode dedup with "
+        "--gate: per-micro-batch ingest PSI gauge of quality_score vs "
+        "the baseline, pushed through the metrics sink",
     )
     ap.add_argument(
         "--source", choices=["kafka", "file", "kafka-replay"], default="file"
@@ -351,9 +423,15 @@ def main() -> None:
     if args.mode == "dedup":
         if not args.path or not args.out:
             ap.error("--mode dedup requires --path (docs dir) and --out")
+        sink = (
+            PrometheusPushSink(args.pushgateway, job_name="tourism_ingest")
+            if args.pushgateway
+            else None
+        )
         stats = run_dedup(
             spark, args.path, args.out, once=args.once, trigger=args.trigger,
             gate=args.gate, bits=args.bits, ttl_ms=args.ttl_ms,
+            baseline_path=args.baseline, metric_sink=sink,
         )
         print(
             f">>> dedup drained; {stats['docs']} docs, "

@@ -207,6 +207,66 @@ def test_run_dedup_with_ingest_quality_gate(spark, tmp_path):
     assert v[1]["is_dup"] and v[1]["dup_of"] == 0
 
 
+def test_run_dedup_streaming_psi_gauge(spark, tmp_path):
+    """--mode dedup --gate --baseline (round 5): the monitoring plane
+    pushes a per-micro-batch ingest_psi_quality_score gauge — batches
+    matching the baseline distribution stay under the 0.1 investigate
+    threshold, and a planted quality shift (numbers-heavy scrape)
+    crosses the 0.25 action threshold within its batch."""
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from run_pipeline import run_dedup
+
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.sinks import (
+        MemoryMetricSink,
+    )
+
+    def good(i):
+        return (
+            "the quick brown fox jumps over a lazy dog near town "
+            + " ".join(f"w{j}" for j in range(i % 9))
+        )
+
+    def bad(i):
+        return "the old server logs 404 500 301 999 123 867 5309 777 " * 4
+
+    base_dir = tmp_path / "base"
+    spark.createDataFrame(
+        [(i, good(i)) for i in range(120)], "doc_id long, text string"
+    ).write.parquet(str(base_dir / "documents.parquet"))
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    batches = [
+        [(i, good(i)) for i in range(120)],          # matches baseline
+        [(1000 + i, bad(i)) for i in range(120)],    # planted shift
+    ]
+    for b, rows in enumerate(batches):
+        p = docs_dir / f"b{b}.json"
+        with open(p, "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        os.utime(p, (1700000000 + b * 60, 1700000000 + b * 60))
+
+    sink = MemoryMetricSink()
+    out = str(tmp_path / "verdicts")
+    stats = run_dedup(
+        spark, str(docs_dir), out, once=True, gate=True,
+        baseline_path=str(base_dir), metric_sink=sink,
+        max_files_per_trigger=1,
+    )
+    assert stats["psi_batches"] == 2
+    psis = [p["ingest_psi_quality_score"][1] for p in sink.pushes]
+    assert len(psis) == 2
+    assert psis[0] < 0.1, psis       # same distribution as baseline
+    assert psis[1] > 0.25, psis      # the shift trips the action alarm
+    assert all(
+        p["ingest_batch_docs"][1] == 120.0 for p in sink.pushes
+    )
+
+
 def test_run_dedup_production_fingerprint_width(spark, tmp_path):
     """--bits 64: the production fingerprint runs through the same
     index; an exact duplicate (Hamming 0 at any width) is still

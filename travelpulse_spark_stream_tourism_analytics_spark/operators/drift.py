@@ -58,20 +58,14 @@ def bucket_shares(
     )
 
 
-def psi(
-    base: DataFrame,
-    cand: DataFrame,
-    value_col: str,
-    n_buckets: int = 10,
-    floor: float = 1e-4,
+def psi_from_shares(
+    p: dict, q: dict, n_buckets: int = 10, floor: float = 1e-4
 ) -> float:
-    """Population Stability Index of ``cand`` vs ``base`` on
-    ``value_col``. ``floor`` guards empty buckets (standard practice —
-    PSI is undefined at zero shares). Returns a plain float: PSI is a
-    monitoring scalar, not a relation."""
-    edges = quantile_edges(base, value_col, n_buckets)
-    p = {r["bucket"]: r["share"] for r in bucket_shares(base, value_col, edges).collect()}
-    q = {r["bucket"]: r["share"] for r in bucket_shares(cand, value_col, edges).collect()}
+    """PSI from two {bucket: share} dicts on the SAME edges. ``floor``
+    guards empty buckets (standard practice — PSI is undefined at zero
+    shares). This is the per-micro-batch hot path of the streaming
+    drift monitor: the baseline shares are computed once, each batch
+    contributes one 10-row aggregate."""
     import math
 
     out = 0.0
@@ -80,3 +74,31 @@ def psi(
         qb = max(q.get(b, 0.0), floor)
         out += (pb - qb) * math.log(pb / qb)
     return out
+
+
+def shares_dict(df: DataFrame, value_col: str, edges: list) -> dict:
+    """{bucket: share} of ``bucket_shares`` — the driver-side form the
+    PSI arithmetic consumes (n_buckets rows by contract)."""
+    return {
+        r["bucket"]: r["share"]
+        for r in bucket_shares(df, value_col, edges).collect()
+    }
+
+
+def psi(
+    base: DataFrame,
+    cand: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    floor: float = 1e-4,
+) -> float:
+    """Population Stability Index of ``cand`` vs ``base`` on
+    ``value_col``. Returns a plain float: PSI is a monitoring scalar,
+    not a relation."""
+    edges = quantile_edges(base, value_col, n_buckets)
+    return psi_from_shares(
+        shares_dict(base, value_col, edges),
+        shares_dict(cand, value_col, edges),
+        n_buckets,
+        floor,
+    )
