@@ -175,6 +175,22 @@ def main() -> None:
                 }
             )
 
+    # Streaming throughput row (round 5): the 12-query topology's core
+    # parse -> watermark -> windowed-agg path, timed through the real
+    # Structured Streaming runner (bench_stream.parse_window_agg_
+    # throughput) so every BENCH_r{N}.json carries a streaming number
+    # comparable round-over-round. Sized to ~40k events so the row
+    # costs seconds, not the full stream bench's minutes; the
+    # standalone bench_stream.py remains the deep-dive (near-dup
+    # index stages, production fingerprint width).
+    from bench_stream import parse_window_agg_throughput
+
+    stream_row = parse_window_agg_throughput(
+        spark,
+        n_days=int(os.environ.get("STREAM_BENCH_DAYS", "10")),
+        per_day=int(os.environ.get("STREAM_BENCH_EVENTS_PER_DAY", "4000")),
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -184,6 +200,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "constituents": constituents,
+                "stream": stream_row,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

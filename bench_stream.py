@@ -38,26 +38,27 @@ from travelpulse_spark_stream_tourism_analytics_spark.streaming.sources import (
 )
 
 
-def main() -> None:
-    n_days = int(os.environ.get("STREAM_BENCH_DAYS", "30"))
-    per_day = int(os.environ.get("STREAM_BENCH_EVENTS_PER_DAY", "4000"))
-    spark = get_spark("travelpulse-stream-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    tmp = tempfile.mkdtemp(prefix="tp_stream_bench_")
+def parse_window_agg_throughput(
+    spark, n_days: int = 30, per_day: int = 4000
+) -> dict:
+    """Drive the real parse -> watermark -> windowed-agg streaming
+    path over seeded simulator wire JSONL with an availableNow trigger
+    and return {events_per_sec, events, elapsed_sec, result_rows}.
+    Shared by this standalone stream bench and bench.py's per-round
+    `stream` row, so BENCH_r{N}.json carries a streaming throughput
+    number comparable round-over-round, not only batch timings."""
+    tmp = tempfile.mkdtemp(prefix="tp_stream_row_")
     try:
         events = simulate(dt.datetime(2024, 1, 1), n_days, per_day, seed=42)
         n_events = len(events["booking"])
         # Split across files so the source parallelizes like a
         # multi-partition Kafka topic.
-        shard, n_shards = [], 8
+        n_shards = 8
         for i in range(n_shards):
             write_wire_fixture(
                 events["booking"][i::n_shards],
                 os.path.join(tmp, "wire", f"part-{i}.json"),
             )
-        spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
-
         parsed = enrich_bookings(
             parse_events(file_stream(spark, os.path.join(tmp, "wire")), BOOKING_SCHEMA)
         ).withWatermark("event_time", "45 seconds")
@@ -77,6 +78,28 @@ def main() -> None:
         )
         q.awaitTermination(600)
         elapsed = time.perf_counter() - t0
+        return {
+            "events_per_sec": round(n_events / elapsed, 1),
+            "events": n_events,
+            "elapsed_sec": round(elapsed, 3),
+            "result_rows": len(out_rows),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    n_days = int(os.environ.get("STREAM_BENCH_DAYS", "30"))
+    per_day = int(os.environ.get("STREAM_BENCH_EVENTS_PER_DAY", "4000"))
+    spark = get_spark("travelpulse-stream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="tp_stream_bench_")
+    try:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+        stage1 = parse_window_agg_throughput(spark, n_days, per_day)
+        n_events, elapsed = stage1["events"], stage1["elapsed_sec"]
+        out_rows = [None] * stage1["result_rows"]  # count-only reporting
 
         # --- stage 2: online near-dup detection throughput ----------
         # documents stream -> stateless SimHash projection -> stateful
