@@ -210,6 +210,117 @@ def bucket_histograms(spark, sf_dir: str) -> dict:
     return out
 
 
+def curate_quality_gap(spark, sf_dir: str) -> dict:
+    """Quality assertion for the fuzzy curate chain (VERDICT r4 item
+    8): run the near-dup selection stages exactly as
+    curate_corpus(fuzzy=True) does and measure, over multi-doc
+    near-dup components, the mean quality_score of the KEPT canonical
+    docs vs the DROPPED losers. Records the gap, plus the hard
+    per-cluster invariant (the winner carries its cluster's maximum
+    score — canonical_best's contract) as a violation count that must
+    be 0."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+        redact_pii,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators import dedup
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.components import (
+        canonical_best,
+        connected_components_star,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.curate import (
+        quality_signals,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .repartition(par)
+        .select("doc_id", redact_pii(F.col("text")).alias("text"))
+    )
+    gated = (
+        quality_signals(docs).filter(F.col("passes_quality")).persist()
+    )
+    redacted = gated.select("doc_id", "text")
+    keep = (
+        redacted.groupBy(F.md5(F.col("text")).alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .drop("__h")
+    )
+    unique = redacted.join(keep, "doc_id", "left_semi")
+    shingled = dedup.exploded_shingles(unique, "doc_id", "text", 3)
+    sigs = dedup.minhash_signatures(shingled, "doc_id", 12)
+    bands = dedup.lsh_bands(sigs, "doc_id", 4, 3)
+    pairs = dedup.lsh_candidate_pairs(bands, "doc_id")
+    verified = dedup.pair_jaccard(pairs, shingled, "doc_id").filter(
+        F.col("jaccard") >= 0.5
+    )
+    comp = connected_components_star(verified)
+    scores = gated.select("doc_id", "quality_score").join(
+        unique.select("doc_id"), "doc_id", "left_semi"
+    )
+    members = canonical_best(scores, comp, "doc_id", "quality_score").join(
+        comp.select(F.col("node").alias("doc_id")), "doc_id", "left_semi"
+    )
+    agg = members.groupBy(F.col("doc_id") == F.col("canonical_id")).agg(
+        F.count("*").alias("n"), F.avg("quality_score").alias("mean_q")
+    ).collect()
+    stats = {bool(r[0]): r for r in agg}
+    kept = stats.get(True)
+    dropped = stats.get(False)
+    # Per-cluster stats: the winner's score, the mean loser score, and
+    # the within-cluster gap. The hard invariant is winner == cluster
+    # max (violations must be 0) and mean within-cluster gap >= 0 —
+    # the POOLED kept-vs-dropped means are also recorded but are
+    # informational only: with per-cluster argmax selection a
+    # Simpson-style inversion of pooled means is possible when
+    # low-quality clusters are small, and is not a defect.
+    per_cluster = members.groupBy("canonical_id").agg(
+        F.max("quality_score").alias("mx"),
+        F.max(
+            F.when(
+                F.col("doc_id") == F.col("canonical_id"),
+                F.col("quality_score"),
+            )
+        ).alias("win"),
+        F.avg(
+            F.when(
+                F.col("doc_id") != F.col("canonical_id"),
+                F.col("quality_score"),
+            )
+        ).alias("loser_mean"),
+    )
+    cl = per_cluster.agg(
+        F.sum((F.col("win") < F.col("mx")).cast("long")).alias("viol"),
+        F.avg(F.col("win") - F.col("loser_mean")).alias("mean_gap"),
+        F.min(F.col("win") - F.col("loser_mean")).alias("min_gap"),
+        F.count("*").alias("n_clusters"),
+    ).collect()[0]
+    gated.unpersist()
+    mean_kept = round(float(kept["mean_q"]), 6) if kept else None
+    mean_dropped = round(float(dropped["mean_q"]), 6) if dropped else None
+    return {
+        "n_clusters": int(cl["n_clusters"]),
+        "n_kept": int(kept["n"]) if kept else 0,
+        "n_dropped": int(dropped["n"]) if dropped else 0,
+        "mean_quality_kept_pooled": mean_kept,
+        "mean_quality_dropped_pooled": mean_dropped,
+        "mean_within_cluster_gap": (
+            round(float(cl["mean_gap"]), 6)
+            if cl["mean_gap"] is not None
+            else None
+        ),
+        "min_within_cluster_gap": (
+            round(float(cl["min_gap"]), 6)
+            if cl["min_gap"] is not None
+            else None
+        ),
+        "winner_not_max_violations": int(cl["viol"] or 0),
+    }
+
+
 def streaming_dedup_soak(
     spark, work_dir: str, n_batches: int = 20, docs_per_batch: int = 200
 ) -> dict:
@@ -402,6 +513,20 @@ def main() -> None:
         json.dumps(result["streaming_dedup"]["summary"]),
         flush=True,
     )
+
+    # Round 5: the fuzzy curate chain's QUALITY claim, measured — the
+    # kept canonical docs must out-score the near-dup losers they
+    # replaced, and no cluster may keep a non-maximal member.
+    result["curate_quality"] = {}
+    for sf_name, d in (("sf0.1", SF01), ("sf1", args.data_dir)):
+        gap = curate_quality_gap(spark, d)
+        result["curate_quality"][sf_name] = gap
+        print(f"curate quality gap @{sf_name}:", json.dumps(gap), flush=True)
+        if gap["winner_not_max_violations"] > 0 or (
+            gap["mean_within_cluster_gap"] is not None
+            and gap["mean_within_cluster_gap"] < 0
+        ):
+            anomalies.append(f"curate_quality:{sf_name}")
 
     result["anomalies"] = anomalies
     result["notes"] = [
