@@ -670,11 +670,11 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (a + c) / 2 - sqrt((a - c) * (a - c) / 4 + b * b) AS l2
             FROM cov
         ), comps AS (
-            SELECT 0 AS ci, b AS wx, l1 - a AS wy, mx, my FROM eig
+            SELECT 0 AS ci, b AS wx, l1 - a AS wy, l1 AS lv, mx, my FROM eig
             UNION ALL
-            SELECT 1 AS ci, b AS wx, l2 - a AS wy, mx, my FROM eig
+            SELECT 1 AS ci, b AS wx, l2 - a AS wy, l2 AS lv, mx, my FROM eig
         ), units AS (
-            SELECT ci, mx, my,
+            SELECT ci, mx, my, lv,
                    CASE WHEN (CASE WHEN abs(wx) >= abs(wy)
                                    THEN wx ELSE wy END) < 0
                         THEN -wx / nrm ELSE wx / nrm END AS ux,
@@ -688,6 +688,52 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS mean_v
         FROM two t, units u
     ) p
+    UNION ALL
+    -- Whitened projection (round 5, pca_whiten): each coordinate
+    -- divided by the component's standard deviation sqrt(max(l, eps)),
+    -- identity output covariance — the PQ preconditioning path,
+    -- oracled via the same closed-form eigenvalues.
+    SELECT 'pca2w' AS branch, ci AS label, pos, mean_v
+    FROM (
+        WITH two AS (
+            SELECT vec_id, embedding[1]::DOUBLE AS x,
+                   embedding[2]::DOUBLE AS y
+            FROM embeddings
+        ), stats AS (
+            SELECT count(*)::DOUBLE AS n, avg(x) AS mx, avg(y) AS my,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy,
+                   sum(y * y) AS syy
+            FROM two
+        ), cov AS (
+            SELECT mx, my,
+                   sxx / n - mx * mx AS a,
+                   sxy / n - mx * my AS b,
+                   syy / n - my * my AS c
+            FROM stats
+        ), eig AS (
+            SELECT mx, my, a, b, c,
+                   (a + c) / 2 + sqrt((a - c) * (a - c) / 4 + b * b) AS l1,
+                   (a + c) / 2 - sqrt((a - c) * (a - c) / 4 + b * b) AS l2
+            FROM cov
+        ), comps AS (
+            SELECT 0 AS ci, b AS wx, l1 - a AS wy, l1 AS lv, mx, my FROM eig
+            UNION ALL
+            SELECT 1 AS ci, b AS wx, l2 - a AS wy, l2 AS lv, mx, my FROM eig
+        ), units AS (
+            SELECT ci, mx, my, lv,
+                   CASE WHEN (CASE WHEN abs(wx) >= abs(wy)
+                                   THEN wx ELSE wy END) < 0
+                        THEN -wx / nrm ELSE wx / nrm END AS ux,
+                   CASE WHEN (CASE WHEN abs(wx) >= abs(wy)
+                                   THEN wx ELSE wy END) < 0
+                        THEN -wy / nrm ELSE wy / nrm END AS uy
+            FROM (SELECT *, sqrt(wx * wx + wy * wy) AS nrm FROM comps)
+        )
+        SELECT u.ci::INTEGER AS ci, t.vec_id AS pos,
+               round(((t.x - u.mx) * u.ux + (t.y - u.my) * u.uy)
+                     / sqrt(greatest(u.lv, 1e-9)), 6) AS mean_v
+        FROM two t, units u
+    ) pw
     """,
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -736,7 +782,26 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("coord").alias("mean_v"),
         )
     )
-    return centroid.unionByName(pca)
+    # branch='pca2w' (round 5): the whitening path (pca_whiten) —
+    # identical fit, coordinates divided by sqrt(max(variance, eps)) —
+    # oracled against the same closed-form 2x2 eigenvalues, so the
+    # whitening scale factors (previously pytest-only) are in the
+    # driver gate too.
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.pca import (
+        pca_whiten,
+    )
+
+    whitened = (
+        pca_whiten(two, model, "v2", "pcw", eps=1e-9, scale=6)
+        .select("vec_id", F.posexplode("pcw").alias("ci", "coord"))
+        .select(
+            F.lit("pca2w").alias("branch"),
+            F.col("ci").cast("integer").alias("label"),
+            F.col("vec_id").alias("pos"),
+            F.col("coord").alias("mean_v"),
+        )
+    )
+    return centroid.unionByName(pca).unionByName(whitened)
 
 
 # BPE-ish subword pattern: word pieces, digit runs, punctuation runs,
