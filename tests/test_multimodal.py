@@ -669,6 +669,32 @@ def test_mjpeg_video_frame_sampling(spark):
     assert len(rows[2]["frame_means"]) == 4
 
 
+def test_mjpeg_color_video_frame_sampling(spark):
+    """Color MJPEG (round 5): the video frame-sample stage decodes
+    sampled COLOR frames through the full YCbCr path; per-frame RGB
+    means equal the closed-form MCU-grid expectation."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        round6_half_up,
+        sample_video_frames,
+        synth_mjpeg_color,
+    )
+
+    n_src, mw, mh, seed = 10, 2, 2, 5
+    payload = synth_mjpeg_color(n_src, mw, mh, seed=seed, subsampling="420")
+    df = spark.createDataFrame([(0, payload)], "doc_id long, payload binary")
+    row = sample_video_frames(df, 4).collect()[0]
+    assert row["n_source_frames"] == n_src
+    assert (row["width"], row["height"]) == (32, 32)
+    idx = [(i * n_src) // 4 for i in range(4)]
+    expect = [
+        round6_half_up(
+            float(_expected_color_raster(mw, mh, seed + f, "420").mean())
+        )
+        for f in idx
+    ]
+    assert list(row["frame_means"]) == expect
+
+
 def test_mjpeg_rejects_garbage():
     from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
         split_mjpeg_frames,

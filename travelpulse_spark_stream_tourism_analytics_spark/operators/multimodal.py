@@ -1405,6 +1405,23 @@ def synth_mjpeg(n_frames: int, blocks_w: int, blocks_h: int, seed: int = 0) -> b
     )
 
 
+def synth_mjpeg_color(
+    n_frames: int,
+    mcus_w: int,
+    mcus_h: int,
+    seed: int = 0,
+    subsampling: str = "420",
+) -> bytes:
+    """Deterministic COLOR MJPEG stream (round 5): concatenated
+    baseline YCbCr frames, frame f seeded ``seed + f`` — the video
+    twin of synth_jpeg_color; the frame-sample stage decodes sampled
+    frames through the full color path (chroma upsample + RGB)."""
+    return b"".join(
+        synth_jpeg_color(mcus_w, mcus_h, seed=seed + f, subsampling=subsampling)
+        for f in range(n_frames)
+    )
+
+
 def split_mjpeg_frames(payload: bytes) -> list[bytes]:
     """Split an MJPEG byte stream into its JPEG frame payloads by
     SOI..EOI spans. Scans for the EOI marker OUTSIDE entropy data by
