@@ -249,10 +249,14 @@ def test_docs_text_profile_single_scan_no_shuffle(spark):
 
 def test_event_time_profiles_single_scan_grouping_sets(spark):
     """The merged time profiles aggregate both grains off one scan via
-    Expand (GROUPING SETS), not a union of two scans."""
+    Expand (GROUPING SETS), not a union of two scans. Round 5 adds the
+    PSI drift grains: exactly TWO more scans (one bucket-shares
+    aggregate per snapshot — base and candidate), still a single
+    Expand (the drift branch buckets with a plan-constant CASE chain,
+    no grouping sets, no join)."""
     plan = plan_of(spark, "event_time_profiles")
     tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
-    assert tree.count("Scan parquet") == 1
+    assert tree.count("Scan parquet") == 3
     assert tree.count("Expand") == 1
 
 
