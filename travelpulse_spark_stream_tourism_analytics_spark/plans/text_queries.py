@@ -995,6 +995,27 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                    row_number() OVER (ORDER BY count(*) DESC, term) AS rn
             FROM terms GROUP BY term
         ) WHERE rn <= 20
+    ),
+    -- BPE trainer round-1 pair counts (round 5, operators/bpe.py):
+    -- the occurrence-weighted adjacent CHARACTER-pair aggregation that
+    -- drives merge selection — top-20 with the trainer's exact
+    -- (count desc, pair) tiebreak. Later rounds operate on merged
+    -- multi-char symbols (iterative, no SQL twin); they are pinned
+    -- against a pure-Python reference trainer in tests/test_bpe.py.
+    bpe_branch AS (
+        SELECT 'bpe_pair' AS branch, pair AS term, NULL::BIGINT AS doc_id,
+               cnt AS n_occurrences, NULL::BIGINT AS n_docs,
+               NULL::DOUBLE AS score
+        FROM (
+            SELECT pair, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, pair) AS rn
+            FROM (
+                SELECT substr(term, i, 2) AS pair, count(*) AS cnt
+                FROM terms,
+                     unnest(generate_series(1, length(term) - 1)) t(i)
+                GROUP BY 1
+            )
+        ) WHERE rn <= 20
     )
     SELECT * FROM term_branch
     UNION ALL
@@ -1005,6 +1026,8 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM lm_branch
     UNION ALL
     SELECT * FROM cms_branch
+    UNION ALL
+    SELECT * FROM bpe_branch
     """,
 )
 def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1170,9 +1193,35 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "branch string, term string, doc_id long, n_occurrences long, "
         "n_docs long, score double",
     )
+    # branch='bpe_pair' (round 5, operators/bpe.py): the BPE trainer's
+    # round-1 aggregation — occurrence-weighted adjacent char pairs
+    # over the (word, count) table, through the SAME
+    # adjacent_pair_counts the training loop runs each round.
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.bpe import (
+        adjacent_pair_counts,
+        chars_of,
+        word_counts,
+    )
+
+    syms = word_counts(docs).select(
+        chars_of(F.col("word")).alias("syms"), "wc"
+    )
+    bpe = (
+        adjacent_pair_counts(syms)
+        .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+        .limit(20)
+        .select(
+            F.lit("bpe_pair").alias("branch"),
+            F.concat("left", "right").alias("term"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.col("cnt").alias("n_occurrences"),
+            F.lit(None).cast("long").alias("n_docs"),
+            F.lit(None).cast("double").alias("score"),
+        )
+    )
     return (
         top.unionByName(contam).unionByName(tfidf).unionByName(lm)
-        .unionByName(cms)
+        .unionByName(cms).unionByName(bpe)
     )
 
 
