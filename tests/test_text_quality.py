@@ -893,6 +893,62 @@ def test_count_min_python_reader_matches_jvm(spark):
     assert view.total == jvm.totalCount()
 
 
+def test_kll_quantile_sketch_rollup_rank_error_bound(spark):
+    """KLL quantile sketches (round 5): per-group sketches answer
+    quantile queries within the KLL normalized rank-error bound, and
+    the associative rollup of per-group sketches answers for the whole
+    corpus without rescanning it — the quantile member of the
+    HLL/count-min mergeable-summary trio. KLL compaction is
+    randomized, so the pin is the RANK error of each estimate against
+    the exact distribution, not value determinism."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.sketches import (
+        merge_quantile_sketches,
+        sketch_quantiles,
+        value_quantile_sketches,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        # deterministic non-uniform values with a long tail
+        ((F.col("id") * 37 % 1000) + (F.col("id") % 7) * 500.0).alias("v"),
+    )
+    fracs = [0.1, 0.5, 0.9, 0.99]
+    per_group = value_quantile_sketches(df, "g", "v")
+    assert per_group.count() == 4
+
+    vals = sorted(r["v"] for r in df.select("v").collect())
+
+    def rank_of(x: float) -> float:
+        import bisect
+
+        return bisect.bisect_right(vals, x) / len(vals)
+
+    # rollup: merged per-group sketches answer for the whole corpus
+    merged = sketch_quantiles(merge_quantile_sketches(per_group), fracs)
+    qs = list(merged.collect()[0]["quantiles"])
+    assert len(qs) == len(fracs)
+    for f, est in zip(fracs, qs):
+        err = abs(rank_of(float(est)) - f)
+        assert err <= 0.05, (f, est, err)  # k=200 bound ~1.65%, margin 3x
+
+    # per-group estimates respect the bound within their own group
+    g0 = sorted(
+        r["v"] for r in df.filter(F.col("g") == "0").select("v").collect()
+    )
+    got = sketch_quantiles(
+        per_group.filter(F.col("g") == "0"), [0.5]
+    ).collect()[0]
+    import bisect
+
+    est = float(got["quantiles"][0])
+    assert abs(bisect.bisect_right(g0, est) / len(g0) - 0.5) <= 0.05
+    # the sketch is a KB-scale summary, not the data
+    assert len(bytes(got["sketch"])) < 50_000
+
+
 def test_psi_drift_detection(spark, tmp_path):
     """PSI (round 4): identical distributions score ~0; a location
     shift scores far past the 0.25 action threshold; the bucket shares

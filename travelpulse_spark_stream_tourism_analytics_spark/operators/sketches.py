@@ -210,3 +210,67 @@ def merge_sketches(raws: list) -> CountMinSketchView:
 def estimate_counts(sketch: CountMinSketchView, terms: list) -> dict:
     """Point-query the sketch for each term."""
     return {t: int(sketch.estimate_count(t)) for t in terms}
+
+
+# --- KLL quantile sketches (round 5) --------------------------------------
+#
+# The third mergeable-summary family beside HLL (distinct) and
+# count-min (frequency): KLL sketches answer QUANTILE queries from
+# KB-scale binaries with a guaranteed normalized rank error
+# (~1.65% at the default k=200), and merge associatively — per-group
+# value-distribution summaries that roll up day -> month -> year
+# without rescanning facts, and feed the PSI drift monitor's edge
+# fitting at 100 TB where an exact percentile pass is a full sort.
+# All three calls are Spark built-ins (Apache DataSketches under the
+# hood), so the path is Tungsten-side, partial-aggregated, and works
+# under Spark Connect. KLL compaction is RANDOMIZED: estimates are
+# bound-accurate, not run-deterministic — monitoring summaries, not
+# oracle-hashable relations (the tests pin the rank-error bound
+# against exact quantiles instead).
+
+
+def value_quantile_sketches(
+    df: DataFrame, group_col: str, value_col: str, k: int = 200
+) -> DataFrame:
+    """One KLL(double) sketch of ``value_col`` per group —
+    (group, sketch binary, n_values). One partial-agg shuffle."""
+    return df.filter(F.col(value_col).isNotNull()).groupBy(group_col).agg(
+        F.expr(
+            f"kll_sketch_agg_double({value_col}, {int(k)})"
+        ).alias("sketch"),
+        F.count(value_col).alias("n_values"),
+    )
+
+
+def merge_quantile_sketches(
+    sketches: DataFrame, sketch_col: str = "sketch"
+) -> DataFrame:
+    """Roll per-group sketches up into ONE sketch — associative
+    pairwise `kll_sketch_merge_double` folded over the collected
+    group sketches (Spark ships the merge as a scalar binary op, not
+    an aggregate; the collect_list is bounded — one KB-sized sketch
+    per GROUP, e.g. days rolling to a month — never the fact rows).
+    Returns a 1-row (sketch) frame."""
+    return sketches.agg(
+        F.collect_list(sketch_col).alias("__l")
+    ).select(
+        F.expr(
+            "CASE WHEN size(__l) = 0 THEN NULL ELSE "
+            "aggregate(slice(__l, 2, size(__l) - 1), __l[0], "
+            "(acc, x) -> kll_sketch_merge_double(acc, x)) END"
+        ).alias("sketch")
+    )
+
+
+def sketch_quantiles(
+    sketches: DataFrame, fractions: list, sketch_col: str = "sketch"
+) -> DataFrame:
+    """Append ``quantiles`` (array<double>, one per fraction) to each
+    sketch row — the query side, evaluated from the KB summary."""
+    arr = ", ".join(repr(float(f)) for f in fractions)
+    return sketches.withColumn(
+        "quantiles",
+        F.expr(
+            f"kll_sketch_get_quantile_double({sketch_col}, array({arr}))"
+        ),
+    )
