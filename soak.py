@@ -530,7 +530,8 @@ def main() -> None:
 
     result["anomalies"] = anomalies
     result["notes"] = [
-        "round 4 totals are not comparable to SOAK_r3 per-entry: the same 50 catalog names now run strictly more work (new oracled branches: pq_adc in embedding_knn_variants, pca2 in embedding_label_centroids, tfidf+lm in docs_top_terms, multiprobe in embedding_lsh_neardups, tsmatch in latest_event_per_user, ahash + jpeg media rows in multimodal_blob_pipeline), and two end-to-end entries were added (curate_corpus_fuzzy: the full redact->gate->dedup->LSH->star-CC->chunk->pack chain, 54 s at sf1; corpus_report). All entries remain within the 2x-linear budget.",
+        "round 5 totals are again not per-entry comparable to SOAK_r4: the same 50 catalog names run strictly more work (new oracled branches: color_jpeg in multimodal_blob_pipeline, psi grains in event_time_profiles, cmsketch + bpe_pair in docs_top_terms, split_* in docs_dedup_clusters, pca2w in embedding_label_centroids, and the END-TO-END curated chain folded into docs_chunked). The curate_quality section records the fuzzy chain's kept-vs-dropped quality gap (per-cluster winner==max must have 0 violations; pooled means are informational — per-cluster argmax admits Simpson-style pooled inversions).",
+        "round 4 context: the same 50 catalog names ran strictly more work than r3 (pq_adc, pca2, tfidf+lm, multiprobe, tsmatch, ahash/jpeg rows), and two end-to-end entries were added (curate_corpus_fuzzy: the full redact->gate->dedup->LSH->star-CC->chunk->pack chain; corpus_report).",
         "nearest_acctbal_match crosses its cost-based threshold between "
         "the two scales: sf0.1 runs the broadcast-NLJ plan (1.2 s), sf1 "
         "the quantile-banded plan whose fixed costs (corpus counts + "
