@@ -80,6 +80,66 @@ def test_banded_simhash64_pairs_equal_brute_force(spark):
     assert banded == brute
 
 
+def test_incremental_simhash_neardups_parity_with_batch(spark):
+    """Incremental ingest dedup (round 5): chaining
+    incremental_simhash_neardups over successive batches must equal
+    the one-shot whole-corpus batch operator run at the end — the
+    parity contract that lets a daily ingest dedupe against a
+    persisted fingerprint index without ever rescanning the corpus."""
+    # handcrafted 16-bit fingerprints: exact Hamming control
+    A = 0b1010101010101010
+    C = 0b0011001100110011
+    far = lambda i: (0b1111000011110000 ^ (i * 0x1249)) & 0xFFFF  # noqa: E731
+    batch1 = [(0, A), (1, A ^ 0b1), (2, C), (3, far(3)), (4, far(4))]
+    batch2 = [
+        (10, A),            # exact dup of old 0 (and old 1 at hamming 1)
+        (11, C ^ 0b110),    # hamming 2 from old 2
+        (12, far(12)),      # unique
+        (13, far(13) ^ 0),  # unique, but duplicated by 14 below
+        (14, far(13) ^ 0b1),  # hamming 1 from NEW 13 -> intra-batch dup
+        (15, C ^ 0b111),    # hamming 3 from old 2 AND hamming 1 from new 11
+    ]
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    v1, idx1 = dedup.incremental_simhash_neardups(
+        df_of(batch1), None, bits=16, max_hamming=3
+    )
+    v2, idx2 = dedup.incremental_simhash_neardups(
+        df_of(batch2), idx1, bits=16, max_hamming=3
+    )
+    got = {
+        r["doc_id"]: (r["is_dup"], r["dup_of"])
+        for r in v1.unionByName(v2).collect()
+    }
+
+    # one-shot batch reference over the union
+    all_sims = df_of(batch1 + batch2)
+    pairs = dedup.simhash_neardup_pairs(
+        all_sims, "doc_id", max_hamming=3, bits=16
+    )
+    ref_min = {
+        r["doc_id"]: r["m"]
+        for r in pairs.groupBy(F.col("id_b").alias("doc_id"))
+        .agg(F.min("id_a").alias("m"))
+        .collect()
+    }
+    want = {
+        i: (i in ref_min, ref_min.get(i))
+        for i, _fp in batch1 + batch2
+    }
+    assert got == want
+    # sanity on the planted structure itself
+    assert got[10] == (True, 0)
+    assert got[11] == (True, 2)
+    assert got[14] == (True, 13)
+    assert got[15] == (True, 2)  # min over old 2 and new 11
+    assert got[12] == (False, None)
+    # the updated index carries every fingerprint for the next ingest
+    assert idx2.count() == len(batch1) + len(batch2)
+
+
 def test_simhash64_spreads_beyond_16_bits(spark):
     """The 64-bit fingerprint must actually use the wider space —
     bucket keys under 16-bit banding saturate, 64-bit banding does not."""

@@ -585,3 +585,147 @@ def simhash_neardup_pairs(
         .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _simhash_bands(
+    sims: DataFrame, id_col: str, bits: int, n_bands: int
+) -> DataFrame:
+    """(id, simhash, band_idx, band_val) — the banded pigeonhole
+    explode shared by the incremental path."""
+    band_bits = bits // n_bands
+    if band_bits * n_bands != bits:
+        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
+    mask = (1 << band_bits) - 1
+    return sims.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+
+
+def incremental_simhash_neardups(
+    new_sims: DataFrame,
+    index: DataFrame | None,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+    n_bands: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental BATCH near-dup detection: dedupe a NEW ingest batch
+    against the persisted fingerprint INDEX of everything already
+    accepted — the daily "new crawl vs historical corpus" workflow
+    between the one-shot batch operator (whole corpus in hand) and the
+    streaming stateful index (per-record arrival).
+
+    ``new_sims`` / ``index`` are (id, simhash) relations (the index is
+    what a pipeline persists as parquet between ingests — fingerprints
+    only, never text). Ids must be globally increasing across batches
+    (index ids < new ids), the same arrival-order contract as the
+    streaming operator. Returns ``(verdicts, updated_index)``:
+    verdicts = one row per NEW doc (id, is_dup, dup_of) with dup_of
+    the smallest matching id across index ∪ earlier-new docs;
+    updated_index = index ∪ new fingerprints, ready to persist.
+
+    PARITY CONTRACT (pinned in tests): verdicts equal the whole-corpus
+    ``simhash_neardup_pairs(index ∪ new)`` restricted to pairs whose
+    larger id is new — so chaining incremental ingests is exactly the
+    batch op run once at the end.
+
+    Scale shape: new-vs-new runs the standard banded self-join (skew
+    tiled); new-vs-index is a banded BIPARTITE equi-join through
+    blocked_join_pairs (per-cell output bounded under bucket skew),
+    with the same lowest-agreeing-band per-row dedup — cost scales
+    with the NEW batch's bucket footprint, never with a rescan of the
+    historical corpus text."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} must exceed max_hamming={max_hamming} "
+            "for exact pigeonhole recall"
+        )
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+
+    # new-vs-new: earliest earlier match within the batch.
+    intra = (
+        simhash_neardup_pairs(
+            new_sims, id_col, max_hamming=max_hamming, bits=bits,
+            n_bands=n_bands,
+        )
+        .groupBy(F.col("id_b").alias(id_col))
+        .agg(F.min("id_a").alias("__dup_new"))
+    )
+
+    combined = intra
+    if index is not None:
+        lhs = _simhash_bands(new_sims, id_col, bits, n_bands).select(
+            F.col(id_col).alias("__lid"),
+            F.col("simhash").alias("__fp_new"),
+            "band_idx",
+            "band_val",
+        )
+        rhs = _simhash_bands(index, id_col, bits, n_bands).select(
+            F.col(id_col).alias("__rid"),
+            F.col("simhash").alias("__fp_old"),
+            "band_idx",
+            "band_val",
+        )
+        joined = blocked_join_pairs(lhs, rhs, ["band_idx", "band_val"])
+
+        def band_of(col: str, m: int) -> Column:
+            return F.shiftright(F.col(col), m * band_bits).bitwiseAND(
+                F.lit(mask)
+            )
+
+        lower_band_agrees = F.lit(False)
+        for m in range(n_bands - 1):
+            lower_band_agrees = lower_band_agrees | (
+                (F.col("band_idx") > m)
+                & (band_of("__fp_new", m) == band_of("__fp_old", m))
+            )
+        vs_index = (
+            joined.filter(~lower_band_agrees)
+            .filter(
+                F.bit_count(
+                    F.col("__fp_new").bitwiseXOR(F.col("__fp_old"))
+                )
+                <= max_hamming
+            )
+            .groupBy(F.col("__lid").alias(id_col))
+            .agg(F.min("__rid").alias("__dup_old"))
+        )
+        combined = intra.join(vs_index, id_col, "full_outer")
+    else:
+        combined = intra.withColumn("__dup_old", F.lit(None).cast("long"))
+
+    dup_of = F.least(F.col("__dup_old"), F.col("__dup_new"))
+    verdicts = (
+        new_sims.select(id_col)
+        .join(combined, id_col, "left")
+        .select(
+            id_col,
+            dup_of.isNotNull().alias("is_dup"),
+            dup_of.alias("dup_of"),
+        )
+    )
+    updated = (
+        new_sims.select(id_col, "simhash")
+        if index is None
+        else index.select(id_col, "simhash").unionByName(
+            new_sims.select(id_col, "simhash")
+        )
+    )
+    return verdicts, updated
