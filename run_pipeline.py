@@ -133,14 +133,24 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
 
             sink = metric_sink if metric_sink is not None else MemoryMetricSink()
             par = spark.sparkContext.defaultParallelism
+            # Redact the baseline before signalling, exactly as the
+            # data plane does for the stream: PII-bearing baselines
+            # would otherwise tokenize differently ('a@b.com' = 4
+            # tokens raw vs 1 redacted) and hold the gauge above zero
+            # with no real drift.
+            base_docs = _load_docs(spark, baseline_path).repartition(par)
             base_sig = quality_signals(
-                _load_docs(spark, baseline_path).repartition(par)
+                base_docs.select(
+                    "doc_id", redact_pii(F.col("text")).alias("text")
+                )
             ).filter(F.col("n_tokens") > 0)
             edges = quantile_edges(base_sig, "quality_score", 10)
             base_shares = shares_dict(base_sig, "quality_score", edges)
 
             def monitor_fn(batch_df, batch_id):
                 scored = batch_df.filter(F.col("n_tokens") > 0)
+                # ONE aggregation per batch: shares and the batch size
+                # come from the same 10-row collect.
                 rows = bucket_shares(scored, "quality_score", edges).collect()
                 if not rows:
                     return
@@ -151,19 +161,21 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
                 sink.push(
                     {
                         "ingest_psi_quality_score": (None, round(val, 6)),
-                        "ingest_batch_docs": (None, float(scored.count())),
+                        "ingest_batch_docs": (
+                            None,
+                            float(sum(r["n"] for r in rows)),
+                        ),
                     }
                 )
 
+            monitor_work = tempfile.mkdtemp(prefix="tp_psi_")
             monitor_q = (
                 signals.select("doc_id", "n_tokens", "quality_score")
                 .writeStream.outputMode("append")
                 .foreachBatch(monitor_fn)
                 .option(
                     "checkpointLocation",
-                    os.path.join(
-                        tempfile.mkdtemp(prefix="tp_psi_"), "chk"
-                    ),
+                    os.path.join(monitor_work, "chk"),
                 )
                 .trigger(
                     **({"availableNow": True} if once
@@ -204,9 +216,19 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
         .start()
     )
     if once:
-        q.awaitTermination()
-        if monitor_q is not None:
-            monitor_q.awaitTermination()
+        try:
+            q.awaitTermination()
+            if monitor_q is not None:
+                monitor_q.awaitTermination()
+        finally:
+            # One-shot drains leave no resumable state worth keeping:
+            # clean both checkpoint trees (a cron'd daily ingest would
+            # otherwise accumulate tp_dedup_*/tp_psi_* dirs forever).
+            import shutil
+
+            shutil.rmtree(work, ignore_errors=True)
+            if monitor_q is not None:
+                shutil.rmtree(monitor_work, ignore_errors=True)
     else:  # pragma: no cover - long-running service mode
         spark.streams.awaitAnyTermination()
     return stats

@@ -212,24 +212,21 @@ def bucket_histograms(spark, sf_dir: str) -> dict:
 
 def curate_quality_gap(spark, sf_dir: str) -> dict:
     """Quality assertion for the fuzzy curate chain (VERDICT r4 item
-    8): run the near-dup selection stages exactly as
-    curate_corpus(fuzzy=True) does and measure, over multi-doc
-    near-dup components, the mean quality_score of the KEPT canonical
-    docs vs the DROPPED losers. Records the gap, plus the hard
-    per-cluster invariant (the winner carries its cluster's maximum
-    score — canonical_best's contract) as a violation count that must
-    be 0."""
+    8): run the near-dup selection through the SAME
+    curate.fuzzy_neardup_assignment helper curate_corpus(fuzzy=True)
+    calls (so this can never measure a different chain than
+    production) and measure, over multi-doc near-dup components, the
+    mean quality_score of the KEPT canonical docs vs the DROPPED
+    losers. Records the gap, plus the hard per-cluster invariant (the
+    winner carries its cluster's maximum score — canonical_best's
+    contract) as a violation count that must be 0."""
     from pyspark.sql import functions as F
 
     from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
         redact_pii,
     )
-    from travelpulse_spark_stream_tourism_analytics_spark.operators import dedup
-    from travelpulse_spark_stream_tourism_analytics_spark.operators.components import (
-        canonical_best,
-        connected_components_star,
-    )
     from travelpulse_spark_stream_tourism_analytics_spark.operators.curate import (
+        fuzzy_neardup_assignment,
         quality_signals,
     )
 
@@ -250,18 +247,11 @@ def curate_quality_gap(spark, sf_dir: str) -> dict:
         .drop("__h")
     )
     unique = redacted.join(keep, "doc_id", "left_semi")
-    shingled = dedup.exploded_shingles(unique, "doc_id", "text", 3)
-    sigs = dedup.minhash_signatures(shingled, "doc_id", 12)
-    bands = dedup.lsh_bands(sigs, "doc_id", 4, 3)
-    pairs = dedup.lsh_candidate_pairs(bands, "doc_id")
-    verified = dedup.pair_jaccard(pairs, shingled, "doc_id").filter(
-        F.col("jaccard") >= 0.5
-    )
-    comp = connected_components_star(verified)
     scores = gated.select("doc_id", "quality_score").join(
         unique.select("doc_id"), "doc_id", "left_semi"
     )
-    members = canonical_best(scores, comp, "doc_id", "quality_score").join(
+    assignment, comp = fuzzy_neardup_assignment(unique, scores)
+    members = assignment.join(
         comp.select(F.col("node").alias("doc_id")), "doc_id", "left_semi"
     )
     agg = members.groupBy(F.col("doc_id") == F.col("canonical_id")).agg(

@@ -492,6 +492,29 @@ def test_jpeg_unsupported_shapes_raise():
         decode_jpeg(bytes(p))
 
 
+def test_grayscale_jpeg_ignores_declared_sampling_factors():
+    """T.81 A.2: a single-component scan is NON-interleaved whatever
+    sampling factors the SOF declares (real encoders emit 2x2 luma
+    factors on grayscale output) — flipping the sampling byte must not
+    change the decoded raster (round-5 review regression guard)."""
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg,
+    )
+
+    p = bytearray(synth_jpeg(4, 2, seed=9))
+    _w, _h, base = decode_jpeg(bytes(p))
+    i = p.find(b"\xff\xc0")
+    samp_off = i + 4 + 6 + 1  # marker(2) len(2) prec(1) h(2) w(2) ncomp(1) cid(1)
+    assert p[samp_off] == 0x11
+    p[samp_off] = 0x22
+    _w2, _h2, hacked = decode_jpeg(bytes(p))
+    assert (_w2, _h2) == (_w, _h)
+    assert np.array_equal(base, hacked)
+
+
 def _expected_color_raster(mcus_w, mcus_h, seed, subsampling):
     """Closed-form RGB raster of a synth_jpeg_color fixture."""
     import numpy as np

@@ -107,6 +107,47 @@ def quality_signals(
     ).withColumn("passes_quality", passes_quality_expr())
 
 
+def fuzzy_neardup_assignment(
+    unique: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "quality_score",
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+    k_minhash: int = 12,
+    n_bands: int = 4,
+    n_rows: int = 3,
+):
+    """The fuzzy near-dup SELECTION stage as one shared helper:
+    MinHash+LSH candidates -> exact n-gram Jaccard verify -> star
+    connected components -> quality-aware canonical assignment
+    (components.canonical_best over ``score_col``). Returns
+    ``(assignment, comp)`` where assignment covers every doc in
+    ``scores`` (isolated docs keep themselves) and comp is the raw
+    (node, comp) relation. Both curate_corpus(fuzzy=True) and the
+    soak's kept-vs-dropped quality measurement call THIS function, so
+    the soak can never silently measure a different chain than
+    production (round-5 review finding)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators import (
+        dedup,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.components import (
+        canonical_best,
+        connected_components_star,
+    )
+
+    shingled = dedup.exploded_shingles(unique, id_col, text_col, shingle_n)
+    sigs = dedup.minhash_signatures(shingled, id_col, k_minhash)
+    bands = dedup.lsh_bands(sigs, id_col, n_bands, n_rows)
+    pairs = dedup.lsh_candidate_pairs(bands, id_col)
+    verified = dedup.pair_jaccard(pairs, shingled, id_col).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    comp = connected_components_star(verified)
+    return canonical_best(scores, comp, id_col, score_col), comp
+
+
 def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -176,28 +217,14 @@ def curate_corpus(
     )
     unique = redacted.join(keep, id_col, "left_semi")
     if fuzzy:
-        from travelpulse_spark_stream_tourism_analytics_spark.operators import (
-            dedup,
-        )
-        from travelpulse_spark_stream_tourism_analytics_spark.operators.components import (
-            canonical_best,
-            connected_components_star,
-        )
-
-        shingled = dedup.exploded_shingles(unique, id_col, text_col, 3)
-        sigs = dedup.minhash_signatures(shingled, id_col, 12)
-        bands = dedup.lsh_bands(sigs, id_col, 4, 3)
-        pairs = dedup.lsh_candidate_pairs(bands, id_col)
-        verified = dedup.pair_jaccard(pairs, shingled, id_col).filter(
-            F.col("jaccard") >= jaccard_threshold
-        )
-        comp = connected_components_star(verified)
         scores = gated.select(id_col, "quality_score").join(
             unique.select(id_col), id_col, "left_semi"
         )
-        winners = canonical_best(
-            scores, comp, id_col, "quality_score"
-        ).filter(F.col(id_col) == F.col("canonical_id"))
+        assignment, _comp = fuzzy_neardup_assignment(
+            unique, scores, id_col, text_col,
+            jaccard_threshold=jaccard_threshold,
+        )
+        winners = assignment.filter(F.col(id_col) == F.col("canonical_id"))
         unique = unique.join(
             winners.select(id_col), id_col, "left_semi"
         )

@@ -42,8 +42,10 @@ def quantile_edges(
 def bucket_shares(
     df: DataFrame, value_col: str, edges: list, scale: int = 6
 ) -> DataFrame:
-    """(bucket, share) with bucket = count of edges <= value (0-based;
-    right-open buckets), share rounded for engine portability."""
+    """(bucket, share, n) with bucket = count of edges <= value
+    (0-based; right-open buckets), share rounded for engine
+    portability; ``n`` rides along so monitoring consumers get the
+    batch size from the same single aggregation."""
     b = F.lit(0)
     for e in edges:
         b = b + F.when(F.col(value_col) >= F.lit(e), 1).otherwise(0)
@@ -54,7 +56,7 @@ def bucket_shares(
     )
     total = F.sum("n").over(Window.partitionBy())
     return counts.select(
-        "bucket", F.round(F.col("n") / total, scale).alias("share")
+        "bucket", F.round(F.col("n") / total, scale).alias("share"), "n"
     )
 
 

@@ -772,6 +772,14 @@ def decode_jpeg(payload: bytes):
         raise ValueError("JPEG missing SOF/SOS")
     if set(scan_sel) != {c[0] for c in comps}:
         raise NotImplementedError("non-interleaved (multi-scan) JPEG")
+    if len(comps) == 1:
+        # T.81 A.2: a SINGLE-component scan is non-interleaved — one
+        # data unit per MCU in raster order, whatever sampling factors
+        # the SOF declares (real encoders do emit 2x2 luma factors on
+        # grayscale output). Treating the factors as an MCU layout
+        # would misplace blocks.
+        cid0, _hi, _vi, tq0 = comps[0]
+        comps = [(cid0, 1, 1, tq0)]
 
     # Float IDCT basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16).
     A = np.array(

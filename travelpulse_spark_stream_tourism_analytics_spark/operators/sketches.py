@@ -147,15 +147,22 @@ class CountMinSketchView:
     def _string_buckets(self, term: str) -> list:
         """Guava-style double hashing, exactly as
         CountMinSketchImpl.getHashBuckets: h1 = murmur(bytes, 0),
-        h2 = murmur(bytes, h1), bucket_i = abs(h1 + i*h2) % width with
-        32-bit overflow and Java Math.abs semantics."""
+        h2 = murmur(bytes, h1), bucket_i = abs((h1 + i*h2) % width)
+        with 32-bit overflow, JAVA remainder (sign of the dividend,
+        not Python's floored mod), and Math.abs applied AFTER the
+        remainder. For every c except Integer.MIN_VALUE this equals
+        abs(c) % width; at c == MIN_VALUE the abs-after-rem order
+        gives (2**31) % width where a floored mod would give
+        width - (2**31) % width (round-5 review finding)."""
         data = term.encode("utf-8")
         h1 = murmur3_x86_32(data, 0)
         h2 = murmur3_x86_32(data, h1)
         out = []
         for i in range(self.depth):
             c = _to_s32(h1 + i * h2)
-            if c < 0 and c != -(1 << 31):  # Math.abs(MIN_VALUE) stays negative
+            if c == -(1 << 31):
+                c = 1 << 31  # abs(MIN_VALUE % width) == (2**31) % width
+            elif c < 0:
                 c = -c
             out.append(c % self.width)
         return out

@@ -775,14 +775,19 @@ def event_time_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket stage."""
     from travelpulse_spark_stream_tourism_analytics_spark.operators.drift import (
         bucket_shares,
-        psi,
+        psi_from_shares,
         quantile_edges,
+        shares_dict,
     )
 
     ev = load_table(spark, sf_dir, "events")
     base = ev.filter(F.col("user_id") % 2 == 0)
     cand = ev.filter(F.col("user_id") % 2 == 1)
-    edges = quantile_edges(ev.filter(F.col("user_id") % 2 == 0), "value", 10)
+    # ONE exact-percentile pass: the edges feed both the share
+    # relations below and the driver-side PSI scalar (psi_from_shares
+    # — calling psi() here would re-run the percentile job, the
+    # expensive half of the branch; round-5 review finding).
+    edges = quantile_edges(base, "value", 10)
 
     def _share_rows(df, tag):
         return bucket_shares(df, "value", edges).select(
@@ -797,8 +802,15 @@ def event_time_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("share").alias("avg_value"),
         )
 
+    psi_val = round(
+        psi_from_shares(
+            shares_dict(base, "value", edges),
+            shares_dict(cand, "value", edges),
+        ),
+        6,
+    )
     psi_scalar = spark.createDataFrame(
-        [(round(psi(base, cand, "value"), 6),)], "v double"
+        [(psi_val,)], "v double"
     ).select(
         F.lit("psi").alias("grain"),
         F.lit(None).cast("timestamp_ntz").alias("bucket_ts"),
