@@ -893,6 +893,68 @@ def test_count_min_python_reader_matches_jvm(spark):
     assert view.total == jvm.totalCount()
 
 
+def test_extract_html_text_semantics_and_duckdb_parity(spark, tmp_path):
+    """HTML text extraction (round 5): script/style/comment blocks
+    vanish, tags strip to spaces, entities decode AFTER stripping
+    (escaped markup in text survives literally), whitespace collapses
+    — and the whole expression replays identically in DuckDB (the
+    patterns are RE2-safe: no backreferences, no lookarounds)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+        _HTML_ENTITIES,
+        extract_html_text,
+    )
+
+    rows = [
+        (0, "<html><head><style>p{color:red}</style>"
+            "<script type='t'>var x = '<p>';</script></head>"
+            "<body><h1>Hotel Roma</h1><p>Sea   view &amp; pool.</p>"
+            "<!-- tracking --><ul><li>wifi</li><li>bar</li></ul>"
+            "</body></html>"),
+        (1, "plain text, no markup"),
+        (2, "escaped &lt;div&gt; stays &quot;literal&quot; &#65; &#9731;"),
+        (3, "<ScRiPt>alert(1)</ScRiPt>edge<BR/>case &nbsp;&#39;q&#39;"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", extract_html_text(F.col("html")).alias("t")
+        ).collect()
+    }
+    assert got[0] == "Hotel Roma Sea view & pool. wifi bar"
+    assert got[1] == "plain text, no markup"
+    # entity decode AFTER tag strip: escaped markup survives as text
+    assert got[2] == 'escaped <div> stays "literal"'
+    assert got[3] == "edge case 'q'"
+    assert got[4] == ""
+
+    # DuckDB twin: identical chained regexp_replace semantics.
+    df.write.mode("overwrite").parquet(str(tmp_path / "h.parquet"))
+    expr = (
+        "regexp_replace(regexp_replace(regexp_replace(html, "
+        "'(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g'), "
+        "'(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g'), "
+        "'(?s)<!--.*?-->', ' ', 'g')"
+    )
+    expr = f"regexp_replace({expr}, '(?i)<[^>]*>', ' ', 'g')"
+    for e, rep in _HTML_ENTITIES.items():
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{e}', '{r}', 'g')"
+    expr = f"regexp_replace({expr}, '&#[0-9]{{1,7}};', ' ', 'g')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    duck = {
+        int(i): t
+        for i, t in duckdb.sql(
+            f"SELECT doc_id, {expr} FROM '{tmp_path}/h.parquet/*.parquet'"
+        ).fetchall()
+    }
+    assert duck == got
+
+
 def test_kll_quantile_sketch_rollup_rank_error_bound(spark):
     """KLL quantile sketches (round 5): per-group sketches answer
     quantile queries within the KLL normalized rank-error bound, and

@@ -121,6 +121,46 @@ def redact_pii(col: Column) -> Column:
     return out
 
 
+# HTML entity map for extract_html_text (the handful that dominate
+# real web text; numeric references are handled separately).
+_HTML_ENTITIES = {
+    "&amp;": "&",
+    "&lt;": "<",
+    "&gt;": ">",
+    "&quot;": '"',
+    "&#39;": "'",
+    "&apos;": "'",
+    "&nbsp;": " ",
+}
+
+
+def extract_html_text(col: Column) -> Column:
+    """Web-corpus text extraction: drop <script>/<style> blocks and
+    HTML comments wholesale, strip all remaining tags to spaces,
+    decode the common character entities (AFTER tag-stripping, so
+    '&lt;div&gt;' in text survives as literal '<div>' instead of being
+    eaten as markup), and collapse whitespace. Chained
+    ``regexp_replace`` — a single codegen'd
+    projection, no UDF, RE2-compatible patterns (no lookarounds) so an
+    oracle engine replays the identical semantics. A full DOM
+    extractor (trafilatura-style main-content scoring) plugs in as a
+    pandas UDF behind the same column contract; this expression form
+    is the scale path for bulk tag-stripping."""
+    # two patterns, not one with a backreference: RE2 has none.
+    c = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?i)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES.items():
+        c = F.regexp_replace(c, ent, rep)
+    # numeric character references in the ASCII range decode via chr();
+    # outside it they normalize to a space (no codepoint tables in
+    # pure SQL — the pandas plug-in point for full unicode).
+    c = F.regexp_replace(c, r"&#[0-9]{1,7};", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
 def hash_hex(col: Column) -> Column:
     """Portable deterministic hash: md5 hex string (same in any engine)."""
     return F.md5(col)
