@@ -278,6 +278,70 @@ def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False,
     }
 
 
+def run_dedup_batch(spark, docs_path: str, out_dir: str,
+                    index_path: str, bits: int = 64) -> dict:
+    """Incremental BATCH ingest dedup (``--mode dedup-batch``): dedupe
+    a new document batch (JSONL or parquet dir) against the PERSISTED
+    fingerprint index of everything previously accepted, write the
+    per-doc verdicts as parquet, and atomically replace the index with
+    index ∪ new fingerprints — the daily "new crawl vs historical
+    corpus" surface (operators/dedup.incremental_simhash_neardups;
+    parity contract: chaining runs equals one whole-corpus batch op).
+    The index artifact holds (doc_id, simhash) only — the corpus text
+    is never rescanned. Returns {'docs', 'dups', 'index_rows'}."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+        words_of,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+        incremental_simhash_neardups,
+        simhash16_expr,
+        simhash64_expr,
+    )
+
+    if any(
+        name.endswith((".json", ".jsonl"))
+        for name in os.listdir(docs_path)
+        if os.path.isfile(os.path.join(docs_path, name))
+    ):
+        docs = spark.read.schema("doc_id long, text string").json(docs_path)
+    else:
+        docs = _load_docs(spark, docs_path)
+    fp_expr = simhash64_expr if bits == 64 else simhash16_expr
+    new_sims = docs.select(
+        "doc_id",
+        fp_expr(F.array_distinct(words_of(F.col("text")))).alias("simhash"),
+    )
+    index = (
+        spark.read.parquet(index_path)
+        if os.path.isdir(index_path) and os.listdir(index_path)
+        else None
+    )
+    verdicts, updated = incremental_simhash_neardups(
+        new_sims, index, bits=bits
+    )
+    verdicts.write.mode("overwrite").parquet(out_dir)
+    # Write-then-swap so a failed run never truncates the live index.
+    tmp_idx = index_path.rstrip("/") + ".next"
+    updated.write.mode("overwrite").parquet(tmp_idx)
+    import shutil
+
+    if os.path.isdir(index_path):
+        shutil.rmtree(index_path)
+    os.rename(tmp_idx, index_path)
+    v = spark.read.parquet(out_dir)
+    row = v.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_dup").cast("long")).alias("d"),
+    ).collect()[0]
+    return {
+        "docs": row["n"] or 0,
+        "dups": row["d"] or 0,
+        "index_rows": spark.read.parquet(index_path).count(),
+    }
+
+
 def _load_docs(spark, docs_path: str):
     from pyspark.sql import functions as F
 
@@ -350,11 +414,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode",
-        choices=["kpis", "dedup", "curate", "report"],
+        choices=["kpis", "dedup", "dedup-batch", "curate", "report"],
         default="kpis",
         help="kpis: the 16-query tourism topology; dedup: streaming "
         "document near-dup verdicts (--path is a JSONL docs dir, "
-        "--out the verdict parquet); curate: batch gate->redact->"
+        "--out the verdict parquet); dedup-batch: incremental ingest "
+        "dedup of a new batch (--path) against the persisted "
+        "fingerprint index (--index), verdicts to --out, index "
+        "updated in place; curate: batch gate->redact->"
         "dedup->chunk->pack over a documents dir (--path) into packed "
         "training-sample parquet (--out); report: per-source corpus "
         "health JSON over a documents dir (--path; --out optional)",
@@ -367,6 +434,12 @@ def main() -> None:
         metavar="K",
         help="--mode curate: drop chunks containing a window repeated "
         "verbatim in >= K kept docs (exact-substring boilerplate)",
+    )
+    ap.add_argument(
+        "--index",
+        help="--mode dedup-batch: directory holding the persisted "
+        "(doc_id, simhash) fingerprint index; created on first run, "
+        "atomically replaced with index+batch after each ingest",
     )
     ap.add_argument(
         "--baseline",
@@ -439,6 +512,22 @@ def main() -> None:
             f">>> curated; {stats['docs']} docs in, {stats['kept']} kept, "
             f"{stats['samples']} packed samples in {stats['packs']} "
             f"sequences -> {args.out}"
+        )
+        return
+
+    if args.mode == "dedup-batch":
+        if not args.path or not args.out or not args.index:
+            ap.error(
+                "--mode dedup-batch requires --path (new docs), "
+                "--out (verdict parquet) and --index (fingerprint dir)"
+            )
+        stats = run_dedup_batch(
+            spark, args.path, args.out, args.index, bits=args.bits
+        )
+        print(
+            f">>> batch deduped; {stats['docs']} new docs, "
+            f"{stats['dups']} near-dups vs index+batch; index now "
+            f"{stats['index_rows']} fingerprints -> {args.index}"
         )
         return
 

@@ -207,6 +207,53 @@ def test_run_dedup_with_ingest_quality_gate(spark, tmp_path):
     assert v[1]["is_dup"] and v[1]["dup_of"] == 0
 
 
+def test_run_dedup_batch_incremental_index_surface(spark, tmp_path):
+    """--mode dedup-batch (round 5): successive ingest batches dedupe
+    against the persisted fingerprint index — a day-2 near-copy of a
+    day-1 doc is flagged with dup_of pointing at the day-1 id, and the
+    index grows to cover both batches (the corpus text is never
+    rescanned: the artifact holds fingerprints only)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from run_pipeline import run_dedup_batch
+
+    # Long docs so a one-word append lands within the hamming<=3
+    # near-dup threshold (short docs flip too many simhash bits).
+    base = " ".join(f"w{i}" for i in range(120))
+    other = " ".join(f"u{i}" for i in range(120))
+    idx = str(tmp_path / "fp_index")
+
+    def write_batch(name, rows):
+        d = tmp_path / name
+        d.mkdir()
+        with open(d / "part-0.json", "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        return str(d)
+
+    day1 = write_batch("day1", [
+        (0, base),
+        (1, "totally different words over here x y z"),
+    ])
+    s1 = run_dedup_batch(spark, day1, str(tmp_path / "v1"), idx)
+    assert s1 == {"docs": 2, "dups": 0, "index_rows": 2}
+
+    day2 = write_batch("day2", [
+        (10, base + " lambda"),     # near-dup of day-1 doc 0
+        (11, other),
+        (12, other + " tail"),      # intra-batch near-dup of 11
+    ])
+    s2 = run_dedup_batch(spark, day2, str(tmp_path / "v2"), idx)
+    assert s2["docs"] == 3 and s2["index_rows"] == 5
+    v = {r["doc_id"]: r for r in spark.read.parquet(str(tmp_path / "v2")).collect()}
+    assert v[10]["is_dup"] and v[10]["dup_of"] == 0   # cross-batch
+    assert v[12]["is_dup"] and v[12]["dup_of"] == 11  # intra-batch
+    assert not v[11]["is_dup"]
+    # fingerprint-only artifact
+    assert set(spark.read.parquet(idx).columns) == {"doc_id", "simhash"}
+
+
 def test_run_dedup_streaming_psi_gauge(spark, tmp_path):
     """--mode dedup --gate --baseline (round 5): the monitoring plane
     pushes a per-micro-batch ingest_psi_quality_score gauge — batches
