@@ -826,3 +826,100 @@ def test_jpeg_truncation_raises_cleanly():
     for cut in (4, 10, 30, len(full) // 2, len(full) - 3):
         with pytest.raises(ValueError):
             decode_jpeg(full[:cut])
+
+
+def test_audio_fingerprint_properties_and_independent_recompute():
+    """audio_fingerprint64 (round 5): the fingerprint is invariant
+    under amplitude scaling (all band energies scale by c^2, so the
+    band-mean comparisons are unchanged), robust to small additive
+    noise, discriminative for unrelated clips — and matches an
+    INDEPENDENT straight-line recompute (explicit Haar packet on
+    sample quadruples, no shared code path)."""
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        audio_fingerprint64,
+    )
+
+    rng = np.random.default_rng(23)
+    x = (rng.standard_normal(4000) * 3000).astype(np.int64)
+    fp = audio_fingerprint64(x, 1)
+    # amplitude scaling: identical fingerprint
+    assert audio_fingerprint64(x * 4, 1) == fp
+    # small additive noise: within the near-dup radius
+    noisy = x + rng.integers(-50, 50, size=len(x))
+    d = bin((fp ^ audio_fingerprint64(noisy, 1)) & ((1 << 64) - 1)).count("1")
+    assert d <= 3, d
+    # unrelated audio: far outside it
+    y = (rng.standard_normal(4000) * 3000).astype(np.int64)
+    far = bin((fp ^ audio_fingerprint64(y, 1)) & ((1 << 64) - 1)).count("1")
+    assert far > 10, far
+    # stereo: channel 0 only (deinterleave), bit-identical to mono of
+    # that channel
+    stereo = np.empty(2 * len(x), dtype=np.int64)
+    stereo[0::2] = x
+    stereo[1::2] = y[: len(x)]
+    assert audio_fingerprint64(stereo, 2) == fp
+
+    # independent recompute: explicit quadruple Haar packet
+    n = len(x) - len(x) % 4
+    q = x[:n].reshape(-1, 4)
+    bands = [
+        q[:, 0] + q[:, 1] + q[:, 2] + q[:, 3],
+        q[:, 0] + q[:, 1] - q[:, 2] - q[:, 3],
+        q[:, 0] - q[:, 1] + q[:, 2] - q[:, 3],
+        q[:, 0] - q[:, 1] - q[:, 2] + q[:, 3],
+    ]
+    want = 0
+    for m, band in enumerate(bands):
+        tot = int((band * band).sum())
+        length = len(band)
+        for f in range(16):
+            seg = band[f * length // 16 : (f + 1) * length // 16]
+            if 16 * int((seg * seg).sum()) > tot:
+                want |= 1 << (m * 16 + f)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert fp == want
+
+
+def test_audio_neardup_via_fingerprint_banded_hamming(spark):
+    """Audio near-dup detection end to end: acoustic fingerprints +
+    the SAME banded-Hamming pair machinery as text SimHash and image
+    aHash — a lightly noised re-encode of a clip pairs with its
+    original, unrelated clips don't, and no new join shape exists for
+    the third modality."""
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators import (
+        dedup,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        audio_fingerprints,
+        synth_wav,
+    )
+
+    def wav_of(samples, channels=1):
+        # pack an int16 sample array into a WAV shell
+        shell = bytearray(synth_wav(len(samples) // channels, 8000, channels))
+        arr = np.asarray(samples, dtype="<i2").tobytes()
+        shell[-len(arr):] = arr
+        return bytes(shell)
+
+    rng = np.random.default_rng(5)
+    base = (rng.standard_normal(2000) * 2500).astype(np.int64)
+    noisy = base + rng.integers(-40, 40, size=len(base))
+    other = (rng.standard_normal(2000) * 2500).astype(np.int64)
+    rows = [
+        (0, wav_of(base)),
+        (1, wav_of(noisy)),
+        (2, wav_of(other)),
+        (3, wav_of((rng.standard_normal(2000) * 2500).astype(np.int64))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = dedup.simhash_neardup_pairs(
+        audio_fingerprints(df), "doc_id", max_hamming=3, bits=64, n_bands=4
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert all(p == (0, 1) for p in got), got

@@ -1572,3 +1572,76 @@ def image_ahashes(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, AHASH_SCHEMA)
+
+
+def audio_fingerprint64(samples, channels: int) -> int:
+    """64-bit acoustic fingerprint of a PCM clip — the AUDIO twin of
+    ``ahash64``, in the filterbank-energy shape of Haitsma & Kalker
+    (ISMIR 2002): decompose into frequency bands, frame the band
+    signals in time, and derive bits from energy comparisons. Here the
+    filterbank is a 2-level Haar wavelet PACKET (4 equal bands) and
+    the comparison is "frame energy above the band mean" (16 frames x
+    4 bands = 64 bits) — every quantity is an INTEGER (Haar
+    sums/differences of int16 samples, energies are sums of squares,
+    the mean test is ``16*E > total``), so the fingerprint is
+    bit-reproducible across engines with no float summation-order
+    hazard, and a closed-form SQL oracle can replay it. Bits are
+    invariant under amplitude scaling (energies scale by c^2
+    uniformly) and robust to small additive noise; bit j = band
+    ``j // 16``, frame ``j % 16`` (bands ordered LL, LH, HL, HH).
+    Returned as signed int64 (bit 63 wraps) so near-dup detection is
+    EXACTLY the text/image machinery:
+    ``dedup.simhash_neardup_pairs(fps, "doc_id", bits=64)``."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)[::channels]
+    n = len(x) - (len(x) % 4)
+    if n == 0:
+        return 0
+    x = x[:n]
+    lo, hi = x[0::2] + x[1::2], x[0::2] - x[1::2]
+    bands = [
+        lo[0::2] + lo[1::2],  # LL
+        lo[0::2] - lo[1::2],  # LH
+        hi[0::2] + hi[1::2],  # HL
+        hi[0::2] - hi[1::2],  # HH
+    ]
+    v = 0
+    for m, band in enumerate(bands):
+        sq = band * band
+        length = len(band)
+        total = int(sq.sum())
+        for f in range(16):
+            e = int(sq[f * length // 16 : (f + 1) * length // 16].sum())
+            if 16 * e > total:
+                v |= 1 << (m * 16 + f)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def audio_fingerprints(df: DataFrame) -> DataFrame:
+    """Acoustic fingerprints for WAV payloads — (doc_id, simhash)
+    rows that ride the banded-Hamming near-dup join unchanged,
+    making audio the THIRD modality (after text SimHash and image
+    aHash) through the one pair machinery."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if sniff_mime(payload) != "audio/wav":
+                    raise NotImplementedError("not audio/wav")
+                channels, _rate, _n, _dur = decode_wav(payload)
+                samples = decode_wav_samples(payload)
+                ids.append(doc_id)
+                hs.append(audio_fingerprint64(samples, channels))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "simhash": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, AHASH_SCHEMA)

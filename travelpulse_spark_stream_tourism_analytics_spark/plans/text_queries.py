@@ -1597,6 +1597,42 @@ _CJ_MEAN = f"""floor(
                   / (3.0 * {_CJ_MW} * {_CJ_MH}) * 1e6 + 0.5) / 1e6"""
 
 
+# --- Acoustic fingerprint oracle fragments (round 5) ----------------------
+# audio_fingerprint64 is ALL-INTEGER (Haar wavelet-packet sums and
+# differences of int16 PCM, energies as sums of squares, the band-mean
+# test as 16*E > total), so the oracle replays the whole fingerprint
+# exactly: channel-0 samples of the WAV ramp fixtures are closed-form
+# in (t, id), the four packet bands are +/- sums of sample quadruples,
+# and the 64 bits fall out of integer comparisons — no float anywhere.
+_AFP_CH = "(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END)"
+_AFP_L = "((100 + doc_id % 50) // 4)"  # per-band coeff count = ns // 4
+
+
+def _afp_x(t: str) -> str:
+    """Channel-0 PCM sample t of the WAV ramp fixture: interleaved
+    value index t*channels in synth_wav's (i*37 + id*101) % 65536
+    - 32768 ramp."""
+    return f"((({t}) * {_AFP_CH} * 37 + doc_id * 101) % 65536 - 32768)"
+
+
+def _afp_band(signs: tuple) -> str:
+    """One wavelet-packet band as a coefficient list: coefficient i is
+    the signed sum of samples 4i..4i+3 (LL=++++, LH=++--, HL=+-+-,
+    HH=+--+, the 2-level Haar packet)."""
+    terms = " + ".join(
+        f"({s}) * {_afp_x(f'4*i + {k}')}" for k, s in enumerate(signs)
+    )
+    return (
+        f"list_transform(generate_series(0, {_AFP_L} - 1), i -> {terms})"
+    )
+
+
+_AFP_BANDS = ", ".join(
+    _afp_band(s)
+    for s in [(1, 1, 1, 1), (1, 1, -1, -1), (1, -1, 1, -1), (1, -1, -1, 1)]
+)
+
+
 @query(
     "multimodal_blob_pipeline",
     oracle=f"""
@@ -1772,6 +1808,42 @@ _CJ_MEAN = f"""floor(
                          + doc_id) % 256 AS DOUBLE)) AS small
         FROM documents WHERE doc_id >= 300 AND doc_id < 400
     ) g
+    UNION ALL
+    -- Acoustic fingerprint (round 5): 2-level Haar wavelet packet of
+    -- the decoded channel-0 PCM -> 4 bands x 16 frames of integer
+    -- energies -> bit j set when 16 * E(band j//16, frame j%16)
+    -- exceeds the band total. Replayed closed-form from the WAV ramp
+    -- fixtures; all arithmetic is integer, so this pins the PCM
+    -- decode, the packet transform, the framing and the bit layout
+    -- with zero float tolerance.
+    SELECT 'afp' AS branch, doc_id,
+           NULL::BIGINT AS n_bytes, 'audio/wav' AS mime,
+           NULL::BIGINT AS head_byte, NULL::DOUBLE AS byte_mean,
+           NULL::BIGINT AS width, NULL::BIGINT AS height,
+           NULL::BIGINT AS channels, NULL::BIGINT AS sample_rate,
+           NULL::DOUBLE AS duration_s, NULL::DOUBLE AS content_mean,
+           list_sum(list_transform(generate_series(0, 63), j ->
+               CASE WHEN 16 * fe[j // 16 + 1][j % 16 + 1]
+                         > tot[j // 16 + 1]
+                    THEN CASE WHEN j = 63
+                              THEN (-9223372036854775807 - 1)
+                              ELSE (1::BIGINT << j) END
+                    ELSE 0 END))::BIGINT AS ahash64
+    FROM (
+        SELECT doc_id,
+               list_transform(bands, b -> list_transform(
+                   generate_series(0, 15), f -> coalesce(list_sum(
+                       list_transform(
+                           b[f * {_AFP_L} // 16 + 1
+                             : (f + 1) * {_AFP_L} // 16],
+                           c -> c * c)), 0))) AS fe,
+               list_transform(bands, b -> coalesce(list_sum(
+                   list_transform(b, c -> c * c)), 0)) AS tot
+        FROM (
+            SELECT doc_id, [{_AFP_BANDS}] AS bands
+            FROM documents WHERE doc_id < 200 AND doc_id % 2 = 1
+        ) coeffs
+    ) energies
     """,
 )
 def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1806,6 +1878,11 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       the decoded RGB means pin per-component table selection, the
       interleaved-MCU entropy decode, chroma upsampling, and the
       YCbCr->RGB float conversion against a closed-form SQL replay.
+    - ``afp``: acoustic fingerprint (round 5) — the WAV family's
+      decoded channel-0 PCM through audio_fingerprint64 (2-level Haar
+      wavelet packet, 4 bands x 16 frames, bit = frame energy above
+      band mean; Haitsma & Kalker 2002 shape, all-integer), oracled
+      bit-exactly by replaying the ramp fixtures in SQL.
     """
     docs = load_table(spark, sf_dir, "documents")
     blobbed = multimodal.attach_blob(docs)
@@ -1890,7 +1967,36 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_mean",
         F.lit(None).cast("long").alias("ahash64"),
     )
-    return stub.unionByName(media).unionByName(ahash).unionByName(cjpeg)
+    # Acoustic fingerprint (round 5): the WAV family driven through
+    # the real PCM decode into audio_fingerprint64 — audio as the
+    # third modality on the banded-Hamming near-dup machinery, pinned
+    # bit-exactly by the all-integer wavelet-packet oracle.
+    wav_ids = docs.filter(
+        (F.col("doc_id") < 200) & (F.col("doc_id") % 2 == 1)
+    )
+    afp = multimodal.audio_fingerprints(
+        multimodal.attach_media_blob(wav_ids)
+    ).select(
+        F.lit("afp").alias("branch"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.lit("audio/wav").alias("mime"),
+        F.lit(None).cast("long").alias("head_byte"),
+        F.lit(None).cast("double").alias("byte_mean"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("channels"),
+        F.lit(None).cast("long").alias("sample_rate"),
+        F.lit(None).cast("double").alias("duration_s"),
+        F.lit(None).cast("double").alias("content_mean"),
+        F.col("simhash").alias("ahash64"),
+    )
+    return (
+        stub.unionByName(media)
+        .unionByName(ahash)
+        .unionByName(cjpeg)
+        .unionByName(afp)
+    )
 
 
 # --- PQ/ADC oracle fragments (round 4) -----------------------------------
