@@ -39,6 +39,23 @@ def quantile_edges(
     return [float(x) for x in row["e"]]
 
 
+def _bucket_expr(col, edges: list, base: int = 0):
+    """Balanced binary-search expression over the sorted edge list:
+    count of edges <= col in O(log n) comparisons per row (a
+    width_bucket for ARBITRARY quantile edges, which Spark's built-in
+    only does for uniform ranges). NULL takes every ``otherwise``
+    branch down to bucket 0 and NaN every ``when`` branch up to the
+    top bucket — the same landing spots as the linear CASE chain the
+    DuckDB twin replays."""
+    if not edges:
+        return F.lit(base)
+    mid = len(edges) // 2
+    return F.when(
+        col >= F.lit(edges[mid]),
+        _bucket_expr(col, edges[mid + 1 :], base + mid + 1),
+    ).otherwise(_bucket_expr(col, edges[:mid], base))
+
+
 def bucket_shares(
     df: DataFrame, value_col: str, edges: list, scale: int = 6
 ) -> DataFrame:
@@ -46,11 +63,10 @@ def bucket_shares(
     (0-based; right-open buckets), share rounded for engine
     portability; ``n`` rides along so monitoring consumers get the
     batch size from the same single aggregation."""
-    b = F.lit(0)
-    for e in edges:
-        b = b + F.when(F.col(value_col) >= F.lit(e), 1).otherwise(0)
     counts = (
-        df.select(b.cast("long").alias("bucket"))
+        df.select(
+            _bucket_expr(F.col(value_col), edges).cast("long").alias("bucket")
+        )
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
     )
