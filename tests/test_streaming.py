@@ -210,8 +210,17 @@ def test_two_phase_season_score_matches_batch(spark, fixture_dirs, tmp_path):
         streams["booking"], streams["weather"], streams["flight"],
         str(tmp_path / "chk"), trigger={"availableNow": True},
     )
-    for q in qs:
-        q.awaitTermination(180)
+    try:
+        for q in qs:
+            # availableNow drains in seconds normally; the return value
+            # must be checked — on a slow machine an ignored timeout
+            # means score_batch() reads INCOMPLETE staging and the
+            # batch-parity assert fails with a confusing diff.
+            assert q.awaitTermination(600), "streaming query did not drain"
+    finally:
+        for q in qs:
+            if q.isActive:
+                q.stop()
 
     got = {
         (r["city_id"], r["season"]): round(r["season_score"], 6)
