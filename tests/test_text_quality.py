@@ -1147,3 +1147,145 @@ def test_curate_strip_boilerplate_drops_tainted_chunks(spark):
     assert all("common license terms" not in t for _, t in strip)
     # the clean doc and the clean chunks of tainted docs survive
     assert {d for d, _ in strip} == {0, 1, 2, 3}
+
+
+def test_canonicalize_url_semantics_and_duckdb_parity(spark, tmp_path):
+    """URL canonicalization (round 5): lowercased scheme/host, fragment
+    dropped, default ports stripped, empty path -> '/', trailing
+    slashes stripped, tracking params dropped and survivors SORTED so
+    parameter order never splits identical pages — and the whole
+    expression replays identically in DuckDB (RE2-safe patterns)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+        TRACKING_PARAM_RE,
+        canonicalize_url,
+        url_domain,
+    )
+
+    rows = [
+        (0, "HTTP://WWW.Example.COM:80/path/?utm_source=x&b=2&a=1#frag"),
+        (1, "https://shop.example.co.uk:443/a/b//"),
+        (2, "http://example.com"),
+        (3, "not a url"),
+        (4, "https://example.com/?gclid=zzz&fbclid=1"),
+        (5, "http://example.com:8080/x?z=1&y=2"),
+        (6, "  https://Sub.Domain.ORG/Keep/Case#x  "),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["u"]
+        for r in df.select(
+            "doc_id", canonicalize_url(F.col("url")).alias("u")
+        ).collect()
+    }
+    assert got[0] == "http://www.example.com/path?a=1&b=2"
+    assert got[1] == "https://shop.example.co.uk/a/b"
+    assert got[2] == "http://example.com/"
+    assert got[3] == "not a url"       # no scheme: pass through trimmed
+    assert got[4] == "https://example.com/"
+    assert got[5] == "http://example.com:8080/x?y=2&z=1"
+    assert got[6] == "https://sub.domain.org/Keep/Case"  # path case kept
+    assert got[7] == ""
+
+    doms = {
+        r["doc_id"]: r["d"]
+        for r in df.select(
+            "doc_id", url_domain(F.col("url")).alias("d")
+        ).collect()
+    }
+    assert doms[0] == "example.com"     # www. stripped, port dropped
+    assert doms[1] == "example.co.uk"   # shared second-level registry
+    assert doms[3] == ""                # not a URL
+    assert doms[6] == "domain.org"      # subdomain reduced to eTLD+1
+
+    # DuckDB twin: the identical regexp/list chain.
+    df.write.mode("overwrite").parquet(str(tmp_path / "u.parquet"))
+    tp = TRACKING_PARAM_RE.replace("'", "''")
+    duck = {
+        int(i): (u, d)
+        for i, u, d in duckdb.sql(f"""
+            WITH s AS (
+              SELECT doc_id, trim(url) AS t,
+                     regexp_replace(trim(url), '(?s)#.*$', '') AS u
+              FROM '{tmp_path}/u.parquet/*.parquet'
+            ), parts AS (
+              SELECT doc_id, t,
+                lower(regexp_extract(u,
+                    '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) AS raw_scheme,
+                lower(regexp_extract(u,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1)) AS hp,
+                regexp_extract(u,
+                    '(?s)^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)$', 1) AS rest
+              FROM s
+            ), norm AS (
+              SELECT doc_id, t, scheme, raw_scheme,
+                CASE WHEN scheme = 'http'
+                     THEN regexp_replace(hp, ':80$', '')
+                     WHEN scheme = 'https'
+                     THEN regexp_replace(hp, ':443$', '')
+                     ELSE hp END AS hp,
+                CASE WHEN regexp_replace(
+                         regexp_extract(rest, '^([^?]*)', 1),
+                         '/+$', '') = '' THEN '/'
+                     ELSE regexp_replace(
+                         regexp_extract(rest, '^([^?]*)', 1),
+                         '/+$', '') END AS path,
+                array_to_string(list_sort(list_filter(
+                    string_split(regexp_extract(rest, '(?s)\\?(.*)$', 1),
+                                 '&'),
+                    x -> x <> '' AND NOT regexp_matches(x, '{tp}'))),
+                    '&') AS kept
+              FROM parts
+            )
+            SELECT doc_id,
+                   CASE WHEN raw_scheme = '' THEN t
+                        ELSE scheme || '://' || hp || path ||
+                             CASE WHEN kept <> '' THEN '?' || kept
+                                  ELSE '' END
+                   END AS u,
+                   regexp_extract(
+                     regexp_replace(
+                       lower(regexp_extract(t,
+                         '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?:#]*)', 1)),
+                       '^www\\.', ''),
+                     '([^.]+\\.(?:co|com|net|org|ac|gov|edu)\\.[a-z][a-z]|[^.]+\\.[^.]+)$',
+                     1) AS d
+            FROM norm
+        """).fetchall()
+    }
+    assert duck == {i: (got[i], doms[i]) for i in got}
+
+
+def test_cap_per_key_per_domain(spark):
+    """Per-domain cap (round 5, RefinedWeb shape): at most k docs
+    survive per registered domain, chosen by the given ordering with a
+    deterministic tiebreak."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+        url_domain,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.quality import (
+        cap_per_key,
+    )
+
+    rows = [
+        (0, "http://a.example.com/1", 0.9),
+        (1, "http://b.example.com/2", 0.7),
+        (2, "http://example.com/3", 0.8),
+        (3, "http://example.com/4", 0.7),   # 4 docs on example.com
+        (4, "http://other.org/x", 0.1),
+        (5, "http://www.other.org/y", 0.2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, q double")
+    capped = cap_per_key(
+        df.withColumn("domain", url_domain(F.col("url"))),
+        "domain", 2, [F.desc("q"), F.asc("doc_id")],
+    )
+    kept = sorted(r["doc_id"] for r in capped.collect())
+    # example.com keeps 0 (0.9) and 2 (0.8); other.org keeps both
+    assert kept == [0, 2, 4, 5]

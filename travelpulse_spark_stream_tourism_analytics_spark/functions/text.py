@@ -161,6 +161,83 @@ def extract_html_text(col: Column) -> Column:
     return F.trim(c)
 
 
+# Tracking query parameters every major web-curation pipeline strips
+# (C4 / RefinedWeb convention): matched against 'name=value' or bare
+# 'name' tokens of the query string.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|igshid)(=.*)?$"
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Web-corpus URL canonicalization (the dedup key for crawled
+    pages, RefinedWeb sec. 3.1 shape): lowercase the scheme and
+    authority, drop the #fragment, strip default ports (http:80 /
+    https:443), normalize an empty path to '/', strip trailing
+    slashes, drop tracking query parameters (``TRACKING_PARAM_RE``)
+    and sort the survivors so parameter ORDER never splits identical
+    pages. Pure chained regexp/array expressions — one codegen'd
+    projection, no UDF, RE2-safe patterns (replayable in an oracle
+    engine). Inputs without a scheme:// pass through trimmed (not a
+    URL; don't guess). A full WHATWG parser (percent-encoding
+    normalization, IDN) plugs in as a pandas UDF behind the same
+    column contract."""
+    u = F.regexp_replace(F.trim(col), r"(?s)#.*$", "")
+    scheme = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)", 1)
+    )
+    rest = F.regexp_extract(
+        u, r"(?s)^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)$", 1
+    )
+    lscheme = F.lower(scheme)
+    hostport = F.when(
+        lscheme == "http", F.regexp_replace(hostport, r":80$", "")
+    ).when(
+        lscheme == "https", F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(hostport)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"(?s)\?(.*)$", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    assembled = F.concat(
+        lscheme,
+        F.lit("://"),
+        hostport,
+        path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", F.trim(col)).otherwise(assembled)
+
+
+def url_domain(col: Column) -> Column:
+    """Registered domain of a URL (the per-domain cap / blocklist key):
+    lowercased host minus port and a leading 'www.', reduced to
+    eTLD+1 with the common-registry heuristic — three labels when the
+    middle one is a shared second-level registry under a two-letter
+    ccTLD (example.co.uk), two labels otherwise (sub.example.com ->
+    example.com). The full public-suffix list is a broadcast-join
+    plug-in on the same column; non-URLs yield ''."""
+    host = F.lower(
+        F.regexp_extract(
+            F.trim(col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?:#]*)", 1
+        )
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.regexp_extract(
+        host,
+        r"([^.]+\.(?:co|com|net|org|ac|gov|edu)\.[a-z][a-z]|[^.]+\.[^.]+)$",
+        1,
+    )
+
+
 def hash_hex(col: Column) -> Column:
     """Portable deterministic hash: md5 hex string (same in any engine)."""
     return F.md5(col)

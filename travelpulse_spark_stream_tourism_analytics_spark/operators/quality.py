@@ -81,3 +81,29 @@ def passes_quality_expr(
         & (col(digit_token_frac) <= g["max_digit_token_frac"])
         & (col(n_pii_hits) <= g["max_pii_hits"])
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """Keep at most ``k`` rows per key by the given ordering — the
+    per-DOMAIN cap of web-corpus curation (RefinedWeb sec. 3.1: bound
+    any single site's share of the corpus so crawl-frequency skew
+    doesn't become training-mixture skew), keyed on
+    ``functions.text.url_domain``. One shuffle on the key; the rank is
+    a per-key window, so a mega-domain serializes within its one task
+    — acceptable because the cap itself bounds what survives and the
+    window carries only the ordering columns. For adversarial
+    mega-key skew, pre-thin with a salted two-phase top-k (the
+    per_window_topn shape) in front of this exact window."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order_by)
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
