@@ -1289,3 +1289,47 @@ def test_cap_per_key_per_domain(spark):
     kept = sorted(r["doc_id"] for r in capped.collect())
     # example.com keeps 0 (0.9) and 2 (0.8); other.org keeps both
     assert kept == [0, 2, 4, 5]
+
+
+def test_dsir_importance_and_ppl_buckets_semantics(spark):
+    """DSIR importance weighting + CCNet perplexity bucketing (round
+    5): a doc made of trusted-corpus vocabulary scores a HIGHER
+    log-ratio (and a lower NLL -> head bucket) than one made of
+    out-of-domain terms; bucket sizes follow the terciles."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.lm import (
+        importance_weights,
+        lm_score_docs,
+        ppl_buckets,
+        unigram_lm,
+    )
+
+    trusted = spark.createDataFrame(
+        [(i, "travel hotel beach sun resort booking") for i in range(5)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "travel hotel beach sun"),          # fully in-domain
+            (1, "hotel booking resort lattice"),    # one unknown term
+            (2, "quantum chromodynamics lattice"),  # out-of-domain
+        ],
+        "doc_id long, text string",
+    )
+    raw = trusted.unionByName(docs)
+    tlm, rlm = unigram_lm(trusted), unigram_lm(raw)
+    w = {
+        r["doc_id"]: r["log_ratio"]
+        for r in importance_weights(docs, tlm, rlm).collect()
+    }
+    assert w[0] > w[2] and w[1] > w[2]
+    assert w[2] < 0  # out-of-domain: raw explains it better than target
+
+    scored = lm_score_docs(docs, tlm)
+    buckets = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in ppl_buckets(scored).collect()
+    }
+    assert buckets[2] == "tail"          # unknown-heavy doc: worst NLL
+    assert sorted(buckets.values()) == ["head", "middle", "tail"]

@@ -81,3 +81,96 @@ def lm_score_docs(
         F.count("*").alias("n_scored_tokens"),
         F.round(-F.avg("logp"), 6).alias("nll"),
     )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_lm: DataFrame,
+    raw_lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-document
+    importance of the TARGET distribution over the RAW crawl, as the
+    mean per-token log-likelihood ratio under two unigram LMs
+    (DSIR's hashed-ngram bag-of-words form with n=1; swapping in
+    hashed n-gram features changes only the token projection).
+    Positive log_ratio = looks more like the target corpus;
+    ``exp(n_tokens * log_ratio)`` is the unnormalized resampling
+    weight — kept in log space here because the weights span hundreds
+    of orders of magnitude at corpus scale.
+
+    One token explode, ONE pass against both broadcast vocabularies
+    (each LM is a dimension-sized (term, logp) table with the NULL
+    unknown slot of ``unigram_lm``), one shuffle keyed by doc."""
+    t_unk = target_lm.filter(F.col("term").isNull()).select(
+        F.col("logp").alias("__t_unk")
+    )
+    r_unk = raw_lm.filter(F.col("term").isNull()).select(
+        F.col("logp").alias("__r_unk")
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(words_of(F.col(text_col))).alias("term")
+    )
+    joined = (
+        toks.join(
+            F.broadcast(
+                target_lm.filter(F.col("term").isNotNull()).select(
+                    "term", F.col("logp").alias("__t")
+                )
+            ),
+            "term",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                raw_lm.filter(F.col("term").isNotNull()).select(
+                    "term", F.col("logp").alias("__r")
+                )
+            ),
+            "term",
+            "left",
+        )
+        .crossJoin(F.broadcast(t_unk))
+        .crossJoin(F.broadcast(r_unk))
+        .select(
+            id_col,
+            (
+                F.coalesce(F.col("__t"), F.col("__t_unk"))
+                - F.coalesce(F.col("__r"), F.col("__r_unk"))
+            ).alias("__ratio"),
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_scored_tokens"),
+        F.round(F.avg("__ratio"), 6).alias("log_ratio"),
+    )
+
+
+def ppl_buckets(
+    scored: DataFrame,
+    nll_col: str = "nll",
+    fracs: tuple = (1.0 / 3, 2.0 / 3),
+    labels: tuple = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020): split the
+    corpus into head/middle/tail by exact NLL quantiles — CCNet keeps
+    head+middle for training and uses tail as the low-quality reject
+    pile. The quantile edges ride as a broadcast 1-row aggregate (the
+    plan stays lazy, no driver collect); at 100 TB swap
+    ``approx_percentile`` in, exactly like the PSI edges. Adds a
+    ``ppl_bucket`` column; boundary docs land LEFT (<= edge)."""
+    edges = scored.agg(
+        F.percentile(
+            F.col(nll_col), F.array(*[F.lit(f) for f in fracs])
+        ).alias("__e")
+    )
+    b = F.lit(labels[-1])
+    for i in range(len(fracs) - 1, -1, -1):
+        b = F.when(
+            F.col(nll_col) <= F.col("__e")[i], F.lit(labels[i])
+        ).otherwise(b)
+    return scored.crossJoin(F.broadcast(edges)).withColumn(
+        "ppl_bucket", b
+    ).drop("__e")

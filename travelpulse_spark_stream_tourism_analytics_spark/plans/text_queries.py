@@ -977,6 +977,51 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GROUP BY doc_id
     ),
+    -- CCNet perplexity bucketing (round 5): head/middle/tail by the
+    -- exact NLL terciles of the lm branch (quantile_cont matches
+    -- Spark percentile bit-exactly, as pinned by the PSI grains);
+    -- boundary docs land LEFT (<= edge).
+    ppl_edges AS (
+        SELECT quantile_cont(score, 1.0/3) AS q1,
+               quantile_cont(score, 2.0/3) AS q2
+        FROM lm_branch
+    ),
+    ppl_branch AS (
+        SELECT 'ppl_bucket' AS branch,
+               CASE WHEN score <= q1 THEN 'head'
+                    WHEN score <= q2 THEN 'middle'
+                    ELSE 'tail' END AS term,
+               doc_id, n_occurrences, NULL::BIGINT AS n_docs, score
+        FROM lm_branch, ppl_edges
+    ),
+    -- DSIR importance weighting (round 5): mean per-token
+    -- log-likelihood ratio of the trusted-target LM (doc_id < 100)
+    -- over the raw whole-corpus LM, unknown slots coalesced per LM.
+    raw_counts AS (
+        SELECT term, count(*) AS n FROM terms GROUP BY term
+    ),
+    raw_tot AS (
+        SELECT sum(n)::DOUBLE + 0.5 * (count(*)::DOUBLE + 1.0) AS denom
+        FROM raw_counts
+    ),
+    raw_lm AS (
+        SELECT term, ln((n + 0.5) / raw_tot.denom) AS logp
+        FROM raw_counts, raw_tot
+    ),
+    dsir_branch AS (
+        SELECT 'dsir' AS branch, NULL::VARCHAR AS term, doc_id,
+               count(*) AS n_occurrences, NULL::BIGINT AS n_docs,
+               round(avg(tl - rl), 6) AS score
+        FROM (
+            SELECT t.doc_id,
+                   coalesce(lm.logp, ln(0.5 / lm_tot.denom)) AS tl,
+                   coalesce(r.logp, ln(0.5 / raw_tot.denom)) AS rl
+            FROM terms t
+            LEFT JOIN lm ON t.term = lm.term
+            LEFT JOIN raw_lm r ON t.term = r.term, lm_tot, raw_tot
+        )
+        GROUP BY doc_id
+    ),
     -- Count-min sketch contract (round 5): for the exact top-20 terms
     -- the engine must report the true count AND score=1.0, where the
     -- engine's score is computed FROM THE SKETCHES: 1.0 iff the
@@ -1025,6 +1070,10 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT * FROM lm_branch
     UNION ALL
+    SELECT * FROM ppl_branch
+    UNION ALL
+    SELECT * FROM dsir_branch
+    UNION ALL
     SELECT * FROM cms_branch
     UNION ALL
     SELECT * FROM bpe_branch
@@ -1056,6 +1105,18 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary like a dimension, and every document gets its mean
     per-token negative log-likelihood (score; n_occurrences = tokens
     scored). Swapping KenLM in changes only the scorer.
+
+    branch='ppl_bucket' — CCNet perplexity bucketing (round 5,
+    operators/lm.py ppl_buckets, Wenzek et al. 2020): head/middle/tail
+    by exact NLL terciles of the lm branch; CCNet keeps head+middle
+    and rejects tail. Edges ride as a broadcast 1-row aggregate.
+
+    branch='dsir' — DSIR importance weighting (round 5,
+    operators/lm.py importance_weights, Xie et al. 2023): mean
+    per-token log-likelihood ratio of the trusted-target LM
+    (doc_id < 100) over the raw whole-corpus LM — the data-selection
+    score whose exp() is the importance-resampling weight. One token
+    pass against both broadcast vocabularies.
 
     branch='contam' — n-gram benchmark contamination (round 3): flag
     every training doc (doc_id >= 20) sharing a distinct word 3-gram
@@ -1090,6 +1151,9 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from travelpulse_spark_stream_tourism_analytics_spark.operators.keywords import (
         tfidf_top_keywords,
     )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators import (
+        lm as lm_ops,
+    )
     from travelpulse_spark_stream_tourism_analytics_spark.operators.lm import (
         lm_score_docs,
         unigram_lm,
@@ -1103,15 +1167,39 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").alias("n_docs"),
         F.col("tfidf").alias("score"),
     )
-    lm = lm_score_docs(
-        docs, unigram_lm(docs.filter(F.col("doc_id") < 100))
-    ).select(
+    target_lm = unigram_lm(docs.filter(F.col("doc_id") < 100))
+    scored = lm_score_docs(docs, target_lm)
+    lm = scored.select(
         F.lit("lm").alias("branch"),
         F.lit(None).cast("string").alias("term"),
         "doc_id",
         F.col("n_scored_tokens").alias("n_occurrences"),
         F.lit(None).cast("long").alias("n_docs"),
         F.col("nll").alias("score"),
+    )
+    # CCNet perplexity bucketing (round 5): head/middle/tail by exact
+    # NLL terciles — the keep/reject split CCNet applies after LM
+    # scoring; edges ride as a broadcast 1-row aggregate.
+    ppl = lm_ops.ppl_buckets(scored).select(
+        F.lit("ppl_bucket").alias("branch"),
+        F.col("ppl_bucket").alias("term"),
+        "doc_id",
+        F.col("n_scored_tokens").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.col("nll").alias("score"),
+    )
+    # DSIR importance weighting (round 5): mean per-token log-ratio of
+    # the trusted-target LM over the whole-corpus raw LM — one token
+    # pass against both broadcast vocabularies.
+    dsir = lm_ops.importance_weights(
+        docs, target_lm, unigram_lm(docs)
+    ).select(
+        F.lit("dsir").alias("branch"),
+        F.lit(None).cast("string").alias("term"),
+        "doc_id",
+        F.col("n_scored_tokens").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.col("log_ratio").alias("score"),
     )
 
     def doc_ngrams(df: DataFrame) -> DataFrame:
@@ -1221,6 +1309,7 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         top.unionByName(contam).unionByName(tfidf).unionByName(lm)
+        .unionByName(ppl).unionByName(dsir)
         .unionByName(cms).unionByName(bpe)
     )
 
