@@ -1333,3 +1333,94 @@ def test_dsir_importance_and_ppl_buckets_semantics(spark):
     }
     assert buckets[2] == "tail"          # unknown-heavy doc: worst NLL
     assert sorted(buckets.values()) == ["head", "middle", "tail"]
+
+
+def test_trained_quality_classifier_separates_and_matches_reference(
+    spark, tmp_path
+):
+    """fastText-shape trained quality classifier (round 5): hashed
+    bag-of-words features + distributed full-batch logistic
+    regression. On a separable planted corpus the trained gate
+    classifies a held-out set perfectly; the distributed training
+    matches a straight-line pure-Python reference to float tolerance;
+    and the feature relation replays exactly in DuckDB (md5 bucket,
+    engine-portable by construction)."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.classifier import (
+        classifier_parity_reference,
+        hashed_bow_features,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    rng = random.Random(3)
+    good_vocab = [f"travel{i}" for i in range(30)]
+    bad_vocab = [f"spamword{i}" for i in range(30)]
+
+    def doc(vocab):
+        return " ".join(rng.choice(vocab) for _ in range(12))
+
+    rows = [(i, doc(good_vocab), 1) for i in range(40)]
+    rows += [(i, doc(bad_vocab), 0) for i in range(40, 80)]
+    train = [r for r in rows if r[0] % 4 != 0]
+    hold = [r for r in rows if r[0] % 4 == 0]
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in train], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(i, y) for i, _, y in train], "doc_id long, label int"
+    )
+    dim = 256
+    feats = hashed_bow_features(docs, dim=dim).persist()
+    w, b = train_quality_classifier(feats, labels, dim=dim, iters=8)
+
+    hold_df = spark.createDataFrame(
+        [(i, t) for i, t, _ in hold], "doc_id long, text string"
+    )
+    probs = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_quality(hold_df, w, b, dim=dim).collect()
+    }
+    want = {i: y for i, _, y in hold}
+    assert all((probs[i] > 0.5) == (want[i] == 1) for i in probs)
+
+    # distributed training == straight-line reference (same feature
+    # rows, same schedule) to float tolerance
+    feat_rows = [
+        (r["doc_id"], r["bucket"], r["x"]) for r in feats.collect()
+    ]
+    w2, b2 = classifier_parity_reference(
+        feat_rows, {i: float(y) for i, _, y in train}, dim, iters=8
+    )
+    assert abs(b - b2) < 1e-9
+    assert max(abs(a - c) for a, c in zip(w, w2)) < 1e-9
+
+    # DuckDB twin of the feature relation (md5 bucket + L1 normalize)
+    docs.write.mode("overwrite").parquet(str(tmp_path / "d.parquet"))
+    duck = {
+        (int(i), int(k)): x
+        for i, k, x in duckdb.sql(f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM '{tmp_path}/d.parquet/*.parquet'
+            ), c AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(term), 1, 15))::BIGINT % {dim}
+                           AS bucket,
+                       count(*) AS n
+                FROM toks GROUP BY 1, 2
+            )
+            SELECT doc_id, bucket,
+                   n / sum(n) OVER (PARTITION BY doc_id) AS x
+            FROM c
+        """).fetchall()
+    }
+    got = {(i, k): x for i, k, x in feat_rows}
+    assert set(duck) == set(got)
+    assert all(abs(duck[k] - got[k]) < 1e-12 for k in got)
+    feats.unpersist()
