@@ -1,0 +1,197 @@
+"""Audio clip-in-corpus search (Haitsma & Kalker, ISMIR 2002).
+
+Where ``multimodal.audio_fingerprints`` gives ONE 64-bit hash per clip
+(whole-clip near-dup), this module implements the reference algorithm's
+RETRIEVAL form: a stream of per-frame 31-bit SUBfingerprints over
+overlapping windows, searched by exact subprint match -> offset voting
+-> bit-error-rate verification. That is the "which track contains this
+10-second excerpt, and where" query — the audio twin of exact-substring
+text search, not of document near-dup.
+
+Faithful to the paper's shape with one deliberate substitution: the
+33-band log-spaced FFT filterbank becomes a 5-level Haar wavelet PACKET
+(32 bands in sequency order), so band energies are INTEGER sums of
+squares of integer coefficients and every bit decision is an exact
+integer comparison — bit-reproducible across engines with no float
+summation-order hazard (the same trade documented for
+``audio_fingerprint64``). Bit m of frame n is the paper's formula
+unchanged: sign of the band-energy difference derivative,
+``E(n,m) - E(n,m+1) - E(n-1,m) + E(n-1,m+1) > 0``.
+
+Scale shape: the corpus print table (track, frame_idx, subprint) is a
+persistable INDEX, ~one row per hop per track, built in one
+``mapInPandas`` decode pass. Search is (a) an equi-join of the query's
+prints against the index on the 31-bit value — selective by
+construction, the paper's lookup-table step — (b) a (track, offset)
+vote count, one narrow shuffle, and (c) BER verification only for
+candidates above the vote floor, a bounded join per candidate. Nothing
+scans audio twice and nothing is quadratic in the corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+    decode_wav,
+    decode_wav_samples,
+    sniff_mime,
+)
+
+SUBPRINT_BITS = 31  # 32 bands -> 31 adjacent-band differences
+
+
+def _haar_packet(x, levels: int):
+    """Full wavelet-packet decomposition with the (unnormalized) Haar
+    pair (sum, difference) — integer in, integer out. Returns
+    ``2**levels`` band arrays in sequency order."""
+    bands = [x]
+    for _ in range(levels):
+        nxt = []
+        for b in bands:
+            n = len(b) - len(b) % 2
+            b = b[:n]
+            nxt.append(b[0::2] + b[1::2])
+            nxt.append(b[0::2] - b[1::2])
+        bands = nxt
+    return bands
+
+
+def subfingerprints_of(
+    samples, channels: int, frame: int = 256, hop: int = 128,
+    levels: int = 5,
+) -> list:
+    """Per-frame 31-bit subfingerprints of a PCM clip (channel 0).
+    Frame n covers samples ``[n*hop, n*hop + frame)``; prints start at
+    frame 1 (the formula consumes the previous frame's energies).
+    A clip cut at a hop-aligned offset k*hop reproduces the track's
+    prints exactly (same windows); misaligned cuts are absorbed by the
+    BER threshold at verification, exactly as in the paper."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)[::channels]
+    n_frames = (len(x) - frame) // hop + 1 if len(x) >= frame else 0
+    energies = []
+    for n in range(n_frames):
+        w = x[n * hop : n * hop + frame]
+        energies.append(
+            [int((b * b).sum()) for b in _haar_packet(w, levels)]
+        )
+    prints = []
+    n_bands = 1 << levels
+    for n in range(1, n_frames):
+        e, p = energies[n], energies[n - 1]
+        v = 0
+        for m in range(n_bands - 1):
+            if e[m] - e[m + 1] - p[m] + p[m + 1] > 0:
+                v |= 1 << m
+        prints.append(v)
+    return prints
+
+
+PRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("subprint", T.LongType()),
+    ]
+)
+
+
+def audio_subfingerprints(
+    df: DataFrame, frame: int = 256, hop: int = 128, levels: int = 5
+) -> DataFrame:
+    """(doc_id, frame_idx, subprint) over WAV payloads — the
+    persistable search index; one decode pass, rows explode
+    map-side."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fi, sp = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if sniff_mime(payload) != "audio/wav":
+                    raise NotImplementedError("not audio/wav")
+                ch, _r, _n, _d = decode_wav(payload)
+                prints = subfingerprints_of(
+                    decode_wav_samples(payload), ch, frame, hop, levels
+                )
+                for i, v in enumerate(prints, start=1):
+                    ids.append(doc_id)
+                    fi.append(i)
+                    sp.append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fi, dtype="int64"),
+                    "subprint": pd.Series(sp, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, PRINT_SCHEMA)
+
+
+def match_audio_clip(
+    index: DataFrame,
+    query: DataFrame,
+    min_votes: int = 3,
+    max_ber: float = 0.25,
+) -> DataFrame:
+    """Locate a query clip inside the indexed corpus: equi-join the
+    clip's prints against the index on the exact 31-bit value, vote
+    per (track, frame offset), and verify every candidate at or above
+    ``min_votes`` by mean bit-error-rate over the aligned frames.
+
+    ``index`` is ``audio_subfingerprints`` output; ``query`` the same
+    for the clip (one doc, any doc_id). Returns (doc_id, offset,
+    votes, n_aligned, ber, verified) — ``offset`` in frames from
+    track start to clip start, ``verified`` when ber <= max_ber over
+    ALL the clip's prints (not just the voting ones).
+
+    The vote floor makes verification cost proportional to true-match
+    candidates, not to the candidate join; a noisy clip whose exact
+    prints all miss still verifies IF any single print survives —
+    the paper's robustness argument — at the price of one vote."""
+    q = query.select(
+        F.col("frame_idx").alias("q_idx"),
+        F.col("subprint").alias("q_print"),
+    )
+    n_q = q.count()
+    cand = (
+        index.join(F.broadcast(q), F.col("subprint") == F.col("q_print"))
+        .select("doc_id", (F.col("frame_idx") - F.col("q_idx")).alias("offset"))
+        .filter(F.col("offset") >= 0)
+        .groupBy("doc_id", "offset")
+        .agg(F.count("*").alias("votes"))
+        .filter(F.col("votes") >= min_votes)
+    )
+    aligned = (
+        index.join(cand, "doc_id")
+        .withColumn("q_idx", F.col("frame_idx") - F.col("offset"))
+        .filter(F.col("q_idx").between(1, n_q))
+        .join(F.broadcast(q), "q_idx")
+    )
+    return (
+        aligned.groupBy("doc_id", "offset", "votes")
+        .agg(
+            F.count("*").alias("n_aligned"),
+            F.round(
+                F.sum(
+                    F.bit_count(
+                        F.col("subprint").bitwiseXOR(F.col("q_print"))
+                    )
+                )
+                / (F.lit(float(SUBPRINT_BITS)) * F.count("*")),
+                6,
+            ).alias("ber"),
+        )
+        .withColumn(
+            "verified",
+            (F.col("n_aligned") == n_q) & (F.col("ber") <= max_ber),
+        )
+    )
