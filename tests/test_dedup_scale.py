@@ -917,3 +917,51 @@ def test_cluster_safe_split_no_neardup_leakage(spark):
     # deterministic: identical second run
     rows2 = {r["doc_id"]: r["split"] for r in cluster_safe_split(docs, comp, "doc_id").collect()}
     assert rows == rows2
+
+
+def test_incremental_ingest_composes_with_image_fingerprints(spark):
+    """Cross-modality composition (round 5): incremental_simhash_neardups
+    consumes ANY (id, simhash) relation — feeding it image aHashes
+    gives incremental IMAGE ingest dedup (day-2 re-encode of a day-1
+    picture flagged against the persisted index) with zero new code,
+    the same way batch near-dup reuses one banded join across text,
+    image and audio fingerprints."""
+    import struct
+
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        image_ahashes,
+        synth_bmp,
+    )
+
+    def random_bmp(seed):
+        rng = np.random.default_rng(seed)
+        shell = bytearray(synth_bmp(16, 16))
+        (offset,) = struct.unpack_from("<I", bytes(shell), 10)
+        px = rng.integers(0, 256, size=len(shell) - offset, dtype=np.uint8)
+        shell[offset:] = px.tobytes()
+        return bytes(shell)
+
+    base = random_bmp(4)
+    corrupted = bytearray(base)
+    for off in range(60, 66):
+        corrupted[-off] ^= 0x07
+
+    day1 = spark.createDataFrame(
+        [(0, base), (1, random_bmp(9))], "doc_id long, payload binary"
+    )
+    day2 = spark.createDataFrame(
+        [(10, bytes(corrupted)), (11, random_bmp(23))],
+        "doc_id long, payload binary",
+    )
+    v1, idx1 = dedup.incremental_simhash_neardups(
+        image_ahashes(day1), None, bits=64
+    )
+    assert not any(r["is_dup"] for r in v1.collect())
+    v2, _idx2 = dedup.incremental_simhash_neardups(
+        image_ahashes(day2), idx1, bits=64
+    )
+    got = {r["doc_id"]: (r["is_dup"], r["dup_of"]) for r in v2.collect()}
+    assert got[10] == (True, 0)   # day-2 re-encode vs day-1 index
+    assert got[11] == (False, None)
