@@ -170,8 +170,11 @@ def match_audio_clip(
         .agg(F.count("*").alias("votes"))
         .filter(F.col("votes") >= min_votes)
     )
+    # candidates above the vote floor are bounded (true matches plus
+    # rare collisions), so the verification join broadcasts them and
+    # never shuffles the index
     aligned = (
-        index.join(cand, "doc_id")
+        index.join(F.broadcast(cand), "doc_id")
         .withColumn("q_idx", F.col("frame_idx") - F.col("offset"))
         .filter(F.col("q_idx").between(1, n_q))
         .join(F.broadcast(q), "q_idx")
