@@ -411,3 +411,95 @@ def test_streaming_neardup_ttl_evicts_idle_buckets(spark, tmp_path):
     v2 = drain(ttl_ms=None, chk="chk_forever")
     assert v1[7] is False  # bucket evicted: no memory of doc 0
     assert v2[7] is True   # unbounded state still remembers doc 0
+
+
+def test_streaming_image_ingest_dedup_across_batches(spark, tmp_path):
+    """Streaming MEDIA ingest dedup (round 5): BMP payloads stream in,
+    aHash fingerprints are computed IN-STREAM (image_ahashes is a
+    stateless mapInPandas projection, so the banded index stays the
+    query's only stateful op), and a later re-encode of an earlier
+    image is flagged across the micro-batch boundary — the streaming
+    twin of the cross-modality batch composition: any modality's
+    fingerprint rides the one near-dup machinery."""
+    import os
+    import shutil
+    import struct
+
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        image_ahashes,
+        synth_bmp,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.stateful import (
+        neardup_verdicts,
+        streaming_neardup_evidence,
+    )
+
+    def random_bmp(seed):
+        rng = np.random.default_rng(seed)
+        shell = bytearray(synth_bmp(16, 16))
+        (offset,) = struct.unpack_from("<I", bytes(shell), 10)
+        px = rng.integers(0, 256, size=len(shell) - offset, dtype=np.uint8)
+        shell[offset:] = px.tobytes()
+        return bytes(shell)
+
+    base = random_bmp(4)
+    corrupted = bytearray(base)
+    for off in range(60, 66):
+        corrupted[-off] ^= 0x07
+
+    stream_dir = tmp_path / "imgs"
+    stream_dir.mkdir()
+
+    def write_day(name, rows, mtime):
+        staging = tmp_path / f"stage_{name}"
+        spark.createDataFrame(
+            rows, "doc_id long, payload binary"
+        ).coalesce(1).write.mode("overwrite").parquet(str(staging))
+        part = next(
+            p for p in os.listdir(staging) if p.endswith(".parquet")
+        )
+        dst = stream_dir / f"{name}.parquet"
+        shutil.copy(staging / part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    write_day("day1", [(0, base), (1, random_bmp(9))], 1_000_000_000)
+    write_day(
+        "day2",
+        [(10, bytes(corrupted)), (11, random_bmp(23))],
+        1_000_000_100,
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    emitted = []
+    q = (
+        streaming_neardup_evidence(
+            image_ahashes(stream), "doc_id", "simhash",
+            max_hamming=3, bits=64,
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, bid: emitted.append(
+                (bid, neardup_verdicts(df).collect())
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "chk_img"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not drain"
+
+    got = {}
+    for _, rows in emitted:
+        for r in rows:
+            got[r["doc_id"]] = (r["is_dup"], r["dup_of"])
+    assert got[10] == (True, 0)      # day-2 re-encode vs day-1 state
+    assert got[0] == (False, None)
+    assert got[1] == (False, None)
+    assert got[11] == (False, None)
+    assert len(emitted) >= 2         # the index crossed the boundary
