@@ -430,3 +430,47 @@ def test_tsmatch_branch_plan_shape(spark):
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange") <= 2  # the user_id agg (+AQE read)
+
+
+def test_audio_clip_search_joins_broadcast(spark):
+    """match_audio_clip (round 5): both halves of the search must
+    broadcast the small side — the query's prints against the index
+    (candidate join) and the vote-floor candidate set (verification
+    join) — so the persistable print index is never shuffled."""
+    import io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.audio_search import (
+        audio_subfingerprints,
+        match_audio_clip,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        synth_wav,
+    )
+
+    def wav_of(samples):
+        shell = bytearray(synth_wav(len(samples), 8000, 1))
+        shell[-2 * len(samples):] = np.asarray(samples, "<i2").tobytes()
+        return bytes(shell)
+
+    rng = np.random.default_rng(2)
+    track = (rng.standard_normal(4000) * 2000).astype(np.int64)
+    corpus = spark.createDataFrame(
+        [(0, wav_of(track))], "doc_id long, payload binary"
+    )
+    index = audio_subfingerprints(corpus)
+    q = audio_subfingerprints(
+        spark.createDataFrame(
+            [(9, wav_of(track[1280:3000]))], "doc_id long, payload binary"
+        )
+    )
+    df = match_audio_clip(index, q)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("BroadcastHashJoin") >= 3  # cand, verify x2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1424,3 +1424,53 @@ def test_trained_quality_classifier_separates_and_matches_reference(
     assert set(duck) == set(got)
     assert all(abs(duck[k] - got[k]) < 1e-12 for k in got)
     feats.unpersist()
+
+
+def test_canonicalize_url_idempotent_and_invariant(spark):
+    """Canonicalization must be IDEMPOTENT (canonical URLs are fixed
+    points — the dedup key property) and its outputs must satisfy the
+    invariants downstream relies on: no fragment, no default port, no
+    tracking params, query params sorted. Checked over a constructed
+    fuzz matrix of scheme/host/port/path/query/fragment combinations."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+        canonicalize_url,
+    )
+
+    schemes = ["http", "HTTPS", "ftp"]
+    hosts = ["Example.com", "www.ex.co.uk", "a.b.c"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b", "/x/", "//y//"]
+    queries = ["", "?b=2&a=1", "?utm_source=x", "?gclid=1&z=9&utm_a=2",
+               "?a=1&a=1&"]
+    frags = ["", "#f", "#a?b=1"]
+    urls = [
+        f"{s}://{h}{po}{pa}{q}{fr}"
+        for s, h, po, pa, q, fr in itertools.product(
+            schemes, hosts, ports, paths, queries, frags
+        )
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        "url",
+        canonicalize_url(F.col("url")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r["c1"] == r["c2"], r["url"]          # idempotent
+        c = r["c1"]
+        assert "#" not in c, r["url"]                # fragment gone
+        assert "utm_" not in c and "gclid" not in c, r["url"]
+        assert not c.startswith("http://") or ":80/" not in c
+        assert not c.startswith("https://") or ":443/" not in c
+        if "?" in c:
+            params = c.split("?", 1)[1].split("&")
+            assert params == sorted(params), r["url"]  # sorted, no ''
+            assert "" not in params
+        # scheme+host lowercased
+        head = c.split("://", 1)
+        assert head[0] == head[0].lower()
+        assert head[1].split("/", 1)[0] == head[1].split("/", 1)[0].lower()
