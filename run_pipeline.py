@@ -235,7 +235,9 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
 
 
 def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False,
-               strip_boilerplate: int | None = None) -> dict:
+               strip_boilerplate: int | None = None,
+               ppl_tail: float | None = None,
+               lm_ref_path: str | None = None) -> dict:
     """Batch corpus curation (``--mode curate``): documents (a parquet
     dir/file or JSONL dir with {doc_id, text}) flow through the
     quality gate -> PII redaction -> exact dedup -> chunking ->
@@ -261,8 +263,10 @@ def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False,
         docs = spark.read.parquet(
             table if os.path.exists(table) else docs_path
         )
+    lm_ref = _load_docs(spark, lm_ref_path) if lm_ref_path else None
     packed = curate_corpus(docs, fuzzy=fuzzy,
-                           strip_boilerplate=strip_boilerplate)
+                           strip_boilerplate=strip_boilerplate,
+                           ppl_tail_frac=ppl_tail, lm_ref=lm_ref)
     packed.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
     out = spark.read.parquet(out_dir)
     agg = out.agg(
@@ -436,6 +440,18 @@ def main() -> None:
         "verbatim in >= K kept docs (exact-substring boilerplate)",
     )
     ap.add_argument(
+        "--ppl-tail",
+        type=float,
+        help="--mode curate: drop the worst FRACTION of deduped docs "
+        "by unigram-LM mean NLL (CCNet tail-reject); the LM trains on "
+        "--lm-ref when given, else on the deduped corpus itself",
+    )
+    ap.add_argument(
+        "--lm-ref",
+        help="--mode curate: parquet docs dir of a TRUSTED corpus to "
+        "train the perplexity LM on (used with --ppl-tail)",
+    )
+    ap.add_argument(
         "--index",
         help="--mode dedup-batch: directory holding the persisted "
         "(doc_id, simhash) fingerprint index; created on first run, "
@@ -507,7 +523,8 @@ def main() -> None:
         if not args.path or not args.out:
             ap.error("--mode curate requires --path (docs dir) and --out")
         stats = run_curate(spark, args.path, args.out, fuzzy=args.fuzzy,
-                         strip_boilerplate=args.strip_boilerplate)
+                         strip_boilerplate=args.strip_boilerplate,
+                         ppl_tail=args.ppl_tail, lm_ref_path=args.lm_ref)
         print(
             f">>> curated; {stats['docs']} docs in, {stats['kept']} kept, "
             f"{stats['samples']} packed samples in {stats['packs']} "

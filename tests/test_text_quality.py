@@ -1474,3 +1474,56 @@ def test_canonicalize_url_idempotent_and_invariant(spark):
         head = c.split("://", 1)
         assert head[0] == head[0].lower()
         assert head[1].split("/", 1)[0] == head[1].split("/", 1)[0].lower()
+
+
+def test_curate_ppl_tail_stage_drops_outliers(spark, tmp_path):
+    """CCNet perplexity stage in the curate chain (round 5,
+    --ppl-tail): gibberish documents that PASS the heuristic gate
+    (fluent-looking lengths, stopwords present, no repetition) but are
+    statistical outliers under the corpus LM land in the NLL tail and
+    are dropped; the fluent majority survives. Also drives the CLI
+    path end to end."""
+    import json
+    import random
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from run_pipeline import run_curate
+
+    rng = random.Random(9)
+    common = ("the and of travel hotel beach summer season booking "
+              "resort coast room view sun guest price city tour day "
+              "trip plan stay").split()
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    rows = []
+    for i in range(40):  # fluent: drawn from a shared vocabulary
+        rows.append((i, "the " + " ".join(
+            rng.choice(common) for _ in range(30)
+        )))
+    for i in range(40, 44):  # outliers: singleton pseudo-words
+        rows.append((i, "the " + " ".join(
+            f"zzq{i}x{j}" for j in range(30)
+        )))
+    with open(docs_dir / "part-0.json", "w") as f:
+        for i, t in rows:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    stats = run_curate(
+        spark, str(docs_dir), str(tmp_path / "out"), ppl_tail=0.1
+    )
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert stats["docs"] == 44
+    assert not kept & {40, 41, 42, 43}   # the planted tail is gone
+    assert len(kept & set(range(40))) >= 36  # fluent docs survive
+
+    # without the stage the outliers pass the heuristic gate
+    stats2 = run_curate(spark, str(docs_dir), str(tmp_path / "out2"))
+    kept2 = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out2")).collect()
+    }
+    assert {40, 41, 42, 43} <= kept2

@@ -159,6 +159,8 @@ def curate_corpus(
     fuzzy: bool = False,
     jaccard_threshold: float = 0.5,
     strip_boilerplate: int | None = None,
+    ppl_tail_frac: float | None = None,
+    lm_ref: DataFrame | None = None,
 ) -> DataFrame:
     """Run the full curation chain; returns packed training samples
     (doc_id, chunk_idx, chunk_uid, chunk_text, n_chunk_tokens,
@@ -172,6 +174,13 @@ def curate_corpus(
     exactly its cleanest member. Adds the banded-join shuffles of the
     oracled docs_minhash_neardup_pairs pipeline; everything else is
     unchanged.
+
+    With ``ppl_tail_frac=f`` (round 5) a CCNet perplexity stage runs
+    after dedup: a unigram LM trains on ``lm_ref`` (trusted corpus) or
+    the deduped corpus itself, and the worst ``f`` of documents by
+    mean NLL are dropped — the paper's "reject the tail" policy as a
+    chain stage (operators/lm.py holds the scoring machinery; the
+    catalog's ppl_bucket branch oracles the same terciles).
 
     With ``strip_boilerplate=K`` (round 4) a CHUNK-level boilerplate
     filter runs after chunking: any chunk containing a
@@ -228,6 +237,35 @@ def curate_corpus(
         unique = unique.join(
             winners.select(id_col), id_col, "left_semi"
         )
+    if ppl_tail_frac is not None:
+        # CCNet perplexity stage (round 5, Wenzek et al. 2020): drop
+        # the worst ppl_tail_frac of the deduped corpus by unigram-LM
+        # NLL. The LM trains on ``lm_ref`` when a trusted corpus is
+        # supplied (the paper's setup); otherwise on the deduped
+        # corpus itself — self-perplexity, which flags statistical
+        # outliers (gibberish, wrong-language debris) rather than
+        # off-domain text. The cut edge rides as a broadcast 1-row
+        # aggregate like ppl_buckets; ties keep LEFT (<= edge).
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.lm import (
+            lm_score_docs,
+            unigram_lm,
+        )
+
+        lm = unigram_lm(
+            lm_ref if lm_ref is not None else unique, text_col
+        )
+        scored = lm_score_docs(unique, lm, id_col, text_col)
+        edge = scored.agg(
+            F.percentile(
+                F.col("nll"), F.lit(1.0 - float(ppl_tail_frac))
+            ).alias("__edge")
+        )
+        keep_ppl = (
+            scored.crossJoin(F.broadcast(edge))
+            .filter(F.col("nll") <= F.col("__edge"))
+            .select(id_col)
+        )
+        unique = unique.join(keep_ppl, id_col, "left_semi")
     chunks = chunk_documents(
         unique, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
     )
