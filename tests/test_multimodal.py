@@ -923,3 +923,53 @@ def test_audio_neardup_via_fingerprint_banded_hamming(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 1) in got
     assert all(p == (0, 1) for p in got), got
+
+
+def test_video_neardup_majority_of_frame_hashes(spark):
+    """Video near-dup (round 5, fourth modality): a re-encode sharing
+    most frames pairs by MAJORITY of per-slot aHashes even though one
+    sampled frame differs; unrelated videos never pair. Composition of
+    the existing per-slot banded machinery — no new join shape."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.multimodal import (
+        split_mjpeg_frames,
+        synth_jpeg,
+        synth_mjpeg,
+        video_frame_ahashes,
+        video_neardup_pairs,
+    )
+
+    # synth_jpeg's gradient is perceptually IDENTICAL across seeds at
+    # one block grid (aHash correctly maps them together — same trap
+    # documented for synth_bmp); DIFFERENT grids differ by ~12 bits.
+    # So: variant = base with sampled frame 6 (slot 3 of 4) replaced
+    # by an off-grid frame; other = a different grid throughout.
+    base = synth_mjpeg(8, 3, 2, seed=40)
+    frames = split_mjpeg_frames(base)
+    variant = (
+        b"".join(frames[:6]) + synth_jpeg(4, 3, seed=999) + frames[7]
+    )
+    other = synth_mjpeg(8, 4, 1, seed=400)
+
+    df = spark.createDataFrame(
+        [(0, base), (1, variant), (2, other)],
+        "doc_id long, payload binary",
+    )
+    sigs = video_frame_ahashes(df, n_frames=4)
+    rows = sigs.collect()
+    assert len(rows) == 12  # 3 videos x 4 slots
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_slots_agree"]
+        for r in video_neardup_pairs(sigs, n_frames=4).collect()
+    }
+    assert pairs.get((0, 1)) == 3  # slots 0-2 shared, edited slot 3 far
+    assert all(p == (0, 1) for p in pairs), pairs
+
+    # all-slots quorum: the edited variant must drop out — its
+    # replaced frame lands exactly in sampled slot 3.
+    quorum4 = {
+        (r["id_a"], r["id_b"])
+        for r in video_neardup_pairs(
+            sigs, n_frames=4, min_agree=4
+        ).collect()
+    }
+    assert quorum4 == set()

@@ -1645,3 +1645,101 @@ def audio_fingerprints(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, AHASH_SCHEMA)
+
+
+VIDEO_AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_slot", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def video_frame_ahashes(df: DataFrame, n_frames: int) -> DataFrame:
+    """Video fingerprint SIGNATURES: aHash of each of ``n_frames``
+    uniformly sampled frames of an MJPEG payload — (doc_id,
+    frame_slot, simhash), decoding ONLY the sampled frames exactly
+    like sample_video_frames. The per-slot hashes make video the
+    FOURTH modality on the shared near-dup machinery (see
+    video_neardup_pairs)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, slots, hs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = split_mjpeg_frames(bytes(payload))
+                n = len(frames)
+                if n == 0:
+                    continue
+                idx = (np.arange(n_frames) * n) // n_frames
+                decoded = {}
+                for i in sorted(set(int(i) for i in idx)):
+                    _w, _h, px = decode_jpeg(frames[i])
+                    decoded[i] = ahash64(
+                        px if px.ndim == 3 else px[:, :, None]
+                    )
+                for s, i in enumerate(idx):
+                    ids.append(doc_id)
+                    slots.append(s)
+                    hs.append(decoded[int(i)])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_slot": pd.Series(slots, dtype="int64"),
+                    "simhash": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, VIDEO_AHASH_SCHEMA
+    )
+
+
+def video_neardup_pairs(
+    sigs: DataFrame,
+    n_frames: int,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+    min_agree: int | None = None,
+) -> DataFrame:
+    """Video near-dup detection by MAJORITY of per-slot frame hashes:
+    two videos pair when at least ``min_agree`` (default strict
+    majority) of their sampled frame slots are within the Hamming
+    radius — robust to a re-encode that alters a few frames (intros,
+    watermarks, trailing credits) where a single whole-video hash
+    breaks.
+
+    Composition, not new machinery: each slot runs the exact banded
+    simhash_neardup_pairs the text/image/audio modalities use, and the
+    slot verdicts union into one (id_a, id_b) agreement count —
+    ``n_frames`` is a small plan constant, so the per-slot branches
+    are bounded fan-out, each with the banded join's scale shape. (A
+    slot-keyed single join is the same plan with the slot folded into
+    the band key; the explicit union keeps the proven operator
+    untouched.)"""
+    from functools import reduce
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    if min_agree is None:
+        min_agree = n_frames // 2 + 1
+    per_slot = [
+        simhash_neardup_pairs(
+            sigs.filter(F.col("frame_slot") == s).select(id_col, "simhash"),
+            id_col,
+            max_hamming=max_hamming,
+            bits=bits,
+        ).select("id_a", "id_b")
+        for s in range(n_frames)
+    ]
+    return (
+        reduce(lambda a, b: a.unionByName(b), per_slot)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_slots_agree"))
+        .filter(F.col("n_slots_agree") >= min_agree)
+    )
