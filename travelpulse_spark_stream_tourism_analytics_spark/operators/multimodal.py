@@ -1035,6 +1035,18 @@ def attach_media_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def synth(ids: pd.Series) -> pd.Series:
         def make(d: int) -> bytes:
             d = int(d)
+            if d >= 600:
+                # MJPEG video (round 5): 4 + d%3 frames whose block
+                # GRIDS vary per frame (same-grid gradient frames
+                # aHash identically, which would make frame sampling
+                # unobservable) — each frame is the standard
+                # block-constant baseline JPEG, closed-form in d+f.
+                return b"".join(
+                    synth_jpeg(
+                        1 + (d + f) % 4, 1 + (d + f) % 3, seed=d + f
+                    )
+                    for f in range(4 + d % 3)
+                )
             if d >= 500:
                 # Color JPEG (round 5): even ids 4:2:0, odd ids 4:4:4.
                 if d % 2 == 0:

@@ -1898,6 +1898,39 @@ _AFP_BANDS = ", ".join(
         FROM documents WHERE doc_id >= 300 AND doc_id < 400
     ) g
     UNION ALL
+    -- Video frame-hash signatures (round 5): slot s of 4 samples
+    -- source frame i = (s * n_frames) // 4 of the id's MJPEG stream;
+    -- frame i is the block-constant baseline JPEG with grid
+    -- (1 + (d+i) % 4, 1 + (d+i) % 3) and seed d+i, so its decoded
+    -- aHash is the same closed-form block-grid resample as the
+    -- 'ahash' branch with doc_id -> d+i. channels = frame_slot.
+    SELECT 'vhash' AS branch, d AS doc_id,
+           NULL::BIGINT AS n_bytes,
+           'video/x-motion-jpeg' AS mime,
+           NULL::BIGINT AS head_byte, NULL::DOUBLE AS byte_mean,
+           NULL::BIGINT AS width, NULL::BIGINT AS height,
+           s::BIGINT AS channels, NULL::BIGINT AS sample_rate,
+           NULL::DOUBLE AS duration_s, NULL::DOUBLE AS content_mean,
+           list_sum(list_transform(generate_series(0, 63), j ->
+               CASE WHEN small[j + 1] > list_avg(small)
+                    THEN CASE WHEN j = 63
+                              THEN (-9223372036854775807 - 1)
+                              ELSE (1::BIGINT << j) END
+                    ELSE 0 END))::BIGINT AS ahash64
+    FROM (
+        SELECT d, s,
+               list_transform(generate_series(0, 63), j ->
+                   CAST((3 * (((j % 8) * (1 + (d + i) % 4)) // 8)
+                         + 7 * (((j // 8) * (1 + (d + i) % 3)) // 8)
+                         + (d + i)) % 256 AS DOUBLE)) AS small
+        FROM (
+            SELECT d, s, (s * (4 + d % 3)) // 4 AS i
+            FROM (SELECT doc_id + 600 AS d FROM documents
+                  WHERE doc_id < 100),
+                 unnest(generate_series(0, 3)) t(s)
+        ) slots
+    ) g
+    UNION ALL
     -- Acoustic fingerprint (round 5): 2-level Haar wavelet packet of
     -- the decoded channel-0 PCM -> 4 bands x 16 frames of integer
     -- energies -> bit j set when 16 * E(band j//16, frame j%16)
@@ -1972,6 +2005,12 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       wavelet packet, 4 bands x 16 frames, bit = frame energy above
       band mean; Haitsma & Kalker 2002 shape, all-integer), oracled
       bit-exactly by replaying the ramp fixtures in SQL.
+    - ``vhash``: video frame-hash signatures (round 5) — ids +600
+      synthesize MJPEG streams with per-frame block grids;
+      video_frame_ahashes samples 4 frames (decoding only those) and
+      aHashes each; the oracle recomputes the sampled index and the
+      closed-form block-grid aHash per (id, slot). channels carries
+      frame_slot in this branch.
     """
     docs = load_table(spark, sf_dir, "documents")
     blobbed = multimodal.attach_blob(docs)
@@ -2056,6 +2095,32 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_mean",
         F.lit(None).cast("long").alias("ahash64"),
     )
+    # Video frame-hash signatures (round 5): ids +600 synthesize
+    # MJPEG streams whose per-frame block GRIDS vary (same-grid
+    # gradient frames aHash identically, hiding the sampling), so the
+    # per-slot hashes pin the uniform frame-index computation, the
+    # sampled-frames-only decode, and the aHash — closed-form per
+    # (id, slot). channels carries frame_slot in this branch.
+    vid_ids = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 600).alias("doc_id")
+    )
+    vhash = multimodal.video_frame_ahashes(
+        multimodal.attach_media_blob(vid_ids), n_frames=4
+    ).select(
+        F.lit("vhash").alias("branch"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.lit("video/x-motion-jpeg").alias("mime"),
+        F.lit(None).cast("long").alias("head_byte"),
+        F.lit(None).cast("double").alias("byte_mean"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.col("frame_slot").alias("channels"),
+        F.lit(None).cast("long").alias("sample_rate"),
+        F.lit(None).cast("double").alias("duration_s"),
+        F.lit(None).cast("double").alias("content_mean"),
+        F.col("simhash").alias("ahash64"),
+    )
     # Acoustic fingerprint (round 5): the WAV family driven through
     # the real PCM decode into audio_fingerprint64 — audio as the
     # third modality on the banded-Hamming near-dup machinery, pinned
@@ -2085,6 +2150,7 @@ def multimodal_blob_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ahash)
         .unionByName(cjpeg)
         .unionByName(afp)
+        .unionByName(vhash)
     )
 
 
