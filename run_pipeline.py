@@ -283,7 +283,8 @@ def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False,
 
 
 def run_dedup_batch(spark, docs_path: str, out_dir: str,
-                    index_path: str, bits: int = 64) -> dict:
+                    index_path: str, bits: int = 64,
+                    retain_min_id: int | None = None) -> dict:
     """Incremental BATCH ingest dedup (``--mode dedup-batch``): dedupe
     a new document batch (JSONL or parquet dir) against the PERSISTED
     fingerprint index of everything previously accepted, write the
@@ -325,6 +326,13 @@ def run_dedup_batch(spark, docs_path: str, out_dir: str,
     verdicts, updated = incremental_simhash_neardups(
         new_sims, index, bits=bits
     )
+    if retain_min_id is not None:
+        # Retention (the batch twin of the streaming TTL): ids are
+        # arrival-ordered, so dropping fingerprints below the floor
+        # bounds the index to the dedup horizon — older docs simply
+        # stop being dup_of candidates, exactly like an evicted
+        # streaming bucket.
+        updated = updated.filter(F.col("doc_id") >= retain_min_id)
     verdicts.write.mode("overwrite").parquet(out_dir)
     # Write-then-swap so a failed run never truncates the live index.
     tmp_idx = index_path.rstrip("/") + ".next"
@@ -458,6 +466,13 @@ def main() -> None:
         "atomically replaced with index+batch after each ingest",
     )
     ap.add_argument(
+        "--index-retain-min-id",
+        type=int,
+        help="--mode dedup-batch: drop index fingerprints with "
+        "doc_id below this floor after the ingest (bounded dedup "
+        "horizon — the batch twin of the streaming TTL)",
+    )
+    ap.add_argument(
         "--baseline",
         help="--mode report: docs dir of a BASELINE corpus; emits PSI "
         "drift of quality_score / n_tokens vs it. --mode dedup with "
@@ -539,7 +554,8 @@ def main() -> None:
                 "--out (verdict parquet) and --index (fingerprint dir)"
             )
         stats = run_dedup_batch(
-            spark, args.path, args.out, args.index, bits=args.bits
+            spark, args.path, args.out, args.index, bits=args.bits,
+            retain_min_id=args.index_retain_min_id,
         )
         print(
             f">>> batch deduped; {stats['docs']} new docs, "

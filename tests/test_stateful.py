@@ -503,3 +503,38 @@ def test_streaming_image_ingest_dedup_across_batches(spark, tmp_path):
     assert got[1] == (False, None)
     assert got[11] == (False, None)
     assert len(emitted) >= 2         # the index crossed the boundary
+
+
+def test_run_dedup_batch_index_retention(spark, tmp_path):
+    """--index-retain-min-id (round 5): the batch twin of the
+    streaming TTL — fingerprints below the floor leave the index after
+    the ingest, so a later near-copy of an EVICTED doc is no longer
+    flagged, while the index stays bounded by the dedup horizon."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from run_pipeline import run_dedup_batch
+
+    base = " ".join(f"w{i}" for i in range(120))
+    idx = str(tmp_path / "fp_index")
+
+    def write_batch(name, rows):
+        d = tmp_path / name
+        d.mkdir()
+        with open(d / "part-0.json", "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        return str(d)
+
+    day1 = write_batch("day1", [(0, base)])
+    s1 = run_dedup_batch(
+        spark, day1, str(tmp_path / "v1"), idx, retain_min_id=5
+    )
+    # doc 0 fell below the floor immediately after ingest
+    assert s1 == {"docs": 1, "dups": 0, "index_rows": 0}
+
+    day2 = write_batch("day2", [(10, base + " lambda")])
+    s2 = run_dedup_batch(spark, day2, str(tmp_path / "v2"), idx)
+    v = {r["doc_id"]: r for r in spark.read.parquet(str(tmp_path / "v2")).collect()}
+    assert not v[10]["is_dup"]       # its twin was evicted
+    assert s2["index_rows"] == 1     # only the new fingerprint remains
