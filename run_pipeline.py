@@ -237,7 +237,9 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
 def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False,
                strip_boilerplate: int | None = None,
                ppl_tail: float | None = None,
-               lm_ref_path: str | None = None) -> dict:
+               lm_ref_path: str | None = None,
+               classifier_model_path: str | None = None,
+               classifier_threshold: float = 0.5) -> dict:
     """Batch corpus curation (``--mode curate``): documents (a parquet
     dir/file or JSONL dir with {doc_id, text}) flow through the
     quality gate -> PII redaction -> exact dedup -> chunking ->
@@ -264,9 +266,17 @@ def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False,
             table if os.path.exists(table) else docs_path
         )
     lm_ref = _load_docs(spark, lm_ref_path) if lm_ref_path else None
+    model = None
+    if classifier_model_path:
+        import json as _json
+
+        with open(classifier_model_path) as f:
+            model = _json.load(f)
     packed = curate_corpus(docs, fuzzy=fuzzy,
                            strip_boilerplate=strip_boilerplate,
-                           ppl_tail_frac=ppl_tail, lm_ref=lm_ref)
+                           ppl_tail_frac=ppl_tail, lm_ref=lm_ref,
+                           classifier_model=model,
+                           classifier_threshold=classifier_threshold)
     packed.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
     out = spark.read.parquet(out_dir)
     agg = out.agg(
@@ -279,6 +289,59 @@ def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False,
         "kept": agg["kept"],
         "samples": agg["samples"],
         "packs": agg["packs"],
+    }
+
+
+def run_train_classifier(spark, docs_path: str, labels_path: str,
+                         out_path: str, dim: int = 1024,
+                         iters: int = 30) -> dict:
+    """Train the fastText-shape quality classifier
+    (``--mode train-classifier``): documents (parquet/JSONL dir) plus
+    a (doc_id, label in {0,1}) parquet of seed judgments -> hashed
+    bag-of-words features -> distributed full-batch logistic
+    regression -> a {dim, weights, bias} JSON model that
+    ``--mode curate --classifier-model`` gates with. Returns
+    {'docs', 'pos', 'train_acc'}."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.classifier import (
+        hashed_bow_features,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = _load_docs(spark, docs_path)
+    labels = spark.read.parquet(labels_path).select(
+        "doc_id", F.col("label").cast("int").alias("label")
+    )
+    feats = hashed_bow_features(docs, dim=dim).persist()
+    try:
+        w, b = train_quality_classifier(
+            feats, labels, dim=dim, iters=iters
+        )
+    finally:
+        feats.unpersist()
+    with open(out_path, "w") as f:
+        _json.dump({"dim": dim, "weights": w, "bias": b}, f)
+    acc_row = (
+        score_quality(docs, w, b, dim=dim)
+        .join(labels, "doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("label").alias("pos"),
+            F.avg(
+                ((F.col("quality_prob") > 0.5).cast("int")
+                 == F.col("label")).cast("double")
+            ).alias("acc"),
+        )
+        .collect()[0]
+    )
+    return {
+        "docs": acc_row["n"],
+        "pos": acc_row["pos"],
+        "train_acc": round(float(acc_row["acc"]), 4),
     }
 
 
@@ -426,7 +489,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode",
-        choices=["kpis", "dedup", "dedup-batch", "curate", "report"],
+        choices=["kpis", "dedup", "dedup-batch", "curate", "report",
+                 "train-classifier"],
         default="kpis",
         help="kpis: the 16-query tourism topology; dedup: streaming "
         "document near-dup verdicts (--path is a JSONL docs dir, "
@@ -446,6 +510,34 @@ def main() -> None:
         metavar="K",
         help="--mode curate: drop chunks containing a window repeated "
         "verbatim in >= K kept docs (exact-substring boilerplate)",
+    )
+    ap.add_argument(
+        "--labels",
+        help="--mode train-classifier: parquet of (doc_id, label in "
+        "{0,1}) seed judgments over the --path corpus",
+    )
+    ap.add_argument(
+        "--dim",
+        type=int,
+        default=1024,
+        help="--mode train-classifier: hashed bag-of-words dimension",
+    )
+    ap.add_argument(
+        "--iters",
+        type=int,
+        default=30,
+        help="--mode train-classifier: gradient-descent iterations",
+    )
+    ap.add_argument(
+        "--classifier-model",
+        help="--mode curate: JSON model from --mode train-classifier; "
+        "keep docs the classifier scores >= --classifier-threshold",
+    )
+    ap.add_argument(
+        "--classifier-threshold",
+        type=float,
+        default=0.5,
+        help="--mode curate: probability cut for --classifier-model",
     )
     ap.add_argument(
         "--ppl-tail",
@@ -539,11 +631,30 @@ def main() -> None:
             ap.error("--mode curate requires --path (docs dir) and --out")
         stats = run_curate(spark, args.path, args.out, fuzzy=args.fuzzy,
                          strip_boilerplate=args.strip_boilerplate,
-                         ppl_tail=args.ppl_tail, lm_ref_path=args.lm_ref)
+                         ppl_tail=args.ppl_tail, lm_ref_path=args.lm_ref,
+                         classifier_model_path=args.classifier_model,
+                         classifier_threshold=args.classifier_threshold)
         print(
             f">>> curated; {stats['docs']} docs in, {stats['kept']} kept, "
             f"{stats['samples']} packed samples in {stats['packs']} "
             f"sequences -> {args.out}"
+        )
+        return
+
+    if args.mode == "train-classifier":
+        if not args.path or not args.labels or not args.out:
+            ap.error(
+                "--mode train-classifier requires --path (docs dir), "
+                "--labels (label parquet) and --out (model JSON path)"
+            )
+        stats = run_train_classifier(
+            spark, args.path, args.labels, args.out,
+            dim=args.dim, iters=args.iters,
+        )
+        print(
+            f">>> classifier trained; {stats['docs']} labeled docs "
+            f"({stats['pos']} positive), train accuracy "
+            f"{stats['train_acc']} -> {args.out}"
         )
         return
 

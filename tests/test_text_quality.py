@@ -1527,3 +1527,68 @@ def test_curate_ppl_tail_stage_drops_outliers(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out2")).collect()
     }
     assert {40, 41, 42, 43} <= kept2
+
+
+def test_train_classifier_and_curate_gate_cli(spark, tmp_path):
+    """Two-command classifier workflow (round 5): --mode
+    train-classifier learns a {dim, weights, bias} JSON from labeled
+    seeds, then --mode curate --classifier-model gates with it —
+    spam-vocabulary docs that pass the heuristic gate are dropped,
+    the in-domain corpus survives."""
+    import json
+    import random
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from run_pipeline import run_curate, run_train_classifier
+
+    rng = random.Random(5)
+    good = ("the travel hotel beach summer season booking resort "
+            "coast room view sun guest price city tour day").split()
+    bad = ("the buy cheap pills casino winner claim prize click "
+           "free offer bonus jackpot deal now urgent cash").split()
+
+    def doc(vocab):
+        return "the " + " ".join(rng.choice(vocab) for _ in range(25))
+
+    # labeled seed set (ids 0-39) + unlabeled corpus (ids 100+)
+    seed_rows = [(i, doc(good)) for i in range(20)]
+    seed_rows += [(i, doc(bad)) for i in range(20, 40)]
+    labels = [(i, 1 if i < 20 else 0) for i in range(40)]
+    corpus_rows = [(100 + i, doc(good)) for i in range(30)]
+    corpus_rows += [(200 + i, doc(bad)) for i in range(5)]
+
+    seeds_dir = tmp_path / "seeds"
+    spark.createDataFrame(
+        seed_rows, "doc_id long, text string"
+    ).write.parquet(str(seeds_dir))
+    labels_dir = tmp_path / "labels"
+    spark.createDataFrame(
+        labels, "doc_id long, label int"
+    ).write.parquet(str(labels_dir))
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    with open(docs_dir / "part-0.json", "w") as f:
+        for i, t in corpus_rows:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    model_path = str(tmp_path / "model.json")
+    stats = run_train_classifier(
+        spark, str(seeds_dir), str(labels_dir), model_path,
+        dim=256, iters=8,
+    )
+    assert stats["docs"] == 40 and stats["train_acc"] == 1.0
+    model = json.load(open(model_path))
+    assert model["dim"] == 256 and len(model["weights"]) == 256
+
+    cstats = run_curate(
+        spark, str(docs_dir), str(tmp_path / "out"),
+        classifier_model_path=model_path,
+    )
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert cstats["docs"] == 35
+    assert not any(i >= 200 for i in kept)       # spam gated out
+    assert len([i for i in kept if 100 <= i < 200]) >= 28

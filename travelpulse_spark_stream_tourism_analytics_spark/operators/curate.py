@@ -161,6 +161,8 @@ def curate_corpus(
     strip_boilerplate: int | None = None,
     ppl_tail_frac: float | None = None,
     lm_ref: DataFrame | None = None,
+    classifier_model: dict | None = None,
+    classifier_threshold: float = 0.5,
 ) -> DataFrame:
     """Run the full curation chain; returns packed training samples
     (doc_id, chunk_idx, chunk_uid, chunk_text, n_chunk_tokens,
@@ -237,6 +239,30 @@ def curate_corpus(
         unique = unique.join(
             winners.select(id_col), id_col, "left_semi"
         )
+    if classifier_model is not None:
+        # Trained-classifier gate (round 5): keep documents the
+        # fastText-shape model (operators/classifier.py, trained
+        # offline on a labeled seed set — the GPT-3/LLaMA "looks like
+        # trusted text" gate) scores at or above the threshold.
+        # Inference is one hashed-BoW pass + a broadcast weights join;
+        # the model dict is {dim, weights, bias} as serialized by
+        # run_pipeline --mode train-classifier.
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.classifier import (
+            score_quality,
+        )
+
+        probs = score_quality(
+            unique,
+            classifier_model["weights"],
+            classifier_model["bias"],
+            id_col,
+            text_col,
+            dim=int(classifier_model["dim"]),
+        )
+        keep_cls = probs.filter(
+            F.col("quality_prob") >= float(classifier_threshold)
+        ).select(id_col)
+        unique = unique.join(keep_cls, id_col, "left_semi")
     if ppl_tail_frac is not None:
         # CCNet perplexity stage (round 5, Wenzek et al. 2020): drop
         # the worst ppl_tail_frac of the deduped corpus by unigram-LM
