@@ -1020,7 +1020,8 @@ def extract_media_features(df: DataFrame) -> DataFrame:
 def attach_media_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic multimodal ingest for the oracle round-trip: each
     id synthesizes a real BMP (even ids < 200), WAV (odd ids < 200),
-    PNG (ids 200-299) or baseline JPEG (ids >= 300) whose dimensions
+    PNG (200-299), grayscale baseline JPEG (300-399), GIF (400-499),
+    color JPEG (500-599) or MJPEG video (ids >= 600) whose dimensions
     are closed-form functions of the id — so a SQL oracle can
     recompute what the decoder must extract without seeing the bytes.
     The decoded content means are ALSO closed-form (gradient pixels /
