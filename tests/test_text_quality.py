@@ -1592,3 +1592,117 @@ def test_train_classifier_and_curate_gate_cli(spark, tmp_path):
     assert cstats["docs"] == 35
     assert not any(i >= 200 for i in kept)       # spam gated out
     assert len([i for i in kept if 100 <= i < 200]) >= 28
+
+
+def test_cavnar_trenkle_langid_classifies_and_matches_duckdb(
+    spark, tmp_path
+):
+    """Trainable language ID (round 5, Cavnar & Trenkle 1994): train
+    rank-order char-3-gram profiles on three planted 'languages' with
+    distinct character statistics, classify held-out sentences
+    correctly (empty text -> NULL), and replay the ENTIRE
+    rank/distance/argmin computation in DuckDB."""
+    import duckdb
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.langid import (
+        classify_language,
+        train_language_profiles,
+    )
+
+    seeds = [
+        ("aa", "the quick brown fox jumps over the lazy dog and then "
+               "the dog sleeps while the fox runs through the green "
+               "fields with the happy children watching them play"),
+        ("bb", "zzyzx qzkv wxqz zkzz vqzx zzqw kzxv zqzz xwzk vzqx "
+               "qzzk zxvw zzkq xqzv kwzz zqxz vzzk qxwz zkvz xzqw"),
+        ("cc", "aeiou aioue eauio uoiea ioaue aeuoi oaiue euoia "
+               "iuaoe oueai aoeiu uiaeo eoaiu oiuae aueio ieoau"),
+    ]
+    seed_df = spark.createDataFrame(seeds, "lang string, text string")
+    profiles = train_language_profiles(seed_df, top_k=100)
+    assert profiles.groupBy("lang").count().filter(
+        "count > 100"
+    ).count() == 0
+
+    queries = [
+        (0, "the brown dog jumps over the green field"),
+        (1, "zzqk vqzz wxzk zzvq kqzx"),
+        (2, "aeiuo oieau uaeio eioua"),
+        (3, ""),
+    ]
+    qdf = spark.createDataFrame(queries, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["lang"], r["distance"])
+        for r in classify_language(qdf, profiles, top_k=100).collect()
+    }
+    assert got[0][0] == "aa"
+    assert got[1][0] == "bb"
+    assert got[2][0] == "cc"
+    assert got[3] == (None, None)
+
+    # DuckDB twin of the full train+classify computation.
+    seed_df.write.mode("overwrite").parquet(str(tmp_path / "s.parquet"))
+    qdf.write.mode("overwrite").parquet(str(tmp_path / "q.parquet"))
+    ng = """
+        SELECT {ids}, g AS ngram, count(*) AS cnt
+        FROM (
+            SELECT {ids},
+                   '_' || regexp_replace(lower(text), '\\s+', '_', 'g')
+                       || '_' AS t
+            FROM '{src}'
+        ), unnest(CASE WHEN length(t) >= 3 THEN
+                list_transform(generate_series(1, length(t) - 2),
+                               i -> substr(t, i, 3))
+                ELSE [] END) u(g)
+        GROUP BY ALL
+    """
+    duck = {
+        int(i): (lg, int(d) if d is not None else None)
+        for i, lg, d in duckdb.sql(f"""
+            WITH pc AS ({ng.format(ids="lang", src=f"{tmp_path}/s.parquet/*.parquet")}),
+            prof AS (
+                SELECT lang, ngram, rank FROM (
+                    SELECT lang, ngram, row_number() OVER (
+                        PARTITION BY lang ORDER BY cnt DESC, ngram
+                    ) AS rank FROM pc
+                ) WHERE rank <= 100
+            ),
+            dc AS ({ng.format(ids="doc_id", src=f"{tmp_path}/q.parquet/*.parquet")}),
+            dr AS (
+                SELECT doc_id, ngram, dr FROM (
+                    SELECT doc_id, ngram, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY cnt DESC, ngram
+                    ) AS dr FROM dc
+                ) WHERE dr <= 100
+            ),
+            dist AS (
+                SELECT x.doc_id, x.lang,
+                       sum(CASE WHEN p.rank IS NOT NULL
+                                THEN abs(x.dr - p.rank)
+                                ELSE 100 END) AS distance
+                FROM (
+                    SELECT dr.doc_id, dr.ngram, dr.dr, l.lang
+                    FROM dr CROSS JOIN
+                         (SELECT DISTINCT lang FROM prof) l
+                ) x
+                LEFT JOIN prof p ON p.lang = x.lang
+                                AND p.ngram = x.ngram
+                GROUP BY 1, 2
+            ),
+            win AS (
+                SELECT doc_id, lang, distance FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY distance ASC, lang ASC
+                    ) AS rn FROM dist
+                ) WHERE rn = 1
+            )
+            SELECT q.doc_id, w.lang, w.distance
+            FROM (SELECT DISTINCT doc_id
+                  FROM '{tmp_path}/q.parquet/*.parquet') q
+            LEFT JOIN win w ON w.doc_id = q.doc_id
+        """).fetchall()
+    }
+    want = {i: (lg, int(d) if d is not None else None)
+            for i, (lg, d) in got.items()}
+    assert duck == want
