@@ -1022,6 +1022,77 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GROUP BY doc_id
     ),
+    -- Trainable language ID (round 5, Cavnar-Trenkle): profiles from
+    -- the labeled seed half (doc_id < 250), out-of-place distance
+    -- classification of the rest — rank windows, the flat top_k=100
+    -- absent penalty, and the (distance, lang) argmin all replayed.
+    lid_pc AS (
+        SELECT lang, g AS ngram, count(*) AS cnt
+        FROM (
+            SELECT lang,
+                   '_' || regexp_replace(lower(text), '\\s+', '_', 'g')
+                       || '_' AS t
+            FROM documents WHERE doc_id < 250
+        ), unnest(CASE WHEN length(t) >= 3 THEN
+                list_transform(generate_series(1, length(t) - 2),
+                               i -> substr(t, i, 3))
+                ELSE [] END) u(g)
+        GROUP BY ALL
+    ),
+    lid_prof AS (
+        SELECT lang, ngram, rank FROM (
+            SELECT lang, ngram, row_number() OVER (
+                PARTITION BY lang ORDER BY cnt DESC, ngram
+            ) AS rank FROM lid_pc
+        ) WHERE rank <= 100
+    ),
+    lid_dc AS (
+        SELECT doc_id, g AS ngram, count(*) AS cnt
+        FROM (
+            SELECT doc_id,
+                   '_' || regexp_replace(lower(text), '\\s+', '_', 'g')
+                       || '_' AS t
+            FROM documents WHERE doc_id >= 250
+        ), unnest(CASE WHEN length(t) >= 3 THEN
+                list_transform(generate_series(1, length(t) - 2),
+                               i -> substr(t, i, 3))
+                ELSE [] END) u(g)
+        GROUP BY ALL
+    ),
+    lid_dr AS (
+        SELECT doc_id, ngram, dr FROM (
+            SELECT doc_id, ngram, row_number() OVER (
+                PARTITION BY doc_id ORDER BY cnt DESC, ngram
+            ) AS dr FROM lid_dc
+        ) WHERE dr <= 100
+    ),
+    lid_dist AS (
+        SELECT x.doc_id, x.lang,
+               sum(CASE WHEN p.rank IS NOT NULL
+                        THEN abs(x.dr - p.rank)
+                        ELSE 100 END) AS distance
+        FROM (
+            SELECT d.doc_id, d.ngram, d.dr, l.lang
+            FROM lid_dr d CROSS JOIN
+                 (SELECT DISTINCT lang FROM lid_prof) l
+        ) x
+        LEFT JOIN lid_prof p ON p.lang = x.lang AND p.ngram = x.ngram
+        GROUP BY 1, 2
+    ),
+    lid_win AS (
+        SELECT doc_id, lang, distance FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY distance ASC, lang ASC
+            ) AS rn FROM lid_dist
+        ) WHERE rn = 1
+    ),
+    langid_branch AS (
+        SELECT 'langid' AS branch, w.lang AS term, q.doc_id,
+               NULL::BIGINT AS n_occurrences, NULL::BIGINT AS n_docs,
+               w.distance::DOUBLE AS score
+        FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) q
+        LEFT JOIN lid_win w ON w.doc_id = q.doc_id
+    ),
     -- Count-min sketch contract (round 5): for the exact top-20 terms
     -- the engine must report the true count AND score=1.0, where the
     -- engine's score is computed FROM THE SKETCHES: 1.0 iff the
@@ -1074,6 +1145,8 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT * FROM dsir_branch
     UNION ALL
+    SELECT * FROM langid_branch
+    UNION ALL
     SELECT * FROM cms_branch
     UNION ALL
     SELECT * FROM bpe_branch
@@ -1117,6 +1190,14 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id < 100) over the raw whole-corpus LM — the data-selection
     score whose exp() is the importance-resampling weight. One token
     pass against both broadcast vocabularies.
+
+    branch='langid' — trainable language ID (round 5,
+    operators/langid.py, Cavnar & Trenkle 1994): rank-order
+    char-3-gram profiles trained on the labeled seed half
+    (doc_id < 250), every remaining doc classified by out-of-place
+    distance (term = predicted lang, score = distance); profiles are
+    a broadcast-sized dimension, classification is one distance
+    shuffle.
 
     branch='contam' — n-gram benchmark contamination (round 3): flag
     every training doc (doc_id >= 20) sharing a distinct word 3-gram
@@ -1187,6 +1268,28 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_scored_tokens").alias("n_occurrences"),
         F.lit(None).cast("long").alias("n_docs"),
         F.col("nll").alias("score"),
+    )
+    # Trainable language ID (round 5, Cavnar-Trenkle): rank-order
+    # char-3-gram profiles from the labeled seed half, out-of-place
+    # distance classification of the rest.
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.langid import (
+        classify_language,
+        train_language_profiles,
+    )
+
+    lid_prof = train_language_profiles(
+        docs.filter(F.col("doc_id") < 250).select("lang", "text"),
+        top_k=100,
+    )
+    langid = classify_language(
+        docs.filter(F.col("doc_id") >= 250), lid_prof, top_k=100
+    ).select(
+        F.lit("langid").alias("branch"),
+        F.col("lang").alias("term"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.col("distance").cast("double").alias("score"),
     )
     # DSIR importance weighting (round 5): mean per-token log-ratio of
     # the trusted-target LM over the whole-corpus raw LM — one token
@@ -1309,7 +1412,7 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         top.unionByName(contam).unionByName(tfidf).unionByName(lm)
-        .unionByName(ppl).unionByName(dsir)
+        .unionByName(ppl).unionByName(dsir).unionByName(langid)
         .unionByName(cms).unionByName(bpe)
     )
 
