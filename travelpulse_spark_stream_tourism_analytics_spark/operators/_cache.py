@@ -27,7 +27,13 @@ def scoped_persist(df: DataFrame, site: str) -> DataFrame:
     prev = _LIVE.get(site)
     if prev is not None:
         try:
-            prev.unpersist()
+            # blocking: the default async unpersist leaves the old
+            # blocks visible in storage for a while, which (a) makes
+            # cache accounting racy and (b) lets Spark's cache manager
+            # substitute the DYING cache into brand-new plans that
+            # happen to match its lineage (observed as a flaky
+            # InMemoryTableScan in plan-purity tests under suite load)
+            prev.unpersist(blocking=True)
         except Exception:
             pass  # session of the previous cache may already be gone
     cached = df.persist()
@@ -39,7 +45,7 @@ def clear_operator_caches() -> None:
     """Unpersist every live operator cache (long-lived sessions)."""
     for df in _LIVE.values():
         try:
-            df.unpersist()
+            df.unpersist(blocking=True)
         except Exception:
             pass
     _LIVE.clear()
