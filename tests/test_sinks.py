@@ -80,3 +80,108 @@ def test_schema_evolution_mergeschema_read(spark, tmp_path):
     # Without mergeSchema the footer-sampled schema may miss the new
     # column — the option is the contract, pinned here.
     assert merged.count() == 10
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC is a first-class lake format: round-trips values, prunes
+    partitions, and pushes filters/projections into the scan just like
+    parquet (write_orc docstring contract)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.sinks.files import write_orc
+
+    df = spark.range(0, 1000).selectExpr(
+        "id", "id % 7 AS grp", "CAST(id * 1.5 AS DOUBLE) AS v",
+        "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS par",
+    )
+    out = str(tmp_path / "orc_lake")
+    write_orc(df, out, partition_by=["par"])
+
+    back = spark.read.orc(out)
+    assert back.count() == 1000
+    assert {r["grp"] for r in back.select("grp").distinct().collect()} == set(range(7))
+
+    q = back.filter("par = 'even' AND id > 900").select("id", "v")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the par predicate lands in PartitionFilters
+    assert "PartitionFilters:" in plan
+    assert "par" in plan.split("PartitionFilters:")[1][:120]
+    # predicate pushdown + column pruning reach the ORC scan
+    scan = [ln for ln in plan.splitlines() if "Scan orc" in ln or "FileScan orc" in ln]
+    assert scan, plan
+    assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters:")[1][:120]
+    rows = q.collect()
+    assert sorted(r["id"] for r in rows) == [902, 904, 906, 908, 910, 912,
+                                            914, 916, 918, 920, 922, 924,
+                                            926, 928, 930, 932, 934, 936,
+                                            938, 940, 942, 944, 946, 948,
+                                            950, 952, 954, 956, 958, 960,
+                                            962, 964, 966, 968, 970, 972,
+                                            974, 976, 978, 980, 982, 984,
+                                            986, 988, 990, 992, 994, 996, 998]
+
+
+def test_compact_parquet_folds_small_files_losslessly(spark, tmp_path):
+    """100 tiny files -> a handful of target-sized files, same rows."""
+    from travelpulse_spark_stream_tourism_analytics_spark.sinks.compaction import (
+        compact_parquet,
+        layout_stats,
+    )
+
+    src = str(tmp_path / "small_files")
+    dst = str(tmp_path / "compacted")
+    spark.range(0, 20_000).selectExpr(
+        "id", "md5(CAST(id AS STRING)) AS payload"
+    ).repartition(100).write.parquet(src)
+
+    before = layout_stats(spark, src)
+    assert before["n_files"] == 100
+    assert before["n_small"] == 100  # all far below the 128 MB target
+
+    report = compact_parquet(spark, src, dst, target_file_bytes=before["total_bytes"] // 3)
+    assert 3 <= report["n_output_files"] <= 5  # ceil(total/target) +- writer rounding
+    a = spark.read.parquet(dst)
+    b = spark.read.parquet(src)
+    assert a.count() == 20_000
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_compact_parquet_sorted_layout_gives_disjoint_file_ranges(spark, tmp_path):
+    """sort_by clusters: every output file covers a disjoint id range
+    (read straight from the parquet footers), so min/max stats prune."""
+    import glob
+
+    import pyarrow.parquet as papq
+
+    from travelpulse_spark_stream_tourism_analytics_spark.sinks.compaction import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "unsorted")
+    dst = str(tmp_path / "clustered")
+    # shuffled ids: every input file spans nearly the whole id domain
+    spark.range(0, 50_000).selectExpr(
+        "id", "md5(CAST(id AS STRING)) AS payload"
+    ).orderBy("payload").repartition(20).write.parquet(src)
+
+    from travelpulse_spark_stream_tourism_analytics_spark.sinks.compaction import (
+        layout_stats,
+    )
+
+    target = layout_stats(spark, src)["total_bytes"] // 6
+    report = compact_parquet(spark, src, dst, target_file_bytes=target,
+                             sort_by=["id"])
+    assert report["n_output_files"] > 1
+
+    ranges = []
+    for f in glob.glob(f"{dst}/part-*.parquet"):
+        md = papq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # id is column 0
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file ranges overlap: {ranges}"
+    # and the union still covers the whole domain
+    assert ranges[0][0] == 0 and ranges[-1][1] == 49_999

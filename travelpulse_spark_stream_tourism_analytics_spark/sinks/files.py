@@ -34,6 +34,22 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_orc(
+    df: DataFrame, path: str, partition_by: Sequence[str] = ()
+) -> None:
+    """ORC twin of :func:`write_parquet` for lakes standardized on ORC
+    (Hive-heritage warehouses). Same contract: partition columns enable
+    partition pruning; ORC carries its own column statistics, so
+    predicate pushdown and column pruning work exactly as on parquet
+    (pinned in tests/test_sinks.py::test_orc_roundtrip_and_pushdown).
+    ZLIB is Spark's default ORC codec; we pin snappy for read-speed
+    parity with the parquet path."""
+    w = df.write.mode("overwrite").option("compression", "snappy")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_yaml(df: DataFrame, path: str, root_key: str = "items") -> None:
     """YAML config artifact (reference
     scripts/build_hotels_yaml.py:294-330): driver-side collect of a

@@ -259,9 +259,16 @@ class TwoPhaseSeasonScore:
             bookings_evt, weather_evt, flights_evt
         )
         qs = []
+        # EVERY writer scores after its snapshot (not just bookings):
+        # score_and_push is a no-op until all three pointers exist, so
+        # whichever query lands LAST performs the push. With a single
+        # designated scorer, an availableNow drain where the scorer's
+        # only batch ran first would skip the push forever ("retried on
+        # next trigger" — but availableNow has no next trigger). Extra
+        # pushes are harmless under the last-write-wins gauge contract.
         for name, df, score_after in [
-            ("weather_cs", weather_cs, False),
-            ("flights_cs", flights_cs, False),
+            ("weather_cs", weather_cs, True),
+            ("flights_cs", flights_cs, True),
             ("bookings_cs", bookings_cs, True),
         ]:
             qs.append(
