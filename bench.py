@@ -93,6 +93,7 @@ BRANCHES = {
     ),
     "latest_event_per_user": ("branch", ["latest", "tsmatch"]),
     "docs_exact_dedup": ("branch", ["doc", "substring"]),
+    "topn_revenue_entities": ("scope", ["graph_pagerank"]),
 }
 
 # Constituent transforms still defined as plain functions in plans/*.py
@@ -107,6 +108,7 @@ CONSTITUENTS = {
         (relational_queries, "top_revenue_customers"),
         (relational_queries, "shipping_priority"),
         (relational_queries, "best_supplier_per_nation"),
+        (relational_queries, "supplier_customer_pagerank"),
     ],
     "geo_revenue_rollups": [
         (relational_queries, "regional_revenue"),

@@ -1,0 +1,97 @@
+"""Weighted PageRank operator semantics (operators/graph.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+    pagerank,
+    undirect,
+)
+
+
+def _ref_pagerank(edges, iters=4, damping=0.85, teleport=0.15):
+    """Straight-line reference with the SAME 1e-15 floor quantization of
+    the contribution sum, so equality below is exact, not approximate."""
+    outw: dict[str, int] = {}
+    for s, _d, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    nodes = sorted({s for s, _, _ in edges})
+    n = len(nodes)
+    r = {v: 1.0 / float(n) for v in nodes}
+    for _ in range(iters):
+        acc = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            frac = float(w) / float(outw[s])
+            acc[d] += math.floor(r[s] * frac * 1e15)
+        r = {
+            v: teleport / float(n) + damping * (float(acc[v]) / 1e15)
+            for v in nodes
+        }
+    return r
+
+
+def _edges_df(spark, triples):
+    return spark.createDataFrame(triples, "src string, dst string, w long")
+
+
+def test_pagerank_matches_pure_python_reference_exactly(spark):
+    """Distributed ranks == the straight-line reference, bit-for-bit
+    (the same contract the DuckDB oracle branch relies on)."""
+    triples = [
+        ("a", "b", 3), ("b", "a", 3),
+        ("a", "c", 1), ("c", "a", 1),
+        ("b", "c", 2), ("c", "b", 2),
+        ("c", "d", 1), ("d", "c", 1),
+        ("d", "e", 5), ("e", "d", 5),
+    ]
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges_df(spark, triples), iterations=4).collect()
+    }
+    want = _ref_pagerank(triples, iters=4)
+    assert got == want  # exact float equality by design
+
+
+def test_pagerank_hub_outranks_spokes_and_mass_is_conserved(spark):
+    """A star hub collects rank from every spoke; total mass stays ~1
+    (each floor() loses < 1e-15 per edge per iteration, nothing more)."""
+    spokes = [f"s{i}" for i in range(20)]
+    triples = [("hub", s, 1) for s in spokes] + [(s, "hub", 1) for s in spokes]
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges_df(spark, triples), iterations=6).collect()
+    }
+    assert all(ranks["hub"] > ranks[s] for s in spokes)
+    total = sum(ranks.values())
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_undirect_makes_every_endpoint_a_source(spark):
+    """The no-dangling-mass contract: after undirect(), the src node
+    set equals the full endpoint set."""
+    e = _edges_df(spark, [("a", "b", 1), ("c", "b", 2)])
+    u = undirect(e)
+    srcs = {r["src"] for r in u.select("src").distinct().collect()}
+    all_nodes = {"a", "b", "c"}
+    assert srcs == all_nodes
+    # weights preserved symmetrically
+    w = {(r["src"], r["dst"]): r["w"] for r in u.collect()}
+    assert w[("a", "b")] == w[("b", "a")] == 1
+    assert w[("c", "b")] == w[("b", "c")] == 2
+
+
+def test_pagerank_weight_sensitivity(spark):
+    """Heavier inbound edges pull rank: with b's only inbound weight
+    tripled vs c's, b outranks c in an otherwise symmetric graph."""
+    triples = [
+        ("a", "b", 3), ("b", "a", 1),
+        ("a", "c", 1), ("c", "a", 1),
+    ]
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges_df(spark, triples), iterations=5).collect()
+    }
+    assert ranks["b"] > ranks["c"]

@@ -600,6 +600,92 @@ def customer_balance_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def supplier_customer_pagerank(
+    spark: SparkSession, sf_dir: str, iterations: int = 4
+) -> DataFrame:
+    """Weighted PageRank over the bipartite customer<->supplier purchase
+    graph (edge weight = lineitem count through orders; both directions,
+    so no dangling mass). The relational stand-in for the link-centrality
+    quality signal a web-corpus curation pipeline computes over its
+    hyperlink graph — same operator (operators/graph.py pagerank), same
+    plan shape at 100 TB: edge build is one join + one partial-agg
+    shuffle, then each iteration re-uses the cached pre-partitioned edge
+    relation."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        pagerank,
+        undirect,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count("*").alias("w"))
+    )
+    edges = undirect(
+        base.select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+            "w",
+        )
+    )
+    return pagerank(edges, iterations=iterations)
+
+
+def _pagerank_ctes(iters: int = 4) -> str:
+    """Unrolled-iteration SQL twin of supplier_customer_pagerank.
+
+    Float-exactness contract (operators/graph.py module docstring): the
+    per-node contribution sum goes through DECIMAL(38,18) on both
+    engines; every literal (0.15, 0.85, 1.0) is spelled the same so it
+    parses to the same double; everything else is deterministic IEEE
+    double arithmetic — ranks are bit-identical, no rounding."""
+    parts = [
+        """
+    pr_eraw AS (
+        SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+               's:' || CAST(l_suppkey AS VARCHAR) AS dst,
+               count(*) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    pr_edges AS (
+        SELECT src, dst, w FROM pr_eraw
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM pr_eraw
+    ),
+    pr_outw AS (SELECT src, sum(w) AS ow FROM pr_edges GROUP BY src),
+    pr_e AS (
+        SELECT pr_edges.src, pr_edges.dst,
+               CAST(pr_edges.w AS DOUBLE) / CAST(pr_outw.ow AS DOUBLE) AS frac
+        FROM pr_edges JOIN pr_outw ON pr_edges.src = pr_outw.src
+    ),
+    pr_nodes AS (SELECT DISTINCT src AS node FROM pr_edges),
+    pr_nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pr_nodes),
+    pr_r0 AS (
+        SELECT node, 1.0 / (SELECT n FROM pr_nn) AS pr_rank FROM pr_nodes
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    pr_r{i} AS (
+        SELECT pr_nodes.node,
+               0.15 / (SELECT n FROM pr_nn)
+               + 0.85 * (CAST(coalesce(t.s, 0) AS DOUBLE) / 1e15) AS pr_rank
+        FROM pr_nodes LEFT JOIN (
+            SELECT pr_e.dst,
+                   sum(CAST(floor(pr_r{i - 1}.pr_rank * pr_e.frac * 1e15)
+                            AS DECIMAL(38,0))) AS s
+            FROM pr_e JOIN pr_r{i - 1} ON pr_e.src = pr_r{i - 1}.node
+            GROUP BY pr_e.dst
+        ) t ON pr_nodes.node = t.dst
+    )"""
+        )
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Merged catalog entries (driver scores <=50 queries; each entry below
 # composes the constituent relational plans above, unchanged, into one
@@ -609,7 +695,9 @@ def customer_balance_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "topn_revenue_entities",
-    oracle="""
+    oracle="WITH"
+    + _pagerank_ctes(4)
+    + """
     SELECT * FROM (
         SELECT 'top_customer_revenue' AS scope,
                c_custkey AS entity_key, c_name AS label_a, n_name AS label_b,
@@ -656,6 +744,18 @@ def customer_balance_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
                ) AS rn
         FROM supplier
     ) WHERE rn = 1
+    UNION ALL
+    SELECT 'graph_pagerank' AS scope,
+           CAST(substr(node, 3) AS BIGINT) AS entity_key,
+           CASE WHEN substr(node, 1, 1) = 'c'
+                THEN 'customer' ELSE 'supplier' END AS label_a,
+           NULL::VARCHAR AS label_b,
+           pr_rank AS metric_value,
+           NULL::BIGINT AS n_orders, NULL::TIMESTAMP AS ref_date
+    FROM (
+        SELECT node, pr_rank FROM pr_r4
+        ORDER BY pr_rank DESC, node LIMIT 50
+    ) prtop
     """,
 )
 def topn_revenue_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,7 +793,25 @@ def topn_revenue_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_orders"),
         F.lit(None).cast("timestamp_ntz").alias("ref_date"),
     )
-    return top.unionByName(shp).unionByName(best)
+    pr = (
+        supplier_customer_pagerank(spark, sf_dir)
+        .orderBy(F.desc("rank"), "node")
+        .limit(50)
+        .select(
+            F.lit("graph_pagerank").alias("scope"),
+            F.expr("CAST(substring(node, 3) AS BIGINT)").alias("entity_key"),
+            F.when(
+                F.expr("substring(node, 1, 1)") == "c", F.lit("customer")
+            )
+            .otherwise(F.lit("supplier"))
+            .alias("label_a"),
+            F.lit(None).cast("string").alias("label_b"),
+            F.col("rank").alias("metric_value"),
+            F.lit(None).cast("long").alias("n_orders"),
+            F.lit(None).cast("timestamp_ntz").alias("ref_date"),
+        )
+    )
+    return top.unionByName(shp).unionByName(best).unionByName(pr)
 
 
 @query(
