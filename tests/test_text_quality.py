@@ -1706,3 +1706,79 @@ def test_cavnar_trenkle_langid_classifies_and_matches_duckdb(
     want = {i: (lg, int(d) if d is not None else None)
             for i, (lg, d) in got.items()}
     assert duck == want
+
+
+def test_sample_to_token_budget_semantics(spark):
+    """Greedy md5-order budget sampling: never overshoots, takes an
+    md5-order PREFIX per source, and the two-phase bucketed running sum
+    equals the naive per-source window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+        sample_to_token_budget,
+    )
+
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+        (F.col("id") % 37 + 5).cast("long").alias("n_tokens"),
+    )
+    weights = spark.createDataFrame(
+        [("s0", 0.5), ("s1", 0.3), ("s2", 0.2)], "source string, weight double"
+    )
+    kept = sample_to_token_budget(
+        docs, weights, budget_tokens=2000
+    ).collect()
+    assert kept  # non-degenerate
+
+    budgets = {"s0": int(0.5 * 2000), "s1": int(0.3 * 2000), "s2": int(0.2 * 2000)}
+    per_src_max = {}
+    for r in kept:
+        assert r["__cum_tokens"] <= r["__budget_tokens"]
+        assert r["__budget_tokens"] == budgets[r["source"]]
+        per_src_max[r["source"]] = max(
+            per_src_max.get(r["source"], 0), r["__cum_tokens"]
+        )
+    # never overshoots but fills to within one doc of the budget
+    for s, hi in per_src_max.items():
+        assert budgets[s] - hi < 37 + 5
+
+    # two-phase == naive single-window cumulative sum (exact rows)
+    naive = (
+        docs.withColumn("__ok", F.md5(F.col("doc_id").cast("string")))
+        .withColumn(
+            "__cum",
+            F.sum("n_tokens").over(
+                Window.partitionBy("source")
+                .orderBy("__ok", "doc_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    want = {
+        (r["doc_id"], r["__cum"])
+        for r in naive.collect()
+        if r["__cum"] <= budgets[r["source"]]
+    }
+    got = {(r["doc_id"], r["__cum_tokens"]) for r in kept}
+    assert got == want
+
+    # prefix property: kept set per source is an md5-order prefix
+    order = {
+        s: [r["doc_id"] for r in naive.filter(F.col("source") == s)
+            .orderBy("__ok", "doc_id").collect()]
+        for s in budgets
+    }
+    for s in budgets:
+        kept_ids = [d for d, _ in sorted(
+            ((r["doc_id"], r["__cum_tokens"]) for r in kept
+             if r["source"] == s), key=lambda t: t[1])]
+        assert kept_ids == order[s][: len(kept_ids)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sample_to_token_budget(docs, weights)
+    with _pytest.raises(ValueError):
+        sample_to_token_budget(docs, weights, budget_tokens=1, budget_frac=0.1)

@@ -1,4 +1,4 @@
-"""Leakage-safe train/validation splitting.
+"""Leakage-safe train/validation splitting and budgeted mixture sampling.
 
 Splitting a corpus doc-by-doc leaks: two near-duplicate documents can
 land on opposite sides, and the model is then evaluated on (almost)
@@ -12,12 +12,20 @@ runs/engines, no RNG state, and a document ADDED to an existing
 cluster later lands on that cluster's side automatically. One
 broadcast-or-shuffle join of docs against the (tiny) component map;
 singleton docs hash on their own id.
+
+``sample_to_token_budget`` is the other half of mixture construction:
+given per-source mixture weights and a total token budget, pick the
+actual documents — per source, in deterministic md5 order, keeping
+docs while the running token total stays within that source's share of
+the budget. (The mixture weights say WHAT fraction each source should
+contribute; this picks WHICH documents realize it.)
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def cluster_safe_split(
@@ -51,3 +59,94 @@ def cluster_safe_split(
             F.lit("train")
         ),
     ).drop("__grp")
+
+
+def sample_to_token_budget(
+    docs: DataFrame,
+    weights: DataFrame,
+    budget_tokens: int | None = None,
+    budget_frac: float | None = None,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Select documents realizing a token-budgeted source mixture.
+
+    ``weights`` is ``(source, weight)`` (e.g. the temperature-scaled
+    mixture of docs_stratified_sample); each source's budget is
+    ``floor(weight * B)`` tokens where ``B`` is ``budget_tokens`` or
+    ``budget_frac * total corpus tokens`` (the latter stays lazy — the
+    total rides as a broadcast 1-row aggregate, the same recipe as the
+    PSI/perplexity edges). Within a source, docs are taken in
+    ``md5(id)`` order (deterministic, engine-portable, uncorrelated
+    with any data attribute) while the running token total INCLUDING
+    the candidate stays <= the budget — greedy next-fit, may undershoot
+    by less than one document, never overshoots.
+
+    Scale shape: a naive per-source cumulative-sum window sorts each
+    whole source in ONE task — the biggest source becomes a
+    straggler at 100 TB. Instead the running sum is two-phase, keyed by
+    the first two md5 hex chars (256 buckets): (1) per-(source,bucket)
+    token totals — one partial-agg shuffle, then a window over at most
+    256 rows per source gives each bucket's starting offset; (2) a
+    window WITHIN each (source,bucket) — bounded sort width — adds the
+    offset. Ordering by (bucket, full-md5) is the plain md5 order, so
+    the two-phase result is identical to the naive window.
+
+    Returns the kept docs with ``__cum_tokens`` (running total through
+    this doc) and ``__budget_tokens`` (the source's budget) appended.
+    """
+    if (budget_tokens is None) == (budget_frac is None):
+        raise ValueError("pass exactly one of budget_tokens / budget_frac")
+    d = docs.withColumn(
+        "__ok", F.md5(F.col(id_col).cast("string"))
+    ).withColumn("__bk", F.substring("__ok", 1, 2))
+
+    if budget_frac is None:
+        b_expr = F.lit(float(budget_tokens))
+        budgets = weights
+    else:
+        total = docs.agg(
+            F.sum(tokens_col).cast("double").alias("__total")
+        )
+        budgets = weights.crossJoin(F.broadcast(total))
+        b_expr = F.lit(float(budget_frac)) * F.col("__total")
+    budgets = budgets.select(
+        F.col(source_col),
+        F.floor(F.col("weight") * b_expr).cast("long").alias(
+            "__budget_tokens"
+        ),
+    )
+
+    per_bucket = d.groupBy(source_col, "__bk").agg(
+        F.sum(tokens_col).cast("long").alias("__bt")
+    )
+    w_buckets = (
+        Window.partitionBy(source_col)
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bases = per_bucket.select(
+        source_col,
+        "__bk",
+        (F.sum("__bt").over(w_buckets) - F.col("__bt")).alias("__base"),
+    )
+
+    w_in = (
+        Window.partitionBy(source_col, "__bk")
+        .orderBy("__ok", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        d.join(F.broadcast(bases), [source_col, "__bk"])
+        .withColumn(
+            "__cum_tokens",
+            F.col("__base") + F.sum(tokens_col).over(w_in),
+        )
+        .drop("__base", "__bk")
+    )
+    return (
+        cum.join(F.broadcast(budgets), source_col)
+        .filter(F.col("__cum_tokens") <= F.col("__budget_tokens"))
+        .drop("__ok")
+    )

@@ -836,7 +836,42 @@ _PII_HITS_SQL = " + ".join(
                        OVER ()::DOUBLE, 6) AS weight
     FROM documents
     GROUP BY source
-    """,
+    UNION ALL
+    -- budget branch (round 5): token-budgeted mixture realization —
+    -- per source, docs in md5 order while the running token total
+    -- stays within floor(mixture_weight * 0.25 * corpus_tokens).
+    -- n_docs carries the running token total, weight the budget.
+    SELECT 'budget' AS branch, t.doc_id, t.source, t.lang, t.n_chars,
+           t.cum AS n_docs, CAST(b.b AS DOUBLE) AS weight
+    FROM (
+        SELECT doc_id, source, lang, n_chars,
+               CAST(sum(n_tokens) OVER (
+                    PARTITION BY source
+                    ORDER BY ok, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM (
+            SELECT doc_id, source, lang, n_chars,
+                   CAST(len({words}) AS BIGINT) AS n_tokens,
+                   md5(doc_id::VARCHAR) AS ok
+            FROM documents
+        ) tt
+    ) t
+    JOIN (
+        SELECT source,
+               CAST(floor(w * (0.25 * (
+                   SELECT CAST(sum(CAST(len({words}) AS BIGINT)) AS DOUBLE)
+                   FROM documents
+               ))) AS BIGINT) AS b
+        FROM (
+            SELECT source,
+                   round(round(sqrt(count(*)), 6)::DECIMAL(18,6)::DOUBLE
+                         / sum(round(sqrt(count(*)), 6)::DECIMAL(18,6))
+                               OVER ()::DOUBLE, 6) AS w
+            FROM documents GROUP BY source
+        ) mixw
+    ) b ON t.source = b.source
+    WHERE t.cum <= b.b
+    """.format(words=_WORDS_SQL.format(c="text")),
 )
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged sampling + data-mixture entry.
@@ -856,7 +891,15 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, over |sources| rows. Each per-source sqrt is rounded
     then accumulated as DECIMAL(18,6) so the normalizing sum is exact
     and order-independent (double summation order would differ across
-    engines)."""
+    engines).
+
+    branch='budget' — token-budgeted mixture REALIZATION (round 5,
+    operators/splits.py sample_to_token_budget): the mixture weights
+    say what fraction each source contributes; this picks WHICH docs —
+    per source in md5 order, running token total <= floor(weight *
+    0.25 * corpus tokens). Two-phase bucketed cumulative sum (no
+    whole-source single-task sort); the n_docs column carries the
+    running token total, weight carries the source budget."""
     docs = load_table(spark, sf_dir, "documents")
     threshold = (
         F.when(F.col("source") == "src0", F.lit("2"))
@@ -892,7 +935,40 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return sample.unionByName(mixture)
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+        sample_to_token_budget,
+    )
+
+    tok_docs = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(words_of(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    wdf = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "source",
+            F.round(num.cast("double") / denom.cast("double"), 6).alias(
+                "weight"
+            ),
+        )
+    )
+    budget = sample_to_token_budget(
+        tok_docs, wdf, budget_frac=0.25
+    ).select(
+        F.lit("budget").alias("branch"),
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.col("__cum_tokens").alias("n_docs"),
+        F.col("__budget_tokens").cast("double").alias("weight"),
+    )
+    return sample.unionByName(mixture).unionByName(budget)
 
 
 @query(
