@@ -898,3 +898,71 @@ def test_kafka_replay_cross_partition_disorder_watermark_parity(
     rkey = lambda r: (r["window"]["start"], r["city_id"], r["bookings"])  # noqa: E731
     assert sorted(map(rkey, got)) == sorted(map(rkey, want))
     assert len(got) > 0
+
+
+def test_stream_stream_left_outer_join_flushes_unmatched_on_watermark(
+    spark, tmp_path
+):
+    """left_outer interval join: an unmatched booking is emitted with
+    NULL flight columns only once the GLOBAL watermark (min across both
+    inputs) passes b_time + gap. Run 1 drains with the unmatched row
+    still live in state; run 2 (same checkpoint) feeds both sides
+    far-future events and must flush exactly that row."""
+
+    def booking(bid, city, ts):
+        return {
+            "event_ts": ts, "ingest_ts": ts, "booking_id": bid,
+            "city_id": city, "adr_proxy": 100.0, "nights": 2, "rooms": 1,
+            "checkin_date": "2024-06-02",
+        }
+
+    def flight(fid, city, ts):
+        return {
+            "event_ts": ts, "ingest_ts": ts, "flight_id": fid,
+            "destination_city_id": city, "status": "landed",
+        }
+
+    bdir, fdir = tmp_path / "b", tmp_path / "f"
+    write_wire_fixture(
+        [
+            booking("BM", 1, "2024-06-01T12:00:00Z"),   # will match F1
+            booking("BU", 2, "2024-06-01T12:00:00Z"),   # no flight to city 2
+        ],
+        str(bdir / "part-0.json"),
+    )
+    write_wire_fixture(
+        [flight("F1", 1, "2024-06-01T12:30:00Z")], str(fdir / "part-0.json")
+    )
+
+    def run():
+        joined = kpis.booking_flight_interval_join(
+            enrich_bookings(
+                parse_events(file_stream(spark, str(bdir)), BOOKING_SCHEMA)
+            ),
+            parse_events(
+                file_stream(spark, str(fdir)), FLIGHT_SCHEMA
+            ).withColumnRenamed("destination_city_id", "city_id"),
+            how="left_outer",
+        )
+        return _collecting_sink_rows(spark, joined, "append", tmp_path, "ssoj")
+
+    got1 = {(r["booking_id"], r["flight_id"]) for r in run()}
+    assert got1 == {("BM", "F1")}  # match emitted; BU still in state
+
+    # Advance BOTH watermarks beyond BU's expiry (12:00 + 2h gap):
+    # without the booking-side event, the global min-watermark stays at
+    # run-1's booking max and BU would never flush.
+    write_wire_fixture(
+        [booking("B3", 3, "2024-06-01T18:00:00Z")], str(bdir / "part-1.json")
+    )
+    write_wire_fixture(
+        [flight("F2", 99, "2024-06-01T18:00:00Z")], str(fdir / "part-1.json")
+    )
+    rows2 = run()
+    got2 = {(r["booking_id"], r["flight_id"]) for r in rows2}
+    # BU flushes with NULL flight columns; BM is NOT re-emitted; B3's
+    # own expiry (20:00) is beyond the new watermark so it stays held.
+    assert got2 == {("BU", None)}
+    bu = [r for r in rows2 if r["booking_id"] == "BU"][0]
+    assert bu["f_time"] is None and bu["flight_status"] is None
+    assert bu["spend_eur"] == 200.0  # left-side payload intact

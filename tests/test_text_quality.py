@@ -1782,3 +1782,41 @@ def test_sample_to_token_budget_semantics(spark):
         sample_to_token_budget(docs, weights)
     with _pytest.raises(ValueError):
         sample_to_token_budget(docs, weights, budget_tokens=1, budget_frac=0.1)
+
+
+def test_compression_signals_flag_repetitive_text(spark):
+    """zlib compression ratio separates template spam from prose and is
+    exactly reproducible (parity with driver-side zlib)."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.quality import (
+        compression_signals,
+    )
+
+    prose = (
+        "The harbour town kept its narrow streets cool through summer; "
+        "fishermen sold the morning catch beside the old customs house "
+        "while visitors climbed toward the lighthouse on the ridge."
+    )
+    spam = "buy cheap tickets now " * 40
+    rows = [(1, prose), (2, spam), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_signals(df).collect()}
+
+    # exact parity with driver-side zlib at the same level
+    for did, text in rows:
+        if text:
+            assert got[did]["zlib_len"] == len(
+                zlib.compress(text.encode("utf-8"), 6)
+            )
+    # spam compresses far better than prose; empty/null never NULL
+    assert got[2]["compression_ratio"] > 2 * got[1]["compression_ratio"]
+    # short prose barely beats the deflate header overhead; the point
+    # is the GAP to spam, not the absolute level
+    assert got[1]["compression_ratio"] > 1.2
+    assert got[3]["compression_ratio"] == 0.0 and got[4]["compression_ratio"] == 0.0
+    # usable as a gate predicate without NULL-semantics surprises
+    kept = compression_signals(df).filter(F.col("compression_ratio") <= 6.0)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4}

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd  # module level: pandas_udf type-hint resolution
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -106,4 +107,57 @@ def cap_per_key(
         df.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= k)
         .drop("__rank")
+    )
+
+
+# --- Compression-ratio repetitiveness signal (round 5) -------------------
+
+
+def compression_signals(
+    df: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Append ``zlib_len`` and ``compression_ratio`` (raw utf-8 bytes /
+    deflate bytes) per document.
+
+    The compression ratio is the cheapest model-free repetitiveness
+    detector in production curation stacks: boilerplate, keyword
+    stuffing, and template spam compress far better than natural prose
+    (natural English deflates ~2.5-3.5x; heavy repetition 10x+), and it
+    catches repeats LONGER than the 3-gram window of the heuristic gate
+    (dup_3gram_frac) at a fraction of the cost of an LM pass. Gate on
+    e.g. ``compression_ratio <= 6`` alongside QUALITY_GATE.
+
+    Runs as an Arrow-batched pandas UDF (zlib releases the GIL, so the
+    32 task threads of local[32] genuinely parallelize; on a cluster
+    it's embarrassingly parallel, zero shuffles). Deterministic for a
+    fixed zlib level — the test pins exact parity with driver-side
+    zlib. Empty/NULL text gets ratio 0.0 (never NULL: a gate predicate
+    ``ratio <= x`` must not silently drop the row via NULL semantics —
+    same trap as the curate gate's ANSI divide guard)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _zlen(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return s.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+            if isinstance(t, str) and t
+            else 0
+        )
+
+    zl = _zlen(F.col(text_col))
+    raw_bytes = F.octet_length(F.col(text_col))
+    return (
+        df.withColumn("zlib_len", zl)
+        .withColumn(
+            "compression_ratio",
+            F.when(
+                F.col("zlib_len") > 0,
+                F.round(
+                    raw_bytes.cast("double") / F.col("zlib_len").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
     )

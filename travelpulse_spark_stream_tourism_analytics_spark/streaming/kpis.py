@@ -307,16 +307,25 @@ def booking_flight_interval_join(
     bookings_evt: DataFrame,
     flights_evt: DataFrame,
     max_gap: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Row-level stream-stream inner join: bookings matched to flights
-    into the same city within ±max_gap of event time — the join class
-    the reference lacks entirely (SURVEY.md §2.8: 'stream-stream
-    row-level joins (only agg-level)' absent).
+    """Row-level stream-stream join: bookings matched to flights into
+    the same city within ±max_gap of event time — the join class the
+    reference lacks entirely (SURVEY.md §2.8: 'stream-stream row-level
+    joins (only agg-level)' absent).
 
     Both sides need watermarks; the time-range predicate is what lets
     Spark bound join state (rows age out once the other side's
     watermark passes event_time + max_gap). flights_evt must have
     destination_city_id already renamed to city_id.
+
+    ``how='left_outer'`` additionally emits each UNMATCHED booking once
+    — with NULL flight columns — but only after the GLOBAL watermark
+    (the MIN across both inputs, Spark's multipleWatermarkPolicy
+    default) passes ``b_time + max_gap``; a drained availableNow run
+    holds not-yet-expired unmatched rows in checkpointed state and a
+    later run flushes them once BOTH sides' watermarks advance (pinned
+    in tests/test_streaming.py).
     """
     b = bookings_evt.select(
         F.col("city_id"),
@@ -335,7 +344,7 @@ def booking_flight_interval_join(
         & (F.col("b_time") >= F.col("f_time") - F.expr(f"INTERVAL {max_gap}"))
         & (F.col("b_time") <= F.col("f_time") + F.expr(f"INTERVAL {max_gap}"))
     )
-    return b.join(f, cond, "inner").select(
+    return b.join(f, cond, how).select(
         "city_id", "booking_id", "flight_id", "b_time", "f_time",
         "spend_eur", "flight_status",
     )
