@@ -490,7 +490,7 @@ def main() -> None:
     ap.add_argument(
         "--mode",
         choices=["kpis", "dedup", "dedup-batch", "curate", "report",
-                 "train-classifier"],
+                 "train-classifier", "compact"],
         default="kpis",
         help="kpis: the 16-query tourism topology; dedup: streaming "
         "document near-dup verdicts (--path is a JSONL docs dir, "
@@ -500,7 +500,21 @@ def main() -> None:
         "updated in place; curate: batch gate->redact->"
         "dedup->chunk->pack over a documents dir (--path) into packed "
         "training-sample parquet (--out); report: per-source corpus "
-        "health JSON over a documents dir (--path; --out optional)",
+        "health JSON over a documents dir (--path; --out optional); "
+        "compact: rewrite a small-file parquet dir (--path) into "
+        "target-sized files (--out, --target-mb, optional --sort-by "
+        "for a range-clustered stats-pruning layout)",
+    )
+    ap.add_argument(
+        "--target-mb",
+        type=int,
+        default=128,
+        help="--mode compact: target output file size in MB",
+    )
+    ap.add_argument(
+        "--sort-by",
+        help="--mode compact: comma-separated columns; output files "
+        "then cover disjoint key ranges (min/max stats prune)",
     )
     ap.add_argument("--out", help="output dir for --mode dedup/curate")
     ap.add_argument(
@@ -624,6 +638,30 @@ def main() -> None:
         if not args.path:
             ap.error("--mode report requires --path (docs dir)")
         run_report(spark, args.path, args.out, baseline_path=args.baseline)
+        return
+
+    if args.mode == "compact":
+        if not args.path or not args.out:
+            ap.error("--mode compact requires --path (parquet dir) and --out")
+        from travelpulse_spark_stream_tourism_analytics_spark.sinks.compaction import (
+            compact_parquet,
+        )
+
+        report = compact_parquet(
+            spark,
+            args.path,
+            args.out,
+            target_file_bytes=args.target_mb * 1024 * 1024,
+            sort_by=[c.strip() for c in args.sort_by.split(",")]
+            if args.sort_by
+            else (),
+        )
+        b, a = report["before"], report["after"]
+        print(
+            f">>> compacted; {b['n_files']} files "
+            f"({b['total_bytes']} B, {b['n_small']} small) -> "
+            f"{a['n_files']} files ({a['total_bytes']} B) -> {args.out}"
+        )
         return
 
     if args.mode == "curate":

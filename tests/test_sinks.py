@@ -185,3 +185,49 @@ def test_compact_parquet_sorted_layout_gives_disjoint_file_ranges(spark, tmp_pat
         assert hi1 < lo2, f"file ranges overlap: {ranges}"
     # and the union still covers the whole domain
     assert ranges[0][0] == 0 and ranges[-1][1] == 49_999
+
+
+def test_compact_cli_mode(spark, tmp_path, capsys, monkeypatch):
+    """run_pipeline --mode compact end to end through argv."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import run_pipeline
+
+    src = str(tmp_path / "lake")
+    dst = str(tmp_path / "lake_c")
+    spark.range(0, 5000).selectExpr(
+        "id", "md5(CAST(id AS STRING)) AS payload"
+    ).repartition(40).write.parquet(src)
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "compact", "--path", src,
+         "--out", dst, "--target-mb", "1", "--sort-by", "id"],
+    )
+    run_pipeline.main()
+    out = capsys.readouterr().out
+    assert ">>> compacted; 40 files" in out
+    back = spark.read.parquet(dst)
+    assert back.count() == 5000
+
+
+def test_snapshot_version_retention(tmp_path):
+    """TwoPhaseSeasonScore prunes old v{batch} snapshot dirs, keeping
+    the current one plus one predecessor for in-flight readers."""
+    import os
+
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.pipeline import (
+        TwoPhaseSeasonScore,
+    )
+
+    staging = str(tmp_path / "staging")
+    scorer = TwoPhaseSeasonScore(None, staging, sink=None)
+    base = os.path.join(staging, "bookings_cs")
+    for b in range(5):
+        os.makedirs(os.path.join(base, f"v{b}"))
+    scorer._prune_versions("bookings_cs")
+    assert sorted(os.listdir(base)) == ["v3", "v4"]
+    # nothing to prune / missing dir are both no-ops
+    scorer._prune_versions("bookings_cs")
+    scorer._prune_versions("weather_cs")

@@ -15,6 +15,7 @@ restartable and testable.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -212,10 +213,29 @@ class TwoPhaseSeasonScore:
             with open(tmp, "w") as fh:
                 fh.write(vdir)
             os.replace(tmp, pointer)
+            self._prune_versions(name)
             if score_after:
                 self.score_and_push()
 
         return fn
+
+    def _prune_versions(self, name: str, keep: int = 2) -> None:
+        """Retention for the versioned snapshots: a long-running
+        topology otherwise accretes one v{batch} directory per trigger
+        without bound. Keep the newest ``keep`` versions — the current
+        one plus one predecessor a concurrent score_batch() reader may
+        still hold open (it resolved the pointer BEFORE this trigger
+        repointed it)."""
+        base = os.path.join(self.staging, name)
+        try:
+            versions = sorted(
+                (d for d in os.listdir(base) if d.startswith("v")),
+                key=lambda d: int(d[1:]),
+            )
+        except (FileNotFoundError, ValueError):
+            return
+        for d in versions[:-keep]:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     def _current(self, name: str) -> str | None:
         pointer = os.path.join(self.staging, f"{name}.current")
