@@ -239,7 +239,8 @@ def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False,
                ppl_tail: float | None = None,
                lm_ref_path: str | None = None,
                classifier_model_path: str | None = None,
-               classifier_threshold: float = 0.5) -> dict:
+               classifier_threshold: float = 0.5,
+               bpe_model_path: str | None = None) -> dict:
     """Batch corpus curation (``--mode curate``): documents (a parquet
     dir/file or JSONL dir with {doc_id, text}) flow through the
     quality gate -> PII redaction -> exact dedup -> chunking ->
@@ -272,11 +273,19 @@ def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False,
 
         with open(classifier_model_path) as f:
             model = _json.load(f)
+    bpe_model = None
+    if bpe_model_path:
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.bpe import (
+            load_bpe_model,
+        )
+
+        bpe_model = load_bpe_model(bpe_model_path)
     packed = curate_corpus(docs, fuzzy=fuzzy,
                            strip_boilerplate=strip_boilerplate,
                            ppl_tail_frac=ppl_tail, lm_ref=lm_ref,
                            classifier_model=model,
-                           classifier_threshold=classifier_threshold)
+                           classifier_threshold=classifier_threshold,
+                           bpe_model=bpe_model)
     packed.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
     out = spark.read.parquet(out_dir)
     agg = out.agg(
@@ -490,7 +499,7 @@ def main() -> None:
     ap.add_argument(
         "--mode",
         choices=["kpis", "dedup", "dedup-batch", "curate", "report",
-                 "train-classifier", "compact"],
+                 "train-classifier", "train-bpe", "compact"],
         default="kpis",
         help="kpis: the 16-query tourism topology; dedup: streaming "
         "document near-dup verdicts (--path is a JSONL docs dir, "
@@ -504,6 +513,17 @@ def main() -> None:
         "compact: rewrite a small-file parquet dir (--path) into "
         "target-sized files (--out, --target-mb, optional --sort-by "
         "for a range-clustered stats-pruning layout)",
+    )
+    ap.add_argument(
+        "--n-merges",
+        type=int,
+        default=200,
+        help="--mode train-bpe: number of BPE merges to learn",
+    )
+    ap.add_argument(
+        "--bpe-model",
+        help="--mode curate: BPE model JSON from --mode train-bpe; "
+        "packed samples then carry input_ids (array<int>)",
     )
     ap.add_argument(
         "--target-mb",
@@ -640,6 +660,23 @@ def main() -> None:
         run_report(spark, args.path, args.out, baseline_path=args.baseline)
         return
 
+    if args.mode == "train-bpe":
+        if not args.path or not args.out:
+            ap.error("--mode train-bpe requires --path (docs dir) and --out")
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.bpe import (
+            save_bpe_model,
+            train_bpe_model,
+        )
+
+        docs = _load_docs(spark, args.path)
+        model = train_bpe_model(docs, n_merges=args.n_merges)
+        save_bpe_model(model, args.out)
+        print(
+            f">>> bpe trained; {len(model['merges'])} merges, vocab "
+            f"{len(model['vocab'])} -> {args.out}"
+        )
+        return
+
     if args.mode == "compact":
         if not args.path or not args.out:
             ap.error("--mode compact requires --path (parquet dir) and --out")
@@ -671,7 +708,8 @@ def main() -> None:
                          strip_boilerplate=args.strip_boilerplate,
                          ppl_tail=args.ppl_tail, lm_ref_path=args.lm_ref,
                          classifier_model_path=args.classifier_model,
-                         classifier_threshold=args.classifier_threshold)
+                         classifier_threshold=args.classifier_threshold,
+                         bpe_model_path=args.bpe_model)
         print(
             f">>> curated; {stats['docs']} docs in, {stats['kept']} kept, "
             f"{stats['samples']} packed samples in {stats['packs']} "

@@ -154,3 +154,98 @@ def test_bpe_trained_tokens_compress_vs_chars(spark):
         .collect()[0][0]
     )
     assert n_tok < n_chars
+
+
+def test_bpe_model_artifact_roundtrip_and_id_encoding(spark, tmp_path):
+    """train_bpe_model -> save -> load -> bpe_encode_ids: ids decode
+    back to the exact token stream of the string encoder; unseen
+    symbols map to <unk> (id 0)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.bpe import (
+        bpe_encode,
+        bpe_encode_ids,
+        load_bpe_model,
+        save_bpe_model,
+        train_bpe_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the lowest lower newest newer widest wider " * 3)
+         for i in range(4)]
+        + [(9, "the newest lowest")],
+        "doc_id long, text string",
+    )
+    model = train_bpe_model(docs, n_merges=30, min_count=2)
+    assert model["vocab"][0] == "<unk>"
+    assert len(model["vocab"]) > len(model["merges"])  # alphabet included
+
+    p = str(tmp_path / "bpe.json")
+    save_bpe_model(model, p)
+    loaded = load_bpe_model(p)
+    assert loaded["vocab"] == model["vocab"]
+    assert [tuple(m) for m in model["merges"]] == loaded["merges"]
+
+    ids_rows = {
+        r["doc_id"]: r["input_ids"]
+        for r in bpe_encode_ids(docs, loaded).collect()
+    }
+    tok_rows = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(docs, loaded["merges"]).collect()
+    }
+    vocab = loaded["vocab"]
+    for did, ids in ids_rows.items():
+        assert [vocab[i] for i in ids] == tok_rows[did]
+        assert 0 not in ids  # corpus-only text: no <unk>
+
+    # unseen alphabet -> <unk>
+    oov = spark.createDataFrame([(1, "zzz�zzz")], "doc_id long, text string")
+    got = bpe_encode_ids(oov, loaded).collect()[0]["input_ids"]
+    assert got and all(i == 0 or vocab[i] != "<unk>" for i in got)
+    assert any(i == 0 for i in got) or "z" in vocab
+
+
+def test_train_bpe_and_curate_emit_input_ids_cli(spark, tmp_path, capsys, monkeypatch):
+    """Production path: --mode train-bpe then --mode curate --bpe-model
+    gives packed samples carrying input_ids consistent with chunk_text."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import run_pipeline
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.bpe import (
+        encode_word,
+        load_bpe_model,
+        _split_words,
+    )
+
+    model_path = str(tmp_path / "bpe.json")
+    out_dir = str(tmp_path / "curated")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "train-bpe",
+         "--path", "/root/testdata/sf0.001", "--out", model_path,
+         "--n-merges", "50"],
+    )
+    run_pipeline.main()
+    assert ">>> bpe trained; " in capsys.readouterr().out
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "curate",
+         "--path", "/root/testdata/sf0.001", "--out", out_dir,
+         "--bpe-model", model_path],
+    )
+    run_pipeline.main()
+    assert ">>> curated; " in capsys.readouterr().out
+
+    model = load_bpe_model(model_path)
+    ranks = {tuple(m): i for i, m in enumerate(model["merges"])}
+    ids = {t: i for i, t in enumerate(model["vocab"])}
+    out = spark.read.parquet(out_dir)
+    assert "input_ids" in out.columns
+    sample = out.limit(20).collect()
+    assert sample
+    for r in sample:
+        want = []
+        for w in _split_words(r["chunk_text"]):
+            want.extend(ids.get(s, 0) for s in encode_word(w, ranks))
+        assert r["input_ids"] == want

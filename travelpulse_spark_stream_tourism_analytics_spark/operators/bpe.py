@@ -209,3 +209,84 @@ def _split_words(text: str) -> list[str]:
     import re
 
     return [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+
+
+# --- Tokenizer as a production artifact (round 5) ------------------------
+
+
+def train_bpe_model(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> dict:
+    """Train merges AND build the id-table model artifact.
+
+    The model dict is ``{"merges": [[l, r], ...], "vocab": [tok, ...]}``
+    where vocab is ``["<unk>"] + sorted(training alphabet) + merge
+    outputs in merge order`` — a deterministic token -> id table
+    (id = position). Any symbol unseen at training time encodes to
+    ``<unk>`` (id 0). The alphabet is one tiny extra aggregation over
+    the distinct-word table; everything else is train_bpe unchanged."""
+    merges = train_bpe(docs, n_merges, text_col=text_col, min_count=min_count)
+    alphabet = sorted(
+        r["ch"]
+        for r in word_counts(docs, text_col)
+        .select(F.explode(chars_of(F.col("word"))).alias("ch"))
+        .distinct()
+        .collect()
+    )
+    vocab = ["<unk>"] + alphabet + [left + right for left, right in merges]
+    # merge outputs can collide with alphabet entries only if a merge
+    # re-derives a single char, which BPE cannot; but two merge chains
+    # could in principle emit the same string — dedupe keeping first.
+    seen: set[str] = set()
+    uniq = [t for t in vocab if not (t in seen or seen.add(t))]
+    return {"merges": [list(m) for m in merges], "vocab": uniq}
+
+
+def save_bpe_model(model: dict, path: str) -> None:
+    import json
+
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(model, fh, ensure_ascii=False)
+
+
+def load_bpe_model(path: str) -> dict:
+    import json
+
+    with open(path, encoding="utf-8") as fh:
+        model = json.load(fh)
+    model["merges"] = [tuple(m) for m in model["merges"]]
+    return model
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    out_col: str = "input_ids",
+) -> DataFrame:
+    """Append ``out_col`` (array<int>) — the doc's BPE token ids under
+    the model's vocab table; unknown symbols map to <unk> (id 0).
+    Same execution shape as bpe_encode: broadcast KB-scale ranks+vocab
+    plan constants, Arrow-batched map-side encode, zero shuffles.
+    Keeps every input column (pass-through), so it composes directly
+    onto packed curation samples."""
+    ranks = {tuple(pair): i for i, pair in enumerate(model["merges"])}
+    ids = {tok: i for i, tok in enumerate(model["vocab"])}
+
+    @F.pandas_udf("array<int>")
+    def enc(texts: pd.Series) -> pd.Series:
+        def run(t):
+            out = []
+            if t:
+                for w in _split_words(t):
+                    out.extend(
+                        ids.get(s, 0) for s in encode_word(w, ranks)
+                    )
+            return out
+
+        return texts.map(run)
+
+    return docs.withColumn(out_col, enc(F.col(text_col)))

@@ -163,6 +163,7 @@ def curate_corpus(
     lm_ref: DataFrame | None = None,
     classifier_model: dict | None = None,
     classifier_threshold: float = 0.5,
+    bpe_model: dict | None = None,
 ) -> DataFrame:
     """Run the full curation chain; returns packed training samples
     (doc_id, chunk_idx, chunk_uid, chunk_text, n_chunk_tokens,
@@ -319,12 +320,23 @@ def curate_corpus(
             spans.select("text_hash"), "text_hash", "left_semi"
         ).select("chunk_uid").distinct()
         chunks = chunks.join(tainted, "chunk_uid", "left_anti")
-    return pack_chunks(
+    packed = pack_chunks(
         chunks,
         id_col=id_col,
         capacity=capacity,
         n_shards=n_shards,
     )
+    if bpe_model is not None:
+        # training-ready output: append the packed chunk's BPE token
+        # ids (operators/bpe.py model artifact from --mode train-bpe).
+        # Map-side Arrow-batched encode over broadcast KB tables —
+        # adds zero shuffles to the chain.
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.bpe import (
+            bpe_encode_ids,
+        )
+
+        packed = bpe_encode_ids(packed, bpe_model, text_col="chunk_text")
+    return packed
 
 
 def corpus_report(
