@@ -499,7 +499,8 @@ def main() -> None:
     ap.add_argument(
         "--mode",
         choices=["kpis", "dedup", "dedup-batch", "curate", "report",
-                 "train-classifier", "train-bpe", "compact"],
+                 "train-classifier", "train-bpe", "compact",
+                 "build-ann-index", "ann-search"],
         default="kpis",
         help="kpis: the 16-query tourism topology; dedup: streaming "
         "document near-dup verdicts (--path is a JSONL docs dir, "
@@ -513,6 +514,30 @@ def main() -> None:
         "compact: rewrite a small-file parquet dir (--path) into "
         "target-sized files (--out, --target-mb, optional --sort-by "
         "for a range-clustered stats-pruning layout)",
+    )
+    ap.add_argument(
+        "--cells", type=int, default=16,
+        help="--mode build-ann-index: IVF coarse cells",
+    )
+    ap.add_argument(
+        "--pq-m", type=int, default=8,
+        help="--mode build-ann-index: PQ subquantizers (must divide dim)",
+    )
+    ap.add_argument(
+        "--pq-codes", type=int, default=16,
+        help="--mode build-ann-index: centroids per PQ subspace",
+    )
+    ap.add_argument(
+        "--k", type=int, default=10, help="--mode ann-search: neighbors"
+    )
+    ap.add_argument(
+        "--n-probe", type=int, default=4,
+        help="--mode ann-search: IVF cells probed per query",
+    )
+    ap.add_argument(
+        "--rerank", type=int, default=None,
+        help="--mode ann-search: exact-rerank shortlist size "
+        "(needs a store_vectors index)",
     )
     ap.add_argument(
         "--n-merges",
@@ -658,6 +683,56 @@ def main() -> None:
         if not args.path:
             ap.error("--mode report requires --path (docs dir)")
         run_report(spark, args.path, args.out, baseline_path=args.baseline)
+        return
+
+    if args.mode == "build-ann-index":
+        if not args.path or not args.out:
+            ap.error(
+                "--mode build-ann-index requires --path (embeddings "
+                "parquet/dir) and --out (index dir)"
+            )
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.ann_index import (
+            build_ann_index,
+        )
+
+        table = os.path.join(args.path, "embeddings.parquet")
+        emb = spark.read.parquet(
+            table if os.path.exists(table) else args.path
+        )
+        meta = build_ann_index(
+            emb, args.out, n_cells=args.cells, m=args.pq_m,
+            k_codes=args.pq_codes,
+        )
+        print(
+            f">>> ann index built; {meta['n_vectors']} vectors, "
+            f"{meta['n_cells']} cells, m={meta['m']} x "
+            f"{meta['k_codes']} codes -> {args.out}"
+        )
+        return
+
+    if args.mode == "ann-search":
+        if not args.path or not args.out or not args.index:
+            ap.error(
+                "--mode ann-search requires --path (queries parquet: "
+                "qid, qv), --index (index dir) and --out (results "
+                "parquet)"
+            )
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.ann_index import (
+            ann_search,
+        )
+
+        queries = spark.read.parquet(args.path)
+        res = ann_search(
+            spark, args.index, queries, k=args.k, n_probe=args.n_probe,
+            rerank=args.rerank,
+        )
+        res.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(
+            f">>> ann search done; {n} (query, neighbor) rows "
+            f"(k={args.k}, n_probe={args.n_probe}, "
+            f"rerank={args.rerank}) -> {args.out}"
+        )
         return
 
     if args.mode == "train-bpe":

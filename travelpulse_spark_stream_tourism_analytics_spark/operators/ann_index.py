@@ -1,0 +1,254 @@
+"""Persistent ANN index: build once, search many (IVF + PQ on disk).
+
+The catalog's kNN entries fit their coarse cells and codebooks inside
+each query — right for an oracle-checked benchmark, wrong for
+production, where an embedding corpus is indexed ONCE and then served
+many searches. This module persists the full index as plain parquet +
+JSON artifacts:
+
+* ``centroids.parquet``  (cell, center)            — IVF coarse quantizer
+* ``codebooks.parquet``  (subspace, code, center)  — PQ codebooks
+* ``codes.parquet/cell=N/`` (id, codes)            — PQ codes,
+  PARTITIONED BY CELL, so a search that probes ``n_probe`` of
+  ``n_cells`` cells reads only those partition directories — the
+  IVF pruning is enforced by the LAYOUT (partition pruning at the
+  scan), not by a post-scan filter;
+* ``meta.json``          (dims, m, k, n_cells, seed, counts).
+
+Search composes the existing machinery (operators/similarity.py): probe
+cells are ranked driver-side against the tiny centroid table (queries
+are few — the same bounded contract as ivf_knn), per-query ADC tables
+ship as literal columns, and the distance is m table lookups summed in
+pure JVM exprs over the 32-64x-smaller codes. This is IVF-PQ in the
+plain (non-residual) variant: PQ codes quantize the raw vectors, cells
+only prune — one fewer moving part, same plan shape as the residual
+variant if recall targets ever require it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import ivf_index, pq_codebooks, pq_encode
+
+
+def build_ann_index(
+    emb: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    seed: int = 42,
+    store_vectors: bool = True,
+) -> dict:
+    """Fit IVF cells + PQ codebooks over ``emb`` and persist the index.
+
+    ``store_vectors`` keeps the raw vectors alongside the codes (same
+    cell-partitioned layout), enabling the exact RERANK refine step at
+    search time (FAISS IndexRefineFlat shape): ADC shortlists cheaply
+    over the small codes, then the shortlist alone pays the full-vector
+    distance. Costs the original vector storage back — set False for a
+    codes-only index when recall@ADC suffices.
+
+    Returns the meta dict (also written to meta.json)."""
+    emb = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    assigned, model = ivf_index(emb, id_col, "__v", n_cells=n_cells, seed=seed)
+    books = pq_codebooks(emb, vec_col="__v", m=m, k=k_codes, seed=seed)
+    codes = pq_encode(emb, id_col, "__v", books).join(
+        assigned.select(
+            id_col, "cell", *(["__v"] if store_vectors else [])
+        ),
+        id_col,
+    )
+    if store_vectors:
+        codes = codes.withColumnRenamed("__v", "vec")
+
+    spark = emb.sparkSession
+    os.makedirs(out_dir, exist_ok=True)
+    centers = model.clusterCenters()
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/centroids.parquet")
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j][c]])
+            for j in range(len(books))
+            for c in range(len(books[j]))
+        ],
+        "subspace int, code int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/codebooks.parquet")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{out_dir}/codes.parquet"
+    )
+
+    meta = {
+        "id_col": id_col,
+        "dim": len(centers[0]),
+        "n_cells": len(centers),
+        "m": len(books),
+        "k_codes": int(books[0].shape[0]),
+        "sub_dim": int(books[0].shape[1]),
+        "seed": seed,
+        "store_vectors": store_vectors,
+        "n_vectors": codes.count(),
+    }
+    with open(f"{out_dir}/meta.json", "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def load_ann_meta(index_dir: str) -> dict:
+    with open(f"{index_dir}/meta.json") as fh:
+        return json.load(fh)
+
+
+def _load_model(spark: SparkSession, index_dir: str):
+    """(centers ndarray, codebooks list[ndarray], meta) from disk."""
+    import numpy as np
+
+    meta = load_ann_meta(index_dir)
+    crows = spark.read.parquet(f"{index_dir}/centroids.parquet").collect()
+    centers = np.zeros((meta["n_cells"], meta["dim"]))
+    for r in crows:
+        centers[r["cell"]] = r["center"]
+    brows = spark.read.parquet(f"{index_dir}/codebooks.parquet").collect()
+    books = [
+        np.zeros((meta["k_codes"], meta["sub_dim"])) for _ in range(meta["m"])
+    ]
+    for r in brows:
+        books[r["subspace"]][r["code"]] = r["center"]
+    return centers, books, meta
+
+
+def ann_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    query_id_col: str = "qid",
+    qvec_col: str = "qv",
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Top-k ADC neighbors for each query against the persisted index.
+
+    Probed-cell restriction is a PARTITION FILTER on codes.parquet
+    (``cell IN (...)``) — only the probed directories are listed and
+    scanned; the per-(query, cell) pairing then joins on cell so each
+    query scores only ITS probe set. Output: (qid, neighbor_id,
+    adc_dist) with adc_dist rounded at 1e-6 before ranking, ties on
+    neighbor id — identical conventions to pq_search_adc.
+
+    ``rerank=R`` (needs a store_vectors index) refines: ADC shortlists
+    the top R per query, then only those R rows pay the EXACT
+    full-vector L2 — recall is then bounded by cell probing alone, not
+    PQ distortion, for R ~ 3-10x k. adc_dist then carries the exact
+    rounded distance."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    centers, books, meta = _load_model(spark, index_dir)
+    m, sub = meta["m"], meta["sub_dim"]
+
+    if rerank is not None and not meta.get("store_vectors"):
+        raise ValueError(
+            "ann_search(rerank=...) needs an index built with "
+            "store_vectors=True"
+        )
+
+    rows = []
+    all_cells: set[int] = set()
+    for r in queries.collect():
+        qv = np.array(r[qvec_col], dtype=float)
+        d = ((centers - qv[None, :]) ** 2).sum(axis=1)
+        probe = [int(c) for c in np.argsort(d, kind="stable")[:n_probe]]
+        all_cells.update(probe)
+        tables = [
+            [
+                float(((qv[j * sub : (j + 1) * sub] - c) ** 2).sum())
+                for c in books[j]
+            ]
+            for j in range(m)
+        ]
+        for cell in probe:
+            rows.append((r[query_id_col], cell, tables, list(map(float, qv))))
+    if not rows:
+        raise ValueError("ann_search: empty query set")
+    q_df = spark.createDataFrame(
+        rows,
+        f"{query_id_col} long, cell int, tables array<array<double>>,"
+        " qv array<double>",
+    )
+
+    codes = spark.read.parquet(f"{index_dir}/codes.parquet").filter(
+        F.col("cell").isin(sorted(all_cells))  # partition pruning
+    )
+    id_col = meta["id_col"]
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.col("tables"),
+                lambda c, t: F.element_at(t, c + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    keep = ["vec"] if rerank is not None else []
+    scored = (
+        codes.join(F.broadcast(q_df), "cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            adc.alias("adc_dist"),
+            *(["qv"] if rerank is not None else []),
+            *keep,
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    shortlist_n = k if rerank is None else max(rerank, k)
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist_n)
+        .drop("rn")
+    )
+    if rerank is None:
+        return shortlist
+    # refine: exact L2 on the stored vectors, shortlist rows only
+    exact = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.col("vec"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    refined = shortlist.select(
+        query_id_col,
+        "neighbor_id",
+        exact.alias("adc_dist"),
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        refined.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
