@@ -138,3 +138,62 @@ def test_ann_cli_build_and_search(spark, tmp_path, capsys, monkeypatch):
     res = spark.read.parquet(out)
     assert res.count() == 15
     assert set(res.columns) == {"qid", "neighbor_id", "adc_dist"}
+
+
+def test_ann_incremental_add_equals_frozen_model_bulk(spark, tmp_path):
+    """add_to_ann_index encodes under the FROZEN model: building on the
+    first half then adding the second half yields exactly the search
+    results of an index whose codes cover everything (model fixed),
+    and the new vectors become findable."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.ann_index import (
+        add_to_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") < 250)
+    second = emb.filter(F.col("vec_id") >= 250)
+
+    idx = str(tmp_path / "idx_inc")
+    build_ann_index(first, idx, n_cells=8, m=8, k_codes=16)
+    assert load_ann_meta(idx)["n_vectors"] == 250
+    meta = add_to_ann_index(spark, idx, second)
+    assert meta["n_vectors"] == 500
+    assert load_ann_meta(idx)["n_vectors"] == 500
+
+    # a query that IS one of the added vectors must find itself absent
+    # (self-filtered) but its exact duplicate region: search must now
+    # return added ids at all
+    queries = second.limit(3).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    res = ann_search(spark, idx, queries, k=10, n_probe=8, rerank=50).collect()
+    assert {r["qid"] for r in res} == {r["qid"] for r in queries.collect()}
+    assert any(r["neighbor_id"] >= 250 for r in res)  # added ids findable
+
+    # equivalence: an index with the same frozen model but codes built
+    # in ONE pass — copy model artifacts, re-encode everything via add
+    idx2 = str(tmp_path / "idx_bulk")
+    build_ann_index(first, idx2, n_cells=8, m=8, k_codes=16)
+    # wipe codes, re-add the FULL corpus under the frozen model
+    import shutil
+
+    shutil.rmtree(f"{idx2}/codes.parquet")
+    m2 = load_ann_meta(idx2)
+    m2["n_vectors"] = 0
+    import json as _json
+
+    with open(f"{idx2}/meta.json", "w") as fh:
+        _json.dump(m2, fh)
+    add_to_ann_index(spark, idx2, emb)
+    a = {
+        (r["qid"], r["neighbor_id"], r["adc_dist"])
+        for r in ann_search(spark, idx, queries, k=10, n_probe=8,
+                            rerank=50).collect()
+    }
+    b = {
+        (r["qid"], r["neighbor_id"], r["adc_dist"])
+        for r in ann_search(spark, idx2, queries, k=10, n_probe=8,
+                            rerank=50).collect()
+    }
+    assert a == b

@@ -95,3 +95,23 @@ def test_pagerank_weight_sensitivity(spark):
         for r in pagerank(_edges_df(spark, triples), iterations=5).collect()
     }
     assert ranks["b"] > ranks["c"]
+
+
+def test_pagerank_checkpoint_every_is_transparent(spark):
+    """Lineage truncation must not change results (bit-for-bit)."""
+    triples = [
+        ("a", "b", 2), ("b", "a", 2),
+        ("b", "c", 1), ("c", "b", 1),
+        ("c", "a", 4), ("a", "c", 4),
+    ]
+    base = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges_df(spark, triples), iterations=6).collect()
+    }
+    chk = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            _edges_df(spark, triples), iterations=6, checkpoint_every=2
+        ).collect()
+    }
+    assert base == chk

@@ -252,3 +252,77 @@ def ann_search(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def add_to_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_emb: DataFrame,
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental ingest: encode new vectors under the FROZEN model
+    (the build-time centroids and codebooks — the standard IVF contract;
+    re-fitting would silently re-bucket the whole corpus) and append
+    them to the cell-partitioned codes layout. Append-mode parquet into
+    partition directories touches only the cells the new batch lands
+    in; searches see the union immediately. Returns the updated meta.
+
+    The batch twin of the streaming ingest index (--mode dedup-batch):
+    chained adds == one bulk build WITH THE SAME MODEL; drift of the
+    corpus away from the frozen codebooks is the operational signal to
+    rebuild (monitor with operators/drift.py over adc residuals or cell
+    occupancy)."""
+    import numpy as np
+
+    centers, books, meta = _load_model(spark, index_dir)
+    id_col = meta["id_col"]
+    emb = new_emb.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("__v")
+    )
+
+    # cell assignment under the frozen coarse quantizer: broadcast the
+    # tiny centroid table, argmin by expanded |v|^2 - 2vc + |c|^2 per
+    # row in one map-side pass (no KMeans re-fit, no shuffle)
+    c_rows = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(centers)
+    ]
+    c_df = spark.createDataFrame(c_rows, "cell int, center array<double>")
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("__v"), F.col("center"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql.window import Window
+
+    assigned = (
+        emb.crossJoin(F.broadcast(c_df))
+        .select(id_col, "__v", "cell", dist2.alias("__d2"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.asc("__d2"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__d2")
+    )
+    codes = pq_encode(emb, id_col, "__v", [np.array(b) for b in books]).join(
+        assigned.select(
+            id_col, "cell", *(["__v"] if meta.get("store_vectors") else [])
+        ),
+        id_col,
+    )
+    if meta.get("store_vectors"):
+        codes = codes.withColumnRenamed("__v", "vec")
+    n_new = codes.count()
+    codes.write.mode("append").partitionBy("cell").parquet(
+        f"{index_dir}/codes.parquet"
+    )
+    meta["n_vectors"] = int(meta["n_vectors"]) + n_new
+    with open(f"{index_dir}/meta.json", "w") as fh:
+        json.dump(meta, fh)
+    return meta

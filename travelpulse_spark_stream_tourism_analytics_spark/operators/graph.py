@@ -66,6 +66,8 @@ def pagerank(
     teleport: float = 0.15,
     partitions: int | None = None,
     checkpoint_every: int | None = None,
+    seeds: DataFrame | None = None,
+    cache_site: str = "graph.pagerank.edges",
 ) -> DataFrame:
     """(node, rank) after ``iterations`` rounds of weighted PageRank.
 
@@ -76,6 +78,14 @@ def pagerank(
     (not ``1 - damping``) so an external SQL twin can spell the same
     decimal literals and land on the same doubles — ``1.0 - 0.85``
     evaluated in binary is NOT the double nearest 0.15.
+
+    ``seeds`` (a ``node`` column) switches to PERSONALIZED PageRank —
+    the TrustRank shape (Gyöngyi et al. 2004): teleport mass goes only
+    to the seed set (intersected with the graph), so rank measures
+    proximity-weighted trust flowing out of the seeds instead of global
+    centrality. Initial rank is 1/|S| on seeds, 0 elsewhere; the
+    update's base term is ``teleport/|S|`` for seeds, 0 otherwise.
+    Same joins, same quantized-sum exactness.
     """
     spark = edges.sparkSession
     n_part = partitions or spark.sparkContext.defaultParallelism
@@ -93,12 +103,35 @@ def pagerank(
         # byte-small input to ONE partition (see .claude verify notes)
         .repartition(n_part, "src")
     )
-    e = scoped_persist(e, "graph.pagerank.edges")
+    # distinct cache_site per concurrent caller: scoped_persist keeps
+    # ONE live cache per site, so two pagerank variants composed into
+    # the same merged plan must not share a site (the second build
+    # would evict the first's cache before it ever served a read)
+    e = scoped_persist(e, cache_site)
     nodes = e.select(F.col("src").alias("node")).distinct()
     n = nodes.count()  # also materializes the edge cache
-    ranks = nodes.select(
-        "node", (F.lit(1.0) / F.lit(float(n))).alias("rank")
-    )
+    if seeds is not None:
+        in_graph = nodes.join(
+            seeds.select("node").distinct(), "node", "left_semi"
+        )
+        ns = in_graph.count()
+        if ns == 0:
+            raise ValueError("pagerank: no seed intersects the graph")
+        nodes = nodes.join(
+            in_graph.withColumn("__seed", F.lit(True)), "node", "left"
+        ).withColumn("__seed", F.coalesce(F.col("__seed"), F.lit(False)))
+        denom = F.lit(float(ns))
+        base = F.when(
+            F.col("__seed"), F.lit(teleport) / denom
+        ).otherwise(F.lit(0.0))
+        r0 = F.when(F.col("__seed"), F.lit(1.0) / denom).otherwise(
+            F.lit(0.0)
+        )
+        nodes = scoped_persist(nodes, cache_site + ".nodes")
+    else:
+        base = F.lit(teleport) / F.lit(float(n))
+        r0 = F.lit(1.0) / F.lit(float(n))
+    ranks = nodes.select("node", r0.alias("rank"))
     for i in range(iterations):
         contribs = e.join(ranks, e.src == ranks.node).select(
             F.col("dst"),
@@ -110,7 +143,7 @@ def pagerank(
         ranks = nodes.join(sums, nodes.node == sums.dst, "left").select(
             F.col("node"),
             (
-                F.lit(teleport) / F.lit(float(n))
+                base
                 + F.lit(damping)
                 * (
                     F.coalesce(F.col("s").cast("double"), F.lit(0.0))
@@ -120,4 +153,4 @@ def pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+    return ranks.select("node", "rank")

@@ -600,19 +600,11 @@ def customer_balance_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def supplier_customer_pagerank(
-    spark: SparkSession, sf_dir: str, iterations: int = 4
-) -> DataFrame:
-    """Weighted PageRank over the bipartite customer<->supplier purchase
-    graph (edge weight = lineitem count through orders; both directions,
-    so no dangling mass). The relational stand-in for the link-centrality
-    quality signal a web-corpus curation pipeline computes over its
-    hyperlink graph — same operator (operators/graph.py pagerank), same
-    plan shape at 100 TB: edge build is one join + one partial-agg
-    shuffle, then each iteration re-uses the cached pre-partitioned edge
-    relation."""
+def _purchase_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite customer<->supplier purchase graph: edge weight =
+    lineitem count through orders, both directions (no dangling
+    mass)."""
     from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
-        pagerank,
         undirect,
     )
 
@@ -623,14 +615,32 @@ def supplier_customer_pagerank(
         .groupBy("o_custkey", "l_suppkey")
         .agg(F.count("*").alias("w"))
     )
-    edges = undirect(
+    return undirect(
         base.select(
             F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
             "w",
         )
     )
-    return pagerank(edges, iterations=iterations)
+
+
+def supplier_customer_pagerank(
+    spark: SparkSession, sf_dir: str, iterations: int = 4
+) -> DataFrame:
+    """Weighted PageRank over the bipartite customer<->supplier purchase
+    graph. The relational stand-in for the link-centrality
+    quality signal a web-corpus curation pipeline computes over its
+    hyperlink graph — same operator (operators/graph.py pagerank), same
+    plan shape at 100 TB: edge build is one join + one partial-agg
+    shuffle, then each iteration re-uses the cached pre-partitioned edge
+    relation."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        pagerank,
+    )
+
+    return pagerank(
+        _purchase_graph_edges(spark, sf_dir), iterations=iterations
+    )
 
 
 def _pagerank_ctes(iters: int = 4) -> str:
@@ -686,6 +696,85 @@ def _pagerank_ctes(iters: int = 4) -> str:
     return "".join(parts)
 
 
+def supplier_customer_trustrank(
+    spark: SparkSession, sf_dir: str, iterations: int = 4
+) -> DataFrame:
+    """TrustRank over the same purchase graph: teleport restricted to
+    the top-5 suppliers by account balance (the 'trusted seed' set) —
+    rank then measures trust flowing out of those seeds through shared
+    customers, the seed-propagation quality signal web curation runs
+    over its hyperlink graph (Gyöngyi et al. 2004)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        pagerank,
+    )
+
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal"
+    )
+    seeds = (
+        supplier.orderBy(F.desc("s_acctbal"), "s_suppkey")
+        .limit(5)
+        .select(
+            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    return pagerank(
+        _purchase_graph_edges(spark, sf_dir), iterations=iterations,
+        seeds=seeds, cache_site="graph.trustrank.edges",
+    )
+
+
+def _trustrank_ctes(iters: int = 4) -> str:
+    """SQL twin of the personalized branch; reuses pr_e / pr_nodes from
+    _pagerank_ctes (must appear AFTER them in the same WITH list)."""
+    parts = [
+        """,
+    tr_seeds AS (
+        SELECT 's:' || CAST(s_suppkey AS VARCHAR) AS node
+        FROM (
+            SELECT s_suppkey FROM supplier
+            ORDER BY s_acctbal DESC, s_suppkey LIMIT 5
+        ) s5
+    ),
+    tr_sg AS (
+        SELECT node FROM pr_nodes
+        WHERE node IN (SELECT node FROM tr_seeds)
+    ),
+    tr_ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tr_sg),
+    tr_flag AS (
+        SELECT pr_nodes.node,
+               (pr_nodes.node IN (SELECT node FROM tr_sg)) AS is_seed
+        FROM pr_nodes
+    ),
+    tr_r0 AS (
+        SELECT node,
+               CASE WHEN is_seed THEN 1.0 / (SELECT n FROM tr_ns)
+                    ELSE 0.0 END AS pr_rank
+        FROM tr_flag
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    tr_r{i} AS (
+        SELECT tr_flag.node,
+               CASE WHEN tr_flag.is_seed
+                    THEN 0.15 / (SELECT n FROM tr_ns) ELSE 0.0 END
+               + 0.85 * (CAST(coalesce(t.s, 0) AS DOUBLE) / 1e15) AS pr_rank
+        FROM tr_flag LEFT JOIN (
+            SELECT pr_e.dst,
+                   sum(CAST(floor(tr_r{i - 1}.pr_rank * pr_e.frac * 1e15)
+                            AS DECIMAL(38,0))) AS s
+            FROM pr_e JOIN tr_r{i - 1} ON pr_e.src = tr_r{i - 1}.node
+            GROUP BY pr_e.dst
+        ) t ON tr_flag.node = t.dst
+    )"""
+        )
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Merged catalog entries (driver scores <=50 queries; each entry below
 # composes the constituent relational plans above, unchanged, into one
@@ -697,6 +786,7 @@ def _pagerank_ctes(iters: int = 4) -> str:
     "topn_revenue_entities",
     oracle="WITH"
     + _pagerank_ctes(4)
+    + _trustrank_ctes(4)
     + """
     SELECT * FROM (
         SELECT 'top_customer_revenue' AS scope,
@@ -756,6 +846,18 @@ def _pagerank_ctes(iters: int = 4) -> str:
         SELECT node, pr_rank FROM pr_r4
         ORDER BY pr_rank DESC, node LIMIT 50
     ) prtop
+    UNION ALL
+    SELECT 'graph_trustrank' AS scope,
+           CAST(substr(node, 3) AS BIGINT) AS entity_key,
+           CASE WHEN substr(node, 1, 1) = 'c'
+                THEN 'customer' ELSE 'supplier' END AS label_a,
+           NULL::VARCHAR AS label_b,
+           pr_rank AS metric_value,
+           NULL::BIGINT AS n_orders, NULL::TIMESTAMP AS ref_date
+    FROM (
+        SELECT node, pr_rank FROM tr_r4
+        ORDER BY pr_rank DESC, node LIMIT 50
+    ) trtop
     """,
 )
 def topn_revenue_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -793,25 +895,38 @@ def topn_revenue_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_orders"),
         F.lit(None).cast("timestamp_ntz").alias("ref_date"),
     )
-    pr = (
-        supplier_customer_pagerank(spark, sf_dir)
-        .orderBy(F.desc("rank"), "node")
-        .limit(50)
-        .select(
-            F.lit("graph_pagerank").alias("scope"),
-            F.expr("CAST(substring(node, 3) AS BIGINT)").alias("entity_key"),
-            F.when(
-                F.expr("substring(node, 1, 1)") == "c", F.lit("customer")
+    def rank_arm(ranks: DataFrame, scope: str) -> DataFrame:
+        return (
+            ranks.orderBy(F.desc("rank"), "node")
+            .limit(50)
+            .select(
+                F.lit(scope).alias("scope"),
+                F.expr("CAST(substring(node, 3) AS BIGINT)").alias(
+                    "entity_key"
+                ),
+                F.when(
+                    F.expr("substring(node, 1, 1)") == "c",
+                    F.lit("customer"),
+                )
+                .otherwise(F.lit("supplier"))
+                .alias("label_a"),
+                F.lit(None).cast("string").alias("label_b"),
+                F.col("rank").alias("metric_value"),
+                F.lit(None).cast("long").alias("n_orders"),
+                F.lit(None).cast("timestamp_ntz").alias("ref_date"),
             )
-            .otherwise(F.lit("supplier"))
-            .alias("label_a"),
-            F.lit(None).cast("string").alias("label_b"),
-            F.col("rank").alias("metric_value"),
-            F.lit(None).cast("long").alias("n_orders"),
-            F.lit(None).cast("timestamp_ntz").alias("ref_date"),
         )
+
+    pr = rank_arm(supplier_customer_pagerank(spark, sf_dir), "graph_pagerank")
+    tr = rank_arm(
+        supplier_customer_trustrank(spark, sf_dir), "graph_trustrank"
     )
-    return top.unionByName(shp).unionByName(best).unionByName(pr)
+    return (
+        top.unionByName(shp)
+        .unionByName(best)
+        .unionByName(pr)
+        .unionByName(tr)
+    )
 
 
 @query(
