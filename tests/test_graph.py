@@ -115,3 +115,40 @@ def test_pagerank_checkpoint_every_is_transparent(spark):
         ).collect()
     }
     assert base == chk
+
+
+def test_pagerank_multi_fused_equals_separate_runs(spark):
+    """k variants advanced through ONE fused loop must be bit-identical
+    to k independent pagerank calls (the per-column decimal sums are
+    independent, so fusion is pure plumbing)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        pagerank_multi,
+    )
+
+    triples = [
+        ("a", "b", 2), ("b", "a", 2),
+        ("b", "c", 1), ("c", "b", 1),
+        ("c", "a", 4), ("a", "c", 4),
+        ("c", "d", 3), ("d", "c", 3),
+    ]
+    edges = _edges_df(spark, triples)
+    seeds = spark.createDataFrame([("a",), ("d",)], "node string")
+    fused = {
+        r["node"]: (r["g"], r["t"])
+        for r in pagerank_multi(
+            edges, {"g": None, "t": seeds}, iterations=5
+        ).collect()
+    }
+    sep_g = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=5).collect()
+    }
+    sep_t = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, iterations=5, seeds=seeds,
+            cache_site="graph.test.trust",
+        ).collect()
+    }
+    assert {k: v[0] for k, v in fused.items()} == sep_g
+    assert {k: v[1] for k, v in fused.items()} == sep_t

@@ -59,6 +59,120 @@ def undirect(edges: DataFrame) -> DataFrame:
     )
 
 
+def pagerank_multi(
+    edges: DataFrame,
+    variants: dict[str, DataFrame | None],
+    iterations: int = 4,
+    damping: float = 0.85,
+    teleport: float = 0.15,
+    partitions: int | None = None,
+    checkpoint_every: int | None = None,
+    cache_site: str = "graph.pagerank.edges",
+) -> DataFrame:
+    """``(node, <name>...)`` — one rank column per entry of ``variants``,
+    all advanced through a SINGLE iteration loop over one cached edge
+    relation.
+
+    ``variants`` maps an output column name to a teleport seed set
+    (``None`` = classic global PageRank; a ``node``-column DataFrame =
+    personalized / TrustRank). Running k variants fused costs ONE
+    join + ONE map-side-combined shuffle per iteration instead of k —
+    the multiple-right-hand-sides trick for power iteration. Each
+    column's arithmetic is elementwise identical to an independent run
+    (the quantized decimal sums are per-column), so fused output is
+    bit-for-bit equal to k separate ``pagerank`` calls.
+    """
+    if not variants:
+        raise ValueError("pagerank_multi: variants must be non-empty")
+    spark = edges.sparkSession
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = (
+        edges.join(out_w, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("w").cast("double") / F.col("ow").cast("double")).alias(
+                "frac"
+            ),
+        )
+        # explicit count: AQE coalesces a bare repartition(col) on
+        # byte-small input to ONE partition (see .claude verify notes)
+        .repartition(n_part, "src")
+    )
+    # distinct cache_site per concurrent caller: scoped_persist keeps
+    # ONE live cache per site, so two pagerank_multi calls composed
+    # into the same merged plan must not share a site (the second
+    # build would evict the first's cache before it ever served a read)
+    e = scoped_persist(e, cache_site)
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # also materializes the edge cache
+    names = list(variants)
+    base: dict[str, F.Column] = {}
+    r0: dict[str, F.Column] = {}
+    seeded = False
+    for name, seeds in variants.items():
+        if seeds is None:
+            base[name] = F.lit(teleport) / F.lit(float(n))
+            r0[name] = F.lit(1.0) / F.lit(float(n))
+            continue
+        in_graph = nodes.join(
+            seeds.select("node").distinct(), "node", "left_semi"
+        )
+        ns = in_graph.count()
+        if ns == 0:
+            raise ValueError(
+                f"pagerank_multi[{name}]: no seed intersects the graph"
+            )
+        flag = f"__seed_{name}"
+        nodes = nodes.join(
+            in_graph.withColumn(flag, F.lit(True)), "node", "left"
+        ).withColumn(flag, F.coalesce(F.col(flag), F.lit(False)))
+        denom = F.lit(float(ns))
+        base[name] = F.when(
+            F.col(flag), F.lit(teleport) / denom
+        ).otherwise(F.lit(0.0))
+        r0[name] = F.when(F.col(flag), F.lit(1.0) / denom).otherwise(
+            F.lit(0.0)
+        )
+        seeded = True
+    if seeded:
+        nodes = scoped_persist(nodes, cache_site + ".nodes")
+    ranks = nodes.select("node", *[r0[k].alias(k) for k in names])
+    for i in range(iterations):
+        contribs = e.join(ranks, e.src == ranks.node).select(
+            F.col("dst"),
+            *[
+                F.floor(F.col(k) * F.col("frac") * F.lit(1e15))
+                .cast("decimal(38,0)")
+                .alias(f"__c_{k}")
+                for k in names
+            ],
+        )
+        sums = contribs.groupBy("dst").agg(
+            *[F.sum(f"__c_{k}").alias(f"__s_{k}") for k in names]
+        )
+        ranks = nodes.join(sums, nodes.node == sums.dst, "left").select(
+            F.col("node"),
+            *[
+                (
+                    base[k]
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(
+                            F.col(f"__s_{k}").cast("double"), F.lit(0.0)
+                        )
+                        / F.lit(1e15)
+                    )
+                ).alias(k)
+                for k in names
+            ],
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", *names)
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 4,
@@ -86,71 +200,16 @@ def pagerank(
     centrality. Initial rank is 1/|S| on seeds, 0 elsewhere; the
     update's base term is ``teleport/|S|`` for seeds, 0 otherwise.
     Same joins, same quantized-sum exactness.
+
+    Single-variant convenience wrapper over ``pagerank_multi``.
     """
-    spark = edges.sparkSession
-    n_part = partitions or spark.sparkContext.defaultParallelism
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    e = (
-        edges.join(out_w, "src")
-        .select(
-            "src",
-            "dst",
-            (F.col("w").cast("double") / F.col("ow").cast("double")).alias(
-                "frac"
-            ),
-        )
-        # explicit count: AQE coalesces a bare repartition(col) on
-        # byte-small input to ONE partition (see .claude verify notes)
-        .repartition(n_part, "src")
+    return pagerank_multi(
+        edges,
+        {"rank": seeds},
+        iterations=iterations,
+        damping=damping,
+        teleport=teleport,
+        partitions=partitions,
+        checkpoint_every=checkpoint_every,
+        cache_site=cache_site,
     )
-    # distinct cache_site per concurrent caller: scoped_persist keeps
-    # ONE live cache per site, so two pagerank variants composed into
-    # the same merged plan must not share a site (the second build
-    # would evict the first's cache before it ever served a read)
-    e = scoped_persist(e, cache_site)
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    n = nodes.count()  # also materializes the edge cache
-    if seeds is not None:
-        in_graph = nodes.join(
-            seeds.select("node").distinct(), "node", "left_semi"
-        )
-        ns = in_graph.count()
-        if ns == 0:
-            raise ValueError("pagerank: no seed intersects the graph")
-        nodes = nodes.join(
-            in_graph.withColumn("__seed", F.lit(True)), "node", "left"
-        ).withColumn("__seed", F.coalesce(F.col("__seed"), F.lit(False)))
-        denom = F.lit(float(ns))
-        base = F.when(
-            F.col("__seed"), F.lit(teleport) / denom
-        ).otherwise(F.lit(0.0))
-        r0 = F.when(F.col("__seed"), F.lit(1.0) / denom).otherwise(
-            F.lit(0.0)
-        )
-        nodes = scoped_persist(nodes, cache_site + ".nodes")
-    else:
-        base = F.lit(teleport) / F.lit(float(n))
-        r0 = F.lit(1.0) / F.lit(float(n))
-    ranks = nodes.select("node", r0.alias("rank"))
-    for i in range(iterations):
-        contribs = e.join(ranks, e.src == ranks.node).select(
-            F.col("dst"),
-            F.floor(F.col("rank") * F.col("frac") * F.lit(1e15))
-            .cast("decimal(38,0)")
-            .alias("contrib"),
-        )
-        sums = contribs.groupBy("dst").agg(F.sum("contrib").alias("s"))
-        ranks = nodes.join(sums, nodes.node == sums.dst, "left").select(
-            F.col("node"),
-            (
-                base
-                + F.lit(damping)
-                * (
-                    F.coalesce(F.col("s").cast("double"), F.lit(0.0))
-                    / F.lit(1e15)
-                )
-            ).alias("rank"),
-        )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
-    return ranks.select("node", "rank")

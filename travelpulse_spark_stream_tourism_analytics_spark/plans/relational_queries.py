@@ -696,6 +696,22 @@ def _pagerank_ctes(iters: int = 4) -> str:
     return "".join(parts)
 
 
+def _trusted_supplier_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 suppliers by account balance as TrustRank teleport seeds."""
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal"
+    )
+    return (
+        supplier.orderBy(F.desc("s_acctbal"), "s_suppkey")
+        .limit(5)
+        .select(
+            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+
+
 def supplier_customer_trustrank(
     spark: SparkSession, sf_dir: str, iterations: int = 4
 ) -> DataFrame:
@@ -708,22 +724,37 @@ def supplier_customer_trustrank(
         pagerank,
     )
 
-    supplier = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_acctbal"
-    )
-    seeds = (
-        supplier.orderBy(F.desc("s_acctbal"), "s_suppkey")
-        .limit(5)
-        .select(
-            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias(
-                "node"
-            )
-        )
-    )
     return pagerank(
         _purchase_graph_edges(spark, sf_dir), iterations=iterations,
-        seeds=seeds, cache_site="graph.trustrank.edges",
+        seeds=_trusted_supplier_seeds(spark, sf_dir),
+        cache_site="graph.trustrank.edges",
     )
+
+
+def supplier_customer_rank_variants(
+    spark: SparkSession, sf_dir: str, iterations: int = 4
+) -> DataFrame:
+    """Global PageRank and TrustRank advanced together through ONE
+    fused power-iteration loop over one cached edge relation
+    (pagerank_multi) — half the per-iteration joins/shuffles of running
+    the two variants separately, bit-identical output columns
+    (``rank_pr``, ``rank_tr``)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators._cache import (
+        scoped_persist,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        pagerank_multi,
+    )
+
+    fused = pagerank_multi(
+        _purchase_graph_edges(spark, sf_dir),
+        {"rank_pr": None, "rank_tr": _trusted_supplier_seeds(spark, sf_dir)},
+        iterations=iterations,
+    )
+    # both catalog arms (top-50 by each column) read the fused ranks;
+    # persisting the tiny (node, 2 doubles) result keeps the
+    # 4-iteration lineage from evaluating once per arm
+    return scoped_persist(fused, "graph.rank_variants.result")
 
 
 def _trustrank_ctes(iters: int = 4) -> str:
@@ -917,9 +948,14 @@ def topn_revenue_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    pr = rank_arm(supplier_customer_pagerank(spark, sf_dir), "graph_pagerank")
+    fused = supplier_customer_rank_variants(spark, sf_dir)
+    pr = rank_arm(
+        fused.select("node", F.col("rank_pr").alias("rank")),
+        "graph_pagerank",
+    )
     tr = rank_arm(
-        supplier_customer_trustrank(spark, sf_dir), "graph_trustrank"
+        fused.select("node", F.col("rank_tr").alias("rank")),
+        "graph_trustrank",
     )
     return (
         top.unionByName(shp)
