@@ -93,7 +93,7 @@ BRANCHES = {
     ),
     "latest_event_per_user": ("branch", ["latest", "tsmatch"]),
     "docs_exact_dedup": ("branch", ["doc", "substring"]),
-    "topn_revenue_entities": ("scope", ["graph_pagerank"]),
+    "topn_revenue_entities": ("scope", ["graph_pagerank", "graph_trustrank"]),
 }
 
 # Constituent transforms still defined as plain functions in plans/*.py

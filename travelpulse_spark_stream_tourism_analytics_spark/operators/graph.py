@@ -68,6 +68,7 @@ def pagerank_multi(
     partitions: int | None = None,
     checkpoint_every: int | None = None,
     cache_site: str = "graph.pagerank.edges",
+    broadcast_max_nodes: int = 4_000_000,
 ) -> DataFrame:
     """``(node, <name>...)`` — one rank column per entry of ``variants``,
     all advanced through a SINGLE iteration loop over one cached edge
@@ -86,48 +87,87 @@ def pagerank_multi(
         raise ValueError("pagerank_multi: variants must be non-empty")
     spark = edges.sparkSession
     n_part = partitions or spark.sparkContext.defaultParallelism
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    e = (
-        edges.join(out_w, "src")
-        .select(
-            "src",
-            "dst",
-            (F.col("w").cast("double") / F.col("ow").cast("double")).alias(
-                "frac"
-            ),
-        )
+    names = list(variants)
+    # The input edge lineage (typically a join + agg building the
+    # graph) is the expensive part — persist it ONCE; out-weight agg,
+    # normalization, and every iteration read the cache instead of
+    # re-deriving it. Distinct cache_site per concurrent caller:
+    # scoped_persist keeps ONE live cache per site, so two
+    # pagerank_multi calls composed into the same merged plan must not
+    # share a site (the second build would evict the first's cache
+    # before it ever served a read).
+    edges_c = scoped_persist(edges, cache_site + ".in")
+    # out_w doubles as the node set: every node of interest appears as
+    # a src (module contract), and a groupBy output is distinct by
+    # construction — so |V| comes off this O(|V|) relation with no
+    # second distinct-shuffle over the fat edge list. The count
+    # materializes both caches and decides the join strategy below.
+    out_w = scoped_persist(
+        edges_c.groupBy("src").agg(F.sum("w").alias("ow")),
+        cache_site + ".outw",
+    )
+    n = out_w.count()
+    # Ranks/out-weights are O(|V|) rows. Below the threshold,
+    # broadcasting them makes edge normalization and the per-iteration
+    # edge join map-side over the cached input — no second fat cache,
+    # no repartition; the only shuffle per iteration is the
+    # map-side-combined groupBy(dst). Past the threshold (web-scale
+    # graphs whose node set doesn't fit an executor) a normalized edge
+    # relation is hash-partitioned by src once and cached, and only the
+    # O(|V|) rank/sum relations shuffle per iteration. Exactness is
+    # unaffected either way: the per-dst sums are quantized-integer
+    # decimals, associative under any join strategy or arrival order.
+    small = n <= broadcast_max_nodes
+    hint = F.broadcast if small else (lambda df: df)
+    e = edges_c.join(hint(out_w), "src").select(
+        "src",
+        "dst",
+        (F.col("w").cast("double") / F.col("ow").cast("double")).alias(
+            "frac"
+        ),
+    )
+    if not small:
         # explicit count: AQE coalesces a bare repartition(col) on
         # byte-small input to ONE partition (see .claude verify notes)
-        .repartition(n_part, "src")
-    )
-    # distinct cache_site per concurrent caller: scoped_persist keeps
-    # ONE live cache per site, so two pagerank_multi calls composed
-    # into the same merged plan must not share a site (the second
-    # build would evict the first's cache before it ever served a read)
-    e = scoped_persist(e, cache_site)
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    n = nodes.count()  # also materializes the edge cache
-    names = list(variants)
+        e = scoped_persist(e.repartition(n_part, "src"), cache_site)
+    # One eager pass: node set + every variant's seed flag, then a
+    # single agg for each |S∩V| (replaces k driver jobs; each seed set
+    # is a tiny curated list, hence the broadcast hint).
+    nodes = out_w.select(F.col("src").alias("node"))
+    seed_flags: dict[str, str] = {}
+    for name, seeds in variants.items():
+        if seeds is None:
+            continue
+        flag = f"__seed_{name}"
+        nodes = nodes.join(
+            F.broadcast(
+                seeds.select("node").distinct().withColumn(flag, F.lit(True))
+            ),
+            "node",
+            "left",
+        ).withColumn(flag, F.coalesce(F.col(flag), F.lit(False)))
+        seed_flags[name] = flag
+    if seed_flags:
+        nodes = scoped_persist(nodes, cache_site + ".nodes")
+        counts = nodes.agg(
+            *[
+                F.sum(F.col(flag).cast("long")).alias(f"__ns_{name}")
+                for name, flag in seed_flags.items()
+            ],
+        ).collect()[0]
     base: dict[str, F.Column] = {}
     r0: dict[str, F.Column] = {}
-    seeded = False
     for name, seeds in variants.items():
         if seeds is None:
             base[name] = F.lit(teleport) / F.lit(float(n))
             r0[name] = F.lit(1.0) / F.lit(float(n))
             continue
-        in_graph = nodes.join(
-            seeds.select("node").distinct(), "node", "left_semi"
-        )
-        ns = in_graph.count()
+        ns = counts[f"__ns_{name}"] or 0
         if ns == 0:
             raise ValueError(
                 f"pagerank_multi[{name}]: no seed intersects the graph"
             )
-        flag = f"__seed_{name}"
-        nodes = nodes.join(
-            in_graph.withColumn(flag, F.lit(True)), "node", "left"
-        ).withColumn(flag, F.coalesce(F.col(flag), F.lit(False)))
+        flag = seed_flags[name]
         denom = F.lit(float(ns))
         base[name] = F.when(
             F.col(flag), F.lit(teleport) / denom
@@ -135,12 +175,9 @@ def pagerank_multi(
         r0[name] = F.when(F.col(flag), F.lit(1.0) / denom).otherwise(
             F.lit(0.0)
         )
-        seeded = True
-    if seeded:
-        nodes = scoped_persist(nodes, cache_site + ".nodes")
     ranks = nodes.select("node", *[r0[k].alias(k) for k in names])
     for i in range(iterations):
-        contribs = e.join(ranks, e.src == ranks.node).select(
+        contribs = e.join(hint(ranks), e.src == ranks.node).select(
             F.col("dst"),
             *[
                 F.floor(F.col(k) * F.col("frac") * F.lit(1e15))
@@ -152,7 +189,7 @@ def pagerank_multi(
         sums = contribs.groupBy("dst").agg(
             *[F.sum(f"__c_{k}").alias(f"__s_{k}") for k in names]
         )
-        ranks = nodes.join(sums, nodes.node == sums.dst, "left").select(
+        ranks = nodes.join(hint(sums), nodes.node == sums.dst, "left").select(
             F.col("node"),
             *[
                 (
