@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
@@ -152,3 +154,110 @@ def test_pagerank_multi_fused_equals_separate_runs(spark):
     }
     assert {k: v[0] for k, v in fused.items()} == sep_g
     assert {k: v[1] for k, v in fused.items()} == sep_t
+
+
+def _exact_harmonic(edge_list, max_t):
+    """Textbook truncated harmonic in-centrality by per-source BFS."""
+    from collections import defaultdict, deque
+
+    fwd = defaultdict(set)
+    nodes = set()
+    for s, d in edge_list:
+        fwd[s].add(d)
+        nodes.update((s, d))
+    harm = {v: 0.0 for v in nodes}
+    reach = {v: 0 for v in nodes}
+    for u in nodes:  # BFS outward from u; u contributes 1/d to each v
+        dist = {u: 0}
+        q = deque([u])
+        while q:
+            x = q.popleft()
+            if dist[x] >= max_t:
+                continue
+            for y in fwd[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        for v, d in dist.items():
+            if v != u:
+                harm[v] += 1.0 / d
+                reach[v] += 1
+    return harm, reach
+
+
+def test_hyperball_exact_on_small_graphs(spark):
+    """DataSketches HLL is exact in coupon mode, so small graphs must
+    reproduce textbook truncated harmonic centrality to the double."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        hyperball,
+    )
+
+    cases = [
+        # directed chain: harmonic_in(d) = 1 + 1/2 + 1/3
+        [("a", "b"), ("b", "c"), ("c", "d")],
+        # star out of a: each leaf gets exactly 1, a gets 0
+        [("a", "b"), ("a", "c"), ("a", "d")],
+        # diamond with a shortcut (multiple shortest paths)
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d")],
+        # cycle: every node reaches every other
+        [("a", "b"), ("b", "c"), ("c", "a")],
+    ]
+    for edge_list in cases:
+        exact_h, exact_r = _exact_harmonic(edge_list, max_t=6)
+        got = {
+            r["node"]: (r["harmonic"], r["reach"])
+            for r in hyperball(
+                spark.createDataFrame(edge_list, "src string, dst string"),
+                max_t=6,
+            ).collect()
+        }
+        assert set(got) == set(exact_h)
+        for v in exact_h:
+            assert got[v][0] == pytest.approx(exact_h[v], abs=1e-9), (
+                edge_list, v)
+            assert got[v][1] == pytest.approx(exact_r[v], abs=1e-9)
+
+
+def test_hyperball_horizon_truncation_and_determinism(spark):
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        hyperball,
+    )
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(8)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    exact_h, _ = _exact_harmonic(chain, max_t=3)
+    got = {
+        r["node"]: r["harmonic"]
+        for r in hyperball(edges, max_t=3).collect()
+    }
+    assert got == pytest.approx(exact_h)
+    # deterministic: second run bit-identical
+    again = {
+        r["node"]: r["harmonic"]
+        for r in hyperball(edges, max_t=3).collect()
+    }
+    assert got == again
+
+
+def test_hyperball_estimates_within_sketch_error_on_dense_graph(spark):
+    """A bipartite 60x40 complete-ish graph: in-reach of every right
+    node is all left nodes at distance 1 -> harmonic == reach == 60.
+    Cardinalities stay in coupon-exact range; tolerance is loose to
+    stay honest about the sketch contract."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        hyperball,
+    )
+
+    edge_list = [
+        (f"l{i}", f"r{j}") for i in range(60) for j in range(40)
+    ]
+    got = hyperball(
+        spark.createDataFrame(edge_list, "src string, dst string"),
+        max_t=2,
+    ).collect()
+    for r in got:
+        if r["node"].startswith("r"):
+            assert r["harmonic"] == pytest.approx(60.0, rel=0.05)
+            assert r["reach"] == pytest.approx(60.0, rel=0.05)
+        else:
+            assert r["harmonic"] == pytest.approx(0.0, abs=1e-9)

@@ -459,7 +459,41 @@ _PRICE_BANDS = [
 @query(
     "orders_price_band_range_join",
     oracle="""
-    SELECT b.band,
+    WITH z0 AS (
+        SELECT o_totalprice,
+               o_custkey % 65536 AS ck,
+               LEAST(GREATEST(CAST(floor(
+                   (o_totalprice - 0.0) / 600000.0 * 65536.0
+               ) AS BIGINT), 0), 65535) AS pk
+        FROM orders
+    ),
+    -- staged Morton bit-spread: explicit parens at every step (the
+    -- pg-family gives all binary bitwise ops ONE precedence level)
+    z1 AS (
+        SELECT o_totalprice,
+               (ck | (ck << 8)) & 71777214294589695 AS ck,
+               (pk | (pk << 8)) & 71777214294589695 AS pk
+        FROM z0
+    ),
+    z2 AS (
+        SELECT o_totalprice,
+               (ck | (ck << 4)) & 1085102592571150095 AS ck,
+               (pk | (pk << 4)) & 1085102592571150095 AS pk
+        FROM z1
+    ),
+    z3 AS (
+        SELECT o_totalprice,
+               (ck | (ck << 2)) & 3689348814741910323 AS ck,
+               (pk | (pk << 2)) & 3689348814741910323 AS pk
+        FROM z2
+    ),
+    zs AS (
+        SELECT o_totalprice,
+               (ck | (ck << 1)) & 6148914691236517205 AS sck,
+               (pk | (pk << 1)) & 6148914691236517205 AS spk
+        FROM z3
+    )
+    SELECT 'range' AS branch, b.band,
            count(*) AS n_orders,
            CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders o
@@ -470,26 +504,66 @@ _PRICE_BANDS = [
             ('luxury', 300000.0, 1e12)
          ) b(band, lo, hi)
       ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
-    GROUP BY 1
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT 'zorder' AS branch,
+           'z:' || CAST(((sck << 1) | spk) >> 26 AS VARCHAR) AS band,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM zs
+    GROUP BY 1, 2
     """,
 )
 def orders_price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range (band) join: orders against a banding dimension on
-    ``lo <= price < hi`` — the range-join class the reference lacks
-    (SURVEY.md §2.4). The band table is broadcast, so the non-equi
-    condition is evaluated map-side (BroadcastNestedLoopJoin over a
-    4-row build side = effectively free); no shuffle of the fact table
-    at any scale."""
+    """Range (band) join + Z-order bucketing, two branches.
+
+    ``range``: orders against a banding dimension on ``lo <= price <
+    hi`` — the range-join class the reference lacks (SURVEY.md §2.4).
+    The band table is broadcast, so the non-equi condition is evaluated
+    map-side (BroadcastNestedLoopJoin over a 4-row build side =
+    effectively free); no shuffle of the fact table at any scale.
+
+    ``zorder``: the Morton-code layout operator
+    (operators/layout.py) applied to (customer, price) — per-bucket
+    rollup of the top 6 bits of the 32-bit Z code, i.e. the region
+    histogram a ``OPTIMIZE ZORDER BY`` write would produce. The twin
+    replays the identical bit-spread arithmetic in SQL, pinning the
+    curve bit-for-bit; the layout/pruning effect itself is proven in
+    tests/test_layout.py against parquet row-group stats."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.layout import (
+        morton_code,
+        normalize_u16,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
     joined = orders.join(
         F.broadcast(bands),
         (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
     )
-    return joined.groupBy("band").agg(
+    rng = joined.groupBy("band").agg(
         F.count("*").alias("n_orders"),
         money_sum("o_totalprice", "revenue"),
+    ).select(F.lit("range").alias("branch"), "band", "n_orders", "revenue")
+
+    z = morton_code(
+        [
+            F.pmod(F.col("o_custkey"), F.lit(65536)),
+            normalize_u16(F.col("o_totalprice"), 0, 600000),
+        ]
     )
+    zb = (
+        orders.withColumn("zb", F.shiftright(z, 26))
+        .groupBy("zb")
+        .agg(F.count("*").alias("n_orders"), money_sum("o_totalprice", "revenue"))
+        .select(
+            F.lit("zorder").alias("branch"),
+            F.concat(F.lit("z:"), F.col("zb").cast("string")).alias("band"),
+            "n_orders",
+            "revenue",
+        )
+    )
+    return rng.unionByName(zb)
 
 
 def regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
