@@ -494,13 +494,72 @@ def run_report(
     return rows
 
 
+def run_centrality(
+    spark,
+    edges_path: str,
+    out_dir: str,
+    iterations: int = 4,
+    max_t: int = 6,
+    seeds_path: str | None = None,
+) -> dict:
+    """Link-graph quality signals (``--mode centrality``): weighted
+    PageRank (+ TrustRank when ``--seeds`` names a trusted node list)
+    and HyperBall truncated harmonic in-centrality over an edge parquet
+    of (src, dst[, w]) — the host-level ranking pass a web-corpus
+    curation pipeline runs before per-document gating (harmonic
+    centrality is how Common Crawl derivatives rank hosts; PageRank is
+    the classic link-quality prior). One output row per node:
+    (node, rank[, trustrank], harmonic, reach), written as parquet for
+    the curate chain to join on a doc's host column."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        hyperball,
+        pagerank_multi,
+    )
+
+    edges = spark.read.parquet(edges_path)
+    if "w" not in edges.columns:
+        edges = edges.withColumn("w", F.lit(1))
+    edges = edges.select(
+        F.col("src").cast("string"),
+        F.col("dst").cast("string"),
+        F.col("w").cast("long"),
+    )
+    variants: dict = {"rank": None}
+    if seeds_path:
+        variants["trustrank"] = spark.read.parquet(seeds_path).select(
+            F.col("node").cast("string")
+        )
+    ranks = pagerank_multi(
+        edges, variants, iterations=iterations,
+        cache_site="cli.centrality.edges",
+    )
+    harm = hyperball(edges, max_t=max_t)
+    result = ranks.join(harm, "node", "full_outer")
+    result.write.mode("overwrite").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    top = back.orderBy(F.desc("harmonic")).limit(1).collect()
+    summary = {
+        "nodes": back.count(),
+        "iterations": iterations,
+        "max_t": max_t,
+        "top_harmonic_node": top[0]["node"] if top else None,
+        "out": out_dir,
+    }
+    print(">>> centrality; " + _json.dumps(summary))
+    return summary
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode",
         choices=["kpis", "dedup", "dedup-batch", "curate", "report",
                  "train-classifier", "train-bpe", "compact",
-                 "build-ann-index", "ann-search"],
+                 "build-ann-index", "ann-search", "centrality"],
         default="kpis",
         help="kpis: the 16-query tourism topology; dedup: streaming "
         "document near-dup verdicts (--path is a JSONL docs dir, "
@@ -518,6 +577,20 @@ def main() -> None:
     ap.add_argument(
         "--cells", type=int, default=16,
         help="--mode build-ann-index: IVF coarse cells",
+    )
+    ap.add_argument(
+        "--seeds", default=None,
+        help="--mode centrality: parquet of trusted nodes (node "
+        "column) — adds a TrustRank column fused into the same "
+        "power-iteration loop",
+    )
+    ap.add_argument(
+        "--iterations", type=int, default=4,
+        help="--mode centrality: PageRank power iterations",
+    )
+    ap.add_argument(
+        "--max-t", type=int, default=6, dest="max_t",
+        help="--mode centrality: HyperBall radius horizon",
     )
     ap.add_argument(
         "--pq-m", type=int, default=8,
@@ -683,6 +756,18 @@ def main() -> None:
         if not args.path:
             ap.error("--mode report requires --path (docs dir)")
         run_report(spark, args.path, args.out, baseline_path=args.baseline)
+        return
+
+    if args.mode == "centrality":
+        if not args.path or not args.out:
+            ap.error(
+                "--mode centrality requires --path (edge parquet of "
+                "src,dst[,w]) and --out (node-signal parquet)"
+            )
+        run_centrality(
+            spark, args.path, args.out, iterations=args.iterations,
+            max_t=args.max_t, seeds_path=args.seeds,
+        )
         return
 
     if args.mode == "build-ann-index":

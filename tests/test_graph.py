@@ -261,3 +261,64 @@ def test_hyperball_estimates_within_sketch_error_on_dense_graph(spark):
             assert r["reach"] == pytest.approx(60.0, rel=0.05)
         else:
             assert r["harmonic"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_centrality_cli_writes_fused_node_signals(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """Production path: --mode centrality over an edge parquet emits
+    (node, rank, trustrank, harmonic, reach) matching the operators
+    run directly."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import run_pipeline
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        hyperball,
+        pagerank,
+    )
+
+    triples = [
+        ("a", "b", 2), ("b", "a", 2),
+        ("b", "c", 1), ("c", "b", 1),
+        ("c", "a", 4), ("a", "c", 4),
+        ("c", "d", 3), ("d", "c", 3),
+    ]
+    edges_path = str(tmp_path / "edges")
+    seeds_path = str(tmp_path / "seeds")
+    out = str(tmp_path / "signals")
+    edges = spark.createDataFrame(triples, "src string, dst string, w long")
+    edges.write.parquet(edges_path)
+    spark.createDataFrame([("a",)], "node string").write.parquet(seeds_path)
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "centrality", "--path", edges_path,
+         "--out", out, "--seeds", seeds_path, "--iterations", "3",
+         "--max-t", "4"],
+    )
+    run_pipeline.main()
+    assert ">>> centrality;" in capsys.readouterr().out
+
+    got = {
+        r["node"]: r for r in spark.read.parquet(out).collect()
+    }
+    assert set(got) == {"a", "b", "c", "d"}
+    pr = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+    tr = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, iterations=3,
+            seeds=spark.createDataFrame([("a",)], "node string"),
+            cache_site="test.cli.tr",
+        ).collect()
+    }
+    hb = {
+        r["node"]: (r["harmonic"], r["reach"])
+        for r in hyperball(edges, max_t=4).collect()
+    }
+    for v in got:
+        assert got[v]["rank"] == pr[v]
+        assert got[v]["trustrank"] == tr[v]
+        assert got[v]["harmonic"] == hb[v][0]
+        assert got[v]["reach"] == hb[v][1]

@@ -30,6 +30,9 @@ from travelpulse_spark_stream_tourism_analytics_spark.operators import (
     multimodal,
     similarity,
 )
+from travelpulse_spark_stream_tourism_analytics_spark.operators._cache import (
+    scoped_persist,
+)
 from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
     load_table,
     query,
@@ -734,6 +737,32 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / sqrt(greatest(u.lv, 1e-9)), 6) AS mean_v
         FROM two t, units u
     ) pw
+    UNION ALL
+    -- Robust outlier scores (round 5): modified z-score of the
+    -- embedding L2 norm via median + MAD (Iglewicz-Hoaglin), the
+    -- standard corrupted-vector screen (a zeroed, clipped, or
+    -- mis-scaled embedding shows up as a norm outlier long before any
+    -- nearest-neighbor check). quantile_cont == F.percentile with the
+    -- same literal; 0.6744897501960817 = Phi^-1(3/4), spelled
+    -- identically on both sides.
+    SELECT 'outlier' AS branch, o_label AS label, vec_id AS pos, mean_v
+    FROM (
+        WITH norms AS (
+            SELECT vec_id, label AS o_label,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ), med AS (
+            SELECT quantile_cont(nrm, 0.5) AS m FROM norms
+        ), mad AS (
+            SELECT quantile_cont(abs(nrm - m), 0.5) AS d FROM norms, med
+        )
+        SELECT vec_id, o_label,
+               round(CASE WHEN d = 0.0 THEN 0.0
+                     ELSE 0.6744897501960817 * (nrm - m) / d END, 6)
+                   AS mean_v
+        FROM norms, med, mad
+    ) ol
     """,
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -801,7 +830,46 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("coord").alias("mean_v"),
         )
     )
-    return centroid.unionByName(pca).unionByName(whitened)
+    # branch='outlier' (round 5): robust modified z-score of the
+    # embedding L2 norm (median + MAD, Iglewicz-Hoaglin |z| > 3.5
+    # convention) — the corrupted-vector screen a 100 TB embedding
+    # pipeline runs before ANN indexing (zeroed / clipped / mis-scaled
+    # vectors are norm outliers). One vector fold + two tiny exact
+    # percentile aggs riding as broadcast 1-row relations (the
+    # lazy-scalar recipe used by ppl_buckets); exact percentile is the
+    # oracle-parity choice, approx_percentile is the documented swap at
+    # scale. MAD == 0 (constant norms) degrades to z = 0.
+    norms = scoped_persist(
+        emb.select(
+            "vec_id",
+            "label",
+            F.sqrt(similarity.dot(F.col("v"), F.col("v"))).alias("nrm"),
+        ),
+        "text.outlier.norms",
+    )
+    med = norms.agg(F.percentile("nrm", F.lit(0.5)).alias("m"))
+    with_m = norms.crossJoin(F.broadcast(med))
+    mad = with_m.agg(
+        F.percentile(F.abs(F.col("nrm") - F.col("m")), F.lit(0.5)).alias("d")
+    )
+    outliers = with_m.crossJoin(F.broadcast(mad)).select(
+        F.lit("outlier").alias("branch"),
+        "label",
+        F.col("vec_id").alias("pos"),
+        F.round(
+            F.when(F.col("d") == 0.0, F.lit(0.0)).otherwise(
+                F.lit(0.6744897501960817)
+                * (F.col("nrm") - F.col("m"))
+                / F.col("d")
+            ),
+            6,
+        ).alias("mean_v"),
+    )
+    return (
+        centroid.unionByName(pca)
+        .unionByName(whitened)
+        .unionByName(outliers)
+    )
 
 
 # BPE-ish subword pattern: word pieces, digit runs, punctuation runs,
