@@ -322,3 +322,100 @@ def test_centrality_cli_writes_fused_node_signals(
         assert got[v]["trustrank"] == tr[v]
         assert got[v]["harmonic"] == hb[v][0]
         assert got[v]["reach"] == hb[v][1]
+
+
+def _py_lpa(edge_list, iterations, seeds=None):
+    """Straight-line synchronous LPA reference (same tie-break)."""
+    from collections import defaultdict
+
+    nodes = set()
+    inc = defaultdict(list)  # dst -> [(src, w)]
+    for s, d, w in edge_list:
+        nodes.update((s, d))
+        inc[d].append((s, w))
+    labels = {v: v for v in nodes}
+    clamped = set()
+    if seeds:
+        for v, lab in seeds.items():
+            labels[v] = lab
+            clamped.add(v)
+    for _ in range(iterations):
+        nxt = dict(labels)
+        for v in nodes:
+            if v in clamped or not inc[v]:
+                continue
+            tally = defaultdict(int)
+            for s, w in inc[v]:
+                tally[labels[s]] += w
+            top_w = max(tally.values())
+            nxt[v] = min(l for l, w in tally.items() if w == top_w)
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_matches_reference_and_finds_communities(spark):
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        label_propagation,
+        undirect,
+    )
+
+    # two triangles bridged by one weak edge
+    tri1 = [("a", "b", 2), ("b", "c", 2), ("a", "c", 2)]
+    tri2 = [("x", "y", 2), ("y", "z", 2), ("x", "z", 2)]
+    bridge = [("c", "x", 1)]
+    edge_list = tri1 + tri2 + bridge
+    edges = undirect(
+        spark.createDataFrame(edge_list, "src string, dst string, w long")
+    )
+    undirected = [(s, d, w) for s, d, w in edge_list] + [
+        (d, s, w) for s, d, w in edge_list
+    ]
+    for iters in (1, 3, 5):
+        exact = _py_lpa(undirected, iters)
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(edges, iterations=iters).collect()
+        }
+        assert got == exact, iters
+    # converged communities: each triangle shares one label
+    final = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=5).collect()
+    }
+    assert final["a"] == final["b"] == final["c"]
+    assert final["x"] == final["y"] == final["z"]
+
+
+def test_label_propagation_seeded_clamps_and_spreads(spark):
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        label_propagation,
+        undirect,
+    )
+
+    # path graph: good - n1 - n2 - n3 - spam
+    path = [("good", "n1", 1), ("n1", "n2", 1), ("n2", "n3", 1),
+            ("n3", "spam", 1)]
+    edges = undirect(
+        spark.createDataFrame(path, "src string, dst string, w long")
+    )
+    seeds = spark.createDataFrame(
+        [("good", "L_GOOD"), ("spam", "L_SPAM")], "node string, label string"
+    )
+    undirected = path + [(d, s, w) for s, d, w in path]
+    exact = _py_lpa(
+        undirected, 4, seeds={"good": "L_GOOD", "spam": "L_SPAM"}
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, seeds=seeds, iterations=4).collect()
+    }
+    assert got == exact
+    assert got["good"] == "L_GOOD" and got["spam"] == "L_SPAM"  # clamped
+    # the propagated frontier reached the interior nodes
+    assert got["n1"] in ("L_GOOD", "L_SPAM")
+    # determinism across runs
+    again = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, seeds=seeds, iterations=4).collect()
+    }
+    assert got == again

@@ -210,6 +210,100 @@ def pagerank_multi(
     return ranks.select("node", *names)
 
 
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame | None = None,
+    iterations: int = 5,
+    partitions: int | None = None,
+) -> DataFrame:
+    """``(node, label)`` after ``iterations`` rounds of synchronous
+    weighted label propagation (Raghavan et al. 2007; the
+    semi-supervised variant is Zhu-Ghahramani label spreading).
+
+    Unseeded: every node starts labeled with itself and adopts the
+    label with the max incoming weight each round — community
+    detection for mixture balancing (near-dup families, host
+    clusters). Seeded (``seeds`` = (node, label)): seed labels are
+    CLAMPED and only unlabeled nodes update — propagating a small set
+    of human topic/quality judgments through a link graph.
+
+    Determinism (the property naive LPA lacks): ties on total incoming
+    weight break to the LEXICALLY SMALLEST label, updates are
+    synchronous (no arrival-order dependence), and the round count is
+    fixed — identical output on every run and partitioning. A node
+    with no in-edges keeps its current label.
+
+    Per round: one equi-join of the cached edge relation against the
+    O(|V|) label relation + one (dst, label) partial-agg shuffle + an
+    argmax window keyed by dst — the same Pregel-on-DataFrames shape
+    as ``pagerank_multi``; label state is localCheckpointed per round
+    (components.py precedent). No float arithmetic anywhere (integer
+    weight sums), so cross-engine parity is exact by construction.
+    """
+    from pyspark.sql.window import Window
+
+    spark = edges.sparkSession
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    e = edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+    e = e.repartition(n_part, "src")
+    try:
+        e = e.localCheckpoint(eager=True)
+    except Exception:  # pragma: no cover - checkpoint dir unavailable
+        e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if seeds is not None:
+        seeded = seeds.select(
+            "node", F.col("label").alias("__seed_label")
+        ).distinct()
+        labels = nodes.join(F.broadcast(seeded), "node", "left").select(
+            "node",
+            F.coalesce(F.col("__seed_label"), F.col("node")).alias("label"),
+            F.col("__seed_label").isNotNull().alias("__clamped"),
+        )
+    else:
+        labels = nodes.select(
+            "node", F.col("node").alias("label"), F.lit(False).alias("__clamped")
+        )
+    try:
+        labels = labels.localCheckpoint(eager=True)
+    except Exception:  # pragma: no cover
+        labels = labels.persist()
+    w_pick = Window.partitionBy("dst").orderBy(
+        F.desc("wsum"), F.asc("in_label")
+    )
+    for _ in range(iterations):
+        tally = (
+            e.join(labels, e.src == labels.node)
+            .groupBy("dst", F.col("label").alias("in_label"))
+            .agg(F.sum("w").alias("wsum"))
+        )
+        pick = (
+            tally.withColumn("rn", F.row_number().over(w_pick))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst"), F.col("in_label"))
+        )
+        nxt = labels.join(pick, labels.node == pick.dst, "left").select(
+            "node",
+            F.when(
+                F.col("__clamped") | F.col("in_label").isNull(),
+                F.col("label"),
+            )
+            .otherwise(F.col("in_label"))
+            .alias("label"),
+            "__clamped",
+        )
+        try:
+            nxt = nxt.localCheckpoint(eager=True)
+        except Exception:  # pragma: no cover
+            nxt = nxt.persist()
+        labels = nxt
+    return labels.select("node", "label")
+
+
 def hyperball(
     edges: DataFrame,
     max_t: int = 6,

@@ -1166,9 +1166,60 @@ def order_status_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return order_status_unpivot(spark, sf_dir)
 
 
+def _nation_lpa_ctes(iters: int = 3) -> str:
+    """SQL twin of label_propagation over the nation trade graph
+    (operators/graph.py label_propagation — same synchronous update,
+    integer weight sums, max-weight/min-label tie-break). All-integer
+    arithmetic, so parity is exact by construction; labels compare as
+    VARCHAR (binary collation) on both engines."""
+    parts = [
+        """
+    ntg AS (
+        SELECT CAST(c_nationkey AS VARCHAR) AS src,
+               CAST(s_nationkey AS VARCHAR) AS dst,
+               count(*) AS w
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+    ),
+    ntge AS (
+        SELECT src, dst, w FROM ntg
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM ntg
+    ),
+    lpa0 AS (SELECT DISTINCT src AS node, src AS label FROM ntge)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    lpa_t{i} AS (
+        SELECT e.dst, l.label, sum(e.w) AS ws
+        FROM ntge e JOIN lpa{i - 1} l ON e.src = l.node
+        GROUP BY 1, 2
+    ),
+    lpa_p{i} AS (
+        SELECT dst, label FROM (
+            SELECT dst, label, row_number() OVER (
+                       PARTITION BY dst ORDER BY ws DESC, label ASC
+                   ) AS rn
+            FROM lpa_t{i}
+        ) WHERE rn = 1
+    ),
+    lpa{i} AS (
+        SELECT l.node, COALESCE(p.label, l.label) AS label
+        FROM lpa{i - 1} l LEFT JOIN lpa_p{i} p ON l.node = p.dst
+    )"""
+        )
+    return "".join(parts)
+
+
 @query(
     "nation_key_set_ops",
-    oracle="""
+    oracle="WITH"
+    + _nation_lpa_ctes(3)
+    + """
     SELECT 'union' AS set_op, nationkey FROM (
         SELECT c_nationkey AS nationkey FROM customer
         UNION
@@ -1186,13 +1237,31 @@ def order_status_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         EXCEPT
         SELECT s_nationkey FROM supplier
     )
+    UNION ALL
+    SELECT 'lpa_' || label AS set_op, CAST(node AS BIGINT) AS nationkey
+    FROM lpa3
     """,
 )
 def nation_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged set-operation catalog (SURVEY.md §2.7): UNION DISTINCT,
     INTERSECT, EXCEPT over the customer/supplier nation-key sets, tagged
     per branch. Constituents: nation_keys_union / _intersect / _except
-    above."""
+    above.
+
+    branch set_op='lpa_<label>' (round 5): weighted label propagation
+    (operators/graph.py label_propagation, Raghavan et al. 2007) over
+    the nation trade graph — nations linked by customer->supplier
+    lineitem volume, 3 synchronous rounds, max-weight/min-label
+    tie-break. The community label each nation lands on is the set_op
+    tag, so the driver hash pins the ENTIRE iteration history (a
+    single wrong tally or tie-break anywhere changes some node's
+    label). All-integer weights: exact cross-engine parity by
+    construction, no float tolerance."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        label_propagation,
+        undirect,
+    )
+
     u = nation_keys_union(spark, sf_dir).select(
         F.lit("union").alias("set_op"), "nationkey"
     )
@@ -1202,7 +1271,25 @@ def nation_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = nation_keys_except(spark, sf_dir).select(
         F.lit("except").alias("set_op"), "nationkey"
     )
-    return u.unionByName(i).unionByName(e)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    trade = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("string").alias("src"),
+            F.col("s_nationkey").cast("string").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    communities = label_propagation(undirect(trade), iterations=3).select(
+        F.concat(F.lit("lpa_"), F.col("label")).alias("set_op"),
+        F.col("node").cast("bigint").alias("nationkey"),
+    )
+    return u.unionByName(i).unionByName(e).unionByName(communities)
 
 
 @query(
