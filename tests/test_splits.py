@@ -1,0 +1,78 @@
+"""Sampling operators (operators/splits.py)."""
+
+
+def test_weighted_sample_without_replacement_semantics(spark):
+    """A-ES contract: k distinct rows per stratum, deterministic,
+    inclusion frequency ordered by weight across many seeds."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = [(i, "s", 100 if i < 5 else 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+
+    got = weighted_sample_without_replacement(
+        df, k=10, weight_col="w", stratify_col="source"
+    ).collect()
+    assert len(got) == 10
+    assert len({r["doc_id"] for r in got}) == 10  # without replacement
+    assert sorted(r["es_rank"] for r in got) == list(range(1, 11))
+
+    again = weighted_sample_without_replacement(
+        df, k=10, weight_col="w", stratify_col="source"
+    ).collect()
+    assert sorted(map(str, got)) == sorted(map(str, again))  # deterministic
+
+    # heavy items (w=100, 5 of 50 docs) must be picked far more often
+    # than their 10% population share across independent seeds
+    heavy_hits = total = 0
+    for s in range(20):
+        sel = weighted_sample_without_replacement(
+            df, k=10, weight_col="w", stratify_col="source", seed=f"s{s}"
+        ).collect()
+        heavy_hits += sum(1 for r in sel if r["doc_id"] < 5)
+        total += len(sel)
+    assert heavy_hits / total > 0.25  # ~0.4-0.5 expected; 5/50 baseline
+
+    # zero/negative weights are excluded outright
+    z = spark.createDataFrame(
+        [(1, "s", 0), (2, "s", -3), (3, "s", 5)],
+        "doc_id long, source string, w long",
+    )
+    only = weighted_sample_without_replacement(
+        z, k=10, weight_col="w", stratify_col="source"
+    ).collect()
+    assert [r["doc_id"] for r in only] == [3]
+
+
+def test_weighted_sample_equal_weights_is_seeded_shuffle(spark):
+    """With equal weights the A-ES rank is a uniform seeded permutation
+    — the deterministic training-order shuffle. Different seeds give
+    different permutations; the same seed is stable."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+        weighted_sample_without_replacement,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(100)], "doc_id long, w long"
+    )
+    p1 = {
+        r["doc_id"]: r["es_rank"]
+        for r in weighted_sample_without_replacement(
+            df, k=100, weight_col="w", seed="epoch1"
+        ).collect()
+    }
+    p2 = {
+        r["doc_id"]: r["es_rank"]
+        for r in weighted_sample_without_replacement(
+            df, k=100, weight_col="w", seed="epoch2"
+        ).collect()
+    }
+    assert sorted(p1.values()) == list(range(1, 101))  # a permutation
+    assert p1 != p2  # epoch reshuffle
+    assert p1 == {
+        r["doc_id"]: r["es_rank"]
+        for r in weighted_sample_without_replacement(
+            df, k=100, weight_col="w", seed="epoch1"
+        ).collect()
+    }

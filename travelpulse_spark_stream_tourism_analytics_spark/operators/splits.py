@@ -150,3 +150,60 @@ def sample_to_token_budget(
         .filter(F.col("__cum_tokens") <= F.col("__budget_tokens"))
         .drop("__ok")
     )
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    stratify_col: str | None = None,
+    seed: str = "es5",
+    key_col: str = "es_key",
+    rank_col: str = "es_rank",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — top-k per
+    stratum under the Efraimidis-Spirakis A-ES scheme (Inf. Proc.
+    Letters 2006): each row gets key ``u^(1/w)`` for a uniform u, and
+    the k largest keys are a weighted sample without replacement.
+
+    The uniform is hash-derived, not RNG: ``u = (md5(id || seed)[:8 hex]
+    + 0.5) / 2^32`` — reproducible across runs, partitionings, and
+    engines (the SQL twin spells the identical arithmetic), the same
+    engine-portability argument as the md5-threshold sampler. Keys are
+    rounded (1e-6) BEFORE ranking with an id tie-break, so the one-ulp
+    divergence transcendental pow() is allowed between libm and the JVM
+    cannot flip a selection at the k boundary.
+
+    Scale shape: one scan computing the key (codegen'd hash + pow), one
+    rank. Per-stratum top-k uses a window only over rows that survive
+    nothing — at 100 TB swap the window for the standard two-phase
+    top-k (per-partition TakeOrdered then merge) if strata are huge;
+    the unstratified path (stratify_col=None) already plans
+    TakeOrderedAndProject via orderBy+limit semantics when consumed
+    with a limit.
+
+    Rows with non-positive weight are excluded (zero-weight items have
+    zero selection probability; the key is undefined for w <= 0).
+    """
+    d = df.filter(F.col(weight_col) > 0)
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), 6)
+    d = d.withColumn(key_col, key)
+    part = (
+        Window.partitionBy(stratify_col)
+        if stratify_col is not None
+        else Window.partitionBy()
+    )
+    w = part.orderBy(F.desc(key_col), F.asc(id_col))
+    return (
+        d.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -939,6 +939,32 @@ _PII_HITS_SQL = " + ".join(
         ) mixw
     ) b ON t.source = b.source
     WHERE t.cum <= b.b
+    UNION ALL
+    -- es_sample branch (round 5): Efraimidis-Spirakis weighted
+    -- sampling WITHOUT replacement, top-10 per source by key
+    -- u^(1/n_chars) with the hash-derived uniform
+    -- u = (md5(id||'es5')[:8 hex] + 0.5)/2^32. Keys rounded (1e-6)
+    -- BEFORE ranking with an id tie-break so a one-ulp pow()
+    -- divergence cannot flip a selection at the k boundary. n_docs
+    -- carries the in-stratum rank, weight the rounded key.
+    SELECT 'es_sample' AS branch, doc_id, source, lang, n_chars,
+           rnk AS n_docs, rk AS weight
+    FROM (
+        SELECT doc_id, source, lang, n_chars, rk,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY rk DESC, doc_id
+               ) AS BIGINT) AS rnk
+        FROM (
+            SELECT doc_id, source, lang, n_chars,
+                   round(pow(
+                       (('0x' || substr(md5(doc_id::VARCHAR || 'es5'),
+                                        1, 8))::BIGINT + 0.5)
+                           / 4294967296.0,
+                       1.0 / n_chars), 6) AS rk
+            FROM documents WHERE n_chars > 0
+        ) keyed
+    ) ranked
+    WHERE rnk <= 10
     """.format(words=_WORDS_SQL.format(c="text")),
 )
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1036,7 +1062,32 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__cum_tokens").alias("n_docs"),
         F.col("__budget_tokens").cast("double").alias("weight"),
     )
-    return sample.unionByName(mixture).unionByName(budget)
+    # branch='es_sample' (round 5): Efraimidis-Spirakis weighted
+    # sampling without replacement (operators/splits.py
+    # weighted_sample_without_replacement), top-10 per source weighted
+    # by n_chars — the reproducible weighted counterpart to the
+    # md5-threshold Bernoulli sampler above.
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+        weighted_sample_without_replacement,
+    )
+
+    es = weighted_sample_without_replacement(
+        docs.select("doc_id", "source", "lang", "n_chars"),
+        k=10,
+        weight_col="n_chars",
+        stratify_col="source",
+    ).select(
+        F.lit("es_sample").alias("branch"),
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.col("es_rank").alias("n_docs"),
+        F.col("es_key").alias("weight"),
+    )
+    return (
+        sample.unionByName(mixture).unionByName(budget).unionByName(es)
+    )
 
 
 @query(
