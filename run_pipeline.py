@@ -634,6 +634,14 @@ def main() -> None:
         help="--mode compact: comma-separated columns; output files "
         "then cover disjoint key ranges (min/max stats prune)",
     )
+    ap.add_argument(
+        "--zorder-by",
+        dest="zorder_by",
+        help="--mode compact: comma-separated 2-4 NUMERIC columns; "
+        "OPTIMIZE ZORDER BY — files cluster along the Morton curve so "
+        "min/max stats prune on ANY of the columns (mutually "
+        "exclusive with --sort-by)",
+    )
     ap.add_argument("--out", help="output dir for --mode dedup/curate")
     ap.add_argument(
         "--strip-boilerplate",
@@ -851,6 +859,9 @@ def main() -> None:
             target_file_bytes=args.target_mb * 1024 * 1024,
             sort_by=[c.strip() for c in args.sort_by.split(",")]
             if args.sort_by
+            else (),
+            zorder_by=[c.strip() for c in args.zorder_by.split(",")]
+            if args.zorder_by
             else (),
         )
         b, a = report["before"], report["after"]

@@ -231,3 +231,69 @@ def test_snapshot_version_retention(tmp_path):
     # nothing to prune / missing dir are both no-ops
     scorer._prune_versions("bookings_cs")
     scorer._prune_versions("weather_cs")
+
+
+def test_compact_parquet_zorder_prunes_on_both_columns(spark, tmp_path):
+    """--zorder-by: the rewrite clusters along the Morton curve, so a
+    box predicate on EITHER column prunes most output files by min/max
+    stats — the property a single-column sort gives only its leading
+    key. Lossless, and mutually exclusive with sort_by."""
+    import random
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.sinks.compaction import (
+        compact_parquet,
+    )
+
+    rng = random.Random(5)
+    rows = [(rng.randrange(100000), rng.uniform(0, 1000), i)
+            for i in range(30000)]
+    src, dst = str(tmp_path / "src"), str(tmp_path / "zdst")
+    df = spark.createDataFrame(rows, "a long, b double, payload long")
+    df.repartition(12).write.parquet(src)
+
+    report = compact_parquet(
+        spark, src, dst,
+        target_file_bytes=40_000,  # ~12 output files at this size
+        zorder_by=["a", "b"],
+    )
+    assert report["n_output_files"] >= 6
+
+    back = spark.read.parquet(dst)
+    assert back.count() == 30000
+    assert back.agg(F.sum("payload")).collect()[0][0] == sum(
+        r[2] for r in rows
+    )
+
+    def overlap(col, lo, hi):
+        import glob
+
+        files = sorted(glob.glob(f"{dst}/part-*.parquet"))
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            for g in range(md.num_row_groups):
+                stats = {
+                    md.row_group(g).column(c).path_in_schema:
+                        md.row_group(g).column(c).statistics
+                    for c in range(md.row_group(g).num_columns)
+                }
+                s = stats[col]
+                if s.min <= hi and s.max >= lo:
+                    hit += 1
+                    break
+        return hit / len(files)
+
+    # ~10%-of-axis boxes: each single-column band must skip a majority
+    # of files under the Z layout (a random layout overlaps ~100%)
+    assert overlap("a", 40000, 50000) <= 0.7
+    assert overlap("b", 400.0, 500.0) <= 0.7
+
+    with _pytest.raises(ValueError, match="conflict"):
+        compact_parquet(
+            spark, src, str(tmp_path / "x"),
+            sort_by=["a"], zorder_by=["a", "b"],
+        )

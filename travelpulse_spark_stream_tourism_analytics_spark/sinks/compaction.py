@@ -95,6 +95,7 @@ def compact_parquet(
     dst: str,
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
     sort_by: Sequence[str] = (),
+    zorder_by: Sequence[str] = (),
     max_files: int = 100_000,
 ) -> dict:
     """Rewrite ``src`` into ``dst`` with ~``target_file_bytes`` files.
@@ -102,18 +103,55 @@ def compact_parquet(
     Returns ``{"before": stats, "after": stats, "n_output_files": k}``.
     Row-for-row lossless (asserted in tests). With ``sort_by`` the
     output is range-clustered on those columns: file key ranges are
-    disjoint, so parquet min/max stats prune at read time.
+    disjoint, so parquet min/max stats prune at read time. With
+    ``zorder_by`` (2-4 NUMERIC columns, mutually exclusive with
+    ``sort_by``) the rewrite is the lakehouse ``OPTIMIZE ZORDER BY``:
+    each column is affinely mapped onto a 16-bit Morton lane using its
+    observed min/max (one tiny agg), and files cluster along the
+    space-filling curve — min/max stats then prune on ANY of the
+    columns, not just the leading sort key.
 
     ``max_files`` guards against a degenerate tiny target creating a
     pathological partition count (the pathology this tool exists to
     fix); 100k files × 128 MB ≈ 12 TB per compaction run — shard a
     bigger lake by partition directory instead.
     """
+    if sort_by and zorder_by:
+        raise ValueError("compact_parquet: sort_by and zorder_by conflict")
     before = layout_stats(spark, src)
     n_out = max(1, math.ceil(before["total_bytes"] / max(1, target_file_bytes)))
     n_out = min(n_out, max_files)
     df: DataFrame = spark.read.parquet(src)
-    if sort_by:
+    if zorder_by:
+        from pyspark.sql import functions as F
+
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.layout import (
+            normalize_u16,
+            zorder_layout,
+        )
+
+        bounds = df.agg(
+            *[
+                f
+                for c in zorder_by
+                for f in (
+                    F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                    F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+                )
+            ]
+        ).collect()[0]
+        dims = [
+            normalize_u16(
+                F.col(c),
+                bounds[f"__lo_{c}"],
+                # +1 ulp-ish headroom so the max value lands in lane
+                # 65535 instead of clamping a degenerate hi == lo span
+                bounds[f"__hi_{c}"] + max(1e-9, abs(bounds[f"__hi_{c}"]) * 1e-12),
+            )
+            for c in zorder_by
+        ]
+        df = zorder_layout(df, dims, n_files=n_out)
+    elif sort_by:
         # range shuffle gives disjoint per-file key ranges; the sort
         # inside each partition orders row groups for fine-grained
         # min/max skipping within the file too.
