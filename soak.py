@@ -521,6 +521,7 @@ def main() -> None:
     result["anomalies"] = anomalies
     result["notes"] = [
         "round 5 totals are again not per-entry comparable to SOAK_r4: the same 50 catalog names run strictly more work (new oracled branches: color_jpeg in multimodal_blob_pipeline, psi grains in event_time_profiles, cmsketch + bpe_pair in docs_top_terms, split_* in docs_dedup_clusters, pca2w in embedding_label_centroids, and the END-TO-END curated chain folded into docs_chunked). The curate_quality section records the fuzzy chain's kept-vs-dropped quality gap (per-cluster winner==max must have 0 violations; pooled means are informational — per-cluster argmax admits Simpson-style pooled inversions).",
+        "late round-5 additions folded into the same entries: the fused graph arms (pagerank_multi global+TrustRank) in topn_revenue_entities, lpa_* community rows (3-round label propagation over the nation trade graph) in nation_key_set_ops, the zorder Morton-bucket rollup in orders_price_band_range_join, the MAD norm-outlier branch in embedding_label_centroids, and the es_sample Efraimidis-Spirakis weighted sample in docs_stratified_sample — each is one extra scan-plus-small-shuffle at its entry's scale.",
         "round 4 context: the same 50 catalog names ran strictly more work than r3 (pq_adc, pca2, tfidf+lm, multiprobe, tsmatch, ahash/jpeg rows), and two end-to-end entries were added (curate_corpus_fuzzy: the full redact->gate->dedup->LSH->star-CC->chunk->pack chain; corpus_report).",
         "nearest_acctbal_match crosses its cost-based threshold between "
         "the two scales: sf0.1 runs the broadcast-NLJ plan (1.2 s), sf1 "

@@ -419,3 +419,37 @@ def test_label_propagation_seeded_clamps_and_spreads(spark):
         for r in label_propagation(edges, seeds=seeds, iterations=4).collect()
     }
     assert got == again
+
+
+def test_pagerank_broadcast_and_shuffle_paths_are_bit_identical(spark):
+    """The size-guarded join strategy (broadcast below the node
+    threshold, shuffle above) must not change a single bit: per-dst
+    sums are quantized-integer decimals, associative under any join
+    order. Force both paths on the same graph and compare exactly."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        pagerank_multi,
+    )
+
+    triples = [
+        ("a", "b", 2), ("b", "a", 2), ("b", "c", 1), ("c", "b", 1),
+        ("c", "a", 4), ("a", "c", 4), ("c", "d", 3), ("d", "c", 3),
+        ("d", "e", 7), ("e", "d", 7), ("e", "a", 1), ("a", "e", 1),
+    ]
+    edges = _edges_df(spark, triples)
+    seeds = spark.createDataFrame([("a",), ("e",)], "node string")
+    small = {
+        r["node"]: (r["g"], r["t"])
+        for r in pagerank_multi(
+            edges, {"g": None, "t": seeds}, iterations=6,
+            cache_site="strategy.small",  # default threshold: broadcast
+        ).collect()
+    }
+    large = {
+        r["node"]: (r["g"], r["t"])
+        for r in pagerank_multi(
+            edges, {"g": None, "t": seeds}, iterations=6,
+            cache_site="strategy.large",
+            broadcast_max_nodes=0,  # force the shuffle-join path
+        ).collect()
+    }
+    assert small == large
