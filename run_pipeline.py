@@ -501,6 +501,7 @@ def run_centrality(
     iterations: int = 4,
     max_t: int = 6,
     seeds_path: str | None = None,
+    undirected: bool = False,
 ) -> dict:
     """Link-graph quality signals (``--mode centrality``): weighted
     PageRank (+ TrustRank when ``--seeds`` names a trusted node list)
@@ -510,7 +511,18 @@ def run_centrality(
     centrality is how Common Crawl derivatives rank hosts; PageRank is
     the classic link-quality prior). One output row per node:
     (node, rank[, trustrank], harmonic, reach), written as parquet for
-    the curate chain to join on a doc's host column."""
+    the curate chain to join on a doc's host column.
+
+    Real link graphs are full of SINK hosts (linked-to, never linking
+    out), but pagerank_multi's node universe is built from sources
+    (operators/graph.py module contract). Directed mode therefore
+    patches each sink with a unit self-loop — the standard practical
+    dangling treatment: the sink keeps the rank that flows into it
+    (damping caps the accumulation) instead of silently dropping out
+    of the output or invalidating a trusted-seed list that names it.
+    ``--undirected`` symmetrizes every edge instead (centrality over
+    the underlying undirected graph, for both PageRank and HyperBall).
+    """
     import json as _json
 
     from pyspark.sql import functions as F
@@ -518,6 +530,7 @@ def run_centrality(
     from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
         hyperball,
         pagerank_multi,
+        undirect,
     )
 
     edges = spark.read.parquet(edges_path)
@@ -528,6 +541,15 @@ def run_centrality(
         F.col("dst").cast("string"),
         F.col("w").cast("long"),
     )
+    if undirected:
+        edges = undirect(edges)
+    else:
+        sinks = edges.select(F.col("dst").alias("src")).subtract(
+            edges.select("src")
+        )
+        edges = edges.unionByName(
+            sinks.select("src", F.col("src").alias("dst"), F.lit(1).alias("w"))
+        )
     variants: dict = {"rank": None}
     if seeds_path:
         variants["trustrank"] = spark.read.parquet(seeds_path).select(
@@ -591,6 +613,12 @@ def main() -> None:
     ap.add_argument(
         "--max-t", type=int, default=6, dest="max_t",
         help="--mode centrality: HyperBall radius horizon",
+    )
+    ap.add_argument(
+        "--undirected", action="store_true",
+        help="--mode centrality: symmetrize edges (centrality over the "
+        "underlying undirected graph); default treats the graph as "
+        "directed with unit self-loops patching sink nodes",
     )
     ap.add_argument(
         "--pq-m", type=int, default=8,
@@ -775,6 +803,7 @@ def main() -> None:
         run_centrality(
             spark, args.path, args.out, iterations=args.iterations,
             max_t=args.max_t, seeds_path=args.seeds,
+            undirected=args.undirected,
         )
         return
 

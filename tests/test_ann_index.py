@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -106,7 +108,7 @@ def test_ann_cli_build_and_search(spark, tmp_path, capsys, monkeypatch):
     """Production path: --mode build-ann-index then --mode ann-search."""
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import run_pipeline
 
     idx = str(tmp_path / "idx")

@@ -8,6 +8,8 @@ docs_top_terms 'bpe_pair' branch."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 
@@ -209,7 +211,7 @@ def test_train_bpe_and_curate_emit_input_ids_cli(spark, tmp_path, capsys, monkey
     gives packed samples carrying input_ids consistent with chunk_text."""
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import run_pipeline
     from travelpulse_spark_stream_tourism_analytics_spark.operators.bpe import (
         encode_word,

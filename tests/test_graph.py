@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import math
 
 import pytest
@@ -271,7 +273,7 @@ def test_centrality_cli_writes_fused_node_signals(
     run directly."""
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import run_pipeline
     from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
         hyperball,
@@ -453,3 +455,49 @@ def test_pagerank_broadcast_and_shuffle_paths_are_bit_identical(spark):
         ).collect()
     }
     assert small == large
+
+
+def test_label_propagation_rejects_fractional_weights(spark):
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 0.9), ("b", "a", 0.9)], "src string, dst string, w double"
+    )
+    with pytest.raises(ValueError, match="integral edge weights"):
+        label_propagation(edges, iterations=1)
+
+
+def test_centrality_cli_directed_sink_nodes_get_ranked(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """Regression (review finding): a directed edge file with sink
+    nodes (dst never src) must still rank every node, and a seed list
+    naming a sink must validate — via the unit self-loop dangling
+    patch."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import run_pipeline
+
+    edges_path = str(tmp_path / "edges")
+    seeds_path = str(tmp_path / "seeds")
+    out = str(tmp_path / "sig")
+    spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1)], "src string, dst string, w long"
+    ).write.parquet(edges_path)  # c is a pure sink
+    spark.createDataFrame([("c",)], "node string").write.parquet(seeds_path)
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "centrality", "--path", edges_path,
+         "--out", out, "--seeds", seeds_path, "--iterations", "2"],
+    )
+    run_pipeline.main()
+    got = {r["node"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"a", "b", "c"}
+    for v in got.values():  # every node ranked, no NULL leakage
+        assert v["rank"] is not None
+        assert v["trustrank"] is not None
+    assert got["c"]["trustrank"] > got["a"]["trustrank"]  # seed holds mass

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import glob
 
 from travelpulse_spark_stream_tourism_analytics_spark.sinks.files import (
@@ -191,7 +193,7 @@ def test_compact_cli_mode(spark, tmp_path, capsys, monkeypatch):
     """run_pipeline --mode compact end to end through argv."""
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import run_pipeline
 
     src = str(tmp_path / "lake")
@@ -297,3 +299,22 @@ def test_compact_parquet_zorder_prunes_on_both_columns(spark, tmp_path):
             spark, src, str(tmp_path / "x"),
             sort_by=["a"], zorder_by=["a", "b"],
         )
+
+
+def test_compact_zorder_rejects_unusable_columns(spark, tmp_path):
+    import pytest as _pytest
+
+    from travelpulse_spark_stream_tourism_analytics_spark.sinks.compaction import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [(1, "x"), (2, "y")], "a long, name string"
+    ).write.parquet(src)
+    with _pytest.raises(ValueError, match="no numeric values"):
+        compact_parquet(spark, src, str(tmp_path / "o1"),
+                        zorder_by=["a", "name"])
+    with _pytest.raises(ValueError, match="not in"):
+        compact_parquet(spark, src, str(tmp_path / "o2"),
+                        zorder_by=["a", "typo"])

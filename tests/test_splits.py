@@ -76,3 +76,28 @@ def test_weighted_sample_equal_weights_is_seeded_shuffle(spark):
             df, k=100, weight_col="w", seed="epoch1"
         ).collect()
     }
+
+
+def test_weighted_sample_heavy_weights_keep_selectivity(spark):
+    """Regression (review finding): key rounding must be finer than the
+    heavy-weight key band 22/w, or huge-w rows collapse into rounded
+    ties broken by doc_id — identical selections for every seed. With
+    w ~ 2e5 the selection must still reshuffle across seeds."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+        weighted_sample_without_replacement,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 200_000 + i) for i in range(400)], "doc_id long, w long"
+    )
+    picks = []
+    for s in ("a", "b", "c"):
+        sel = weighted_sample_without_replacement(
+            df, k=20, weight_col="w", seed=s
+        ).collect()
+        keys = [r["es_key"] for r in sel]
+        assert len(set(keys)) > 10, "rounded keys collapsed into ties"
+        picks.append(frozenset(r["doc_id"] for r in sel))
+    assert len(set(picks)) == 3, "seed did not reshuffle heavy docs"
+    # and NOT simply the k lowest ids (the collapse symptom)
+    assert picks[0] != frozenset(range(20))

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import json
 
 from pyspark.sql import functions as F
@@ -156,7 +158,7 @@ def test_run_dedup_pipeline_surface(spark, tmp_path):
     out, counts consistent with the verdicts written."""
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from run_pipeline import run_dedup
 
     docs_dir = tmp_path / "docs"
@@ -182,7 +184,7 @@ def test_run_dedup_with_ingest_quality_gate(spark, tmp_path):
     a verdict row, clean docs still dedup against each other."""
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from run_pipeline import run_dedup
 
     docs_dir = tmp_path / "docs"
@@ -215,7 +217,7 @@ def test_run_dedup_batch_incremental_index_surface(spark, tmp_path):
     rescanned: the artifact holds fingerprints only)."""
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from run_pipeline import run_dedup_batch
 
     # Long docs so a one-word append lands within the hamming<=3
@@ -263,7 +265,7 @@ def test_run_dedup_streaming_psi_gauge(spark, tmp_path):
     import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from run_pipeline import run_dedup
 
     from travelpulse_spark_stream_tourism_analytics_spark.streaming.sinks import (
@@ -320,7 +322,7 @@ def test_run_dedup_production_fingerprint_width(spark, tmp_path):
     caught, and distinct docs stop colliding."""
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from run_pipeline import run_dedup
 
     docs_dir = tmp_path / "docs"
@@ -512,7 +514,7 @@ def test_run_dedup_batch_index_retention(spark, tmp_path):
     flagged, while the index stays bounded by the dedup horizon."""
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from run_pipeline import run_dedup_batch
 
     base = " ".join(f"w{i}" for i in range(120))

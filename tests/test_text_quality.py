@@ -9,6 +9,8 @@ a readable assertion rather than a hash mismatch.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -703,7 +705,7 @@ def test_report_cli_mode(spark, capsys):
     import json as _json
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import run_pipeline
 
     rows = run_pipeline.run_report(spark, "/root/testdata/sf0.001")
@@ -1487,7 +1489,7 @@ def test_curate_ppl_tail_stage_drops_outliers(spark, tmp_path):
     import random
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from run_pipeline import run_curate
 
     rng = random.Random(9)
@@ -1539,7 +1541,7 @@ def test_train_classifier_and_curate_gate_cli(spark, tmp_path):
     import random
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from run_pipeline import run_curate, run_train_classifier
 
     rng = random.Random(5)

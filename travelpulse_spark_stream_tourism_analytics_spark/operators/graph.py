@@ -68,7 +68,7 @@ def pagerank_multi(
     partitions: int | None = None,
     checkpoint_every: int | None = None,
     cache_site: str = "graph.pagerank.edges",
-    broadcast_max_nodes: int = 4_000_000,
+    broadcast_max_nodes: int = 1_000_000,
 ) -> DataFrame:
     """``(node, <name>...)`` — one rank column per entry of ``variants``,
     all advanced through a SINGLE iteration loop over one cached edge
@@ -111,10 +111,14 @@ def pagerank_multi(
     # broadcasting them makes edge normalization and the per-iteration
     # edge join map-side over the cached input — no second fat cache,
     # no repartition; the only shuffle per iteration is the
-    # map-side-combined groupBy(dst). Past the threshold (web-scale
-    # graphs whose node set doesn't fit an executor) a normalized edge
-    # relation is hash-partitioned by src once and cached, and only the
-    # O(|V|) rank/sum relations shuffle per iteration. Exactness is
+    # map-side-combined groupBy(dst). Past the threshold a normalized
+    # edge relation is hash-partitioned by src once and cached, and
+    # only the O(|V|) rank/sum relations shuffle per iteration. The
+    # 1M-row default sizes the broadcast in bytes, not just rows:
+    # (node id + k doubles) ~ 60-100 B/row => <= ~100 MB pinned per
+    # broadcast, the practical ceiling for an explicit hint (each
+    # iteration pins rank + sum broadcasts for the job's lifetime);
+    # lower it for long node ids or many fused variants. Exactness is
     # unaffected either way: the per-dst sums are quantized-integer
     # decimals, associative under any join strategy or arrival order.
     small = n <= broadcast_max_nodes
@@ -244,6 +248,16 @@ def label_propagation(
 
     spark = edges.sparkSession
     n_part = partitions or spark.sparkContext.defaultParallelism
+    w_type = dict(edges.dtypes).get("w", "")
+    if w_type not in ("tinyint", "smallint", "int", "bigint", "long"):
+        # the exactness story rests on integer tallies; silently
+        # truncating float similarity weights would zero every tally
+        # and pick labels purely lexically
+        raise ValueError(
+            f"label_propagation: integral edge weights required, got "
+            f"w: {w_type} — quantize float weights upstream (e.g. "
+            f"floor(sim * 1e6)), only weight RATIOS matter"
+        )
     e = edges.select("src", "dst", F.col("w").cast("long").alias("w"))
     e = e.repartition(n_part, "src")
     try:

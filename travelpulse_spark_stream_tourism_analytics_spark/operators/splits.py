@@ -161,6 +161,7 @@ def weighted_sample_without_replacement(
     seed: str = "es5",
     key_col: str = "es_key",
     rank_col: str = "es_rank",
+    scale: int = 9,
 ) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement — top-k per
     stratum under the Efraimidis-Spirakis A-ES scheme (Inf. Proc.
@@ -171,9 +172,21 @@ def weighted_sample_without_replacement(
     + 0.5) / 2^32`` — reproducible across runs, partitionings, and
     engines (the SQL twin spells the identical arithmetic), the same
     engine-portability argument as the md5-threshold sampler. Keys are
-    rounded (1e-6) BEFORE ranking with an id tie-break, so the one-ulp
+    rounded BEFORE ranking with an id tie-break, so the one-ulp
     divergence transcendental pow() is allowed between libm and the JVM
     cannot flip a selection at the k boundary.
+
+    ``scale`` trades those two pressures. Keys for weight w live in
+    ``[exp(-22/w), 1)`` — a band of width ~22/w — so rounding must be
+    much finer than ``22/(w·k)`` or heavy rows collapse into rounded
+    ties broken by id (destroying the weighted randomness exactly for
+    the rows that matter most), while each extra digit multiplies the
+    chance a 1-ulp (~2^-52) divergence lands on a rounding boundary.
+    The default 1e-9 keeps full selectivity for weights up to ~1e6
+    (token/char counts of real documents) with boundary-collision
+    probability ~1e-7 per row; for weights beyond ~1e7, pre-scale the
+    weight column (only ratios matter in A-ES) rather than raising
+    ``scale``.
 
     Scale shape: one scan computing the key (codegen'd hash + pow), one
     rank. Per-stratum top-k uses a window only over rows that survive
@@ -195,7 +208,7 @@ def weighted_sample_without_replacement(
         10,
     ).cast("double")
     u = (v + F.lit(0.5)) / F.lit(4294967296.0)
-    key = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), 6)
+    key = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), scale)
     d = d.withColumn(key_col, key)
     part = (
         Window.partitionBy(stratify_col)

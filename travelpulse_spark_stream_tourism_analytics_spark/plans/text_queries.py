@@ -943,7 +943,7 @@ _PII_HITS_SQL = " + ".join(
     -- es_sample branch (round 5): Efraimidis-Spirakis weighted
     -- sampling WITHOUT replacement, top-10 per source by key
     -- u^(1/n_chars) with the hash-derived uniform
-    -- u = (md5(id||'es5')[:8 hex] + 0.5)/2^32. Keys rounded (1e-6)
+    -- u = (md5(id||'es5')[:8 hex] + 0.5)/2^32. Keys rounded (1e-9)
     -- BEFORE ranking with an id tie-break so a one-ulp pow()
     -- divergence cannot flip a selection at the k boundary. n_docs
     -- carries the in-stratum rank, weight the rounded key.
@@ -960,7 +960,7 @@ _PII_HITS_SQL = " + ".join(
                        (('0x' || substr(md5(doc_id::VARCHAR || 'es5'),
                                         1, 8))::BIGINT + 0.5)
                            / 4294967296.0,
-                       1.0 / n_chars), 6) AS rk
+                       1.0 / n_chars), 9) AS rk
             FROM documents WHERE n_chars > 0
         ) keyed
     ) ranked

@@ -130,16 +130,36 @@ def compact_parquet(
             zorder_layout,
         )
 
+        missing = [c for c in zorder_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"compact_parquet: zorder_by columns {missing} "
+                             f"not in {df.columns}")
+        # try_cast: under ANSI a plain cast THROWS mid-agg on the first
+        # non-numeric string; the null-bounds check below is the
+        # intended clear error instead
         bounds = df.agg(
             *[
                 f
                 for c in zorder_by
                 for f in (
-                    F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
-                    F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+                    F.min(F.col(c).try_cast("double")).alias(f"__lo_{c}"),
+                    F.max(F.col(c).try_cast("double")).alias(f"__hi_{c}"),
                 )
             ]
         ).collect()[0]
+        bad = [
+            c
+            for c in zorder_by
+            if bounds[f"__lo_{c}"] is None
+            or bounds[f"__hi_{c}"] is None
+            or bounds[f"__hi_{c}"] != bounds[f"__hi_{c}"]  # NaN
+        ]
+        if bad:
+            raise ValueError(
+                f"compact_parquet: zorder_by columns {bad} have no "
+                "numeric values (all-null, non-numeric, or empty input) "
+                "— zorder lanes need observable min/max"
+            )
         dims = [
             normalize_u16(
                 F.col(c),
