@@ -501,3 +501,70 @@ def test_centrality_cli_directed_sink_nodes_get_ranked(
         assert v["rank"] is not None
         assert v["trustrank"] is not None
     assert got["c"]["trustrank"] > got["a"]["trustrank"]  # seed holds mass
+
+
+def _brute_triangles(pairs):
+    """Per-node triangle counts by brute-force enumeration."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    adj = defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    counts = defaultdict(int)
+    nodes = sorted(adj)
+    for p, q, r in combinations(nodes, 3):
+        if q in adj[p] and r in adj[p] and r in adj[q]:
+            counts[p] += 1
+            counts[q] += 1
+            counts[r] += 1
+    return dict(counts)
+
+
+def test_triangle_counts_exact_and_encoding_immune(spark):
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # K4: every node in 3 triangles; pendant node in none
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d"), ("d", "e")]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(k4, "src string, dst string")
+        ).collect()
+    }
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}  # e absent (0)
+
+    # encoding immunity: duplicates, both directions, self-loops
+    noisy = k4 + [("b", "a"), ("a", "b"), ("c", "c"), ("d", "c")]
+    got2 = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(noisy, "src string, dst string")
+        ).collect()
+    }
+    assert got2 == got
+
+    # random graph vs brute force
+    import random
+
+    rng = random.Random(13)
+    nodes = [f"n{i:02d}" for i in range(18)]
+    pairs = [
+        (a, b)
+        for i, a in enumerate(nodes)
+        for b in nodes[i + 1:]
+        if rng.random() < 0.3
+    ]
+    exact = _brute_triangles(pairs)
+    got3 = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(pairs, "src string, dst string")
+        ).collect()
+    }
+    assert got3 == exact

@@ -214,6 +214,79 @@ def pagerank_multi(
     return ranks.select("node", *names)
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """``(node, n_triangles)`` — exact per-node triangle counts via the
+    degree-oriented node-iterator (Schank & Wagner 2005; the
+    MapReduce/GraphX standard). Triangle density is a classic graph
+    quality/cohesion signal (clustering coefficient numerator; spam
+    link farms are triangle-poor relative to organic communities).
+
+    Input is an undirected graph in any encoding — directed pairs,
+    both-direction pairs, self-loops, duplicates all collapse through
+    canonicalization (``least/greatest`` + distinct, self-loops
+    dropped). Each edge is then ORIENTED from its lower (degree, node)
+    endpoint to the higher, which (a) counts every triangle exactly
+    once — for p < q < r in orientation order the wedge at p matches
+    the oriented edge q->r — and (b) bounds each node's out-degree by
+    O(sqrt(E)), so the wedge self-join is Θ(Σ outdeg²) ≤ Θ(E^1.5)
+    instead of Θ(Σ deg²) (which a hub node makes quadratic). Three
+    shuffles total: degree agg, wedge self-join on the apex, wedge
+    (q, r) against the oriented edge list. All-integer, deterministic
+    (degree ties break on the node id), exact cross-engine parity by
+    construction.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = e.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b"
+    )
+    first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    o = scoped_persist(o, "graph.triangles.oriented")
+    wedges = (
+        o.alias("o1")
+        .join(
+            o.alias("o2"),
+            (F.col("o1.u") == F.col("o2.u"))
+            & (F.col("o1.v") != F.col("o2.v")),
+        )
+        .select(
+            F.col("o1.u").alias("p"),
+            F.col("o1.v").alias("q"),
+            F.col("o2.v").alias("r"),
+        )
+    )
+    tri = wedges.join(
+        o.select(F.col("u").alias("q"), F.col("v").alias("r")), ["q", "r"]
+    )
+    return (
+        tri.select(F.col("p").alias("node"))
+        .unionByName(tri.select(F.col("q").alias("node")))
+        .unionByName(tri.select(F.col("r").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     seeds: DataFrame | None = None,

@@ -1215,10 +1215,51 @@ def _nation_lpa_ctes(iters: int = 3) -> str:
     return "".join(parts)
 
 
+_NATION_TRI_CTES = """,
+    tri_e AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM ntg WHERE src <> dst
+    ),
+    tri_d AS (
+        SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM tri_e
+            UNION ALL SELECT b FROM tri_e
+        ) GROUP BY 1
+    ),
+    tri_o AS (
+        SELECT CASE WHEN (da.deg < db.deg)
+                      OR (da.deg = db.deg AND e.a < e.b)
+                    THEN e.a ELSE e.b END AS u,
+               CASE WHEN (da.deg < db.deg)
+                      OR (da.deg = db.deg AND e.a < e.b)
+                    THEN e.b ELSE e.a END AS v
+        FROM tri_e e
+        JOIN tri_d da ON e.a = da.node
+        JOIN tri_d db ON e.b = db.node
+    ),
+    tri_t AS (
+        SELECT w.apex AS p, w.x AS q, w.y AS r
+        FROM (
+            SELECT o1.u AS apex, o1.v AS x, o2.v AS y
+            FROM tri_o o1 JOIN tri_o o2
+              ON o1.u = o2.u AND o1.v <> o2.v
+        ) w
+        JOIN tri_o e ON w.x = e.u AND w.y = e.v
+    ),
+    tri_n AS (
+        SELECT node, count(*) AS nt FROM (
+            SELECT p AS node FROM tri_t
+            UNION ALL SELECT q FROM tri_t
+            UNION ALL SELECT r FROM tri_t
+        ) GROUP BY 1
+    )"""
+
+
 @query(
     "nation_key_set_ops",
     oracle="WITH"
     + _nation_lpa_ctes(3)
+    + _NATION_TRI_CTES
     + """
     SELECT 'union' AS set_op, nationkey FROM (
         SELECT c_nationkey AS nationkey FROM customer
@@ -1240,6 +1281,10 @@ def _nation_lpa_ctes(iters: int = 3) -> str:
     UNION ALL
     SELECT 'lpa_' || label AS set_op, CAST(node AS BIGINT) AS nationkey
     FROM lpa3
+    UNION ALL
+    SELECT 'tri_' || CAST(nt AS VARCHAR) AS set_op,
+           CAST(node AS BIGINT) AS nationkey
+    FROM tri_n
     """,
 )
 def nation_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1289,7 +1334,26 @@ def nation_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("lpa_"), F.col("label")).alias("set_op"),
         F.col("node").cast("bigint").alias("nationkey"),
     )
-    return u.unionByName(i).unionByName(e).unionByName(communities)
+    # branch set_op='tri_<count>' (round 5): exact per-node triangle
+    # counts over the same trade graph (operators/graph.py
+    # triangle_counts, degree-oriented node-iterator) — the count rides
+    # in the tag so the 2-column entry schema pins every node's value.
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    triangles = triangle_counts(trade).select(
+        F.concat(F.lit("tri_"), F.col("n_triangles").cast("string")).alias(
+            "set_op"
+        ),
+        F.col("node").cast("bigint").alias("nationkey"),
+    )
+    return (
+        u.unionByName(i)
+        .unionByName(e)
+        .unionByName(communities)
+        .unionByName(triangles)
+    )
 
 
 @query(
