@@ -568,3 +568,83 @@ def test_triangle_counts_exact_and_encoding_immune(spark):
         ).collect()
     }
     assert got3 == exact
+
+
+def _brute_kcore(pairs, k):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj.pop(v):
+                    adj[u].discard(v)
+                changed = True
+    return {v for v in adj if adj[v]}
+
+
+def test_kcore_matches_reference_peeling(spark):
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        kcore,
+    )
+
+    # K4 with a tail a-b-c hanging off: 3-core is exactly the K4
+    k4 = [("p", "q"), ("p", "r"), ("p", "s"), ("q", "r"), ("q", "s"),
+          ("r", "s"), ("s", "a"), ("a", "b"), ("b", "c")]
+    got = {
+        r["node"]
+        for r in kcore(
+            spark.createDataFrame(k4, "src string, dst string"), k=3
+        ).collect()
+    }
+    assert got == {"p", "q", "r", "s"}
+
+    # cascade: removing the tail drops a, then nothing else (2-core)
+    got2 = {
+        r["node"]
+        for r in kcore(
+            spark.createDataFrame(k4, "src string, dst string"), k=2
+        ).collect()
+    }
+    assert got2 == _brute_kcore(k4, 2)
+
+    # k above the max core: empty, schema intact
+    empty = kcore(
+        spark.createDataFrame(k4, "src string, dst string"), k=4
+    )
+    assert empty.columns == ["node"] and empty.count() == 0
+
+    # self-loops must not keep a node alive
+    loops = [("x", "x"), ("x", "y")]
+    assert (
+        kcore(
+            spark.createDataFrame(loops, "src string, dst string"), k=2
+        ).count()
+        == 0
+    )
+
+    # random graph parity
+    import random
+
+    rng = random.Random(29)
+    nodes = [f"v{i}" for i in range(24)]
+    pairs = [
+        (a, b)
+        for i, a in enumerate(nodes)
+        for b in nodes[i + 1:]
+        if rng.random() < 0.18
+    ]
+    for k in (2, 3, 4):
+        got = {
+            r["node"]
+            for r in kcore(
+                spark.createDataFrame(pairs, "src string, dst string"), k=k
+            ).collect()
+        }
+        assert got == _brute_kcore(pairs, k), k

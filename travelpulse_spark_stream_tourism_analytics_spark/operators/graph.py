@@ -287,6 +287,70 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def kcore(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
+    """``(node)`` — the k-core of an undirected graph: the maximal
+    subgraph where every node has degree >= k, by iterative peeling
+    (remove sub-k nodes, recompute degrees, repeat to fixpoint). The
+    dense-community extractor: link-farm detection (organic hubs
+    survive deep cores, sprayed spam doesn't) and the standard
+    preconditioner before expensive per-community analysis.
+
+    Same canonicalization as ``triangle_counts`` (any edge encoding;
+    self-loops dropped — a self-loop must not let a node survive on
+    its own). Each round is one degree agg + two semi-joins over the
+    shrinking edge set, localCheckpointed (components.py precedent:
+    the loop's lineage must not re-derive). Converges in at most
+    O(peeling-depth) rounds — bounded by the degeneracy ordering
+    depth, small for real sparse graphs; ``max_rounds`` is a runaway
+    backstop that raises rather than silently returning a non-core.
+
+    Deterministic and exact: peeling has a unique fixpoint (the k-core
+    is canonical regardless of removal order), so no tie-break is even
+    needed.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    try:
+        e = e.localCheckpoint(eager=True)
+    except Exception:  # pragma: no cover - checkpoint dir unavailable
+        e = e.persist()
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        nxt = e.join(
+            keep.select(F.col("node").alias("a")), "a", "left_semi"
+        ).join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+        try:
+            nxt = nxt.localCheckpoint(eager=True)
+        except Exception:  # pragma: no cover
+            nxt = nxt.persist()
+        n_prev, n_next = e.count(), nxt.count()
+        e = nxt
+        if n_next == n_prev:
+            return (
+                e.select(F.col("a").alias("node"))
+                .unionByName(e.select(F.col("b").alias("node")))
+                .distinct()
+            )
+        if n_next == 0:
+            return e.select(F.col("a").alias("node"))  # empty, right schema
+    raise RuntimeError(
+        f"kcore: no fixpoint within max_rounds={max_rounds} "
+        "(raise the bound for pathological peeling depths)"
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     seeds: DataFrame | None = None,
