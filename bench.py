@@ -46,6 +46,10 @@ HEADLINE = [
     # as named entries, not just their constituent stages.
     "curate_corpus_fuzzy",
     "corpus_report",
+    # round 6: the iterative graph suite as its own headline entry
+    # (fused PageRank/TrustRank + triangles/LPA/kcore/HyperBall) so the
+    # relational entries stay trend-comparable round-over-round.
+    "graph_suite",
 ]
 
 
@@ -72,10 +76,15 @@ def _corpus_report(spark, sf_dir):
     return corpus_report(load_table(spark, sf_dir, "documents"))
 
 
+def _graph_suite(spark, sf_dir):
+    return relational_queries.graph_suite(spark, sf_dir)
+
+
 # Bench-only surfaces that are operator pipelines, not catalog entries.
 EXTRA = {
     "curate_corpus_fuzzy": _curate_corpus_fuzzy,
     "corpus_report": _corpus_report,
+    "graph_suite": _graph_suite,
 }
 
 # Branch-tagged merged entries: time each branch alone by filtering on
@@ -93,7 +102,8 @@ BRANCHES = {
     ),
     "latest_event_per_user": ("branch", ["latest", "tsmatch"]),
     "docs_exact_dedup": ("branch", ["doc", "substring"]),
-    "topn_revenue_entities": ("scope", ["graph_pagerank", "graph_trustrank"]),
+    # (the graph_pagerank/graph_trustrank scope branches moved to the
+    # graph_suite entry's constituents in round 6)
 }
 
 # Constituent transforms still defined as plain functions in plans/*.py
@@ -105,10 +115,20 @@ BRANCHES = {
 # number there.
 CONSTITUENTS = {
     "topn_revenue_entities": [
+        # "base" = the r4 composition (no graph arms): THE number to
+        # trend this entry round-over-round (VERDICT r5 nit 2).
+        (relational_queries, "topn_revenue_entities_base"),
         (relational_queries, "top_revenue_customers"),
         (relational_queries, "shipping_priority"),
         (relational_queries, "best_supplier_per_nation"),
+    ],
+    "graph_suite": [
+        (relational_queries, "supplier_customer_rank_variants"),
         (relational_queries, "supplier_customer_pagerank"),
+        (relational_queries, "nation_trade_triangles"),
+        (relational_queries, "nation_trade_lpa"),
+        (relational_queries, "nation_trade_kcore"),
+        (relational_queries, "nation_trade_hyperball"),
     ],
     "geo_revenue_rollups": [
         (relational_queries, "regional_revenue"),

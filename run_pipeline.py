@@ -514,14 +514,16 @@ def run_centrality(
     the curate chain to join on a doc's host column.
 
     Real link graphs are full of SINK hosts (linked-to, never linking
-    out), but pagerank_multi's node universe is built from sources
-    (operators/graph.py module contract). Directed mode therefore
-    patches each sink with a unit self-loop — the standard practical
-    dangling treatment: the sink keeps the rank that flows into it
-    (damping caps the accumulation) instead of silently dropping out
-    of the output or invalidating a trusted-seed list that names it.
-    ``--undirected`` symmetrizes every edge instead (centrality over
-    the underlying undirected graph, for both PageRank and HyperBall).
+    out). Directed mode therefore runs PageRank with
+    ``dangling='redistribute'`` (operators/graph.py pagerank_multi) —
+    the textbook treatment: the node universe is src UNION dst and
+    each iteration redistributes the sinks' rank mass over the
+    teleport distribution, conserving total mass. (Rounds 3-5 patched
+    sinks with unit self-loops instead, which changes semantics: a
+    self-loop lets the sink RETAIN its own rank each step rather than
+    returning it to the system.) ``--undirected`` symmetrizes every
+    edge instead (centrality over the underlying undirected graph,
+    for both PageRank and HyperBall).
     """
     import json as _json
 
@@ -543,13 +545,6 @@ def run_centrality(
     )
     if undirected:
         edges = undirect(edges)
-    else:
-        sinks = edges.select(F.col("dst").alias("src")).subtract(
-            edges.select("src")
-        )
-        edges = edges.unionByName(
-            sinks.select("src", F.col("src").alias("dst"), F.lit(1).alias("w"))
-        )
     variants: dict = {"rank": None}
     if seeds_path:
         variants["trustrank"] = spark.read.parquet(seeds_path).select(
@@ -558,6 +553,7 @@ def run_centrality(
     ranks = pagerank_multi(
         edges, variants, iterations=iterations,
         cache_site="cli.centrality.edges",
+        dangling="contract" if undirected else "redistribute",
     )
     harm = hyperball(edges, max_t=max_t)
     result = ranks.join(harm, "node", "full_outer")
@@ -618,14 +614,15 @@ def main() -> None:
         "--undirected", action="store_true",
         help="--mode centrality: symmetrize edges (centrality over the "
         "underlying undirected graph); default treats the graph as "
-        "directed with unit self-loops patching sink nodes",
+        "directed, redistributing sink-node rank mass over the "
+        "teleport distribution each iteration",
     )
     ap.add_argument(
         "--pq-m", type=int, default=8,
         help="--mode build-ann-index: PQ subquantizers (must divide dim)",
     )
     ap.add_argument(
-        "--pq-codes", type=int, default=16,
+        "--pq-codes", type=int, default=256,
         help="--mode build-ann-index: centroids per PQ subspace",
     )
     ap.add_argument(

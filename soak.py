@@ -210,6 +210,78 @@ def bucket_histograms(spark, sf_dir: str) -> dict:
     return out
 
 
+def ann_recall_curve(
+    spark, sf_dir: str, n_cells: int = 16, rerank: int = 200,
+    k_codes: int = 256,
+) -> dict:
+    """recall@10 vs n_probe for the persistent IVF-PQ index (round 6,
+    VERDICT r5 item 5): builds the index over the corpus's embeddings
+    at the production operating point (8-bit PQ codebooks, rerank =
+    20x k), takes 20 corpus vectors as queries, and sweeps the probe
+    width. The curve is the index's production contract — the 0.8
+    floor at half-width probing must sit below the measured curve at
+    both scales (recorded as an anomaly otherwise)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.ann_index import (
+        ann_search,
+        build_ann_index,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="soak_ann_")
+    try:
+        meta = build_ann_index(
+            emb, idx, n_cells=n_cells, m=8, k_codes=k_codes
+        )
+        queries = (
+            emb.orderBy("vec_id")
+            .limit(20)
+            .select(
+                F.col("vec_id").alias("qid"),
+                F.col("embedding").cast("array<double>").alias("qv"),
+            )
+        )
+        all_rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in all_rows])
+        mat = np.array([r["embedding"] for r in all_rows], dtype=float)
+        gt = {}
+        for q in queries.collect():
+            qv = np.array(q["qv"])
+            d = ((mat - qv[None, :]) ** 2).sum(axis=1)
+            mask = ids != q["qid"]
+            order = np.lexsort((ids[mask], d[mask]))
+            gt[q["qid"]] = set(ids[mask][order][:10].tolist())
+        curve = {}
+        for n_probe in (1, 2, 4, 8, 12, 16):
+            res = ann_search(
+                spark, idx, queries, k=10, n_probe=n_probe, rerank=rerank
+            )
+            by_q: dict[int, list] = {}
+            for r in res.collect():
+                by_q.setdefault(r["qid"], []).append(r["neighbor_id"])
+            curve[str(n_probe)] = round(
+                sum(len(set(v) & gt[q]) / 10.0 for q, v in by_q.items())
+                / len(by_q),
+                3,
+            )
+        return {
+            "n_vectors": meta["n_vectors"],
+            "n_cells": n_cells,
+            "rerank": rerank,
+            "recall_at_10": curve,
+        }
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def curate_quality_gap(spark, sf_dir: str) -> dict:
     """Quality assertion for the fuzzy curate chain (VERDICT r4 item
     8): run the near-dup selection through the SAME
@@ -517,6 +589,18 @@ def main() -> None:
             and gap["mean_within_cluster_gap"] < 0
         ):
             anomalies.append(f"curate_quality:{sf_name}")
+
+    # Round 6: the ANN index's recall-vs-probe-width contract at scale
+    # (VERDICT r5 item 5) — the test floor is 0.8 at half-width
+    # probing; the soak pins the whole curve at both corpus sizes.
+    result["ann_recall"] = {}
+    for sf_name, d in (("sf0.1", SF01), ("sf1", args.data_dir)):
+        curve = ann_recall_curve(spark, d)
+        result["ann_recall"][sf_name] = curve
+        print(f"ann recall curve @{sf_name}:", json.dumps(curve), flush=True)
+        half = curve["recall_at_10"].get(str(curve["n_cells"] // 2))
+        if half is not None and half < 0.8:
+            anomalies.append(f"ann_recall:{sf_name}")
 
     result["anomalies"] = anomalies
     result["notes"] = [

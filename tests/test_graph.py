@@ -59,6 +59,115 @@ def test_pagerank_matches_pure_python_reference_exactly(spark):
     assert got == want  # exact float equality by design
 
 
+def _ref_pagerank_redistribute(
+    edges, iters=4, damping=0.85, teleport=0.15, seeds=None
+):
+    """Straight-line reference for dangling='redistribute': node
+    universe = src UNION dst, sink mass redistributed over the teleport
+    distribution each iteration, with the SAME 1e-15 floor quantization
+    of both the contribution sums and the dangling mass — equality
+    below is exact."""
+    outw: dict[str, int] = {}
+    nodes = set()
+    for s, d, w in edges:
+        outw[s] = outw.get(s, 0) + w
+        nodes.add(s)
+        nodes.add(d)
+    nodes = sorted(nodes)
+    n = len(nodes)
+    dang = [v for v in nodes if v not in outw]
+    if seeds is None:
+        dist = {v: 1.0 / float(n) for v in nodes}
+        base = {v: teleport / float(n) for v in nodes}
+        r = {v: 1.0 / float(n) for v in nodes}
+    else:
+        S = set(seeds) & set(nodes)
+        ns = float(len(S))
+        dist = {v: (1.0 / ns if v in S else 0.0) for v in nodes}
+        base = {v: (teleport / ns if v in S else 0.0) for v in nodes}
+        r = {v: (1.0 / ns if v in S else 0.0) for v in nodes}
+    for _ in range(iters):
+        acc = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            frac = float(w) / float(outw[s])
+            acc[d] += math.floor(r[s] * frac * 1e15)
+        dm = sum(math.floor(r[v] * 1e15) for v in dang)
+        r = {
+            v: base[v]
+            + damping
+            * (float(acc[v]) / 1e15 + (float(dm) / 1e15) * dist[v])
+            for v in nodes
+        }
+    return r
+
+
+def test_pagerank_redistribute_matches_reference_on_sink_graph(spark):
+    """dangling='redistribute' == the straight-line textbook reference,
+    bit-for-bit, on a directed graph with two pure sinks — and total
+    mass is conserved (the property the default contract mode cannot
+    offer on sink graphs). Global and seeded variants both pinned
+    through one fused run."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        pagerank_multi,
+    )
+
+    # d and e are pure sinks; b has out-degree 1 into a sink
+    triples = [
+        ("a", "b", 2),
+        ("a", "d", 1),
+        ("b", "d", 3),
+        ("c", "a", 1),
+        ("c", "e", 2),
+    ]
+    seeds = spark.createDataFrame([("a",), ("e",)], "node string")
+    got = {
+        r["node"]: (r["pr"], r["tr"])
+        for r in pagerank_multi(
+            _edges_df(spark, triples),
+            {"pr": None, "tr": seeds},
+            iterations=4,
+            dangling="redistribute",
+        ).collect()
+    }
+    want_pr = _ref_pagerank_redistribute(triples, iters=4)
+    want_tr = _ref_pagerank_redistribute(triples, iters=4, seeds={"a", "e"})
+    assert {v: g[0] for v, g in got.items()} == want_pr
+    assert {v: g[1] for v, g in got.items()} == want_tr
+    for idx in (0, 1):
+        total = sum(g[idx] for g in got.values())
+        assert abs(total - 1.0) < 1e-9  # mass conserved, sinks included
+
+
+def test_pagerank_redistribute_equals_contract_when_no_sinks(spark):
+    """On a graph where every node is a source, redistribute mode must
+    be bit-identical to contract mode (the dangling term is zero)."""
+    triples = [
+        ("a", "b", 3), ("b", "a", 3),
+        ("b", "c", 1), ("c", "b", 1),
+        ("c", "a", 2), ("a", "c", 2),
+    ]
+    base = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges_df(spark, triples), iterations=4).collect()
+    }
+    red = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            _edges_df(spark, triples), iterations=4, dangling="redistribute"
+        ).collect()
+    }
+    assert base == red
+
+
+def test_pagerank_rejects_unknown_dangling_mode(spark):
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(
+            _edges_df(spark, [("a", "b", 1)]),
+            iterations=1,
+            dangling="selfloop",
+        )
+
+
 def test_pagerank_hub_outranks_spokes_and_mass_is_conserved(spark):
     """A star hub collects rank from every spoke; total mass stays ~1
     (each floor() loses < 1e-15 per edge per iteration, nothing more)."""
@@ -474,8 +583,8 @@ def test_centrality_cli_directed_sink_nodes_get_ranked(
 ):
     """Regression (review finding): a directed edge file with sink
     nodes (dst never src) must still rank every node, and a seed list
-    naming a sink must validate — via the unit self-loop dangling
-    patch."""
+    naming a sink must validate — round 6: via dangling='redistribute'
+    (the textbook mass-conserving treatment), not self-loop patching."""
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

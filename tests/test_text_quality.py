@@ -1061,6 +1061,97 @@ def test_psi_drift_detection(spark, tmp_path):
     assert got == duck
 
 
+def test_quantile_edges_approx_within_rank_error(spark):
+    """The approx=True scale path (round 6, VERDICT r5 item 6): every
+    sketch-placed edge must be a data value whose empirical rank sits
+    within the documented 1/accuracy band of its target fraction — the
+    Greenwald-Khanna contract percentile_approx ships. PSI computed on
+    approx edges must agree with the exact-edge PSI on both the null
+    and the planted-shift case."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.drift import (
+        psi,
+        quantile_edges,
+    )
+
+    n = 4000
+    vals = sorted(((i * 7919) % n) / 40.0 for i in range(n))
+    base = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    accuracy = 100  # rank error <= 1%: coarse enough to be a real test
+    approx_edges = quantile_edges(base, "v", 10, approx=True,
+                                  accuracy=accuracy)
+    assert len(approx_edges) == 9
+    err = 1.0 / accuracy
+    for i, e in enumerate(approx_edges, start=1):
+        target = i / 10.0
+        rank_le = sum(1 for v in vals if v <= e) / n
+        rank_lt = sum(1 for v in vals if v < e) / n
+        # GK guarantee: some rank in [count(<e), count(<=e)] is within
+        # err of the target (+1/n discretization slack)
+        assert rank_lt <= target + err + 1.0 / n
+        assert rank_le >= target - err - 1.0 / n
+    # monotone edge list (bucket_shares assumes sorted edges)
+    assert approx_edges == sorted(approx_edges)
+
+    shifted = spark.createDataFrame(
+        [(i, 60.0 + ((i * 37) % 100) / 25.0) for i in range(1000)],
+        "id long, v double",
+    )
+    same = spark.createDataFrame(
+        [(i, ((i * 53) % n) / 40.0) for i in range(1000)],
+        "id long, v double",
+    )
+    assert abs(psi(base, same, "v", approx=True)) < 0.05
+    assert psi(base, shifted, "v", approx=True) > 1.0
+    # approx-vs-exact PSI agreement on the same candidate
+    assert abs(
+        psi(base, same, "v", approx=True) - psi(base, same, "v")
+    ) < 0.05
+
+
+def test_ppl_buckets_approx_agreement_within_rank_error(spark):
+    """ppl_buckets(approx=True): a document may change bucket vs the
+    exact split ONLY if its NLL rank lies within the sketch's
+    1/accuracy band of a boundary fraction — the executable form of
+    the '100 TB: swap approx_percentile in' recipe."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.lm import (
+        ppl_buckets,
+    )
+
+    n = 3000
+    rows = [(i, float((i * 7919) % n) / 100.0 + 1.0) for i in range(n)]
+    scored = spark.createDataFrame(rows, "doc_id long, nll double")
+    accuracy = 100
+    exact = {
+        r["doc_id"]: r["ppl_bucket"] for r in ppl_buckets(scored).collect()
+    }
+    approx = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in ppl_buckets(scored, approx=True, accuracy=accuracy).collect()
+    }
+    # rank of each doc's nll (ties broken by value equality: dataset
+    # values are distinct by construction)
+    order = sorted(rows, key=lambda t: t[1])
+    rank = {doc: (i + 1) / n for i, (doc, _v) in enumerate(order)}
+    err = 1.0 / accuracy + 1.0 / n
+    moved = [d for d in exact if approx[d] != exact[d]]
+    for d in moved:
+        near_boundary = min(
+            abs(rank[d] - 1.0 / 3), abs(rank[d] - 2.0 / 3)
+        )
+        assert near_boundary <= err, (
+            f"doc {d} changed bucket at rank {rank[d]:.4f}, outside the "
+            f"{err:.4f} band of any boundary"
+        )
+    # the split is still ~thirds
+    from collections import Counter
+
+    c = Counter(approx.values())
+    for lab in ("head", "middle", "tail"):
+        assert abs(c[lab] / n - 1.0 / 3) < 0.02
+
+
 def test_report_cli_with_baseline_drift(spark, tmp_path, capsys):
     """--mode report --baseline: the report gains a PSI drift line; a
     same-distribution baseline stays under the investigate threshold,

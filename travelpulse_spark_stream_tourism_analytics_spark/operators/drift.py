@@ -22,20 +22,37 @@ from pyspark.sql.window import Window
 
 
 def quantile_edges(
-    base: DataFrame, value_col: str, n_buckets: int = 10
+    base: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> list:
-    """Interior bucket edges: the baseline's exact k/n quantiles
-    (deterministic — percentile, not percentile_approx, so two runs
-    and the DuckDB twin agree exactly). At 100 TB swap in
-    ``approx_percentile`` (one line): edge placement tolerates
-    approximation — PSI compares SHARES against whatever edges were
-    fixed — while the exact form is what makes the twin test
-    value-identical."""
+    """Interior bucket edges: the baseline's k/n quantiles.
+
+    ``approx=False`` (default): exact ``percentile`` — deterministic,
+    so two runs and the DuckDB twin agree bit-for-bit; this is what
+    makes the PSI oracle branch value-identical. Exact percentile
+    sorts per group, so at 100 TB pass ``approx=True``: the
+    Greenwald-Khanna/KLL sketch behind ``percentile_approx`` is a
+    single mergeable-summary pass with rank error <= 1/accuracy —
+    edge placement tolerates approximation because PSI compares
+    SHARES against whatever edges were fixed (pinned by
+    tests/test_text_quality.py: approx edges land within the sketch's
+    rank-error bound of the exact ones)."""
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    row = base.agg(
-        F.percentile(F.col(value_col), F.array(*[F.lit(f) for f in fracs]))
-        .alias("e")
-    ).first()
+    pct = (
+        F.percentile_approx(
+            F.col(value_col),
+            F.array(*[F.lit(f) for f in fracs]),
+            F.lit(accuracy),
+        )
+        if approx
+        else F.percentile(
+            F.col(value_col), F.array(*[F.lit(f) for f in fracs])
+        )
+    )
+    row = base.agg(pct.alias("e")).first()
     return [float(x) for x in row["e"]]
 
 
@@ -109,11 +126,13 @@ def psi(
     value_col: str,
     n_buckets: int = 10,
     floor: float = 1e-4,
+    approx: bool = False,
 ) -> float:
     """Population Stability Index of ``cand`` vs ``base`` on
     ``value_col``. Returns a plain float: PSI is a monitoring scalar,
-    not a relation."""
-    edges = quantile_edges(base, value_col, n_buckets)
+    not a relation. ``approx=True`` fixes the bucket edges from the
+    sketch-based percentile (the 100 TB path — see quantile_edges)."""
+    edges = quantile_edges(base, value_col, n_buckets, approx=approx)
     return psi_from_shares(
         shares_dict(base, value_col, edges),
         shares_dict(cand, value_col, edges),

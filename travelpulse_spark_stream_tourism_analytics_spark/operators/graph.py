@@ -33,12 +33,17 @@ binary expansion, and the two disagree in the 18th place (measured:
 8/105 rank values off by one ulp). Ranks as computed here hash-match
 the SQL twin WITHOUT any tolerance or rounding.
 
-Dangling nodes: the input contract is that every node of interest
-appears as a ``src`` (an undirected graph encoded as two directed edges
-satisfies this by construction — see ``undirect``). Nodes that never
-occur as ``src`` would leak their rank mass; ``pagerank`` derives the
-node set from ``src`` so the contract is structural, not a runtime
-check a 100 TB job would pay for.
+Dangling nodes: the default input contract is that every node of
+interest appears as a ``src`` (an undirected graph encoded as two
+directed edges satisfies this by construction — see ``undirect``).
+Nodes that never occur as ``src`` would leak their rank mass;
+``pagerank`` derives the node set from ``src`` so the contract is
+structural, not a runtime check a 100 TB job would pay for. For real
+directed link graphs (full of sink hosts), pass
+``dangling='redistribute'`` — the textbook treatment: the node
+universe becomes ``src UNION dst`` and each iteration redistributes
+the sinks' mass over the teleport distribution, conserving total mass
+(see ``pagerank_multi``).
 """
 
 from __future__ import annotations
@@ -69,6 +74,7 @@ def pagerank_multi(
     checkpoint_every: int | None = None,
     cache_site: str = "graph.pagerank.edges",
     broadcast_max_nodes: int = 1_000_000,
+    dangling: str = "contract",
 ) -> DataFrame:
     """``(node, <name>...)`` — one rank column per entry of ``variants``,
     all advanced through a SINGLE iteration loop over one cached edge
@@ -82,9 +88,35 @@ def pagerank_multi(
     column's arithmetic is elementwise identical to an independent run
     (the quantized decimal sums are per-column), so fused output is
     bit-for-bit equal to k separate ``pagerank`` calls.
+
+    ``dangling`` picks the sink-node treatment:
+
+    * ``'contract'`` (default) — the module's structural contract:
+      every node of interest appears as a ``src``; nodes that only
+      occur as ``dst`` silently leak their mass out of the system
+      (undirected graphs satisfy the contract by construction).
+    * ``'redistribute'`` — the textbook formulation: the node universe
+      is ``src UNION dst``, and each iteration the total rank mass
+      sitting on out-degree-0 nodes is redistributed over that
+      variant's teleport distribution (uniform for global, the seed
+      distribution for personalized), so total mass is conserved.
+      Costs one extra O(|V|) aggregation per iteration (the dangling
+      mass rides as a broadcast 1-row aggregate — no driver collect)
+      plus a per-iteration lineage checkpoint (the mass term makes
+      each iteration reference the previous ranks twice, which would
+      otherwise double the plan per step). The dangling mass is
+      floor-quantized to 1e-15 integer units and summed as
+      DECIMAL(38,0), exactly like the edge contributions, so the
+      result stays bit-reproducible across partitionings and engines.
     """
     if not variants:
         raise ValueError("pagerank_multi: variants must be non-empty")
+    if dangling not in ("contract", "redistribute"):
+        raise ValueError(
+            f"pagerank_multi: dangling must be 'contract' or "
+            f"'redistribute', got {dangling!r}"
+        )
+    redistribute = dangling == "redistribute"
     spark = edges.sparkSession
     n_part = partitions or spark.sparkContext.defaultParallelism
     names = list(variants)
@@ -106,7 +138,30 @@ def pagerank_multi(
         edges_c.groupBy("src").agg(F.sum("w").alias("ow")),
         cache_site + ".outw",
     )
-    n = out_w.count()
+    if redistribute:
+        # full node universe: sources + pure sinks, flagged by whether
+        # the node has any out-weight (one distinct over the cached
+        # edges + a left join against the O(|V|) out-weight relation)
+        universe = scoped_persist(
+            edges_c.select(F.col("src").alias("node"))
+            .unionByName(edges_c.select(F.col("dst").alias("node")))
+            .distinct()
+            .join(
+                out_w.select(
+                    F.col("src").alias("node"),
+                    F.lit(False).alias("__dangling"),
+                ),
+                "node",
+                "left",
+            )
+            .withColumn(
+                "__dangling", F.coalesce(F.col("__dangling"), F.lit(True))
+            ),
+            cache_site + ".universe",
+        )
+        n = universe.count()
+    else:
+        n = out_w.count()
     # Ranks/out-weights are O(|V|) rows. Below the threshold,
     # broadcasting them makes edge normalization and the per-iteration
     # edge join map-side over the cached input — no second fat cache,
@@ -137,7 +192,10 @@ def pagerank_multi(
     # One eager pass: node set + every variant's seed flag, then a
     # single agg for each |S∩V| (replaces k driver jobs; each seed set
     # is a tiny curated list, hence the broadcast hint).
-    nodes = out_w.select(F.col("src").alias("node"))
+    if redistribute:
+        nodes = universe
+    else:
+        nodes = out_w.select(F.col("src").alias("node"))
     seed_flags: dict[str, str] = {}
     for name, seeds in variants.items():
         if seeds is None:
@@ -160,9 +218,11 @@ def pagerank_multi(
             ],
         ).collect()[0]
     base: dict[str, F.Column] = {}
+    dist: dict[str, F.Column] = {}
     r0: dict[str, F.Column] = {}
     for name, seeds in variants.items():
         if seeds is None:
+            dist[name] = F.lit(1.0) / F.lit(float(n))
             base[name] = F.lit(teleport) / F.lit(float(n))
             r0[name] = F.lit(1.0) / F.lit(float(n))
             continue
@@ -173,13 +233,17 @@ def pagerank_multi(
             )
         flag = seed_flags[name]
         denom = F.lit(float(ns))
+        dist[name] = F.when(F.col(flag), F.lit(1.0) / denom).otherwise(
+            F.lit(0.0)
+        )
         base[name] = F.when(
             F.col(flag), F.lit(teleport) / denom
         ).otherwise(F.lit(0.0))
         r0[name] = F.when(F.col(flag), F.lit(1.0) / denom).otherwise(
             F.lit(0.0)
         )
-    ranks = nodes.select("node", *[r0[k].alias(k) for k in names])
+    carry = ["__dangling"] if redistribute else []
+    ranks = nodes.select("node", *carry, *[r0[k].alias(k) for k in names])
     for i in range(iterations):
         contribs = e.join(hint(ranks), e.src == ranks.node).select(
             F.col("dst"),
@@ -193,23 +257,60 @@ def pagerank_multi(
         sums = contribs.groupBy("dst").agg(
             *[F.sum(f"__c_{k}").alias(f"__s_{k}") for k in names]
         )
-        ranks = nodes.join(hint(sums), nodes.node == sums.dst, "left").select(
-            F.col("node"),
-            *[
-                (
-                    base[k]
-                    + F.lit(damping)
-                    * (
+        if redistribute:
+            # total mass currently on out-degree-0 nodes, per variant:
+            # a broadcast 1-row aggregate in the same quantized integer
+            # units as the edge contributions — each dangling node
+            # redistributes rank * dist over the teleport distribution
+            dm = ranks.filter(F.col("__dangling")).agg(
+                *[
+                    F.sum(
+                        F.floor(F.col(k) * F.lit(1e15)).cast("decimal(38,0)")
+                    ).alias(f"__dm_{k}")
+                    for k in names
+                ]
+            )
+            joined = nodes.join(
+                hint(sums), nodes.node == sums.dst, "left"
+            ).crossJoin(F.broadcast(dm))
+            mass = {
+                k: (
+                    F.coalesce(F.col(f"__s_{k}").cast("double"), F.lit(0.0))
+                    / F.lit(1e15)
+                    + (
                         F.coalesce(
-                            F.col(f"__s_{k}").cast("double"), F.lit(0.0)
+                            F.col(f"__dm_{k}").cast("double"), F.lit(0.0)
                         )
                         / F.lit(1e15)
                     )
-                ).alias(k)
+                    * dist[k]
+                )
+                for k in names
+            }
+        else:
+            joined = nodes.join(hint(sums), nodes.node == sums.dst, "left")
+            mass = {
+                k: F.coalesce(F.col(f"__s_{k}").cast("double"), F.lit(0.0))
+                / F.lit(1e15)
+                for k in names
+            }
+        ranks = joined.select(
+            F.col("node"),
+            *carry,
+            *[
+                (base[k] + F.lit(damping) * mass[k]).alias(k)
                 for k in names
             ],
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+        if redistribute:
+            # the dangling-mass aggregate references the previous ranks
+            # a second time; without truncation the plan doubles per
+            # iteration (2^iters subtrees)
+            try:
+                ranks = ranks.localCheckpoint(eager=True)
+            except Exception:  # pragma: no cover - checkpoint unavailable
+                ranks = ranks.persist()
+        elif checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", *names)
 
@@ -320,6 +421,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
         e = e.localCheckpoint(eager=True)
     except Exception:  # pragma: no cover - checkpoint dir unavailable
         e = e.persist()
+    n_prev = e.count()
     for _ in range(max_rounds):
         deg = (
             e.select(F.col("a").alias("node"))
@@ -335,9 +437,13 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
             nxt = nxt.localCheckpoint(eager=True)
         except Exception:  # pragma: no cover
             nxt = nxt.persist()
-        n_prev, n_next = e.count(), nxt.count()
+        # one action per round: this round's count is next round's
+        # n_prev (the previous round already materialized e)
+        n_next = nxt.count()
         e = nxt
-        if n_next == n_prev:
+        fixed = n_next == n_prev
+        n_prev = n_next
+        if fixed:
             return (
                 e.select(F.col("a").alias("node"))
                 .unionByName(e.select(F.col("b").alias("node")))
@@ -565,6 +671,7 @@ def pagerank(
     checkpoint_every: int | None = None,
     seeds: DataFrame | None = None,
     cache_site: str = "graph.pagerank.edges",
+    dangling: str = "contract",
 ) -> DataFrame:
     """(node, rank) after ``iterations`` rounds of weighted PageRank.
 
@@ -595,4 +702,5 @@ def pagerank(
         partitions=partitions,
         checkpoint_every=checkpoint_every,
         cache_site=cache_site,
+        dangling=dangling,
     )

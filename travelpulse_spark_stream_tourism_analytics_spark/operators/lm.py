@@ -153,19 +153,31 @@ def ppl_buckets(
     nll_col: str = "nll",
     fracs: tuple = (1.0 / 3, 2.0 / 3),
     labels: tuple = ("head", "middle", "tail"),
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """CCNet perplexity bucketing (Wenzek et al. 2020): split the
-    corpus into head/middle/tail by exact NLL quantiles — CCNet keeps
+    corpus into head/middle/tail by NLL quantiles — CCNet keeps
     head+middle for training and uses tail as the low-quality reject
     pile. The quantile edges ride as a broadcast 1-row aggregate (the
-    plan stays lazy, no driver collect); at 100 TB swap
-    ``approx_percentile`` in, exactly like the PSI edges. Adds a
+    plan stays lazy, no driver collect). ``approx=False`` (default)
+    uses exact ``percentile`` — deterministic, DuckDB-twinnable (the
+    docs_chunked ppl_bucket branch). ``approx=True`` is the 100 TB
+    path: ``percentile_approx`` replaces the per-group sort with one
+    mergeable-sketch pass at rank error <= 1/accuracy, so a document
+    can only change bucket if its NLL rank sits within that band of a
+    boundary (pinned in tests/test_text_quality.py). Adds a
     ``ppl_bucket`` column; boundary docs land LEFT (<= edge)."""
-    edges = scored.agg(
-        F.percentile(
-            F.col(nll_col), F.array(*[F.lit(f) for f in fracs])
-        ).alias("__e")
+    pct = (
+        F.percentile_approx(
+            F.col(nll_col),
+            F.array(*[F.lit(f) for f in fracs]),
+            F.lit(accuracy),
+        )
+        if approx
+        else F.percentile(F.col(nll_col), F.array(*[F.lit(f) for f in fracs]))
     )
+    edges = scored.agg(pct.alias("__e"))
     b = F.lit(labels[-1])
     for i in range(len(fracs) - 1, -1, -1):
         b = F.when(

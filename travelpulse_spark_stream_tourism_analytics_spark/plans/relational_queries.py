@@ -969,37 +969,12 @@ def topn_revenue_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged top-N catalog: global top-20 customers by revenue (J1
     broadcast dims + T1 TakeOrderedAndProject, reference
     spark/kafka_to_metrics.py:396-400), TPC-H Q3 shipping priority
-    (pushed filters on all three scans, top-10), and keep-best-per-group
-    dedup (T2, scripts/clean_cities_geonames.py:89-90). Constituents:
-    top_revenue_customers + shipping_priority + best_supplier_per_nation
-    above."""
-    top = top_revenue_customers(spark, sf_dir).select(
-        F.lit("top_customer_revenue").alias("scope"),
-        F.col("c_custkey").alias("entity_key"),
-        F.col("c_name").alias("label_a"),
-        F.col("n_name").alias("label_b"),
-        F.col("revenue").alias("metric_value"),
-        "n_orders",
-        F.lit(None).cast("timestamp_ntz").alias("ref_date"),
-    )
-    shp = shipping_priority(spark, sf_dir).select(
-        F.lit("shipping_priority").alias("scope"),
-        F.col("l_orderkey").alias("entity_key"),
-        F.col("o_orderpriority").alias("label_a"),
-        F.lit(None).cast("string").alias("label_b"),
-        F.col("revenue").alias("metric_value"),
-        F.lit(None).cast("long").alias("n_orders"),
-        F.col("o_orderdate").alias("ref_date"),
-    )
-    best = best_supplier_per_nation(spark, sf_dir).select(
-        F.lit("best_supplier_per_nation").alias("scope"),
-        F.col("s_suppkey").alias("entity_key"),
-        F.col("s_name").alias("label_a"),
-        F.col("s_nationkey").cast("string").alias("label_b"),
-        F.col("s_acctbal").alias("metric_value"),
-        F.lit(None).cast("long").alias("n_orders"),
-        F.lit(None).cast("timestamp_ntz").alias("ref_date"),
-    )
+    (pushed filters on all three scans, top-10), keep-best-per-group
+    dedup (T2, scripts/clean_cities_geonames.py:89-90), plus the fused
+    PageRank/TrustRank arms over the purchase graph. Constituents:
+    topn_revenue_entities_base + supplier_customer_rank_variants."""
+    base = topn_revenue_entities_base(spark, sf_dir)
+
     def rank_arm(ranks: DataFrame, scope: str) -> DataFrame:
         return (
             ranks.orderBy(F.desc("rank"), "node")
@@ -1031,12 +1006,43 @@ def topn_revenue_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.select("node", F.col("rank_tr").alias("rank")),
         "graph_trustrank",
     )
-    return (
-        top.unionByName(shp)
-        .unionByName(best)
-        .unionByName(pr)
-        .unionByName(tr)
+    return base.unionByName(pr).unionByName(tr)
+
+
+def topn_revenue_entities_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 composition of topn_revenue_entities (no graph
+    arms): top-20 customers + Q3 shipping priority + keep-best
+    supplier. Kept as a named function so bench.py can trend the
+    relational entry's cost round-over-round independently of the
+    graph suite (VERDICT r5 nit 2)."""
+    top = top_revenue_customers(spark, sf_dir).select(
+        F.lit("top_customer_revenue").alias("scope"),
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("label_a"),
+        F.col("n_name").alias("label_b"),
+        F.col("revenue").alias("metric_value"),
+        "n_orders",
+        F.lit(None).cast("timestamp_ntz").alias("ref_date"),
     )
+    shp = shipping_priority(spark, sf_dir).select(
+        F.lit("shipping_priority").alias("scope"),
+        F.col("l_orderkey").alias("entity_key"),
+        F.col("o_orderpriority").alias("label_a"),
+        F.lit(None).cast("string").alias("label_b"),
+        F.col("revenue").alias("metric_value"),
+        F.lit(None).cast("long").alias("n_orders"),
+        F.col("o_orderdate").alias("ref_date"),
+    )
+    best = best_supplier_per_nation(spark, sf_dir).select(
+        F.lit("best_supplier_per_nation").alias("scope"),
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("label_a"),
+        F.col("s_nationkey").cast("string").alias("label_b"),
+        F.col("s_acctbal").alias("metric_value"),
+        F.lit(None).cast("long").alias("n_orders"),
+        F.lit(None).cast("timestamp_ntz").alias("ref_date"),
+    )
+    return top.unionByName(shp).unionByName(best)
 
 
 @query(
@@ -1166,6 +1172,141 @@ def order_status_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return order_status_unpivot(spark, sf_dir)
 
 
+def _nation_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed nation trade graph: (src=customer nation, dst=supplier
+    nation, w=lineitem count). Persisted once (scoped) because the four
+    iterative graph arms (LPA, triangles, kcore, HyperBall) each run
+    eager per-round checkpoints against it — the 4-table-join lineage
+    must not re-derive per arm."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators._cache import (
+        scoped_persist,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return scoped_persist(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("string").alias("src"),
+            F.col("s_nationkey").cast("string").alias("dst"),
+        )
+        .agg(F.count("*").alias("w")),
+        "plans.nation_set_ops.trade",
+    )
+
+
+def _median_thresholded(trade: DataFrame) -> DataFrame:
+    """Edges with w strictly above the exact median weight — varied
+    degrees/distances where the raw 25-nation graph is near-complete.
+    The median rides as a broadcast 1-row aggregate (plan-constant,
+    no driver collect); exact percentile matches DuckDB quantile_cont
+    bit-for-bit (the PSI-grains parity)."""
+    med = trade.agg(
+        F.percentile(F.col("w").cast("double"), F.lit(0.5)).alias("__med")
+    )
+    return (
+        trade.crossJoin(F.broadcast(med))
+        .filter(F.col("w").cast("double") > F.col("__med"))
+        .select("src", "dst")
+    )
+
+
+def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench constituent: exact triangle counts on the nation trade
+    graph (the tri_* arms of nation_key_set_ops)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    return triangle_counts(_nation_trade_graph(spark, sf_dir))
+
+
+def nation_trade_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench constituent: 3-round label propagation on the nation trade
+    graph (the lpa_* arms of nation_key_set_ops)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        label_propagation,
+        undirect,
+    )
+
+    return label_propagation(
+        undirect(_nation_trade_graph(spark, sf_dir)), iterations=3
+    )
+
+
+def nation_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench constituent: 14-core of the median-thresholded trade graph
+    (the kcore_14 arm of nation_key_set_ops)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        kcore,
+    )
+
+    return kcore(_median_thresholded(_nation_trade_graph(spark, sf_dir)), k=14)
+
+
+def nation_trade_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench constituent: HyperBall harmonic in-centrality on the
+    median-thresholded trade graph (the hb_* arms of
+    nation_key_set_ops)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        hyperball,
+    )
+
+    return hyperball(
+        _median_thresholded(_nation_trade_graph(spark, sf_dir)), max_t=3
+    )
+
+
+def graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench headline entry for the whole graph suite: the fused
+    PageRank+TrustRank power iteration over the purchase graph plus the
+    four nation-trade-graph arms (triangles, LPA, kcore, HyperBall) —
+    timed as ONE entry so BENCH_r{N} trends the iterative-graph cost
+    independently of the relational entries (VERDICT r5 nit 2).
+    Output is a uniform (component, node, metric) catalog."""
+    fused = supplier_customer_rank_variants(spark, sf_dir)
+    parts = [
+        fused.select(
+            F.lit("pagerank").alias("component"),
+            F.col("node"),
+            F.col("rank_pr").alias("metric"),
+        ),
+        fused.select(
+            F.lit("trustrank").alias("component"),
+            "node",
+            F.col("rank_tr").alias("metric"),
+        ),
+        nation_trade_triangles(spark, sf_dir).select(
+            F.lit("triangles").alias("component"),
+            "node",
+            F.col("n_triangles").cast("double").alias("metric"),
+        ),
+        nation_trade_lpa(spark, sf_dir).select(
+            F.lit("lpa").alias("component"),
+            "node",
+            F.col("label").cast("double").alias("metric"),
+        ),
+        nation_trade_kcore(spark, sf_dir).select(
+            F.lit("kcore14").alias("component"),
+            "node",
+            F.lit(1.0).alias("metric"),
+        ),
+        nation_trade_hyperball(spark, sf_dir).select(
+            F.lit("hyperball").alias("component"),
+            "node",
+            F.col("harmonic").alias("metric"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _nation_lpa_ctes(iters: int = 3) -> str:
     """SQL twin of label_propagation over the nation trade graph
     (operators/graph.py label_propagation — same synchronous update,
@@ -1255,11 +1396,108 @@ _NATION_TRI_CTES = """,
     )"""
 
 
+def _nation_kcore_ctes(k: int, rounds: int = 26) -> str:
+    """SQL twin of kcore (operators/graph.py) over the median-
+    thresholded nation trade graph: peeling unrolled to ``rounds``
+    fixed iterations. The nation universe is 25 nodes at EVERY scale
+    factor (TPC-H nation is constant), and each non-fixpoint round
+    removes at least one node, so 26 unrolled rounds provably reach
+    the peeling fixpoint — the unroll equals Spark's run-to-fixpoint
+    loop by construction, all-integer, no tolerance. ``MATERIALIZED``
+    is load-bearing: each round references the previous one three
+    times, and DuckDB would otherwise INLINE the chain into a 3^26
+    plan (measured: fd exhaustion at round ~20)."""
+    parts = [
+        """,
+    kthr AS MATERIALIZED (
+        SELECT src, dst FROM ntg
+        WHERE CAST(w AS DOUBLE) >
+              (SELECT quantile_cont(CAST(w AS DOUBLE), 0.5) FROM ntg)
+    ),
+    kc0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM kthr WHERE src <> dst
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    kcd{i} AS MATERIALIZED (
+        SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM kc{i - 1}
+            UNION ALL SELECT b FROM kc{i - 1}
+        ) GROUP BY 1
+    ),
+    kc{i} AS MATERIALIZED (
+        SELECT e.a, e.b FROM kc{i - 1} e
+        JOIN kcd{i} da ON e.a = da.node AND da.deg >= {k}
+        JOIN kcd{i} db ON e.b = db.node AND db.deg >= {k}
+    )"""
+        )
+    parts.append(
+        f""",
+    kc_nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT a AS node FROM kc{rounds}
+            UNION ALL SELECT b FROM kc{rounds}
+        )
+    )"""
+    )
+    return "".join(parts)
+
+
+def _nation_hyperball_ctes(max_t: int = 3) -> str:
+    """SQL twin of hyperball (operators/graph.py) on the thresholded
+    DIRECTED trade graph, in the regime where the DataSketches HLL is
+    EXACT (coupon mode: 25 nodes << the lg_k=12 coupon capacity): the
+    in-ball at radius t is plain unrolled BFS reachability, and the
+    harmonic sum replays Spark's exact accumulation order —
+    ``((d1/1.0 + d2/2.0) + d3/3.0)`` left-associated doubles over
+    integer deltas, so ``floor(harmonic * 1e9)`` lands on the same
+    integer with no tolerance. Reuses ``kthr`` (must appear after
+    ``_nation_kcore_ctes`` in the WITH list)."""
+    parts = [
+        """,
+    hb_n AS (SELECT src AS node FROM kthr UNION SELECT dst FROM kthr),
+    hbm0 AS (SELECT node, node AS member FROM hb_n)"""
+    ]
+    for i in range(1, max_t + 1):
+        parts.append(
+            f""",
+    hbm{i} AS MATERIALIZED (
+        SELECT node, member FROM hbm{i - 1}
+        UNION
+        SELECT e.dst AS node, p.member FROM kthr e
+        JOIN hbm{i - 1} p ON e.src = p.node
+    ),
+    hbc{i} AS (SELECT node, count(*) AS c FROM hbm{i} GROUP BY 1)"""
+        )
+    terms = " + ".join(
+        f"CAST(c{i}.c - c{i - 1}.c AS DOUBLE) / {float(i)}"
+        for i in range(1, max_t + 1)
+    )
+    joins = "".join(
+        f" JOIN hbc{i} c{i} ON n.node = c{i}.node"
+        for i in range(1, max_t + 1)
+    )
+    parts.append(
+        f""",
+    hbc0 AS (SELECT node, 1 AS c FROM hb_n),
+    hbh AS (
+        SELECT n.node, {terms} AS harmonic, c{max_t}.c - 1 AS reach
+        FROM hbc0 c0 JOIN hb_n n ON c0.node = n.node{joins}
+    )"""
+    )
+    return "".join(parts)
+
+
 @query(
     "nation_key_set_ops",
     oracle="WITH"
     + _nation_lpa_ctes(3)
     + _NATION_TRI_CTES
+    + _nation_kcore_ctes(14)
+    + _nation_hyperball_ctes(3)
     + """
     SELECT 'union' AS set_op, nationkey FROM (
         SELECT c_nationkey AS nationkey FROM customer
@@ -1285,6 +1523,14 @@ _NATION_TRI_CTES = """,
     SELECT 'tri_' || CAST(nt AS VARCHAR) AS set_op,
            CAST(node AS BIGINT) AS nationkey
     FROM tri_n
+    UNION ALL
+    SELECT 'kcore_14' AS set_op, CAST(node AS BIGINT) AS nationkey
+    FROM kc_nodes
+    UNION ALL
+    SELECT 'hb_' || CAST(CAST(floor(harmonic * 1e9) AS BIGINT) AS VARCHAR)
+           || '_' || CAST(reach AS VARCHAR) AS set_op,
+           CAST(node AS BIGINT) AS nationkey
+    FROM hbh
     """,
 )
 def nation_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1316,20 +1562,7 @@ def nation_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = nation_keys_except(spark, sf_dir).select(
         F.lit("except").alias("set_op"), "nationkey"
     )
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    trade = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy(
-            F.col("c_nationkey").cast("string").alias("src"),
-            F.col("s_nationkey").cast("string").alias("dst"),
-        )
-        .agg(F.count("*").alias("w"))
-    )
+    trade = _nation_trade_graph(spark, sf_dir)
     communities = label_propagation(undirect(trade), iterations=3).select(
         F.concat(F.lit("lpa_"), F.col("label")).alias("set_op"),
         F.col("node").cast("bigint").alias("nationkey"),
@@ -1348,11 +1581,43 @@ def nation_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("node").cast("bigint").alias("nationkey"),
     )
+    # branches set_op='kcore_14' / 'hb_<harmonic>_<reach>' (round 6):
+    # the graph suite's two remaining iterative operators, driver-
+    # oracled on the MEDIAN-THRESHOLDED trade graph (w > exact median —
+    # the percentile/quantile_cont bit-parity the PSI grains pinned),
+    # which gives varied degrees/distances instead of the near-complete
+    # raw graph. kcore_14 pins the full peeling FIXPOINT (k=14 peels 2+
+    # rounds at sf0.01); the hb tag quantizes HyperBall's truncated
+    # harmonic in-centrality (floor(h*1e9)) plus the exact in-ball
+    # reach — exact here because 25 nodes keep the HLL in coupon mode.
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        hyperball,
+        kcore,
+    )
+
+    thr = _median_thresholded(trade)
+    core = kcore(thr, k=14).select(
+        F.lit("kcore_14").alias("set_op"),
+        F.col("node").cast("bigint").alias("nationkey"),
+    )
+    hb = hyperball(thr, max_t=3).select(
+        F.concat(
+            F.lit("hb_"),
+            F.floor(F.col("harmonic") * F.lit(1e9))
+            .cast("bigint")
+            .cast("string"),
+            F.lit("_"),
+            F.col("reach").cast("bigint").cast("string"),
+        ).alias("set_op"),
+        F.col("node").cast("bigint").alias("nationkey"),
+    )
     return (
         u.unionByName(i)
         .unionByName(e)
         .unionByName(communities)
         .unionByName(triangles)
+        .unionByName(core)
+        .unionByName(hb)
     )
 
 
