@@ -117,6 +117,15 @@ def pagerank_multi(
             f"'redistribute', got {dangling!r}"
         )
     redistribute = dangling == "redistribute"
+    if checkpoint_every is None and iterations > 8:
+        # deep runs accrue state the shallow default never sees: each
+        # iteration's broadcast hint (small path) pins rank + sum
+        # relations for the job lifetime, and the lazy plan grows one
+        # join+agg layer per step. Truncating every 8 rounds
+        # unreferences old broadcasts (ContextCleaner frees them) and
+        # keeps re-planning cost flat; results are bit-identical
+        # (pinned by test_pagerank_checkpoint_every_is_transparent).
+        checkpoint_every = 8
     spark = edges.sparkSession
     n_part = partitions or spark.sparkContext.defaultParallelism
     names = list(variants)
