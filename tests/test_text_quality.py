@@ -1061,6 +1061,59 @@ def test_psi_drift_detection(spark, tmp_path):
     assert got == duck
 
 
+def test_gopher_repetition_signals_hand_computed(spark):
+    """ngram_repetition_masses / line_repetition (round 6): the Gopher
+    repetition rules against hand-computed fixtures."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+        line_repetition,
+        ngram_repetition_masses,
+        words_of,
+    )
+
+    # toks: a b a b a b c -> 2-grams: 'a b'x3, 'b a'x2, 'b c'x1
+    # charlen('a b') = 2; top mass = 3*2 = 6; dup mass = 2*2 + 1*2 = 6
+    # word chars = 7
+    df = spark.createDataFrame([("a b a b a b c",)], "text string")
+    row = df.select(
+        ngram_repetition_masses(words_of(F.col("text")), 2).alias("m")
+    ).first()
+    assert row["m"]["top"] == 6 and row["m"]["dup"] == 6
+
+    # 5-gram repeat: 'x y z w v' twice with a break
+    txt = "x y z w v q x y z w v"
+    # 5-grams: positions 1..7; 'x y z w v' occurs at 1 and 7 -> dup
+    # mass = (2-1) * charlen('x y z w v') = 5; top = 2*5 = 10
+    row5 = spark.createDataFrame([(txt,)], "text string").select(
+        ngram_repetition_masses(words_of(F.col("text")), 5).alias("m")
+    ).first()
+    assert row5["m"]["top"] == 10 and row5["m"]["dup"] == 5
+
+    # fewer words than n -> empty ngram list -> zero masses
+    tiny = spark.createDataFrame([("one two",)], "text string").select(
+        ngram_repetition_masses(words_of(F.col("text")), 5).alias("m")
+    ).first()
+    assert tiny["m"]["top"] == 0 and tiny["m"]["dup"] == 0
+
+    # lines: 4 non-blank lines (blank dropped), 'x' duplicated once ->
+    # dup_line_frac 1/4; chars: total 4+3+1 chars? lines are
+    # ['xx','y','xx',' z'] -> trim drops none here; dup char mass =
+    # len('xx') = 2 of total 2+1+2+2 = 7
+    lr = spark.createDataFrame(
+        [("xx\ny\n\nxx\n z",)], "text string"
+    ).select(line_repetition(F.col("text")).alias("l")).first()
+    assert lr["l"]["dup_line_frac"] == 0.25
+    assert lr["l"]["dup_line_char_frac"] == round(2 / 7, 6)
+
+    # no newline structure -> both 0.0
+    flat = spark.createDataFrame([("just one line",)], "text string").select(
+        line_repetition(F.col("text")).alias("l")
+    ).first()
+    assert flat["l"]["dup_line_frac"] == 0.0
+    assert flat["l"]["dup_line_char_frac"] == 0.0
+
+
 def test_quantile_edges_approx_within_rank_error(spark):
     """The approx=True scale path (round 6, VERDICT r5 item 6): every
     sketch-placed edge must be a data value whose empirical rank sits

@@ -75,6 +75,83 @@ def word_ngrams(words: Column, n: int) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
 
 
+def ngram_repetition_masses(words: Column, n: int) -> Column:
+    """``struct(top, dup)`` — the two Gopher n-gram repetition masses
+    (Rae et al. 2021 "Gopher", table A1) over the word array:
+
+    * ``top``: character mass of the most repeated n-gram, i.e.
+      ``max_g count(g) * charlen(g)`` (charlen = the n-gram's
+      characters net of its n-1 joining spaces). Divided by the
+      document's word-character total this is Gopher's
+      "fraction of characters in the most frequent n-gram"
+      (overlapping occurrences make the ratio's ceiling ~n, not 1 —
+      the thresholds are calibrated to the same convention).
+    * ``dup``: excess character mass of duplicated n-grams,
+      ``sum_g (count(g) - 1) * charlen(g)`` — every occurrence beyond
+      an n-gram's first, the DataTrove/Dolma reading of Gopher's
+      "characters in duplicated n-grams".
+
+    Computed as ``array_sort`` + one linear ``aggregate`` fold over
+    runs of equal neighbors — O(k log k) per document, pure codegen'd
+    expressions, ZERO shuffles (the naive count-per-distinct-ngram
+    form is O(k^2), which the DuckDB oracle twin can afford but a
+    100 TB scan cannot)."""
+    s = F.array_sort(word_ngrams(words, n))
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("top"),
+        zero.alias("dup"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        clen = (F.length(x) - F.lit(n - 1)).cast("long")
+        run = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["top"], run * clen).alias("top"),
+            (
+                acc["dup"] + F.when(x == acc["prev"], clen).otherwise(zero)
+            ).alias("dup"),
+        )
+
+    return F.aggregate(
+        s,
+        init,
+        step,
+        lambda acc: F.struct(acc["top"].alias("top"), acc["dup"].alias("dup")),
+    )
+
+
+def line_repetition(text: Column) -> Column:
+    """``struct(dup_line_frac, dup_line_char_frac)`` — Gopher's
+    duplicate-line signals: the fraction of non-empty lines that are
+    repeats of an earlier line, and the fraction of line characters
+    sitting in those beyond-the-first occurrences (``total - distinct``
+    character mass, the DataTrove convention). Empty/blank lines are
+    dropped before counting; a document with no newline structure
+    scores 0.0 on both. Pure array expressions, zero shuffles."""
+    lines = F.filter(
+        F.split(text, "\n"), lambda x: F.trim(x) != F.lit("")
+    )
+    n = F.size(lines)
+    nd = F.size(F.array_distinct(lines))
+    tot = F.length(F.concat_ws("", lines))
+    dtot = F.length(F.concat_ws("", F.array_distinct(lines)))
+    return F.struct(
+        F.when(n > 0, F.round((n - nd) / n.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+        F.when(tot > 0, F.round((tot - dtot) / tot.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_char_frac"),
+    )
+
+
 # PII patterns, restricted to the RE2-compatible subset (no
 # lookarounds) so the same strings run in Spark (Java regex) and in
 # any RE2-based oracle engine. Order matters for redaction: the email

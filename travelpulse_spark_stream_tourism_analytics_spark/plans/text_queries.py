@@ -21,6 +21,8 @@ from pyspark.sql.window import Window
 
 from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
     PII_PATTERNS,
+    line_repetition,
+    ngram_repetition_masses,
     pii_count,
     word_ngrams,
     words_of,
@@ -1755,6 +1757,15 @@ _LANG_HITS = {
     arrs AS (
         SELECT doc_id, lang, text, n_chars, toks,
                {_NGRAMS3_SQL.format(w="toks")} AS ngrams,
+               list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                              i -> array_to_string(toks[i:i+1], ' '))
+                   AS ngrams2,
+               list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+                              i -> array_to_string(toks[i:i+4], ' '))
+                   AS ngrams5,
+               list_filter(string_split(text, chr(10)),
+                           x -> trim(x) <> '') AS nlines,
+               length(array_to_string(toks, '')) AS wchars,
                list_transform(list_distinct(toks), w -> md5(w)) AS md5s,
                len(list_distinct(toks)) AS nd
         FROM toks
@@ -1794,10 +1805,39 @@ _LANG_HITS = {
                              x -> regexp_full_match(x, '[0-9]+')))
                          / len(toks)::DOUBLE, 6)
                END AS digit_token_frac,
-               CAST({_PII_HITS_SQL} AS BIGINT) AS n_pii_hits
+               CAST({_PII_HITS_SQL} AS BIGINT) AS n_pii_hits,
+               -- Gopher repetition rules (round 6): the oracle affords
+               -- the naive O(k^2) count-per-distinct-ngram form; the
+               -- engine computes the same masses with a sorted fold
+               CASE WHEN wchars > 0 THEN round(
+                   coalesce(list_max(list_transform(list_distinct(ngrams2),
+                       g -> len(list_filter(ngrams2, x -> x = g))
+                            * (length(g) - 1))), 0)
+                   / wchars::DOUBLE, 6)
+               ELSE 0.0 END AS top_2gram_char_frac,
+               CASE WHEN wchars > 0 THEN round(
+                   coalesce(list_sum(list_transform(list_distinct(ngrams5),
+                       g -> (len(list_filter(ngrams5, x -> x = g)) - 1)
+                            * (length(g) - 4))), 0)
+                   / wchars::DOUBLE, 6)
+               ELSE 0.0 END AS dup_5gram_char_frac,
+               CASE WHEN len(nlines) > 0 THEN round(
+                   (len(nlines) - len(list_distinct(nlines)))
+                   / len(nlines)::DOUBLE, 6)
+               ELSE 0.0 END AS dup_line_frac,
+               CASE WHEN length(array_to_string(nlines, '')) > 0
+                    THEN round(
+                   (length(array_to_string(nlines, ''))
+                    - length(array_to_string(list_distinct(nlines), '')))
+                   / length(array_to_string(nlines, ''))::DOUBLE, 6)
+               ELSE 0.0 END AS dup_line_char_frac
         FROM arrs
     )
     SELECT *,
+           (top_2gram_char_frac <= 0.20
+            AND dup_5gram_char_frac <= 0.15
+            AND dup_line_frac <= 0.30
+            AND dup_line_char_frac <= 0.20) AS passes_repetition,
            (n_tokens BETWEEN 5 AND 10000
             AND avg_token_len BETWEEN 2.0 AND 12.0
             AND stopword_ratio >= 0.01
@@ -1820,8 +1860,13 @@ def docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     intra-document repetition as duplicate-3-gram fraction, digit-token
     fraction, PII pattern hits (functions.text.pii_count), and a
     composite ``passes_quality`` keep/drop gate over the computed
-    signals. Zero shuffles, zero joins — the whole profile is map-side
-    and scales embarrassingly.
+    signals. Round-6 additions: the full GOPHER REPETITION RULES (Rae
+    et al. 2021 table A1) — top-2-gram and duplicated-5-gram character
+    fractions (functions/text.py ngram_repetition_masses: sorted-run
+    fold, O(k log k) where the naive form is O(k^2)), duplicate-line
+    count/character fractions, and the ``passes_repetition`` gate at
+    Gopher's published thresholds. Zero shuffles, zero joins — the
+    whole profile is map-side and scales embarrassingly.
     Subsumes the r1 queries docs_token_stats +
     docs_bpe_token_counts + docs_fingerprint + docs_simhash +
     docs_lang_id."""
@@ -1900,6 +1945,41 @@ def docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("digit_token_frac"),
         pii_count(F.col("text")).alias("n_pii_hits"),
+        # round 6: the Gopher repetition rules (Rae et al. 2021
+        # table A1) — top-2-gram / duplicated-5-gram character
+        # fractions via the sorted-run fold (functions/text.py
+        # ngram_repetition_masses: O(k log k) and zero shuffles where
+        # the naive per-distinct-ngram count is O(k^2)), plus the
+        # duplicate-line pair. The DuckDB twin affords the naive form.
+        ngram_repetition_masses(F.col("toks"), 2).alias("__m2"),
+        ngram_repetition_masses(F.col("toks"), 5).alias("__m5"),
+        line_repetition(F.col("text")).alias("__lr"),
+        F.length(F.concat_ws("", F.col("toks"))).alias("__wchars"),
+    )
+    profile = profile.select(
+        *[c for c in profile.columns if not c.startswith("__")],
+        F.when(
+            F.col("__wchars") > 0,
+            F.round(F.col("__m2")["top"] / F.col("__wchars").cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_2gram_char_frac"),
+        F.when(
+            F.col("__wchars") > 0,
+            F.round(F.col("__m5")["dup"] / F.col("__wchars").cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_5gram_char_frac"),
+        F.col("__lr")["dup_line_frac"].alias("dup_line_frac"),
+        F.col("__lr")["dup_line_char_frac"].alias("dup_line_char_frac"),
+    )
+    # Gopher's published thresholds for the implemented signals
+    profile = profile.withColumn(
+        "passes_repetition",
+        (F.col("top_2gram_char_frac") <= F.lit(0.20))
+        & (F.col("dup_5gram_char_frac") <= F.lit(0.15))
+        & (F.col("dup_line_frac") <= F.lit(0.30))
+        & (F.col("dup_line_char_frac") <= F.lit(0.20)),
     )
     from travelpulse_spark_stream_tourism_analytics_spark.operators.quality import (
         passes_quality_expr,
