@@ -49,6 +49,11 @@ HEADLINE = [
     # round 6: the iterative graph suite as its own headline entry
     # (fused PageRank/TrustRank + triangles/LPA/kcore/HyperBall) so the
     # relational entries stay trend-comparable round-over-round.
+    # NOTE: the fused rank variants ALSO run inside
+    # topn_revenue_entities (they are driver-oracled arms there), so
+    # the headline TOTAL double-counts ~7 s of graph work at sf0.1 —
+    # compare per-query rows (and topn's `topn_revenue_entities_base`
+    # constituent) across rounds, not the total.
     "graph_suite",
 ]
 

@@ -1061,6 +1061,98 @@ def test_psi_drift_detection(spark, tmp_path):
     assert got == duck
 
 
+def _ref_registrable_domain(url, rules):
+    """Straight-line publicsuffix.org algorithm over the same rule
+    set — the parity reference for registrable_domain."""
+    import re
+
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?:#]*)", url.strip())
+    host = (m.group(1) if m else "").lower()
+    host = re.sub(r":[0-9]*$", "", host)
+    labels = [x for x in host.split(".") if x]
+    table = {
+        r.lstrip("!"): ("exc" if r.startswith("!") else "norm")
+        for r in rules
+    }
+    n = len(labels)
+    exc = match = None
+    for i in range(1, n + 1):
+        suf = ".".join(labels[i - 1:])
+        if table.get(suf) == "exc" and exc is None:
+            exc = i
+        hit = table.get(suf) == "norm" or (
+            i < n and table.get("*." + ".".join(labels[i:])) == "norm"
+        )
+        if hit and match is None:
+            match = i
+    if n == 0:
+        reg = 0
+    elif exc is not None:
+        reg = exc
+    elif match is not None:
+        reg = match - 1
+    else:
+        reg = n - 1
+    return ".".join(labels[reg - 1:]) if reg >= 1 else ""
+
+
+def test_registrable_domain_full_psl_semantics(spark):
+    """registrable_domain (round 6): full publicsuffix.org rule
+    semantics — normal, wildcard and exception rules — against the
+    spec's canonical cases, then randomized parity vs the
+    straight-line reference."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+        PSL_SNAPSHOT,
+        registrable_domain,
+    )
+
+    cases = [
+        ("https://sub.example.com/x", "example.com"),
+        ("http://www.example.co.uk", "example.co.uk"),  # www = plain label
+        ("https://example.co.uk:8443/p?q=1", "example.co.uk"),
+        ("https://foo.bar.ck/", "foo.bar.ck"),  # *.ck wildcard
+        ("http://bar.ck", ""),  # whole host IS a public suffix
+        ("https://www.ck/page", "www.ck"),  # !www.ck exception
+        ("http://sub.www.ck", "www.ck"),
+        ("https://user.github.io/repo", "user.github.io"),  # private registry
+        ("https://a.user.github.io", "user.github.io"),
+        ("http://example.xyz", "example.xyz"),  # unknown TLD: default '*'
+        ("https://xyz", ""),  # single unknown label
+        ("not a url", ""),
+        ("https://com", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r["url"]: r["d"]
+        for r in df.select(
+            "url", registrable_domain(F.col("url")).alias("d")
+        ).collect()
+    }
+    for url, want in cases:
+        assert got[url] == want, (url, got[url], want)
+        assert _ref_registrable_domain(url, PSL_SNAPSHOT) == want, url
+
+    # randomized parity vs the straight-line reference
+    pools = ["sub", "www", "a", "example", "foo"]
+    tails = ["com", "co.uk", "ck", "github.io", "xyz", "uk", "io"]
+    urls = []
+    for i in range(200):
+        nlab = 1 + (i % 3)
+        host = ".".join(pools[(i + j) % len(pools)] for j in range(nlab))
+        urls.append(f"https://{host}.{tails[i % len(tails)]}/p{i}")
+    rdf = spark.createDataFrame([(u,) for u in urls], "url string")
+    rgot = {
+        r["url"]: r["d"]
+        for r in rdf.select(
+            "url", registrable_domain(F.col("url")).alias("d")
+        ).collect()
+    }
+    for u in urls:
+        assert rgot[u] == _ref_registrable_domain(u, PSL_SNAPSHOT), u
+
+
 def test_gopher_repetition_signals_hand_computed(spark):
     """ngram_repetition_masses / line_repetition (round 6): the Gopher
     repetition rules against hand-computed fixtures."""

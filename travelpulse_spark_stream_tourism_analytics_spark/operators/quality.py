@@ -94,7 +94,12 @@ def cap_per_key(
     per-DOMAIN cap of web-corpus curation (RefinedWeb sec. 3.1: bound
     any single site's share of the corpus so crawl-frequency skew
     doesn't become training-mixture skew), keyed on
-    ``functions.text.url_domain``. One shuffle on the key; the rank is
+    ``functions.text.url_domain`` — or, when the corpus carries hosted
+    content (github.io, blogspot.com, ...), on
+    ``functions.text.registrable_domain`` (round 6: full
+    publicsuffix.org rule semantics incl. the PRIVATE-section
+    registries, so every *.github.io user counts as their own domain
+    instead of pooling under one cap). One shuffle on the key; the rank is
     a per-key window, so a mega-domain serializes within its one task
     — acceptable because the cap itself bounds what survives and the
     window carries only the ordering columns. For adversarial
