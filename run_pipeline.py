@@ -593,8 +593,11 @@ def main() -> None:
         "for a range-clustered stats-pruning layout)",
     )
     ap.add_argument(
-        "--cells", type=int, default=16,
-        help="--mode build-ann-index: IVF coarse cells",
+        "--cells", type=int, default=0,
+        help="--mode build-ann-index: IVF coarse cells; 0 (default) "
+        "auto-sizes to max(16, round(sqrt(n_vectors))) — the FAISS "
+        "guideline (a fixed cell count degrades the probing ceiling "
+        "as the corpus grows)",
     )
     ap.add_argument(
         "--seeds", default=None,
@@ -819,7 +822,7 @@ def main() -> None:
             table if os.path.exists(table) else args.path
         )
         meta = build_ann_index(
-            emb, args.out, n_cells=args.cells, m=args.pq_m,
+            emb, args.out, n_cells=args.cells or None, m=args.pq_m,
             k_codes=args.pq_codes,
         )
         print(

@@ -41,13 +41,23 @@ def build_ann_index(
     out_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     m: int = 8,
     k_codes: int = 256,
     seed: int = 42,
     store_vectors: bool = True,
 ) -> dict:
     """Fit IVF cells + PQ codebooks over ``emb`` and persist the index.
+
+    ``n_cells=None`` auto-sizes the coarse quantizer to
+    ``max(16, round(sqrt(N)))`` — the FAISS guideline. The cell count
+    must SCALE with the corpus: a fixed 16 cells at 20k vectors puts
+    1250 vectors in a cell and the quantizer is too coarse to localize
+    neighbors (measured: the half-width PROBING CEILING itself — true
+    neighbors inside the probed cells, before any PQ effect — fell to
+    0.795 at 16 cells and recovered to 0.94 at 64; SOAK_r6 caught
+    this as an anomaly). Pass an explicit count to pin layouts for
+    incremental adds.
 
     ``k_codes=256`` (8 bits/subspace) is the standard production PQ
     resolution (FAISS PQx8): measured at the 2000-vector soak corpus
@@ -65,6 +75,10 @@ def build_ann_index(
 
     Returns the meta dict (also written to meta.json)."""
     emb = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    if n_cells is None:
+        import math
+
+        n_cells = max(16, round(math.sqrt(emb.count())))
     assigned, model = ivf_index(emb, id_col, "__v", n_cells=n_cells, seed=seed)
     books = pq_codebooks(emb, vec_col="__v", m=m, k=k_codes, seed=seed)
     codes = pq_encode(emb, id_col, "__v", books).join(
