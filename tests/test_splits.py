@@ -101,3 +101,70 @@ def test_weighted_sample_heavy_weights_keep_selectivity(spark):
     assert len(set(picks)) == 3, "seed did not reshuffle heavy docs"
     # and NOT simply the k lowest ids (the collapse symptom)
     assert picks[0] != frozenset(range(20))
+
+
+def test_temperature_weights_semantics_and_budget_composition(spark):
+    """temperature_weights (round 6): alpha=1 -> natural proportions,
+    alpha=0 -> uniform, alpha in between strictly upweights the small
+    source relative to natural; weights parity vs a straight-line
+    reference at the 1e-9 rounding; composes with
+    sample_to_token_budget."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+        sample_to_token_budget,
+        temperature_weights,
+    )
+
+    rows = []
+    for i in range(900):
+        rows.append((i, "web", 100))
+    for i in range(90):
+        rows.append((1000 + i, "books", 100))
+    for i in range(10):
+        rows.append((2000 + i, "code", 100))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    tok = {"web": 90000.0, "books": 9000.0, "code": 1000.0}
+
+    def ref(alpha):
+        z = sum(t ** alpha for t in tok.values())
+        return {s: round(t ** alpha / z, 9) for s, t in tok.items()}
+
+    for alpha in (0.0, 0.3, 0.5, 1.0):
+        got = {
+            r["source"]: r["weight"]
+            for r in temperature_weights(docs, alpha=alpha).collect()
+        }
+        assert got == pytest.approx(ref(alpha), abs=2e-9), alpha
+    w1 = {r["source"]: r["weight"]
+          for r in temperature_weights(docs, alpha=1.0).collect()}
+    w03 = {r["source"]: r["weight"]
+           for r in temperature_weights(docs, alpha=0.3).collect()}
+    assert w03["code"] > w1["code"] and w03["books"] > w1["books"]
+    assert w03["web"] < w1["web"]
+    assert abs(sum(w03.values()) - 1.0) < 1e-6
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_weights(docs, alpha=-0.1)
+
+    # composition: realize a 10k-token budget under the alpha=0.3 mix —
+    # per-source kept tokens == floor(weight * B) exactly (uniform
+    # 100-token docs divide every budget cleanly except rounding)
+    kept = sample_to_token_budget(
+        docs, temperature_weights(docs, alpha=0.3), budget_tokens=10_000
+    )
+    per = {
+        r["source"]: r["kept_tokens"]
+        for r in kept.groupBy("source")
+        .agg(F.sum("n_tokens").alias("kept_tokens"))
+        .collect()
+    }
+    for s in tok:
+        budget = math.floor(w03[s] * 10_000)
+        # greedy next-fit fills whole 100-token docs up to the budget,
+        # capped by what the source actually has (code upsamples past
+        # its own mass at alpha=0.3 — the sampler can't mint tokens)
+        assert per[s] == min(budget - (budget % 100), int(tok[s])), s

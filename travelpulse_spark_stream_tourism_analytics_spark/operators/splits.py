@@ -61,6 +61,42 @@ def cluster_safe_split(
     ).drop("__grp")
 
 
+def temperature_weights(
+    docs: DataFrame,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """``(source, weight)`` — temperature-scaled mixture weights from
+    the corpus's own per-source token mass: ``w_i = t_i^alpha /
+    sum_j t_j^alpha`` (Conneau & Lample 2019; the XLM-R / multilingual
+    pretraining standard, also how Llama-class mixes rebalance
+    low-resource sources). ``alpha=1`` reproduces the natural
+    proportions, ``alpha=0`` is uniform, and the usual 0.2-0.7 range
+    upsamples small sources without letting any source dominate.
+    Feed directly into ``sample_to_token_budget``.
+
+    One partial-agg shuffle on source; the normalizer rides as a
+    broadcast 1-row aggregate (lazy, no driver collect). ``weight`` is
+    rounded at 1e-9 — pow is transcendental and libm vs JVM may differ
+    in the last ulp, so the rounded weights are what cross-engine
+    consumers should compare."""
+    if alpha < 0:
+        raise ValueError("temperature_weights: alpha must be >= 0")
+    per = docs.groupBy(source_col).agg(
+        F.sum(tokens_col).cast("double").alias("__t")
+    )
+    z = per.agg(
+        F.sum(F.pow(F.col("__t"), F.lit(float(alpha)))).alias("__z")
+    )
+    return per.crossJoin(F.broadcast(z)).select(
+        source_col,
+        F.round(
+            F.pow(F.col("__t"), F.lit(float(alpha))) / F.col("__z"), 9
+        ).alias("weight"),
+    )
+
+
 def sample_to_token_budget(
     docs: DataFrame,
     weights: DataFrame,
