@@ -474,3 +474,12 @@ def test_audio_clip_search_joins_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 3  # cand, verify x2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_docs_text_profile_is_shuffle_free(spark):
+    """The per-document profile (incl. the round-6 Gopher repetition
+    masses — sorted-run folds, not explode+groupBy) must stay ONE
+    map-side projection pipeline: no Exchange anywhere in the plan."""
+    plan = plan_of(spark, "docs_text_profile")
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan  # sanity: plan rendered fully
