@@ -279,9 +279,15 @@ def ann_recall_curve(
             by_q: dict[int, list] = {}
             for r in res.collect():
                 by_q.setdefault(r["qid"], []).append(r["neighbor_id"])
+            # denominator = ALL queries: a query whose probed cells
+            # hold nothing but itself returns zero rows and must score
+            # 0, not drop out of the average (review finding — the
+            # narrow-probe points are exactly where that happens)
             curve[str(n_probe)] = round(
-                sum(len(set(v) & gt[q]) / 10.0 for q, v in by_q.items())
-                / len(by_q),
+                sum(
+                    len(set(by_q.get(q, [])) & gt[q]) / 10.0 for q in gt
+                )
+                / len(gt),
                 3,
             )
         return {

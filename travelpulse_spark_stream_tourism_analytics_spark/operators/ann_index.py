@@ -171,11 +171,13 @@ def ann_search(
     the top R per query, then only those R rows pay the EXACT
     full-vector L2. Recall is bounded by cell probing alone once R is
     wide enough that ADC distortion cannot push a true neighbor below
-    the shortlist cut — at this index's default PQ resolution (m=8,
-    k_codes=16: 4 bits/subspace) that takes R ~ 10-20x k (measured:
-    recall@10 at half-width probing goes 0.72 -> 0.90 -> 0.92 as R
-    steps 5x -> 10x -> 20x k; the soak records the full curve).
-    adc_dist then carries the exact rounded distance."""
+    the shortlist cut. At the production default (8-bit PQ, k_codes=256)
+    R ~ 10-20x k suffices and the soak curve runs at 40x k; a
+    memory-bound 4-bit index (k_codes=16) distorts far more — measured
+    there, recall@10 at half-width probing goes 0.72 -> 0.90 -> 0.92
+    as R steps 5x -> 10x -> 20x k — so size R up before trading
+    codebook bits down. adc_dist then carries the exact rounded
+    distance."""
     import numpy as np
     from pyspark.sql.window import Window
 

@@ -318,7 +318,14 @@ def pagerank_multi(
             try:
                 ranks = ranks.localCheckpoint(eager=True)
             except Exception:  # pragma: no cover - checkpoint unavailable
+                # degraded fallback: persist is LAZY and truncates
+                # nothing — force materialization so each subsequent
+                # action at least reads the cache instead of
+                # recomputing both subtrees (the logical plan still
+                # grows, so deep runs should fix their checkpoint
+                # storage rather than lean on this path)
                 ranks = ranks.persist()
+                ranks.count()
         elif checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", *names)

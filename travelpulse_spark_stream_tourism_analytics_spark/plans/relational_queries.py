@@ -1174,10 +1174,12 @@ def order_status_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _nation_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed nation trade graph: (src=customer nation, dst=supplier
-    nation, w=lineitem count). Persisted once (scoped) because the four
-    iterative graph arms (LPA, triangles, kcore, HyperBall) each run
-    eager per-round checkpoints against it — the 4-table-join lineage
-    must not re-derive per arm."""
+    nation, w=lineitem count), scope-persisted. The four iterative
+    graph arms (LPA, triangles, kcore, HyperBall) run eager per-round
+    checkpoints against it, so a CALLER fanning out to several arms
+    must call this once and share the result — every call re-persists
+    the site, evicting the previous cache and re-deriving the
+    4-table join."""
     from travelpulse_spark_stream_tourism_analytics_spark.operators._cache import (
         scoped_persist,
     )
@@ -1215,17 +1217,26 @@ def _median_thresholded(trade: DataFrame) -> DataFrame:
     )
 
 
-def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def nation_trade_triangles(
+    spark: SparkSession, sf_dir: str, trade: DataFrame | None = None
+) -> DataFrame:
     """Bench constituent: exact triangle counts on the nation trade
-    graph (the tri_* arms of nation_key_set_ops)."""
+    graph (the tri_* arms of nation_key_set_ops). Pass ``trade`` to
+    share one persisted edge relation across arms (graph_suite /
+    nation_key_set_ops do) — each bare call rebuilds and re-persists
+    it, evicting the site's previous cache."""
     from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
         triangle_counts,
     )
 
-    return triangle_counts(_nation_trade_graph(spark, sf_dir))
+    if trade is None:
+        trade = _nation_trade_graph(spark, sf_dir)
+    return triangle_counts(trade)
 
 
-def nation_trade_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+def nation_trade_lpa(
+    spark: SparkSession, sf_dir: str, trade: DataFrame | None = None
+) -> DataFrame:
     """Bench constituent: 3-round label propagation on the nation trade
     graph (the lpa_* arms of nation_key_set_ops)."""
     from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
@@ -1233,22 +1244,28 @@ def nation_trade_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         undirect,
     )
 
-    return label_propagation(
-        undirect(_nation_trade_graph(spark, sf_dir)), iterations=3
-    )
+    if trade is None:
+        trade = _nation_trade_graph(spark, sf_dir)
+    return label_propagation(undirect(trade), iterations=3)
 
 
-def nation_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def nation_trade_kcore(
+    spark: SparkSession, sf_dir: str, trade: DataFrame | None = None
+) -> DataFrame:
     """Bench constituent: 14-core of the median-thresholded trade graph
     (the kcore_14 arm of nation_key_set_ops)."""
     from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
         kcore,
     )
 
-    return kcore(_median_thresholded(_nation_trade_graph(spark, sf_dir)), k=14)
+    if trade is None:
+        trade = _nation_trade_graph(spark, sf_dir)
+    return kcore(_median_thresholded(trade), k=14)
 
 
-def nation_trade_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+def nation_trade_hyperball(
+    spark: SparkSession, sf_dir: str, trade: DataFrame | None = None
+) -> DataFrame:
     """Bench constituent: HyperBall harmonic in-centrality on the
     median-thresholded trade graph (the hb_* arms of
     nation_key_set_ops)."""
@@ -1256,9 +1273,9 @@ def nation_trade_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
         hyperball,
     )
 
-    return hyperball(
-        _median_thresholded(_nation_trade_graph(spark, sf_dir)), max_t=3
-    )
+    if trade is None:
+        trade = _nation_trade_graph(spark, sf_dir)
+    return hyperball(_median_thresholded(trade), max_t=3)
 
 
 def graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1267,8 +1284,14 @@ def graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     four nation-trade-graph arms (triangles, LPA, kcore, HyperBall) —
     timed as ONE entry so BENCH_r{N} trends the iterative-graph cost
     independently of the relational entries (VERDICT r5 nit 2).
-    Output is a uniform (component, node, metric) catalog."""
+    Output is a uniform (component, node, metric) catalog.
+
+    The trade graph is built ONCE and passed into every arm — calling
+    the arm wrappers bare would re-persist the same scoped cache site
+    four times, evicting each previous arm's cache and re-deriving the
+    4-table join per arm (round-6 review finding)."""
     fused = supplier_customer_rank_variants(spark, sf_dir)
+    trade = _nation_trade_graph(spark, sf_dir)
     parts = [
         fused.select(
             F.lit("pagerank").alias("component"),
@@ -1280,22 +1303,22 @@ def graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             F.col("rank_tr").alias("metric"),
         ),
-        nation_trade_triangles(spark, sf_dir).select(
+        nation_trade_triangles(spark, sf_dir, trade).select(
             F.lit("triangles").alias("component"),
             "node",
             F.col("n_triangles").cast("double").alias("metric"),
         ),
-        nation_trade_lpa(spark, sf_dir).select(
+        nation_trade_lpa(spark, sf_dir, trade).select(
             F.lit("lpa").alias("component"),
             "node",
             F.col("label").cast("double").alias("metric"),
         ),
-        nation_trade_kcore(spark, sf_dir).select(
+        nation_trade_kcore(spark, sf_dir, trade).select(
             F.lit("kcore14").alias("component"),
             "node",
             F.lit(1.0).alias("metric"),
         ),
-        nation_trade_hyperball(spark, sf_dir).select(
+        nation_trade_hyperball(spark, sf_dir, trade).select(
             F.lit("hyperball").alias("component"),
             "node",
             F.col("harmonic").alias("metric"),
