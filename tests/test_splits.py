@@ -130,8 +130,9 @@ def test_temperature_weights_semantics_and_budget_composition(spark):
     tok = {"web": 90000.0, "books": 9000.0, "code": 1000.0}
 
     def ref(alpha):
-        z = sum(t ** alpha for t in tok.values())
-        return {s: round(t ** alpha / z, 9) for s, t in tok.items()}
+        nums = {s: round(t ** alpha, 6) for s, t in tok.items()}
+        z = sum(nums.values())
+        return {s: round(n / z, 9) for s, n in nums.items()}
 
     for alpha in (0.0, 0.3, 0.5, 1.0):
         got = {

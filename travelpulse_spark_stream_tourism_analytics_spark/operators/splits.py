@@ -77,22 +77,24 @@ def temperature_weights(
     Feed directly into ``sample_to_token_budget``.
 
     One partial-agg shuffle on source; the normalizer rides as a
-    broadcast 1-row aggregate (lazy, no driver collect). ``weight`` is
-    rounded at 1e-9 — pow is transcendental and libm vs JVM may differ
-    in the last ulp, so the rounded weights are what cross-engine
-    consumers should compare."""
+    broadcast 1-row aggregate (lazy, no driver collect). Cross-engine
+    exactness follows the mixture-branch recipe: each ``t^alpha`` is
+    rounded at 1e-6 (pow is transcendental — libm vs JVM may differ a
+    ulp) THEN accumulated as DECIMAL(28,6), so the normalizing sum is
+    exact and order-independent; the final ratio rounds at 1e-9."""
     if alpha < 0:
         raise ValueError("temperature_weights: alpha must be >= 0")
     per = docs.groupBy(source_col).agg(
         F.sum(tokens_col).cast("double").alias("__t")
     )
-    z = per.agg(
-        F.sum(F.pow(F.col("__t"), F.lit(float(alpha)))).alias("__z")
+    num = F.round(F.pow(F.col("__t"), F.lit(float(alpha))), 6).cast(
+        "decimal(28,6)"
     )
+    z = per.agg(F.sum(num).alias("__z"))
     return per.crossJoin(F.broadcast(z)).select(
         source_col,
         F.round(
-            F.pow(F.col("__t"), F.lit(float(alpha))) / F.col("__z"), 9
+            num.cast("double") / F.col("__z").cast("double"), 9
         ).alias("weight"),
     )
 

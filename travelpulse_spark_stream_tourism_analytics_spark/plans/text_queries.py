@@ -24,6 +24,7 @@ from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
     line_repetition,
     ngram_repetition_masses,
     pii_count,
+    registrable_domain,
     word_ngrams,
     words_of,
 )
@@ -967,6 +968,22 @@ _PII_HITS_SQL = " + ".join(
         ) keyed
     ) ranked
     WHERE rnk <= 10
+    UNION ALL
+    -- temp_w branch (round 6, operators/splits.py temperature_weights):
+    -- Conneau-Lample temperature scaling over per-source TOKEN mass at
+    -- alpha=0.3 — each t^alpha rounded 1e-6 then summed DECIMAL(28,6)
+    -- (exact, order-independent normalizer), ratio rounded 1e-9
+    SELECT 'temp_w' AS branch, NULL::BIGINT AS doc_id, source,
+           NULL::VARCHAR AS lang, NULL::BIGINT AS n_chars,
+           NULL::BIGINT AS n_docs,
+           round(round(pow(t, 0.3), 6)::DECIMAL(28,6)::DOUBLE
+                 / sum(round(pow(t, 0.3), 6)::DECIMAL(28,6))
+                       OVER ()::DOUBLE, 9) AS weight
+    FROM (
+        SELECT source,
+               CAST(sum(CAST(len({words}) AS BIGINT)) AS DOUBLE) AS t
+        FROM documents GROUP BY source
+    )
     """.format(words=_WORDS_SQL.format(c="text")),
 )
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1087,8 +1104,28 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("es_rank").alias("n_docs"),
         F.col("es_key").alias("weight"),
     )
+    # branch='temp_w' (round 6): temperature-scaled mixture weights
+    # over per-source TOKEN mass (operators/splits.py
+    # temperature_weights, alpha=0.3 — the XLM-R rebalance), the
+    # token-denominated counterpart to the doc-count 'mixture' branch.
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+        temperature_weights,
+    )
+
+    tw = temperature_weights(tok_docs, alpha=0.3).select(
+        F.lit("temp_w").alias("branch"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "source",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("long").alias("n_chars"),
+        F.lit(None).cast("long").alias("n_docs"),
+        "weight",
+    )
     return (
-        sample.unionByName(mixture).unionByName(budget).unionByName(es)
+        sample.unionByName(mixture)
+        .unionByName(budget)
+        .unionByName(es)
+        .unionByName(tw)
     )
 
 
@@ -1830,7 +1867,26 @@ _LANG_HITS = {
                    (length(array_to_string(nlines, ''))
                     - length(array_to_string(list_distinct(nlines), '')))
                    / length(array_to_string(nlines, ''))::DOUBLE, 6)
-               ELSE 0.0 END AS dup_line_char_frac
+               ELSE 0.0 END AS dup_line_char_frac,
+               -- reg_domain (round 6): the engine runs the GENERIC
+               -- publicsuffix.org resolver (functions/text.py
+               -- registrable_domain) over a URL synthesized to hit
+               -- every rule class (normal gTLD, shared ccTLD registry,
+               -- PRIVATE registry, wildcard *.ck, exception !www.ck,
+               -- unknown-TLD default rule); the oracle derives the
+               -- expected answer INDEPENDENTLY per case from the spec
+               CASE WHEN CAST(doc_id % 8 AS INT) = 4 THEN 'www.ck'
+                    ELSE 't' || coalesce(toks[1], 'x') || '.' ||
+                         CASE CAST(doc_id % 8 AS INT)
+                              WHEN 0 THEN 'com'
+                              WHEN 1 THEN 'co.uk'
+                              WHEN 2 THEN 'github.io'
+                              WHEN 3 THEN 'foo.ck'
+                              WHEN 5 THEN 'xyz'
+                              WHEN 6 THEN 'amazonaws.com'
+                              WHEN 7 THEN 'gov.uk'
+                         END
+               END AS reg_domain
         FROM arrs
     )
     SELECT *,
@@ -1864,9 +1920,13 @@ def docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     et al. 2021 table A1) — top-2-gram and duplicated-5-gram character
     fractions (functions/text.py ngram_repetition_masses: sorted-run
     fold, O(k log k) where the naive form is O(k^2)), duplicate-line
-    count/character fractions, and the ``passes_repetition`` gate at
-    Gopher's published thresholds. Zero shuffles, zero joins — the
-    whole profile is map-side and scales embarrassingly.
+    count/character fractions, the ``passes_repetition`` gate at
+    Gopher's published thresholds, and ``reg_domain`` — the generic
+    publicsuffix.org resolver (functions/text.py registrable_domain)
+    over a synthesized URL whose suffix (doc_id % 8) covers every PSL
+    rule class, oracled against per-case expectations the SQL twin
+    derives independently from the spec. Zero shuffles, zero joins —
+    the whole profile is map-side and scales embarrassingly.
     Subsumes the r1 queries docs_token_stats +
     docs_bpe_token_counts + docs_fingerprint + docs_simhash +
     docs_lang_id."""
@@ -1955,6 +2015,33 @@ def docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_repetition_masses(F.col("toks"), 5).alias("__m5"),
         line_repetition(F.col("text")).alias("__lr"),
         F.length(F.concat_ws("", F.col("toks"))).alias("__wchars"),
+        # round 6: the generic PSL resolver over a synthesized URL —
+        # doc_id % 8 picks a suffix covering every rule class; the 't'
+        # label prefix keeps the token from colliding with rule labels
+        # (a doc whose first token is 'co' must not turn the host into
+        # the bare public suffix co.uk)
+        registrable_domain(
+            F.concat(
+                F.lit("https://t"),
+                F.coalesce(
+                    F.try_element_at(F.col("toks"), F.lit(1)), F.lit("x")
+                ),
+                F.lit("."),
+                F.element_at(
+                    F.array(
+                        *[
+                            F.lit(s)
+                            for s in [
+                                "com", "co.uk", "github.io", "foo.ck",
+                                "www.ck", "xyz", "amazonaws.com", "gov.uk",
+                            ]
+                        ]
+                    ),
+                    (F.col("doc_id") % 8 + 1).cast("int"),
+                ),
+                F.lit("/p"),
+            )
+        ).alias("reg_domain"),
     )
     profile = profile.select(
         *[c for c in profile.columns if not c.startswith("__")],
