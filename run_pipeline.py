@@ -65,7 +65,8 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
               trigger: str = "10 seconds", gate: bool = False,
               bits: int = 16, ttl_ms: int | None = None,
               baseline_path: str | None = None, metric_sink=None,
-              max_files_per_trigger: int | None = None) -> dict:
+              max_files_per_trigger: int | None = None,
+              repetition_gate: bool = False) -> dict:
     """Streaming ingest dedup pipeline (``--mode dedup``): a JSONL
     document stream ({doc_id, text} records) flows through a stateless
     SimHash projection into the stateful banded near-dup index
@@ -183,9 +184,36 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
                 )
                 .start()
             )
-        docs = signals.filter(F.col("passes_quality")).select(
-            "doc_id", "text"
-        )
+        keep = F.col("passes_quality")
+        if repetition_gate:
+            # round 6: the Gopher repetition rules as an ingest gate —
+            # the heuristic gate's dup_3gram check misses SCATTERED
+            # repetition (a phrase recurring with unique filler between
+            # occurrences keeps every 3-gram distinct); the character-
+            # mass rules catch it. Pure array expressions on the same
+            # redacted text, still a stateless projection.
+            from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+                line_repetition,
+                ngram_repetition_masses,
+            )
+
+            toks = words_of(F.col("text"))
+            m2 = ngram_repetition_masses(toks, 2)
+            m5 = ngram_repetition_masses(toks, 5)
+            lr = line_repetition(F.col("text"))
+            wch = F.length(F.concat_ws("", toks)).cast("double")
+            frac = lambda mass: F.when(  # noqa: E731
+                wch > 0, mass.cast("double") / wch
+            ).otherwise(F.lit(0.0))
+            keep = keep & (
+                (frac(m2["top"]) <= F.lit(0.20))
+                & (frac(m5["dup"]) <= F.lit(0.15))
+                & (lr["dup_line_frac"] <= F.lit(0.30))
+                & (lr["dup_line_char_frac"] <= F.lit(0.20))
+            )
+        docs = signals.filter(keep).select("doc_id", "text")
+    elif repetition_gate:
+        raise ValueError("run_dedup: --repetition-gate requires --gate")
     fp_expr = simhash64_expr if bits == 64 else simhash16_expr
     stream = docs.select(
         "doc_id",
@@ -783,6 +811,16 @@ def main() -> None:
         help="dedup mode: apply the quality keep/drop gate (on redacted "
         "text) before the near-dup index",
     )
+    ap.add_argument(
+        "--repetition-gate",
+        action="store_true",
+        dest="repetition_gate",
+        help="dedup mode (with --gate): also drop docs failing the "
+        "Gopher repetition rules (top-2-gram / dup-5-gram character "
+        "fractions, duplicate-line fractions) — catches scattered "
+        "phrase repetition the heuristic gate's dup-3-gram check "
+        "misses",
+    )
     args = ap.parse_args()
 
     spark = get_spark("travelpulse-pipeline")
@@ -961,7 +999,8 @@ def main() -> None:
         )
         stats = run_dedup(
             spark, args.path, args.out, once=args.once, trigger=args.trigger,
-            gate=args.gate, bits=args.bits, ttl_ms=args.ttl_ms,
+            gate=args.gate, repetition_gate=args.repetition_gate,
+            bits=args.bits, ttl_ms=args.ttl_ms,
             baseline_path=args.baseline, metric_sink=sink,
         )
         print(

@@ -209,6 +209,56 @@ def test_run_dedup_with_ingest_quality_gate(spark, tmp_path):
     assert v[1]["is_dup"] and v[1]["dup_of"] == 0
 
 
+def test_run_dedup_repetition_gate_catches_scattered_phrases(
+    spark, tmp_path
+):
+    """--mode dedup --gate --repetition-gate (round 6): a doc whose
+    repeated phrase is SCATTERED between unique filler words sails
+    through the heuristic gate (every 3-gram is distinct, stopword and
+    token stats are normal) but must be dropped by the Gopher
+    top-2-gram character-mass rule; the same doc survives --gate
+    alone, and clean docs are untouched either way."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import pytest
+
+    from run_pipeline import run_dedup
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    clean = (
+        "the quick brown fox jumps over a lazy dog near the old "
+        "stone bridge while morning light settles on the quiet river"
+    )
+    # 'click here' recurs 12x with UNIQUE filler between occurrences:
+    # every 3-gram distinct -> dup_3gram_frac = 0, but the top-2-gram
+    # character mass (12 * 9 chars) dominates the doc
+    spam = " ".join(
+        f"click here w{i} of the" for i in range(12)
+    )
+    rows = [(0, clean), (1, spam)]
+    with open(docs_dir / "part-0.json", "w") as f:
+        for i, t in rows:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    out1 = str(tmp_path / "v_gate")
+    stats1 = run_dedup(spark, str(docs_dir), out1, once=True, gate=True)
+    assert stats1["docs"] == 2  # heuristic gate alone keeps the spam
+
+    out2 = str(tmp_path / "v_rep")
+    stats2 = run_dedup(
+        spark, str(docs_dir), out2, once=True, gate=True,
+        repetition_gate=True,
+    )
+    v = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
+    assert v == {0} and stats2["docs"] == 1  # spam never reaches the index
+
+    with pytest.raises(ValueError, match="requires --gate"):
+        run_dedup(spark, str(docs_dir), str(tmp_path / "x"), once=True,
+                  repetition_gate=True)
+
+
 def test_run_dedup_batch_incremental_index_surface(spark, tmp_path):
     """--mode dedup-batch (round 5): successive ingest batches dedupe
     against the persisted fingerprint index — a day-2 near-copy of a
