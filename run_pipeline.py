@@ -268,7 +268,8 @@ def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False,
                lm_ref_path: str | None = None,
                classifier_model_path: str | None = None,
                classifier_threshold: float = 0.5,
-               bpe_model_path: str | None = None) -> dict:
+               bpe_model_path: str | None = None,
+               repetition_gate: bool = False) -> dict:
     """Batch corpus curation (``--mode curate``): documents (a parquet
     dir/file or JSONL dir with {doc_id, text}) flow through the
     quality gate -> PII redaction -> exact dedup -> chunking ->
@@ -313,7 +314,8 @@ def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False,
                            ppl_tail_frac=ppl_tail, lm_ref=lm_ref,
                            classifier_model=model,
                            classifier_threshold=classifier_threshold,
-                           bpe_model=bpe_model)
+                           bpe_model=bpe_model,
+                           repetition_gate=repetition_gate)
     packed.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
     out = spark.read.parquet(out_dir)
     agg = out.agg(
@@ -947,7 +949,8 @@ def main() -> None:
                          ppl_tail=args.ppl_tail, lm_ref_path=args.lm_ref,
                          classifier_model_path=args.classifier_model,
                          classifier_threshold=args.classifier_threshold,
-                         bpe_model_path=args.bpe_model)
+                         bpe_model_path=args.bpe_model,
+                         repetition_gate=args.repetition_gate)
         print(
             f">>> curated; {stats['docs']} docs in, {stats['kept']} kept, "
             f"{stats['samples']} packed samples in {stats['packs']} "

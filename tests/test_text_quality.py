@@ -749,6 +749,35 @@ def test_quality_signals_zero_token_doc_is_dropped_not_fatal(spark):
     assert kept == {3}
 
 
+def test_curate_repetition_gate_batch_twin(spark):
+    """curate_corpus(repetition_gate=True) — the batch twin of the
+    streaming --repetition-gate: a scattered-phrase spam doc that
+    passes the heuristic gate is dropped; default behavior unchanged."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    clean = (
+        "the quick brown fox jumps over a lazy dog near the old "
+        "stone bridge while morning light settles on the quiet river"
+    )
+    spam = " ".join(f"click here w{i} of the" for i in range(12))
+    docs = spark.createDataFrame(
+        [(0, clean), (1, spam)], "doc_id long, text string"
+    )
+    default_kept = {
+        r["doc_id"] for r in curate_corpus(docs, chunk_tokens=16, overlap=4).collect()
+    }
+    assert default_kept == {0, 1}  # heuristic gate keeps the spam
+    gated_kept = {
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, chunk_tokens=16, overlap=4, repetition_gate=True
+        ).collect()
+    }
+    assert gated_kept == {0}
+
+
 def test_docs_text_profile_zero_token_guard(spark, tmp_path):
     """Same ANSI-mode guard on the oracled docs_text_profile columns."""
     from travelpulse_spark_stream_tourism_analytics_spark.plans import text_queries

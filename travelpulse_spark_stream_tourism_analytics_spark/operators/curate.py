@@ -164,6 +164,7 @@ def curate_corpus(
     classifier_model: dict | None = None,
     classifier_threshold: float = 0.5,
     bpe_model: dict | None = None,
+    repetition_gate: bool = False,
 ) -> DataFrame:
     """Run the full curation chain; returns packed training samples
     (doc_id, chunk_idx, chunk_uid, chunk_text, n_chunk_tokens,
@@ -218,9 +219,38 @@ def curate_corpus(
     scrubbed = docs.repartition(par).select(
         F.col(id_col), redact_pii(F.col(text_col)).alias(text_col)
     )
+    keep_expr = F.col("passes_quality")
+    if repetition_gate:
+        # round 6 (--repetition-gate, batch twin of the streaming
+        # ingest gate): the Gopher character-mass rules catch
+        # SCATTERED phrase repetition the heuristic dup-3-gram signal
+        # structurally misses. Evaluated on the same redacted text,
+        # still inside the one persisted signals projection.
+        from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+            line_repetition,
+            ngram_repetition_masses,
+        )
+
+        toks = words_of(F.col(text_col))
+        m2 = ngram_repetition_masses(toks, 2)
+        m5 = ngram_repetition_masses(toks, 5)
+        lr = line_repetition(F.col(text_col))
+        wch = F.length(F.concat_ws("", toks)).cast("double")
+
+        def frac(mass):
+            return F.when(wch > 0, mass.cast("double") / wch).otherwise(
+                F.lit(0.0)
+            )
+
+        keep_expr = keep_expr & (
+            (frac(m2["top"]) <= F.lit(0.20))
+            & (frac(m5["dup"]) <= F.lit(0.15))
+            & (lr["dup_line_frac"] <= F.lit(0.30))
+            & (lr["dup_line_char_frac"] <= F.lit(0.20))
+        )
     gated = scoped_persist(
         quality_signals(scrubbed, id_col, text_col), "curate.signals"
-    ).filter(F.col("passes_quality"))
+    ).filter(keep_expr)
     redacted = gated.select(id_col, text_col)
     keep = (
         redacted.groupBy(F.md5(F.col(text_col)).alias("__h"))
