@@ -76,6 +76,40 @@ def test_ann_index_build_search_recall_and_partition_pruning(spark, tmp_path):
     assert got2 == {(r["qid"], r["neighbor_id"], r["adc_dist"]) for r in res}
 
 
+def test_ann_build_clamps_oversized_k_codes(spark, tmp_path):
+    """ADVICE r6: the k_codes=256 production default on a corpus with
+    fewer than 256 vectors must clamp (with a warning), not train a
+    degenerate codebook or fail inside the k-means fit."""
+    import warnings as _warnings
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 40)
+    )
+    idx = str(tmp_path / "tiny_idx")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        meta = build_ann_index(emb, idx, n_cells=8, m=8)  # k_codes=256 default
+    assert meta["k_codes"] == 40 and meta["n_vectors"] == 40
+    assert any("clamping" in str(w.message) for w in caught)
+    # the clamped index still searches
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    res = ann_search(spark, idx, queries, k=5, n_probe=8).collect()
+    assert {r["qid"] for r in res} == {r["qid"] for r in queries.collect()}
+
+    # an explicit cell count above N clamps too
+    with _warnings.catch_warnings(record=True) as caught2:
+        _warnings.simplefilter("always")
+        meta2 = build_ann_index(
+            emb, str(tmp_path / "tiny2"), n_cells=64, m=8, k_codes=16
+        )
+    assert meta2["n_cells"] == 40
+    assert any("n_cells" in str(w.message) for w in caught2)
+
+
 def test_ann_search_probe_width_trades_recall(spark, tmp_path):
     """n_probe widens the candidate set monotonically: every neighbor
     found at n_probe=1 whose cell is probed again stays; full-width

@@ -1234,6 +1234,15 @@ def test_gopher_repetition_signals_hand_computed(spark):
     assert flat["l"]["dup_line_frac"] == 0.0
     assert flat["l"]["dup_line_char_frac"] == 0.0
 
+    # CRLF corpus scores identically to its LF twin (ADVICE r6: a bare
+    # \n split leaves '\r' on every line, so 'xx\r' vs 'xx' counted as
+    # distinct and Windows crawls systematically under-scored)
+    crlf = spark.createDataFrame(
+        [("xx\r\ny\r\n\r\nxx\r\n z",)], "text string"
+    ).select(line_repetition(F.col("text")).alias("l")).first()
+    assert crlf["l"]["dup_line_frac"] == 0.25
+    assert crlf["l"]["dup_line_char_frac"] == round(2 / 7, 6)
+
 
 def test_quantile_edges_approx_within_rank_error(spark):
     """The approx=True scale path (round 6, VERDICT r5 item 6): every

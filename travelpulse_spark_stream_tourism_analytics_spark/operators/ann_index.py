@@ -74,11 +74,34 @@ def build_ann_index(
     codes-only index when recall@ADC suffices.
 
     Returns the meta dict (also written to meta.json)."""
-    emb = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
-    if n_cells is None:
-        import math
+    import math
+    import warnings
 
-        n_cells = max(16, round(math.sqrt(emb.count())))
+    emb = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    n_vectors = emb.count()
+    if n_vectors == 0:
+        raise ValueError("build_ann_index: empty training set")
+    if n_cells is None:
+        n_cells = max(16, round(math.sqrt(n_vectors)))
+    # k-means cannot fit more centers than training points: a corpus
+    # smaller than k_codes (or n_cells) under the 256-code production
+    # default would train a degenerate codebook (ADVICE r6) — clamp
+    # with a warning instead of failing deep inside the fit.
+    if k_codes > n_vectors:
+        warnings.warn(
+            f"build_ann_index: k_codes={k_codes} exceeds the "
+            f"{n_vectors}-vector training set; clamping to {n_vectors} "
+            "(tiny-corpus index — recall contracts assume k_codes<=N)",
+            stacklevel=2,
+        )
+        k_codes = n_vectors
+    if n_cells > n_vectors:
+        warnings.warn(
+            f"build_ann_index: n_cells={n_cells} exceeds the "
+            f"{n_vectors}-vector training set; clamping to {n_vectors}",
+            stacklevel=2,
+        )
+        n_cells = n_vectors
     assigned, model = ivf_index(emb, id_col, "__v", n_cells=n_cells, seed=seed)
     books = pq_codebooks(emb, vec_col="__v", m=m, k=k_codes, seed=seed)
     codes = pq_encode(emb, id_col, "__v", books).join(

@@ -1800,7 +1800,10 @@ _LANG_HITS = {
                list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
                               i -> array_to_string(toks[i:i+4], ' '))
                    AS ngrams5,
-               list_filter(string_split(text, chr(10)),
+               -- CRLF-safe split (not chr(10)): CRLF and LF
+               -- documents must score identically (mirrors
+               -- line_repetition)
+               list_filter(string_split_regex(text, '\\r?\\n'),
                            x -> trim(x) <> '') AS nlines,
                length(array_to_string(toks, '')) AS wchars,
                list_transform(list_distinct(toks), w -> md5(w)) AS md5s,
