@@ -66,7 +66,8 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
               bits: int = 16, ttl_ms: int | None = None,
               baseline_path: str | None = None, metric_sink=None,
               max_files_per_trigger: int | None = None,
-              repetition_gate: bool = False) -> dict:
+              repetition_gate: bool = False,
+              repetition_thresholds: dict | None = None) -> dict:
     """Streaming ingest dedup pipeline (``--mode dedup``): a JSONL
     document stream ({doc_id, text} records) flows through a stateless
     SimHash projection into the stateful banded near-dup index
@@ -191,25 +192,16 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
             # repetition (a phrase recurring with unique filler between
             # occurrences keeps every 3-gram distinct); the character-
             # mass rules catch it. Pure array expressions on the same
-            # redacted text, still a stateless projection.
+            # redacted text, still a stateless projection. Thresholds
+            # come from --rep-threshold overrides (round 7); the ONE
+            # gate definition is functions/text.passes_repetition_gate,
+            # shared with the batch curate chain.
             from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
-                line_repetition,
-                ngram_repetition_masses,
+                passes_repetition_gate,
             )
 
-            toks = words_of(F.col("text"))
-            m2 = ngram_repetition_masses(toks, 2)
-            m5 = ngram_repetition_masses(toks, 5)
-            lr = line_repetition(F.col("text"))
-            wch = F.length(F.concat_ws("", toks)).cast("double")
-            frac = lambda mass: F.when(  # noqa: E731
-                wch > 0, mass.cast("double") / wch
-            ).otherwise(F.lit(0.0))
-            keep = keep & (
-                (frac(m2["top"]) <= F.lit(0.20))
-                & (frac(m5["dup"]) <= F.lit(0.15))
-                & (lr["dup_line_frac"] <= F.lit(0.30))
-                & (lr["dup_line_char_frac"] <= F.lit(0.20))
+            keep = keep & passes_repetition_gate(
+                F.col("text"), repetition_thresholds
             )
         docs = signals.filter(keep).select("doc_id", "text")
     elif repetition_gate:
@@ -269,7 +261,8 @@ def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False,
                classifier_model_path: str | None = None,
                classifier_threshold: float = 0.5,
                bpe_model_path: str | None = None,
-               repetition_gate: bool = False) -> dict:
+               repetition_gate: bool = False,
+               repetition_thresholds: dict | None = None) -> dict:
     """Batch corpus curation (``--mode curate``): documents (a parquet
     dir/file or JSONL dir with {doc_id, text}) flow through the
     quality gate -> PII redaction -> exact dedup -> chunking ->
@@ -315,7 +308,8 @@ def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False,
                            classifier_model=model,
                            classifier_threshold=classifier_threshold,
                            bpe_model=bpe_model,
-                           repetition_gate=repetition_gate)
+                           repetition_gate=repetition_gate,
+                           repetition_thresholds=repetition_thresholds)
     packed.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
     out = spark.read.parquet(out_dir)
     agg = out.agg(
@@ -823,7 +817,30 @@ def main() -> None:
         "phrase repetition the heuristic gate's dup-3-gram check "
         "misses",
     )
+    ap.add_argument(
+        "--rep-threshold",
+        action="append",
+        dest="rep_thresholds",
+        metavar="KEY=VALUE",
+        help="override a Gopher repetition-gate threshold (repeatable): "
+        "KEY one of top_2gram_char_frac, dup_5gram_char_frac, "
+        "dup_line_frac, dup_line_char_frac; defaults are the Gopher "
+        "table-A1 values pinned by the oracle gate "
+        "(e.g. --rep-threshold dup_5gram_char_frac=0.25 for a code "
+        "corpus that legitimately repeats more)",
+    )
     args = ap.parse_args()
+    rep_thresholds = None
+    if args.rep_thresholds:
+        rep_thresholds = {}
+        for kv in args.rep_thresholds:
+            key, _, val = kv.partition("=")
+            if not val:
+                ap.error(f"--rep-threshold wants KEY=VALUE, got {kv!r}")
+            try:
+                rep_thresholds[key] = float(val)
+            except ValueError:
+                ap.error(f"--rep-threshold {key}: {val!r} is not a number")
 
     spark = get_spark("travelpulse-pipeline")
     spark.sparkContext.setLogLevel("WARN")
@@ -950,7 +967,8 @@ def main() -> None:
                          classifier_model_path=args.classifier_model,
                          classifier_threshold=args.classifier_threshold,
                          bpe_model_path=args.bpe_model,
-                         repetition_gate=args.repetition_gate)
+                         repetition_gate=args.repetition_gate,
+                         repetition_thresholds=rep_thresholds)
         print(
             f">>> curated; {stats['docs']} docs in, {stats['kept']} kept, "
             f"{stats['samples']} packed samples in {stats['packs']} "
@@ -1003,6 +1021,7 @@ def main() -> None:
         stats = run_dedup(
             spark, args.path, args.out, once=args.once, trigger=args.trigger,
             gate=args.gate, repetition_gate=args.repetition_gate,
+            repetition_thresholds=rep_thresholds,
             bits=args.bits, ttl_ms=args.ttl_ms,
             baseline_path=args.baseline, metric_sink=sink,
         )

@@ -778,6 +778,56 @@ def test_curate_repetition_gate_batch_twin(spark):
     assert gated_kept == {0}
 
 
+def test_repetition_gate_thresholds_are_parameters(spark):
+    """Round 7 (VERDICT r6 item 7): the Gopher thresholds are function/
+    CLI parameters with the table-A1 defaults pinned — corpus-specific
+    tuning must not fork the operator. Loosened thresholds keep the
+    scattered-phrase doc the defaults drop; typo'd keys raise."""
+    import pytest as _pytest
+
+    from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+        GOPHER_REPETITION_DEFAULTS,
+        passes_repetition_gate,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    assert GOPHER_REPETITION_DEFAULTS == {
+        "top_2gram_char_frac": 0.20,
+        "dup_5gram_char_frac": 0.15,
+        "dup_line_frac": 0.30,
+        "dup_line_char_frac": 0.20,
+    }
+    spam = " ".join(f"click here w{i} of the" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, spam)], "doc_id long, text string"
+    )
+    # expression level: defaults drop it, loosened masses keep it
+    got = docs.select(
+        passes_repetition_gate(F.col("text")).alias("d"),
+        passes_repetition_gate(
+            F.col("text"),
+            {"top_2gram_char_frac": 0.9, "dup_5gram_char_frac": 0.9},
+        ).alias("loose"),
+    ).first()
+    assert got["d"] is False and got["loose"] is True
+    # chain level: the override threads through curate_corpus
+    kept = {
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, chunk_tokens=16, overlap=4, repetition_gate=True,
+            repetition_thresholds={
+                "top_2gram_char_frac": 0.9,
+                "dup_5gram_char_frac": 0.9,
+            },
+        ).collect()
+    }
+    assert kept == {1}
+    with _pytest.raises(ValueError, match="unknown threshold"):
+        passes_repetition_gate(F.col("text"), {"dup_2gram_frac": 0.5})
+
+
 def test_docs_text_profile_zero_token_guard(spark, tmp_path):
     """Same ANSI-mode guard on the oracled docs_text_profile columns."""
     from travelpulse_spark_stream_tourism_analytics_spark.plans import text_queries

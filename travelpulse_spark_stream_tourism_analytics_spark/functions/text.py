@@ -157,6 +157,63 @@ def line_repetition(text: Column) -> Column:
     )
 
 
+# Gopher table-A1 repetition thresholds (Rae et al. 2021) — the
+# production defaults for the repetition gate. Corpus-specific tuning
+# is the NORMAL operational need (a code corpus legitimately repeats
+# more than prose), so the gate takes overrides instead of forking
+# (VERDICT r6 item 7); the catalog's docs_text_profile branch pins
+# these exact defaults against the DuckDB oracle.
+GOPHER_REPETITION_DEFAULTS: dict[str, float] = {
+    "top_2gram_char_frac": 0.20,
+    "dup_5gram_char_frac": 0.15,
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+}
+
+
+def passes_repetition_gate(
+    text: Column, thresholds: dict[str, float] | None = None
+) -> Column:
+    """Boolean Gopher repetition gate over a raw text column — the ONE
+    definition both the batch curate chain and the streaming ingest
+    gate compile into their plans (they previously each inlined it).
+
+    ``thresholds`` overrides any subset of
+    ``GOPHER_REPETITION_DEFAULTS`` (unknown keys raise — a typo'd
+    threshold must not silently leave the default in force). The
+    fractions are the unrounded character-mass ratios; zero-word
+    documents pass (zero repetition mass), leaving emptiness to the
+    quality gate's n_tokens floor. Pure array expressions
+    (ngram_repetition_masses / line_repetition): zero shuffles, no
+    UDFs — a stateless projection at any scale."""
+    t = dict(GOPHER_REPETITION_DEFAULTS)
+    if thresholds:
+        unknown = set(thresholds) - set(t)
+        if unknown:
+            raise ValueError(
+                f"passes_repetition_gate: unknown threshold keys {sorted(unknown)}; "
+                f"valid: {sorted(t)}"
+            )
+        t.update({k: float(v) for k, v in thresholds.items()})
+    toks = words_of(text)
+    m2 = ngram_repetition_masses(toks, 2)
+    m5 = ngram_repetition_masses(toks, 5)
+    lr = line_repetition(text)
+    wch = F.length(F.concat_ws("", toks)).cast("double")
+
+    def frac(mass: Column) -> Column:
+        return F.when(wch > 0, mass.cast("double") / wch).otherwise(
+            F.lit(0.0)
+        )
+
+    return (
+        (frac(m2["top"]) <= F.lit(t["top_2gram_char_frac"]))
+        & (frac(m5["dup"]) <= F.lit(t["dup_5gram_char_frac"]))
+        & (lr["dup_line_frac"] <= F.lit(t["dup_line_frac"]))
+        & (lr["dup_line_char_frac"] <= F.lit(t["dup_line_char_frac"]))
+    )
+
+
 # PII patterns, restricted to the RE2-compatible subset (no
 # lookarounds) so the same strings run in Spark (Java regex) and in
 # any RE2-based oracle engine. Order matters for redaction: the email

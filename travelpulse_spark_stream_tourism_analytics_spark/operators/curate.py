@@ -165,6 +165,7 @@ def curate_corpus(
     classifier_threshold: float = 0.5,
     bpe_model: dict | None = None,
     repetition_gate: bool = False,
+    repetition_thresholds: dict[str, float] | None = None,
 ) -> DataFrame:
     """Run the full curation chain; returns packed training samples
     (doc_id, chunk_idx, chunk_uid, chunk_text, n_chunk_tokens,
@@ -219,38 +220,30 @@ def curate_corpus(
     scrubbed = docs.repartition(par).select(
         F.col(id_col), redact_pii(F.col(text_col)).alias(text_col)
     )
+    signals = quality_signals(scrubbed, id_col, text_col)
     keep_expr = F.col("passes_quality")
     if repetition_gate:
         # round 6 (--repetition-gate, batch twin of the streaming
         # ingest gate): the Gopher character-mass rules catch
         # SCATTERED phrase repetition the heuristic dup-3-gram signal
-        # structurally misses. Evaluated on the same redacted text,
-        # still inside the one persisted signals projection.
+        # structurally misses. The gate boolean is a COLUMN of the
+        # persisted signals projection, not a predicate above it —
+        # a filter predicate re-evaluates per downstream consumer
+        # (dedup groupBy, semi-join, shingles, chunker), while a
+        # persisted column evaluates once at materialization
+        # (ADVICE r6; the same persist-placement lesson as round 4).
         from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
-            line_repetition,
-            ngram_repetition_masses,
+            passes_repetition_gate,
         )
 
-        toks = words_of(F.col(text_col))
-        m2 = ngram_repetition_masses(toks, 2)
-        m5 = ngram_repetition_masses(toks, 5)
-        lr = line_repetition(F.col(text_col))
-        wch = F.length(F.concat_ws("", toks)).cast("double")
-
-        def frac(mass):
-            return F.when(wch > 0, mass.cast("double") / wch).otherwise(
-                F.lit(0.0)
-            )
-
-        keep_expr = keep_expr & (
-            (frac(m2["top"]) <= F.lit(0.20))
-            & (frac(m5["dup"]) <= F.lit(0.15))
-            & (lr["dup_line_frac"] <= F.lit(0.30))
-            & (lr["dup_line_char_frac"] <= F.lit(0.20))
+        signals = signals.select(
+            "*",
+            passes_repetition_gate(
+                F.col(text_col), repetition_thresholds
+            ).alias("passes_repetition"),
         )
-    gated = scoped_persist(
-        quality_signals(scrubbed, id_col, text_col), "curate.signals"
-    ).filter(keep_expr)
+        keep_expr = keep_expr & F.col("passes_repetition")
+    gated = scoped_persist(signals, "curate.signals").filter(keep_expr)
     redacted = gated.select(id_col, text_col)
     keep = (
         redacted.groupBy(F.md5(F.col(text_col)).alias("__h"))
