@@ -49,11 +49,10 @@ HEADLINE = [
     # round 6: the iterative graph suite as its own headline entry
     # (fused PageRank/TrustRank + triangles/LPA/kcore/HyperBall) so the
     # relational entries stay trend-comparable round-over-round.
-    # NOTE: the fused rank variants ALSO run inside
-    # topn_revenue_entities (they are driver-oracled arms there), so
-    # the headline TOTAL double-counts ~7 s of graph work at sf0.1 —
-    # compare per-query rows (and topn's `topn_revenue_entities_base`
-    # constituent) across rounds, not the total.
+    # Round 8: the fused rank variants moved OUT of
+    # topn_revenue_entities into the graph_rank_entities catalog entry
+    # (timed here once, under graph_suite's rank_variants constituent),
+    # so the headline total is ADDITIVE again (VERDICT r7 item 4).
     "graph_suite",
 ]
 

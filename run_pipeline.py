@@ -841,6 +841,10 @@ def main() -> None:
                 rep_thresholds[key] = float(val)
             except ValueError:
                 ap.error(f"--rep-threshold {key}: {val!r} is not a number")
+        if not args.repetition_gate:
+            ap.error(
+                "--rep-threshold has no effect without --repetition-gate"
+            )
 
     spark = get_spark("travelpulse-pipeline")
     spark.sparkContext.setLogLevel("WARN")

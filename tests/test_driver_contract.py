@@ -9,14 +9,16 @@ from tests.conftest import SF_SMOKE
 
 
 def test_catalog_keys_and_size():
-    """queries() and oracle_sql() expose the SAME <= 50 keys (the
-    driver scores only the first 50 registered queries; a mismatch or
-    overflow would silently drop entries from the correctness gate)."""
+    """queries() and oracle_sql() expose the SAME keys, exactly the 51
+    deliberate entries of the round-8 correctness gate (50 + the
+    graph_rank_entities split-out, VERDICT r7 item 4) — a mismatch or
+    accidental growth would silently change the gate."""
     import __spark_entry__ as E
 
     q, o = E.queries(), E.oracle_sql()
     assert set(q) == set(o)
-    assert len(q) <= 50
+    assert len(q) == 51
+    assert "graph_rank_entities" in q
 
 
 def test_branch_tagged_entries_expose_expected_branches(spark):

@@ -58,6 +58,32 @@ def test_load_psl_parses_dat_format():
     assert private == ["uk.com"]
 
 
+def test_load_psl_keeps_unmarked_rules_after_end_marker(tmp_path):
+    """Rules outside any marked section are unconditionally kept — both
+    before the first BEGIN and after the last END (ADVICE r7: a custom
+    rule appended after the real list's final END marker was silently
+    dropped by the old ENDED state)."""
+    p = tmp_path / "appended.dat"
+    p.write_text(
+        "before-any-section\n"
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\n"
+        "// ===END ICANN DOMAINS===\n"
+        "// ===BEGIN PRIVATE DOMAINS===\n"
+        "uk.com\n"
+        "// ===END PRIVATE DOMAINS===\n"
+        "custom.appended\n",
+        encoding="utf-8",
+    )
+    assert load_psl(str(p)) == [
+        "before-any-section", "com", "uk.com", "custom.appended",
+    ]
+    # section filtering still applies only to MARKED rules
+    assert load_psl(str(p), sections=("ICANN",)) == [
+        "before-any-section", "com", "custom.appended",
+    ]
+
+
 def test_canonical_publicsuffix_vectors(spark):
     """Every checkPublicSuffix vector from the upstream test file."""
     vectors = _parse_vectors(f"{DATA}/psl_tests.txt")

@@ -180,12 +180,17 @@ def passes_repetition_gate(
 
     ``thresholds`` overrides any subset of
     ``GOPHER_REPETITION_DEFAULTS`` (unknown keys raise — a typo'd
-    threshold must not silently leave the default in force). The
-    fractions are the unrounded character-mass ratios; zero-word
-    documents pass (zero repetition mass), leaving emptiness to the
-    quality gate's n_tokens floor. Pure array expressions
-    (ngram_repetition_masses / line_repetition): zero shuffles, no
-    UDFs — a stateless projection at any scale."""
+    threshold must not silently leave the default in force). Every
+    fraction is rounded to 1e-6 BEFORE the comparison — the same
+    convention ``line_repetition`` and the catalog's persisted
+    ``docs_text_profile`` columns use — so this gate and a gate
+    recomputed from those persisted 6-dp columns agree bit-for-bit
+    (ADVICE r7: an unrounded ratio in (T, T+5e-7] would otherwise pass
+    here but fail the profile gate). Zero-word documents pass (zero
+    repetition mass), leaving emptiness to the quality gate's n_tokens
+    floor. Pure array expressions (ngram_repetition_masses /
+    line_repetition): zero shuffles, no UDFs — a stateless projection
+    at any scale."""
     t = dict(GOPHER_REPETITION_DEFAULTS)
     if thresholds:
         unknown = set(thresholds) - set(t)
@@ -202,7 +207,7 @@ def passes_repetition_gate(
     wch = F.length(F.concat_ws("", toks)).cast("double")
 
     def frac(mass: Column) -> Column:
-        return F.when(wch > 0, mass.cast("double") / wch).otherwise(
+        return F.when(wch > 0, F.round(mass.cast("double") / wch, 6)).otherwise(
             F.lit(0.0)
         )
 
@@ -438,11 +443,14 @@ def load_psl(path: str, sections: tuple[str, ...] = ("ICANN", "PRIVATE")) -> lis
                 elif "===BEGIN PRIVATE DOMAINS===" in line:
                     current = "PRIVATE"
                 elif "===END" in line:
-                    current = None if current is None else "ENDED"
+                    # Back to "outside any section": unmarked rules are
+                    # unconditionally kept whether they appear before
+                    # the first marker or after the last END (ADVICE
+                    # r7 — a custom rule appended after the real list's
+                    # final END marker must not be silently dropped).
+                    current = None
                 continue
-            if current == "ENDED" or (
-                current is not None and current not in sections
-            ):
+            if current is not None and current not in sections:
                 continue
             rule = line.split()[0].lstrip(".")
             if rule:

@@ -78,6 +78,10 @@ def build_ann_index(
     import warnings
 
     emb = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    # The projection feeds three full passes (clamp-count, IVF fit, PQ
+    # fit) plus the encode join — persist once so the clamp count is not
+    # an extra uncached scan (ADVICE r7), and reuse it for meta.
+    emb = emb.persist()
     n_vectors = emb.count()
     if n_vectors == 0:
         raise ValueError("build_ann_index: empty training set")
@@ -131,6 +135,7 @@ def build_ann_index(
     codes.write.mode("overwrite").partitionBy("cell").parquet(
         f"{out_dir}/codes.parquet"
     )
+    emb.unpersist()
 
     meta = {
         "id_col": id_col,
@@ -141,7 +146,7 @@ def build_ann_index(
         "sub_dim": int(books[0].shape[1]),
         "seed": seed,
         "store_vectors": store_vectors,
-        "n_vectors": codes.count(),
+        "n_vectors": n_vectors,
     }
     with open(f"{out_dir}/meta.json", "w") as fh:
         json.dump(meta, fh)

@@ -889,10 +889,7 @@ def _trustrank_ctes(iters: int = 4) -> str:
 
 @query(
     "topn_revenue_entities",
-    oracle="WITH"
-    + _pagerank_ctes(4)
-    + _trustrank_ctes(4)
-    + """
+    oracle="""
     SELECT * FROM (
         SELECT 'top_customer_revenue' AS scope,
                c_custkey AS entity_key, c_name AS label_a, n_name AS label_b,
@@ -939,14 +936,32 @@ def _trustrank_ctes(iters: int = 4) -> str:
                ) AS rn
         FROM supplier
     ) WHERE rn = 1
-    UNION ALL
+    """,
+)
+def topn_revenue_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged top-N catalog: global top-20 customers by revenue (J1
+    broadcast dims + T1 TakeOrderedAndProject, reference
+    spark/kafka_to_metrics.py:396-400), TPC-H Q3 shipping priority
+    (pushed filters on all three scans, top-10), keep-best-per-group
+    dedup (T2, scripts/clean_cities_geonames.py:89-90). The fused
+    PageRank/TrustRank arms that rode here through rounds 6-7 moved to
+    their own catalog entry ``graph_rank_entities`` (VERDICT r7 item 4:
+    they made the bench headline double-count ~8 s of graph work that
+    ``graph_suite`` times separately)."""
+    return topn_revenue_entities_base(spark, sf_dir)
+
+
+@query(
+    "graph_rank_entities",
+    oracle="WITH"
+    + _pagerank_ctes(4)
+    + _trustrank_ctes(4)
+    + """
     SELECT 'graph_pagerank' AS scope,
            CAST(substr(node, 3) AS BIGINT) AS entity_key,
            CASE WHEN substr(node, 1, 1) = 'c'
                 THEN 'customer' ELSE 'supplier' END AS label_a,
-           NULL::VARCHAR AS label_b,
-           pr_rank AS metric_value,
-           NULL::BIGINT AS n_orders, NULL::TIMESTAMP AS ref_date
+           pr_rank AS metric_value
     FROM (
         SELECT node, pr_rank FROM pr_r4
         ORDER BY pr_rank DESC, node LIMIT 50
@@ -956,28 +971,29 @@ def _trustrank_ctes(iters: int = 4) -> str:
            CAST(substr(node, 3) AS BIGINT) AS entity_key,
            CASE WHEN substr(node, 1, 1) = 'c'
                 THEN 'customer' ELSE 'supplier' END AS label_a,
-           NULL::VARCHAR AS label_b,
-           pr_rank AS metric_value,
-           NULL::BIGINT AS n_orders, NULL::TIMESTAMP AS ref_date
+           pr_rank AS metric_value
     FROM (
         SELECT node, pr_rank FROM tr_r4
         ORDER BY pr_rank DESC, node LIMIT 50
     ) trtop
     """,
 )
-def topn_revenue_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged top-N catalog: global top-20 customers by revenue (J1
-    broadcast dims + T1 TakeOrderedAndProject, reference
-    spark/kafka_to_metrics.py:396-400), TPC-H Q3 shipping priority
-    (pushed filters on all three scans, top-10), keep-best-per-group
-    dedup (T2, scripts/clean_cities_geonames.py:89-90), plus the fused
-    PageRank/TrustRank arms over the purchase graph. Constituents:
-    topn_revenue_entities_base + supplier_customer_rank_variants."""
-    base = topn_revenue_entities_base(spark, sf_dir)
+def graph_rank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 purchase-graph nodes by fused PageRank and TrustRank
+    (dangling-mass redistribution; TrustRank personalized on the 5
+    highest-acctbal suppliers) — its own driver-oracled entry since
+    round 8 so the bench headline stays additive: the rank variants
+    are timed once, under ``graph_suite``. One ``pagerank_multi`` pass
+    computes BOTH columns (operators/graph.py) — one join + one
+    map-side-combined shuffle per iteration, shared across the two
+    output arms via the scoped persist in
+    ``supplier_customer_rank_variants``."""
+    fused = supplier_customer_rank_variants(spark, sf_dir)
 
-    def rank_arm(ranks: DataFrame, scope: str) -> DataFrame:
+    def rank_arm(rank_col: str, scope: str) -> DataFrame:
         return (
-            ranks.orderBy(F.desc("rank"), "node")
+            fused.select("node", F.col(rank_col).alias("rank"))
+            .orderBy(F.desc("rank"), "node")
             .limit(50)
             .select(
                 F.lit(scope).alias("scope"),
@@ -990,23 +1006,13 @@ def topn_revenue_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .otherwise(F.lit("supplier"))
                 .alias("label_a"),
-                F.lit(None).cast("string").alias("label_b"),
                 F.col("rank").alias("metric_value"),
-                F.lit(None).cast("long").alias("n_orders"),
-                F.lit(None).cast("timestamp_ntz").alias("ref_date"),
             )
         )
 
-    fused = supplier_customer_rank_variants(spark, sf_dir)
-    pr = rank_arm(
-        fused.select("node", F.col("rank_pr").alias("rank")),
-        "graph_pagerank",
+    return rank_arm("rank_pr", "graph_pagerank").unionByName(
+        rank_arm("rank_tr", "graph_trustrank")
     )
-    tr = rank_arm(
-        fused.select("node", F.col("rank_tr").alias("rank")),
-        "graph_trustrank",
-    )
-    return base.unionByName(pr).unionByName(tr)
 
 
 def topn_revenue_entities_base(spark: SparkSession, sf_dir: str) -> DataFrame:
