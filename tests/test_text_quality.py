@@ -1617,6 +1617,67 @@ def test_cap_per_key_per_domain(spark):
     assert kept == [0, 2, 4, 5]
 
 
+def test_curate_cli_cap_key_regdomain(spark, tmp_path, capsys, monkeypatch):
+    """--mode curate --cap-per-domain --cap-key regdomain (VERDICT r6
+    item 6 / r7 item 3): under the PSL key two *.github.io publishers
+    get SEPARATE caps, while the raw-host heuristic key pools them
+    under one github.io cap; --psl swaps the rule set and observably
+    changes the keying."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import run_pipeline
+
+    # 6 docs each from two github.io publishers + example.com; texts
+    # are irrelevant to the cap (it runs FIRST) — stats['docs'] is the
+    # post-cap corpus entering the chain.
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    body = (
+        "Sunny beaches and quiet mountain trails make this island a "
+        "favorite for travelers seeking calm weather in spring %d."
+    )
+    with open(docs_dir / "part-0.jsonl", "w") as fh:
+        for i in range(18):
+            host = ["alice.github.io", "bob.github.io", "example.com"][i % 3]
+            fh.write(json.dumps({
+                "doc_id": i,
+                "text": body % i,
+                "url": f"https://{host}/post/{i}",
+            }) + "\n")
+
+    runs = iter(range(10))
+
+    def run(extra):
+        out = str(tmp_path / f"out{next(runs)}")
+        monkeypatch.setattr(sys, "argv", [
+            "run_pipeline.py", "--mode", "curate", "--path", str(docs_dir),
+            "--out", out, "--cap-per-domain", "2", *extra,
+        ])
+        run_pipeline.main()
+        line = [
+            ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith(">>> curated;")
+        ][0]
+        return int(line.split(";")[1].split()[0])  # docs entering chain
+
+    # regdomain: github.io is a PRIVATE-section suffix in the built-in
+    # snapshot -> alice/bob are distinct registrable domains: 3 keys.
+    assert run(["--cap-key", "regdomain"]) == 6
+    # raw-host heuristic key: alice/bob both reduce to github.io: 2 keys.
+    assert run(["--cap-key", "domain"]) == 4
+    # --psl with a rule list where github.io is NOT a suffix (only io):
+    # both publishers share registrable domain github.io again: 2 keys.
+    psl = tmp_path / "tiny.dat"
+    psl.write_text("// ===BEGIN ICANN DOMAINS===\nio\ncom\n"
+                   "// ===END ICANN DOMAINS===\n", encoding="utf-8")
+    assert run(["--cap-key", "regdomain", "--psl", str(psl)]) == 4
+
+
 def test_dsir_importance_and_ppl_buckets_semantics(spark):
     """DSIR importance weighting + CCNet perplexity bucketing (round
     5): a doc made of trusted-corpus vocabulary scores a HIGHER

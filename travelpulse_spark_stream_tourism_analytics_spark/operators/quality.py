@@ -99,7 +99,10 @@ def cap_per_key(
     ``functions.text.registrable_domain`` (round 6: full
     publicsuffix.org rule semantics incl. the PRIVATE-section
     registries, so every *.github.io user counts as their own domain
-    instead of pooling under one cap). One shuffle on the key; the rank is
+    instead of pooling under one cap; round 8: both keys are wired
+    through the curate CLI — ``run_pipeline.py --mode curate
+    --cap-per-domain K --cap-key domain|regdomain [--psl DAT]``).
+    One shuffle on the key; the rank is
     a per-key window, so a mega-domain serializes within its one task
     — acceptable because the cap itself bounds what survives and the
     window carries only the ordering columns. For adversarial
