@@ -169,24 +169,33 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
 
-    def time_query(fn) -> float:
+    def time_runs(fn, n: int = 3) -> list[float]:
+        """Per-run wall times, full materialization each run. Caches
+        are cleared AFTER the n runs (not between): run 1 is the
+        cold/codegen number, later runs the steady state — the per-run
+        ARRAY (VERDICT r7 items 1/8) is what lets a reader separate a
+        real regression from one noisy sample or a codegen-compile
+        first hit."""
         runs = []
-        for _ in range(3):  # min-of-3: steady-state, noise-resistant
+        for _ in range(n):
             t0 = time.perf_counter()
             _rows = len(fn(spark, sf_dir).collect())  # full materialization
-            runs.append(time.perf_counter() - t0)
+            runs.append(round(time.perf_counter() - t0, 3))
         spark.catalog.clearCache()  # release per-query persisted lineages
-        return round(min(runs), 3)
+        return runs
 
     timings: dict[str, float] = {}
+    runs_by_query: dict[str, list[float]] = {}
     constituents: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = EXTRA.get(name) or catalog[name]
-        timings[name] = time_query(fn)
+        runs_by_query[name] = time_runs(fn)
+        timings[name] = min(runs_by_query[name])  # min-of-3: steady state
         parts = CONSTITUENTS.get(name)
         if parts:
             constituents[name] = {
-                attr: time_query(getattr(mod, attr)) for mod, attr in parts
+                attr: min(time_runs(getattr(mod, attr)))
+                for mod, attr in parts
             }
         if name in BRANCHES:
             from pyspark.sql import functions as F
@@ -194,9 +203,9 @@ def main() -> None:
             col, tags = BRANCHES[name]
             constituents.setdefault(name, {}).update(
                 {
-                    tag: time_query(
+                    tag: min(time_runs(
                         lambda s, d, t=tag: fn(s, d).filter(F.col(col) == t)
-                    )
+                    ))
                     for tag in tags
                 }
             )
@@ -211,11 +220,30 @@ def main() -> None:
     # index stages, production fingerprint width).
     from bench_stream import parse_window_agg_throughput
 
-    stream_row = parse_window_agg_throughput(
-        spark,
-        n_days=int(os.environ.get("STREAM_BENCH_DAYS", "10")),
-        per_day=int(os.environ.get("STREAM_BENCH_EVENTS_PER_DAY", "4000")),
-    )
+    # Median-of-N with the full per-run distribution (VERDICT r7 item
+    # 1): a single-point stream row cannot distinguish a real
+    # regression from startup noise — the ~4 s measurement window
+    # includes per-query fixed costs (checkpoint dir, offset log,
+    # planning), so individual runs jitter hard.
+    n_stream_runs = int(os.environ.get("STREAM_BENCH_RUNS", "5"))
+    stream_runs = [
+        parse_window_agg_throughput(
+            spark,
+            n_days=int(os.environ.get("STREAM_BENCH_DAYS", "10")),
+            per_day=int(os.environ.get("STREAM_BENCH_EVENTS_PER_DAY", "4000")),
+        )
+        for _ in range(n_stream_runs)
+    ]
+    rates = sorted(r["events_per_sec"] for r in stream_runs)
+    stream_row = {
+        "events_per_sec": rates[len(rates) // 2],  # median
+        "events_per_sec_min": rates[0],
+        "events_per_sec_max": rates[-1],
+        "runs": [r["events_per_sec"] for r in stream_runs],
+        "events": stream_runs[0]["events"],
+        "elapsed_sec": [r["elapsed_sec"] for r in stream_runs],
+        "result_rows": stream_runs[0]["result_rows"],
+    }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -225,6 +253,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs_by_query,
                 "constituents": constituents,
                 "stream": stream_row,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -181,8 +181,10 @@ def test_full_size_rule_list(spark):
 @pytest.mark.parametrize("n_docs", [400])
 def test_full_size_rule_list_throughput(spark, n_docs):
     """Per-row cost with the full-size map on a wider column — the
-    bench-note measurement VERDICT r6 item 3 asked for (recorded in
-    COVERAGE.md round-7 notes)."""
+    bench-note measurement VERDICT r6 item 3 asked for (numbers
+    recorded in COVERAGE.md "Round 7 additions": plan build ~9-13 s
+    one-time, per-row marginal negligible — 400 vs 4,000 rows is
+    flat)."""
     rules = _synthetic_full_list()
     df = spark.range(n_docs).select(
         F.concat(
