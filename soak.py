@@ -219,7 +219,10 @@ def ann_recall_curve(
     at the production operating point — AUTO-SIZED cells
     (max(16, sqrt(N)), the FAISS guideline; the first SOAK_r6 run
     caught a fixed 16-cell quantizer degrading the half-width probing
-    CEILING itself to 0.795 at 20k vectors), 8-bit PQ codebooks,
+    CEILING itself to 0.795 at 20k vectors), 8-bit PQ codebooks with
+    AUTO-SIZED subspaces (~4 dims each — round 8: m=8's 8-dim
+    subspaces left full-probe recall stuck at 0.89 at sf1 because PQ
+    noise drowned the neighbor distance gaps; see build_ann_index),
     rerank = 40x k — takes 20 corpus vectors as queries, and sweeps
     the probe width across fixed FRACTIONS of the cell count (so the
     curve is comparable across corpus sizes). The curve is the index's
@@ -244,7 +247,7 @@ def ann_recall_curve(
     idx = tempfile.mkdtemp(prefix="soak_ann_")
     try:
         meta = build_ann_index(
-            emb, idx, n_cells=n_cells, m=8, k_codes=k_codes
+            emb, idx, n_cells=n_cells, m=None, k_codes=k_codes
         )
         queries = (
             emb.orderBy("vec_id")
@@ -293,6 +296,7 @@ def ann_recall_curve(
         return {
             "n_vectors": meta["n_vectors"],
             "n_cells": built_cells,
+            "m": meta["m"],
             "rerank": rerank,
             "recall_at_10": curve,
         }
