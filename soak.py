@@ -405,6 +405,145 @@ def curate_quality_gap(spark, sf_dir: str) -> dict:
     }
 
 
+def season_score_livefire_soak(
+    spark, work_dir: str, n_days: int = 120, per_day: int = 500
+) -> dict:
+    """Season-score LIVE FIRE (round 8, VERDICT r6 item 8 / r7 item 2):
+    the seeded simulator generates a multi-SEASON wire corpus (120
+    days spans winter->spring->summer), the FULL production topology —
+    build_all_queries' 16 streaming queries, including the two-phase
+    season score (three complete-mode snapshot aggs + batch scoring
+    stage) — drains it at timewarp (availableNow replays ~4 months in
+    seconds), and the streamed score is compared against a straight
+    BATCH recomputation of the same math over the same raw events.
+    The contract is ZERO divergence at the 1e-6 gauge rounding, every
+    score in [0, 100], and the sink actually carrying
+    tourism_season_score gauges. This is the scaled, whole-topology
+    form of test_two_phase_season_score_matches_batch (which drives a
+    3-day fixture through the scorer's three queries alone)."""
+    import datetime as dt
+    import shutil
+
+    from run_pipeline import CITY_DIM_ROWS
+    from travelpulse_spark_stream_tourism_analytics_spark.schemas import (
+        BOOKING_SCHEMA,
+        CITY_DIM_SCHEMA,
+        FLIGHT_SCHEMA,
+        WEATHER_SCHEMA,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming import kpis
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.parse import (
+        enrich_bookings,
+        parse_events,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.pipeline import (
+        build_all_queries,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.simulator import (
+        simulate,
+        write_wire_fixture,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.sinks import (
+        MemoryMetricSink,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.streaming.sources import (
+        file_batch,
+        file_stream,
+    )
+
+    shutil.rmtree(work_dir, ignore_errors=True)
+    os.makedirs(work_dir, exist_ok=True)
+    events = simulate(dt.datetime(2024, 1, 1), n_days, per_day, seed=7)
+    n_shards = 8
+    for kind in ("weather", "flight", "booking"):
+        for i in range(n_shards):
+            write_wire_fixture(
+                events[kind][i::n_shards],
+                os.path.join(work_dir, "wire", kind, f"part-{i}.json"),
+            )
+
+    wires = {
+        kind: file_stream(spark, os.path.join(work_dir, "wire", kind))
+        for kind in ("weather", "flight", "booking")
+    }
+    weather = parse_events(wires["weather"], WEATHER_SCHEMA)
+    flights = parse_events(wires["flight"], FLIGHT_SCHEMA)
+    bookings = parse_events(wires["booking"], BOOKING_SCHEMA)
+    city_dim = spark.createDataFrame(CITY_DIM_ROWS, CITY_DIM_SCHEMA)
+    sink = MemoryMetricSink()
+
+    t0 = time.perf_counter()
+    queries, scorer = build_all_queries(
+        spark, weather, flights, bookings, city_dim, sink,
+        checkpoint_root=os.path.join(work_dir, "chk"),
+        staging_dir=os.path.join(work_dir, "staging"),
+        trigger={"availableNow": True},
+    )
+    drained = True
+    try:
+        for q in queries:
+            drained = q.awaitTermination(900) and drained
+    finally:
+        for q in queries:
+            if q.isActive:
+                q.stop()
+    elapsed = time.perf_counter() - t0
+
+    streamed = {
+        (r["city_id"], r["season"]): round(r["season_score"], 6)
+        for r in scorer.score_batch().collect()
+    }
+
+    # Straight batch recomputation over the identical raw wire files.
+    b = enrich_bookings(
+        parse_events(
+            file_batch(spark, os.path.join(work_dir, "wire", "booking")),
+            BOOKING_SCHEMA,
+        )
+    )
+    w = parse_events(
+        file_batch(spark, os.path.join(work_dir, "wire", "weather")),
+        WEATHER_SCHEMA,
+    )
+    f = parse_events(
+        file_batch(spark, os.path.join(work_dir, "wire", "flight")),
+        FLIGHT_SCHEMA,
+    ).withColumnRenamed("destination_city_id", "city_id")
+    bcs, wcs, fcs = kpis.season_city_stats(b, w, f)
+    batch = {
+        (r["city_id"], r["season"]): round(r["season_score"], 6)
+        for r in kpis.season_score(bcs, wcs, fcs).collect()
+    }
+
+    diverged = {
+        k: (streamed.get(k), batch.get(k))
+        for k in set(streamed) | set(batch)
+        if streamed.get(k) != batch.get(k)
+    }
+    n_events = sum(len(events[k]) for k in events)
+    shutil.rmtree(work_dir, ignore_errors=True)
+    return {
+        "n_events": n_events,
+        "n_days": n_days,
+        "n_queries": len(queries),
+        "drained": bool(drained),
+        "elapsed_sec": round(elapsed, 1),
+        "events_per_sec": round(n_events / elapsed, 1),
+        "score_cells": len(streamed),
+        "divergent_cells": len(diverged),
+        "divergence_sample": dict(list(
+            {str(k): v for k, v in diverged.items()}.items()
+        )[:5]),
+        "scores_in_range": all(0.0 <= v <= 100.0 for v in streamed.values()),
+        "sink_has_season_gauges": any(
+            "tourism_season_score" in k for k in sink.latest()
+        ),
+        "zero_divergence": (
+            bool(drained) and len(streamed) > 0 and not diverged
+        ),
+    }
+
+
 def streaming_dedup_soak(
     spark, work_dir: str, n_batches: int = 20, docs_per_batch: int = 200
 ) -> dict:
@@ -598,6 +737,23 @@ def main() -> None:
         flush=True,
     )
 
+    # Round 8: season-score live fire — full 16-query topology at
+    # timewarp over a 4-month simulated corpus, streamed score vs
+    # batch recomputation, zero divergence required.
+    result["season_livefire"] = season_score_livefire_soak(
+        spark, os.path.join(args.data_dir, "_season_livefire")
+    )
+    print(
+        "season-score live fire:",
+        json.dumps(result["season_livefire"]),
+        flush=True,
+    )
+    if not result["season_livefire"]["zero_divergence"] or not (
+        result["season_livefire"]["sink_has_season_gauges"]
+        and result["season_livefire"]["scores_in_range"]
+    ):
+        anomalies.append("season_livefire")
+
     # Round 5: the fuzzy curate chain's QUALITY claim, measured — the
     # kept canonical docs must out-score the near-dup losers they
     # replaced, and no cluster may keep a non-maximal member.
@@ -613,8 +769,11 @@ def main() -> None:
             anomalies.append(f"curate_quality:{sf_name}")
 
     # Round 6: the ANN index's recall-vs-probe-width contract at scale
-    # (VERDICT r5 item 5) — the test floor is 0.8 at half-width
-    # probing; the soak pins the whole curve at both corpus sizes.
+    # (VERDICT r5 item 5) — the soak pins the whole curve at both
+    # corpus sizes. Round 8 raised the floors to the auto-m operating
+    # point (VERDICT r7 item 3): full-probe recall@10 >= 0.95 and
+    # half-width >= 0.87 (measured 1.0 / 0.955 at sf1 after the ~4-dim
+    # subspace fix; the old m=8 plateaued at 0.89 full-probe).
     result["ann_recall"] = {}
     for sf_name, d in (("sf0.1", SF01), ("sf1", args.data_dir)):
         curve = ann_recall_curve(spark, d)
@@ -623,11 +782,15 @@ def main() -> None:
         half = curve["recall_at_10"].get(
             str(max(1, round(curve["n_cells"] * 0.5)))
         )
-        if half is not None and half < 0.8:
+        full = curve["recall_at_10"].get(str(curve["n_cells"]))
+        if (half is not None and half < 0.87) or (
+            full is not None and full < 0.95
+        ):
             anomalies.append(f"ann_recall:{sf_name}")
 
     result["anomalies"] = anomalies
     result["notes"] = [
+        "round 8: the ANN sf1 full-probe plateau (r6 action item) is FIXED — the dominant term was PQ subspace width, not k-means quality (mse 0.307 regardless of init/iterations at m=8; 0.093 at m=16) nor rerank budget alone (recall climbed 0.89->1.0 only by rerank 200x k at m=8); build_ann_index now auto-sizes m to ~4-dim subspaces and the soak floors rose to full>=0.95 / half>=0.87. New season_livefire section: the full 16-query topology drains a 4-month simulated corpus at timewarp and the streamed two-phase season score must equal the batch recomputation with zero divergence at gauge rounding.",
         "round 6: the first SOAK_r6 run RECORDED an ann_recall:sf1 anomaly (recall@10 0.675 at half-width probing, 20k vectors) — diagnosis separated the probing ceiling (0.795: the FIXED 16-cell coarse quantizer was too coarse at 10x the corpus) from ADC-shortlist starvation; the fix is FAISS-style auto-sizing (n_cells = max(16, sqrt(N)), now the build_ann_index/--cells default) plus rerank 40x k, after which the half-width point measures 0.865 at sf1 / 0.965 at sf0.1. The kept ann_recall section is the post-fix re-run of the same harness.",
         "round 6 totals are again not per-entry comparable to SOAK_r5: the same 50 catalog names run strictly more work (kcore_14 + hb_* HyperBall arms in nation_key_set_ops — fixed 25-node graph, so their cost is scale-invariant iterative overhead; Gopher repetition masses in docs_text_profile — two extra array_sort folds per document). graph_suite joins the EXTRA surfaces timed at both scales.",
         "round 5 totals are again not per-entry comparable to SOAK_r4: the same 50 catalog names run strictly more work (new oracled branches: color_jpeg in multimodal_blob_pipeline, psi grains in event_time_profiles, cmsketch + bpe_pair in docs_top_terms, split_* in docs_dedup_clusters, pca2w in embedding_label_centroids, and the END-TO-END curated chain folded into docs_chunked). The curate_quality section records the fuzzy chain's kept-vs-dropped quality gap (per-cluster winner==max must have 0 violations; pooled means are informational — per-cluster argmax admits Simpson-style pooled inversions).",
