@@ -220,6 +220,32 @@ def test_merged_topn_keeps_take_ordered(spark):
     assert "GlobalSort" not in plan
 
 
+def test_graph_rank_entities_shares_one_fused_computation(spark):
+    """The round-8 split-out entry must not UNDO the fused-rank win:
+    both output arms (graph_pagerank + graph_trustrank) read the ONE
+    scoped-persisted pagerank_multi result — the second arm's subtree
+    is an InMemoryTableScan over the same cache, never a second
+    4-iteration rank lineage."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators._cache import (
+        clear_operator_caches,
+    )
+
+    spark.catalog.clearCache()
+    clear_operator_caches()
+    try:
+        plan = plan_of(spark, "graph_rank_entities")
+        # two arms, both served from the persisted fused result
+        assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+        # the expensive rank lineage (per-iteration joins + decimal
+        # aggs) must sit INSIDE the cached relation: the outer plan
+        # holds only the cache scans, top-50 sorts, and the union
+        tree = plan.split("== Physical Plan ==")[1]
+        outer = tree.split("InMemoryRelation")[0]
+        assert "decimal(38,0)" not in outer
+    finally:
+        clear_operator_caches()
+
+
 def test_merged_geo_rollups_broadcast_dims(spark):
     """Both branches (region revenue + Q5) keep their dimension
     broadcasts after the merge."""
