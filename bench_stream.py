@@ -97,7 +97,16 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="tp_stream_bench_")
     try:
         spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
-        stage1 = parse_window_agg_throughput(spark, n_days, per_day)
+        # Median-of-N with the per-run distribution, same convention as
+        # bench.py's stream row (VERDICT r7 item 1): a single ~seconds
+        # sample includes fixed startup/codegen costs and jitters ~2x.
+        n_runs = int(os.environ.get("STREAM_BENCH_RUNS", "3"))
+        stage1_runs = [
+            parse_window_agg_throughput(spark, n_days, per_day)
+            for _ in range(n_runs)
+        ]
+        by_rate = sorted(stage1_runs, key=lambda r: r["events_per_sec"])
+        stage1 = by_rate[len(by_rate) // 2]  # median run
         n_events, elapsed = stage1["events"], stage1["elapsed_sec"]
         out_rows = [None] * stage1["result_rows"]  # count-only reporting
 
@@ -204,8 +213,9 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": "stream_parse_window_agg_events_per_sec",
-                    "value": round(n_events / elapsed, 1),
+                    "value": stage1["events_per_sec"],
                     "unit": "events/sec",
+                    "runs": [r["events_per_sec"] for r in stage1_runs],
                     "events": n_events,
                     "elapsed_sec": round(elapsed, 3),
                     "result_rows": len(out_rows),
