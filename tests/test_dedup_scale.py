@@ -979,3 +979,80 @@ def test_incremental_ingest_composes_with_image_fingerprints(spark):
     got = {r["doc_id"]: (r["is_dup"], r["dup_of"]) for r in v2.collect()}
     assert got[10] == (True, 0)   # day-2 re-encode vs day-1 index
     assert got[11] == (False, None)
+
+
+def _emb_vectors(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", similarity.as_double_vec(F.col("embedding")).alias("v")
+    )
+
+
+def _seeded_cells(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+
+
+def test_ivf_knn_graph_full_probe_equals_brute_force(spark):
+    """The kNN-graph contract anchor: probing EVERY cell must reproduce
+    brute-force top-k bit-for-bit — same neighbors, same rounded
+    cosines — because each corpus vector lives in exactly one cell and
+    a full-width probe meets all of them exactly once."""
+    emb = _emb_vectors(spark)
+    cents = _seeded_cells(emb)
+    got = {
+        (r["vec_id"], r["neighbor_id"], r["cosine"])
+        for r in similarity.ivf_knn_graph(
+            emb, "vec_id", "v", cents, k=5, n_probe=8
+        ).collect()
+    }
+    queries = emb.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    want = {
+        (r["q_id"], r["neighbor_id"], r["cosine"])
+        for r in similarity.brute_force_knn(
+            emb, queries, "vec_id", "q_id", "v", k=5
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ivf_knn_graph_narrow_probe_recall_and_plan(spark):
+    """n_probe=2 of 8: the graph stays deterministic, never goes
+    through a cross join (the whole point — the equi-join on cell is
+    what survives 100x), and keeps usable recall against the exact
+    graph on the fixture corpus."""
+    emb = _emb_vectors(spark)
+    cents = _seeded_cells(emb)
+    g = similarity.ivf_knn_graph(emb, "vec_id", "v", cents, k=5, n_probe=2)
+    plan = _plan_of(g)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    rows = g.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    assert all(len(v) <= 5 for v in got.values())
+    # determinism
+    again = {}
+    for r in g.collect():
+        again.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    assert got == again
+
+    queries = emb.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    exact = {}
+    for r in similarity.brute_force_knn(
+        emb, queries, "vec_id", "q_id", "v", k=5
+    ).collect():
+        exact.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    recall = sum(
+        len(got.get(q, set()) & nbrs) / len(nbrs) for q, nbrs in exact.items()
+    ) / len(exact)
+    # 2-of-8 seeded (non-fitted) cells on the synthetic corpus: the
+    # floor is deliberately conservative — the contract is the exact
+    # full-probe anchor above; this pins that narrow probing remains
+    # USEFUL, not a precise recall SLA
+    assert recall >= 0.35, recall
+
+    with pytest.raises(ValueError, match="n_probe"):
+        similarity.ivf_knn_graph(emb, "vec_id", "v", cents, n_probe=9)

@@ -383,6 +383,124 @@ def ivf_knn(
     )
 
 
+def ivf_knn_graph(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """``(id, neighbor_id, cosine)`` — the top-k cosine neighbors of
+    EVERY corpus vector (the kNN GRAPH), distributed end-to-end.
+
+    ``brute_force_knn``/``ivf_knn`` collect-and-broadcast their query
+    set — right for serving a handful of probes, structurally wrong
+    when the query set IS the corpus (SemDedup clustering, kNN-graph
+    community detection, per-document nearest-neighbor features at
+    100 TB). Here nothing about the corpus is ever collected:
+
+    * ``centroids`` is the usual tiny-quantizer contract ((cell_id,
+      sv) rows — the seeded lowest-id set for oracle parity, an
+      ``ivf_index`` model's centers in production) and rides as PLAN
+      CONSTANTS;
+    * each vector's own cell AND its ``n_probe`` nearest cells are
+      pure PROJECTIONS — ``array_sort`` over per-centroid
+      (cosine, -cell) structs, the :func:`semantic_dedup` argmax
+      generalized to top-n; row self-norms computed once;
+    * the corpus side holds each vector ONCE, keyed by its own cell;
+      the query side replicates each vector into its ``n_probe``
+      probe cells; an equi-join on cell + a per-query top-k window
+      gives the graph. Shuffle cost: one hash shuffle per side on
+      cell plus the window's — never an all-pairs cross join, and a
+      corpus vector can meet a query at most once (it lives in
+      exactly one cell), so no pair dedup is needed.
+
+    ``n_probe = |centroids|`` degrades to EXACT brute force (every
+    query meets every corpus vector) — pinned bit-for-bit against
+    ``brute_force_knn`` in tests; narrower probes trade recall for
+    the ~n_cells/n_probe join shrink exactly like ``ivf_knn``.
+    Cosine is rounded 1e-6 BEFORE ranking with a neighbor-id
+    tiebreak — deterministic and engine-portable. Mega-cell skew is
+    the :func:`semantic_dedup_assigned` story: size the quantizer
+    ~n/target_cell_size; a saturated cell is tileable with the
+    blocked pair machinery."""
+    from pyspark.sql.window import Window
+
+    cents = centroids.select("cell_id", "sv").collect()
+    if not cents:
+        raise ValueError("ivf_knn_graph: empty centroid set")
+    if not 1 <= n_probe <= len(cents):
+        raise ValueError(
+            f"ivf_knn_graph: n_probe must be in [1, {len(cents)}], "
+            f"got {n_probe}"
+        )
+    # descending (cosine, -cell) structs: element 1 is the vector's own
+    # cell (same convention as semantic_dedup's array_max), the first
+    # n_probe are its probe set
+    ranked_cells = F.reverse(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        cosine(
+                            F.col(vec_col),
+                            F.array(*[F.lit(float(x)) for x in row["sv"]]),
+                            norm_a=F.col("__nv"),
+                        ).alias("c"),
+                        F.lit(-int(row["cell_id"])).alias("neg_cell"),
+                    )
+                    for row in cents
+                ]
+            )
+        )
+    )
+    base = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nv"),
+    ).withColumn("__cells", ranked_cells)
+    corpus_side = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col("__nv").alias("__cn"),
+        (-F.element_at("__cells", 1)["neg_cell"]).cast("long").alias("__cell"),
+    )
+    query_side = base.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        F.col("__nv").alias("__qn"),
+        F.explode(
+            F.transform(
+                F.slice("__cells", 1, n_probe),
+                lambda s: (-s["neg_cell"]).cast("long"),
+            )
+        ).alias("__cell"),
+    )
+    scored = (
+        corpus_side.join(query_side, "__cell")
+        .filter(F.col("neighbor_id") != F.col("__qid"))
+        .select(
+            F.col("__qid").alias(id_col),
+            "neighbor_id",
+            cosine(
+                F.col("__qv"),
+                F.col("__cv"),
+                norm_a=F.col("__qn"),
+                norm_b=F.col("__cn"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     id_col: str,
