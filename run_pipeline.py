@@ -652,7 +652,8 @@ def main() -> None:
         "--mode",
         choices=["kpis", "dedup", "dedup-batch", "curate", "report",
                  "train-classifier", "train-bpe", "compact",
-                 "build-ann-index", "ann-search", "centrality"],
+                 "build-ann-index", "ann-search", "knn-graph",
+                 "centrality"],
         default="kpis",
         help="kpis: the 16-query tourism topology; dedup: streaming "
         "document near-dup verdicts (--path is a JSONL docs dir, "
@@ -665,7 +666,11 @@ def main() -> None:
         "health JSON over a documents dir (--path; --out optional); "
         "compact: rewrite a small-file parquet dir (--path) into "
         "target-sized files (--out, --target-mb, optional --sort-by "
-        "for a range-clustered stats-pruning layout)",
+        "for a range-clustered stats-pruning layout); knn-graph: "
+        "top-k cosine neighbors for EVERY vector of an embeddings "
+        "table (--path) using an ann index's IVF centroids as the "
+        "quantizer (--index), edges to --out — fully distributed, "
+        "no driver-side query collect",
     )
     ap.add_argument(
         "--cells", type=int, default=0,
@@ -999,6 +1004,41 @@ def main() -> None:
             f">>> ann search done; {n} (query, neighbor) rows "
             f"(k={args.k}, n_probe={args.n_probe}, "
             f"rerank={args.rerank}) -> {args.out}"
+        )
+        return
+
+    if args.mode == "knn-graph":
+        if not args.path or not args.out or not args.index:
+            ap.error(
+                "--mode knn-graph requires --path (embeddings "
+                "parquet/dir), --index (an ann index dir — its IVF "
+                "centroids are the quantizer) and --out (graph parquet)"
+            )
+        from pyspark.sql import functions as F
+
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+            as_double_vec,
+            ivf_knn_graph,
+        )
+
+        table = os.path.join(args.path, "embeddings.parquet")
+        emb_raw = spark.read.parquet(
+            table if os.path.exists(table) else args.path
+        )
+        emb = emb_raw.select(
+            "vec_id", as_double_vec(F.col("embedding")).alias("v")
+        )
+        cents = spark.read.parquet(
+            os.path.join(args.index, "centroids.parquet")
+        ).select(F.col("cell").alias("cell_id"), F.col("center").alias("sv"))
+        graph = ivf_knn_graph(
+            emb, "vec_id", "v", cents, k=args.k, n_probe=args.n_probe
+        )
+        graph.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(
+            f">>> knn graph built; {n} (vector, neighbor) edges "
+            f"(k={args.k}, n_probe={args.n_probe}) -> {args.out}"
         )
         return
 

@@ -222,6 +222,45 @@ def test_ann_cli_build_and_search(spark, tmp_path, capsys, monkeypatch):
     assert set(res.columns) == {"qid", "neighbor_id", "adc_dist"}
 
 
+def test_knn_graph_cli_uses_index_centroids(spark, tmp_path, capsys, monkeypatch):
+    """Production path: --mode knn-graph composes the persisted ann
+    index's IVF centroids (the already-fitted quantizer) with
+    similarity.ivf_knn_graph — every corpus vector gets k edges, all
+    ids covered, no query table needed."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import run_pipeline
+
+    idx = str(tmp_path / "idx_g")
+    out = str(tmp_path / "graph")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "build-ann-index",
+         "--path", "/root/testdata/sf0.001", "--out", idx,
+         "--cells", "8", "--pq-m", "8", "--pq-codes", "16"],
+    )
+    run_pipeline.main()
+    capsys.readouterr()
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "knn-graph",
+         "--path", "/root/testdata/sf0.001", "--index", idx,
+         "--out", out, "--k", "5", "--n-probe", "8"],
+    )
+    run_pipeline.main()
+    assert ">>> knn graph built; " in capsys.readouterr().out
+    g = spark.read.parquet(out)
+    assert set(g.columns) == {"vec_id", "neighbor_id", "cosine"}
+    per_id = {
+        r["vec_id"]: r["n"]
+        for r in g.groupBy("vec_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(per_id) == 500  # every vector has neighbors at full probe
+    assert all(n == 5 for n in per_id.values())
+
+
 def test_ann_incremental_add_equals_frozen_model_bulk(spark, tmp_path):
     """add_to_ann_index encodes under the FROZEN model: building on the
     first half then adding the second half yields exactly the search
