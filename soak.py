@@ -304,6 +304,62 @@ def ann_recall_curve(
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def knn_graph_soak(spark, sf_dir: str, k: int = 10) -> dict:
+    """Scale row for the distributed kNN graph (round 8): fit the
+    auto-sized IVF quantizer over the corpus's embeddings, build the
+    eighth-width-probe graph for EVERY vector (the SemDedup/cluster
+    primitive — no driver-side query collect), and record wall, edge
+    count and vertex coverage. The exactness contract lives in
+    tests (full probe == brute force bit-for-bit); this row is the
+    10x-data scaling evidence: work is Σ_cells |cell| x |probes into
+    cell| — cell count grows ~sqrt(N), so per-vector join width is
+    ~N/sqrt(N) x probe_frac and total work stays well under
+    all-pairs."""
+    import numpy as np  # noqa: F401  (parity with sibling soak entries)
+
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        as_double_vec,
+        ivf_index,
+        ivf_knn_graph,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    n = emb.count()
+    n_cells = max(16, round(n**0.5))
+    t0 = time.perf_counter()
+    _assigned, model = ivf_index(emb, "vec_id", "v", n_cells=n_cells)
+    cents = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cell_id long, sv array<double>",
+    )
+    n_probe = max(1, n_cells // 8)
+    graph = ivf_knn_graph(emb, "vec_id", "v", cents, k=k, n_probe=n_probe)
+    graph.write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    edges = graph.count()
+    covered = graph.select("vec_id").distinct().count()
+    spark.catalog.clearCache()
+    return {
+        "n_vectors": n,
+        "n_cells": n_cells,
+        "n_probe": n_probe,
+        "k": k,
+        "edges": edges,
+        "vertex_coverage": round(covered / n, 4),
+        "wall_sec": round(wall, 2),
+    }
+
+
 def curate_quality_gap(spark, sf_dir: str) -> dict:
     """Quality assertion for the fuzzy curate chain (VERDICT r4 item
     8): run the near-dup selection through the SAME
@@ -787,6 +843,20 @@ def main() -> None:
             full is not None and full < 0.95
         ):
             anomalies.append(f"ann_recall:{sf_name}")
+
+    # Round 8: the distributed kNN graph's 10x-data scaling row
+    # (exactness is test-pinned; this records wall/coverage at scale).
+    result["knn_graph"] = {}
+    prev_wall = None
+    for sf_name, d in (("sf0.1", SF01), ("sf1", args.data_dir)):
+        row = knn_graph_soak(spark, d)
+        result["knn_graph"][sf_name] = row
+        print(f"knn graph @{sf_name}:", json.dumps(row), flush=True)
+        if row["vertex_coverage"] < 0.99:
+            anomalies.append(f"knn_graph:{sf_name}")
+        if prev_wall is not None and row["wall_sec"] > 2 * 10 * prev_wall:
+            anomalies.append(f"knn_graph:{sf_name}")
+        prev_wall = row["wall_sec"]
 
     result["anomalies"] = anomalies
     result["notes"] = [
