@@ -9,16 +9,52 @@ from tests.conftest import SF_SMOKE
 
 
 def test_catalog_keys_and_size():
-    """queries() and oracle_sql() expose the SAME keys, exactly the 51
-    deliberate entries of the round-8 correctness gate (50 + the
-    graph_rank_entities split-out, VERDICT r7 item 4) — a mismatch or
-    accidental growth would silently change the gate."""
+    """queries() and oracle_sql() expose the SAME keys, exactly 50
+    entries — the driver scores ONLY the first 50 registered queries
+    (CORRECTNESS_r08 proved a 51st registers but silently falls
+    outside the gate, VERDICT r8 item 1), so 50 registered == every
+    registered entry is driver-checked."""
     import __spark_entry__ as E
 
     q, o = E.queries(), E.oracle_sql()
     assert set(q) == set(o)
-    assert len(q) == 51
+    assert len(q) == 50
     assert "graph_rank_entities" in q
+    assert "scalar_aggregates" not in q  # folded into nation_key_set_ops
+
+
+def test_scalar_aggregate_arms_ride_in_nation_key_set_ops(spark):
+    """The retired scalar_aggregates entry's arms (SURVEY A1/A12/T6 +
+    the Q17 subquery) are driver-oracled as scalar_* branches of
+    nation_key_set_ops, and their values equal the standalone
+    constituent functions they fold in."""
+    from travelpulse_spark_stream_tourism_analytics_spark.plans import (
+        relational_queries as R,
+    )
+
+    rows = {
+        r["set_op"]: r["nationkey"]
+        for r in R.nation_key_set_ops(spark, SF_SMOKE)
+        .filter(F.col("set_op").startswith("scalar_"))
+        .collect()
+    }
+    assert set(rows) == {
+        "scalar_n_lineitem",
+        "scalar_n_orders",
+        "scalar_n_parts",
+        "scalar_avg_yearly_1e6",
+        "scalar_n_unique_brand_type",
+    }
+    wide = R.scalar_aggregates(spark, SF_SMOKE).collect()[0]
+    assert rows["scalar_n_lineitem"] == wide["n_lineitem"]
+    assert rows["scalar_n_orders"] == wide["n_orders"]
+    assert rows["scalar_n_parts"] == wide["n_parts"]
+    assert rows["scalar_n_unique_brand_type"] == wide["n_unique_brand_type"]
+    import math
+
+    assert rows["scalar_avg_yearly_1e6"] == math.floor(
+        wide["avg_yearly"] * 1e6
+    )
 
 
 def test_branch_tagged_entries_expose_expected_branches(spark):

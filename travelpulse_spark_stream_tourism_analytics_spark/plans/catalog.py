@@ -138,16 +138,18 @@ def _ensure_registered() -> None:
         relational_queries,
     )
 
-    # Guard against silent catalog growth: every entry must be a
-    # deliberate addition to the driver's correctness gate (ADVICE r2).
-    # Round 8 grew the gate 50 -> 51 (VERDICT r7 item 4: the fused
-    # PageRank/TrustRank arms moved out of topn_revenue_entities into
-    # their own graph_rank_entities entry so the bench headline stays
-    # additive).
-    if len(_QUERIES) > 51:
+    # HARD cap, not a growth reminder: the driver scores ONLY the
+    # first 50 registered queries — a 51st registers fine but silently
+    # falls OUTSIDE the correctness gate (proved by round 8:
+    # graph_rank_entities pushed scalar_aggregates to slot 51 and
+    # CORRECTNESS_r08 contained exactly the first 50 keys; VERDICT r8
+    # item 1). New operator coverage goes into an existing entry as a
+    # branch/tag, never as a 51st registration.
+    if len(_QUERIES) > 50:
         raise RuntimeError(
-            f"catalog has {len(_QUERIES)} queries; adding one must be "
-            "deliberate (it grows the driver correctness gate) — "
-            f"new entries: {list(_QUERIES)[51:]}"
+            f"catalog has {len(_QUERIES)} queries but the driver's "
+            "correctness gate scores only the first 50 registered — "
+            f"entries past the gate: {list(_QUERIES)[50:]}; fold the "
+            "new operator into an existing entry as a tagged branch"
         )
     _REGISTERED = True

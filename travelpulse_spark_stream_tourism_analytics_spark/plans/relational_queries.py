@@ -1560,6 +1560,36 @@ def _nation_hyperball_ctes(max_t: int = 3) -> str:
            || '_' || CAST(reach AS VARCHAR) AS set_op,
            CAST(node AS BIGINT) AS nationkey
     FROM hbh
+    UNION ALL
+    SELECT 'scalar_n_lineitem' AS set_op, count(*) AS nationkey FROM lineitem
+    UNION ALL
+    SELECT 'scalar_n_orders' AS set_op,
+           count(DISTINCT l_orderkey) AS nationkey
+    FROM lineitem
+    UNION ALL
+    SELECT 'scalar_n_parts' AS set_op,
+           count(DISTINCT l_partkey) AS nationkey
+    FROM lineitem
+    UNION ALL
+    SELECT 'scalar_avg_yearly_1e6' AS set_op,
+           CAST(floor(avg_yearly * 1e6) AS BIGINT) AS nationkey
+    FROM (
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / 7.0 AS avg_yearly
+        FROM lineitem
+        JOIN (
+            SELECT l_partkey AS p_key, 0.5 * avg(l_quantity) AS half_avg_qty
+            FROM lineitem GROUP BY l_partkey
+        ) t ON l_partkey = p_key
+        WHERE l_quantity < half_avg_qty
+    )
+    UNION ALL
+    SELECT 'scalar_n_unique_brand_type' AS set_op,
+           count(*) AS nationkey
+    FROM (
+        SELECT p_brand, p_type
+        FROM part GROUP BY 1, 2 HAVING count(*) = 1
+    )
     """,
 )
 def nation_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1640,6 +1670,37 @@ def nation_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("set_op"),
         F.col("node").cast("bigint").alias("nationkey"),
     )
+    # branches set_op='scalar_*' (round 9): the single-row scalar
+    # aggregates folded in from the retired standalone
+    # scalar_aggregates entry (VERDICT r8 item 1 — the driver scores
+    # only the FIRST 50 registered queries, so a 51st entry silently
+    # fell out of the correctness gate). Covers SURVEY A1 (global
+    # count), A12 (distinct-key counts), T6 (exactly-once ambiguity
+    # filter cardinality) and the TPC-H Q17 decorrelated subquery;
+    # values ride in the nationkey column as bigints (avg_yearly is a
+    # cross-engine bit-identical double — decimal(18,2) accumulation —
+    # quantized at 1e-6).
+    scalars = (
+        global_counts(spark, sf_dir)
+        .crossJoin(small_quantity_revenue(spark, sf_dir))
+        .crossJoin(
+            unique_brand_type_parts(spark, sf_dir).agg(
+                F.count("*").alias("n_unique_brand_type")
+            )
+        )
+        .select(
+            F.expr(
+                "stack(5, "
+                "'scalar_n_lineitem', n_lineitem, "
+                "'scalar_n_orders', n_orders, "
+                "'scalar_n_parts', n_parts, "
+                "'scalar_avg_yearly_1e6', "
+                "CAST(floor(avg_yearly * 1e6) AS BIGINT), "
+                "'scalar_n_unique_brand_type', n_unique_brand_type"
+                ") AS (set_op, nationkey)"
+            )
+        )
+    )
     return (
         u.unionByName(i)
         .unionByName(e)
@@ -1647,46 +1708,23 @@ def nation_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(triangles)
         .unionByName(core)
         .unionByName(hb)
+        .unionByName(scalars)
     )
 
 
-@query(
-    "scalar_aggregates",
-    oracle="""
-    SELECT g.n_lineitem, g.n_orders, g.n_parts, s.avg_yearly,
-           u.n_unique_brand_type
-    FROM (
-        SELECT count(*) AS n_lineitem,
-               count(DISTINCT l_orderkey) AS n_orders,
-               count(DISTINCT l_partkey) AS n_parts
-        FROM lineitem
-    ) g,
-    (
-        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                   / 7.0 AS avg_yearly
-        FROM lineitem
-        JOIN (
-            SELECT l_partkey AS p_key, 0.5 * avg(l_quantity) AS half_avg_qty
-            FROM lineitem GROUP BY l_partkey
-        ) t ON l_partkey = p_key
-        WHERE l_quantity < half_avg_qty
-    ) s,
-    (
-        SELECT count(*) AS n_unique_brand_type
-        FROM (
-            SELECT p_brand, p_type
-            FROM part GROUP BY 1, 2 HAVING count(*) = 1
-        )
-    ) u
-    """,
-)
 def scalar_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged single-row aggregates: global + distinct counts (A1/A12,
     reference spark/kafka_to_metrics.py:217-221), the TPC-H Q17
     decorrelated avg-quantity subquery, and the T6 exactly-once
     ambiguity-filter cardinality (scripts/merge_istat_cities.py:58-61).
     Constituents: global_counts + small_quantity_revenue +
-    unique_brand_type_parts above."""
+    unique_brand_type_parts above.
+
+    NOT a registered catalog entry since round 9: the driver scores
+    only the first 50 registered queries and this was slot 51
+    (VERDICT r8 item 1) — its arms are driver-oracled as the
+    ``scalar_*`` branches of :func:`nation_key_set_ops` instead.
+    Kept as a plain function for the wide single-row result shape."""
     g = global_counts(spark, sf_dir)
     s = small_quantity_revenue(spark, sf_dir)
     u = (
