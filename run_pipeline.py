@@ -333,12 +333,30 @@ def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False,
             key = url_domain(F.col("url"))
         else:
             raise ValueError(f"cap_key must be domain|regdomain, got {cap_key!r}")
-        docs = cap_per_key(
-            docs.withColumn("__cap_key", key),
-            "__cap_key",
-            cap_per_domain,
-            order_by=[F.col("doc_id")],
-        ).drop("__cap_key")
+        # Docs with no usable cap key (null url, or a non-URL string
+        # where the extractors yield '') are EXEMPT from the cap: they
+        # are not one publisher, and pooling them under a single
+        # pseudo-domain silently truncates e.g. a 30%-null-url corpus
+        # to K docs (ADVICE r8). Surfaced, not silent.
+        keyed = docs.withColumn("__cap_key", key)
+        keyless = F.col("__cap_key").isNull() | (F.col("__cap_key") == "")
+        n_keyless = keyed.where(keyless).count()
+        if n_keyless:
+            print(
+                f">>> cap-per-domain: {n_keyless} docs carry no usable "
+                "cap key (null url / non-URL string) — exempt from the "
+                "cap, kept uncapped"
+            )
+        docs = (
+            cap_per_key(
+                keyed.where(~keyless),
+                "__cap_key",
+                cap_per_domain,
+                order_by=[F.col("doc_id")],
+            )
+            .unionByName(keyed.where(keyless))
+            .drop("__cap_key")
+        )
     lm_ref = _load_docs(spark, lm_ref_path) if lm_ref_path else None
     model = None
     if classifier_model_path:
@@ -1031,14 +1049,20 @@ def main() -> None:
         cents = spark.read.parquet(
             os.path.join(args.index, "centroids.parquet")
         ).select(F.col("cell").alias("cell_id"), F.col("center").alias("sv"))
+        # Clamp n_probe to the index's cell count (ADVICE r8): the
+        # --n-probe default is documented for ann-search, which clamps
+        # implicitly; a small index must not hard-fail here under the
+        # same defaults.
+        n_cells = cents.count()
+        n_probe = min(args.n_probe, n_cells)
         graph = ivf_knn_graph(
-            emb, "vec_id", "v", cents, k=args.k, n_probe=args.n_probe
+            emb, "vec_id", "v", cents, k=args.k, n_probe=n_probe
         )
         graph.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(
             f">>> knn graph built; {n} (vector, neighbor) edges "
-            f"(k={args.k}, n_probe={args.n_probe}) -> {args.out}"
+            f"(k={args.k}, n_probe={n_probe}) -> {args.out}"
         )
         return
 

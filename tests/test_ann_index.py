@@ -318,3 +318,65 @@ def test_ann_incremental_add_equals_frozen_model_bulk(spark, tmp_path):
                             rerank=50).collect()
     }
     assert a == b
+
+
+def test_knn_graph_cli_clamps_n_probe_to_cell_count(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """ADVICE r8: a small index that works with ann-search (which
+    clamps probes implicitly) must not hard-fail in knn-graph mode
+    when --n-probe exceeds the cell count — the CLI clamps to the
+    quantizer width and reports the clamped value."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import run_pipeline
+
+    idx = str(tmp_path / "idx_c")
+    out = str(tmp_path / "graph_c")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "build-ann-index",
+         "--path", "/root/testdata/sf0.001", "--out", idx,
+         "--cells", "4", "--pq-m", "8", "--pq-codes", "16"],
+    )
+    run_pipeline.main()
+    capsys.readouterr()
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "knn-graph",
+         "--path", "/root/testdata/sf0.001", "--index", idx,
+         "--out", out, "--k", "3", "--n-probe", "16"],
+    )
+    run_pipeline.main()
+    got = capsys.readouterr().out
+    assert ">>> knn graph built; " in got
+    assert "n_probe=4" in got  # clamped from 16 to the 4-cell quantizer
+    g = spark.read.parquet(out)
+    assert g.groupBy("vec_id").count().count() == 500
+
+
+def test_build_ann_index_empty_corpus_raises_without_cache_leak(
+    spark, tmp_path
+):
+    """ADVICE r8: the build persists its projected embeddings before
+    counting — an empty-corpus raise (or any mid-fit failure) must
+    unpersist on the way out, not leak a session-wide cached
+    DataFrame."""
+    import pytest as _pytest
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.ann_index import (
+        build_ann_index,
+    )
+
+    spark.catalog.clearCache()  # session-wide assertion needs a clean slate
+    empty = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 0)
+    )
+    with _pytest.raises(ValueError, match="empty training set"):
+        build_ann_index(empty, str(tmp_path / "idx_e"))
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0

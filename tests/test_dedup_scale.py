@@ -1056,3 +1056,86 @@ def test_ivf_knn_graph_narrow_probe_recall_and_plan(spark):
 
     with pytest.raises(ValueError, match="n_probe"):
         similarity.ivf_knn_graph(emb, "vec_id", "v", cents, n_probe=9)
+
+
+def _graph_rows(df):
+    return {(r[0], r["neighbor_id"], r["cosine"]) for r in df.collect()}
+
+
+def test_ivf_knn_graph_broadcast_matches_plan_bit_for_bit(spark):
+    """The sqrt(N)-cells scale path (VERDICT r8 item 3): the
+    broadcast-numpy cell assignment must reproduce the plan-constant
+    path EXACTLY — same probe sets, same neighbors, same rounded
+    cosines — including under centroid TIES (a duplicated centroid
+    vector under a different cell_id must lose to the smaller id in
+    both paths)."""
+    emb = _emb_vectors(spark)
+    cents = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+    # plant an exact-duplicate centroid (same vector as cell 3, higher
+    # id) so the (cosine DESC, cell_id ASC) tie-break is exercised
+    dup = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(50).cast("long").alias("cell_id"), F.col("v").alias("sv")
+    )
+    cents = cents.unionByName(dup)
+    plan_g = similarity.ivf_knn_graph(
+        emb, "vec_id", "v", cents, k=5, n_probe=3, assignment="plan"
+    )
+    bc_g = similarity.ivf_knn_graph(
+        emb, "vec_id", "v", cents, k=5, n_probe=3, assignment="broadcast"
+    )
+    got_plan, got_bc = _graph_rows(plan_g), _graph_rows(bc_g)
+    assert got_plan == got_bc and len(got_plan) > 0
+    # the broadcast path really is the pandas-UDF plan, the plan path
+    # really is codegen-only
+    assert "ArrowEvalPython" in _plan_of(bc_g)
+    assert "ArrowEvalPython" not in _plan_of(plan_g)
+
+
+def test_ivf_knn_graph_broadcast_full_probe_equals_brute_force(spark):
+    """500 centroids (every corpus vector its own cell — past the
+    auto-switch threshold, so `auto` takes the broadcast path) at full
+    probe width must reproduce brute force bit-for-bit, same contract
+    as the plan path's anchor."""
+    emb = _emb_vectors(spark)
+    cents = emb.select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+    g = similarity.ivf_knn_graph(
+        emb, "vec_id", "v", cents, k=3, n_probe=500, assignment="auto"
+    )
+    assert "ArrowEvalPython" in _plan_of(g)  # auto chose broadcast
+    queries = emb.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    want = _graph_rows(
+        similarity.brute_force_knn(emb, queries, "vec_id", "q_id", "v", k=3)
+    )
+    assert _graph_rows(g) == want and len(want) > 0
+
+
+def test_ivf_knn_graph_assignment_guards(spark):
+    """Input-size guards (VERDICT r8 item 6): the plan-constant path
+    refuses centroid counts past the codegen bound with a pointer to
+    the broadcast path; the centroid collect itself is LIMIT-bounded
+    and refuses implausibly large quantizers instead of OOMing the
+    driver; unknown assignment names raise."""
+    emb = _emb_vectors(spark)
+    many = spark.range(1500).select(
+        F.col("id").cast("int").alias("cell_id"),
+        F.array(F.lit(1.0), F.lit(0.5)).alias("sv"),
+    )
+    with pytest.raises(ValueError, match="broadcast"):
+        similarity.ivf_knn_graph(
+            emb, "vec_id", "v", many, n_probe=2, assignment="plan"
+        )
+    huge = spark.range(200_001).select(
+        F.col("id").cast("int").alias("cell_id"),
+        F.array(F.lit(1.0)).alias("sv"),
+    )
+    with pytest.raises(ValueError, match="two-level"):
+        similarity.ivf_knn_graph(emb, "vec_id", "v", huge, n_probe=2)
+    cents = _seeded_cells(emb)
+    with pytest.raises(ValueError, match="assignment"):
+        similarity.ivf_knn_graph(
+            emb, "vec_id", "v", cents, n_probe=2, assignment="collect"
+        )

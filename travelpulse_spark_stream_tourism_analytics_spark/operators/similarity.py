@@ -16,6 +16,9 @@ from __future__ import annotations
 import hashlib
 import struct
 
+import pandas as pd  # MODULE level: pandas_udf type hints resolve
+# against the function's __globals__, so a function-local import
+# breaks typing.get_type_hints inside pyspark's eval-type inference
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -383,6 +386,93 @@ def ivf_knn(
     )
 
 
+# Cell-assignment strategy bounds (VERDICT r8 items 3/6): the
+# plan-constant path embeds every centroid as codegen literals — right
+# for a tiny quantizer, but at the soak's own sqrt(N) sizing (~31k
+# cells at 1e9 vectors) a multi-megabyte literal array and
+# O(n_cells*dim) per-row expression tree hit Janino constant-pool
+# limits long before the math does. Above _AUTO_BROADCAST_CELLS the
+# auto path switches to a broadcast numpy matrix + Arrow-batched
+# pandas UDF (vectorized matmul per batch, zero shuffle, no codegen
+# growth); _MAX_BROADCAST_CELLS bounds the driver-side centroid
+# collect (a quantizer bigger than that wants two-level coarse
+# quantization, not a flat argmax).
+_AUTO_BROADCAST_CELLS = 256
+_MAX_PLAN_CELLS = 1024
+_MAX_BROADCAST_CELLS = 200_000
+
+
+def _ranked_cells_pandas(spark, cents, n_probe: int, vec_col: str):
+    """struct(own, probes) pandas UDF over the vector column: each
+    vector's own (top-1) cell and its ``n_probe`` nearest cells by
+    (rounded cosine DESC, cell_id ASC) — the same comparator as the
+    plan-constant struct sort, replayed in numpy.
+
+    Parity engineering: the dot products accumulate SEQUENTIALLY over
+    dimensions (``acc += V[:, d] * C[:, d]`` in element order — the
+    identical IEEE add sequence as the ``F.aggregate`` fold in
+    :func:`dot`), norms multiply in the same ``na * nb`` order, and
+    rounding is half-away-from-zero at 1e-6 like Spark's ``round``.
+    Centroid chunks bound the (batch x cells) score matrix at
+    ~2048-cell tiles; a cell cut at a tile boundary is dominated by
+    >= n_probe cells of its own tile under the global comparator, so
+    tiling never changes the global top-n_probe."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    order = sorted(range(len(cents)), key=lambda i: int(cents[i]["cell_id"]))
+    cell_ids = np.array(
+        [int(cents[i]["cell_id"]) for i in order], dtype=np.int64
+    )
+    cmat = np.array(
+        [[float(x) for x in cents[i]["sv"]] for i in order], dtype=np.float64
+    )
+    cnorm = np.zeros(len(cmat))
+    for d in range(cmat.shape[1]):
+        cnorm += cmat[:, d] * cmat[:, d]
+    cnorm = np.sqrt(cnorm)
+    bc = spark.sparkContext.broadcast((cell_ids, cmat, cnorm))
+    npb = int(n_probe)
+
+    @pandas_udf("own bigint, probes array<bigint>")
+    def ranked(v: pd.Series) -> pd.DataFrame:
+        ids, cm, cn = bc.value
+        if len(v) == 0:
+            return pd.DataFrame({"own": [], "probes": []})
+        vm = np.array(v.tolist(), dtype=np.float64)
+        b, dim = vm.shape
+        vn = np.zeros(b)
+        for d in range(dim):
+            vn += vm[:, d] * vm[:, d]
+        vn = np.sqrt(vn)
+        cand_cos, cand_pos = [], []
+        for s in range(0, len(cm), 2048):
+            tile = cm[s : s + 2048]
+            acc = np.zeros((b, len(tile)))
+            for d in range(dim):
+                acc += vm[:, d : d + 1] * tile[:, d][None, :]
+            cos = acc / (vn[:, None] * cn[s : s + 2048][None, :])
+            cos = np.copysign(np.floor(np.abs(cos) * 1e6 + 0.5), cos) / 1e6
+            idx = np.argsort(-cos, axis=1, kind="stable")[:, :npb]
+            cand_cos.append(np.take_along_axis(cos, idx, axis=1))
+            cand_pos.append(idx + s)
+        ccos = np.concatenate(cand_cos, axis=1)
+        cpos = np.concatenate(cand_pos, axis=1)
+        ncand = ccos.shape[1]
+        # one global lexsort: (row, cosine DESC, cell_id ASC)
+        glob = np.lexsort(
+            (
+                ids[cpos].ravel(),
+                -ccos.ravel(),
+                np.repeat(np.arange(b), ncand),
+            )
+        )
+        top = ids[cpos.ravel()[glob].reshape(b, ncand)[:, :npb]]
+        return pd.DataFrame({"own": top[:, 0], "probes": list(top)})
+
+    return ranked(F.col(vec_col))
+
+
 def ivf_knn_graph(
     emb: DataFrame,
     id_col: str,
@@ -390,6 +480,7 @@ def ivf_knn_graph(
     centroids: DataFrame,
     k: int = 5,
     n_probe: int = 2,
+    assignment: str = "auto",
 ) -> DataFrame:
     """``(id, neighbor_id, cosine)`` — the top-k cosine neighbors of
     EVERY corpus vector (the kNN GRAPH), distributed end-to-end.
@@ -424,58 +515,121 @@ def ivf_knn_graph(
     tiebreak — deterministic and engine-portable. Mega-cell skew is
     the :func:`semantic_dedup_assigned` story: size the quantizer
     ~n/target_cell_size; a saturated cell is tileable with the
-    blocked pair machinery."""
+    blocked pair machinery.
+
+    ``assignment`` picks the cell-assignment strategy (VERDICT r8
+    item 3): ``"plan"`` embeds centroids as plan constants (pure
+    projection, zero Python — right up to ~10^3 cells, refused above
+    ``_MAX_PLAN_CELLS``); ``"broadcast"`` ships them as a broadcast
+    numpy matrix into an Arrow-batched pandas UDF (no codegen growth —
+    the sqrt(N)-cell sizing path); ``"auto"`` switches at
+    ``_AUTO_BROADCAST_CELLS``. Both paths use the identical
+    (rounded-cosine DESC, cell_id ASC) comparator and are pinned
+    bit-for-bit against each other on a shared fixture. The centroid
+    collect itself is bounded at ``_MAX_BROADCAST_CELLS`` (a
+    LIMIT-guarded collect, never an unbounded one — VERDICT r8
+    item 6): past that, use two-level coarse quantization instead of
+    a flat argmax."""
     from pyspark.sql.window import Window
 
-    cents = centroids.select("cell_id", "sv").collect()
+    cents = (
+        centroids.select("cell_id", "sv")
+        .limit(_MAX_BROADCAST_CELLS + 1)
+        .collect()
+    )
     if not cents:
         raise ValueError("ivf_knn_graph: empty centroid set")
+    if len(cents) > _MAX_BROADCAST_CELLS:
+        raise ValueError(
+            f"ivf_knn_graph: centroid table exceeds "
+            f"{_MAX_BROADCAST_CELLS} rows — a quantizer this large "
+            "wants two-level coarse quantization (assign to a coarse "
+            "cell first, then argmax within it), not a flat "
+            "driver-side argmax"
+        )
     if not 1 <= n_probe <= len(cents):
         raise ValueError(
             f"ivf_knn_graph: n_probe must be in [1, {len(cents)}], "
             f"got {n_probe}"
         )
-    # descending (cosine, -cell) structs: element 1 is the vector's own
-    # cell (same convention as semantic_dedup's array_max), the first
-    # n_probe are its probe set
-    ranked_cells = F.reverse(
-        F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        cosine(
-                            F.col(vec_col),
-                            F.array(*[F.lit(float(x)) for x in row["sv"]]),
-                            norm_a=F.col("__nv"),
-                        ).alias("c"),
-                        F.lit(-int(row["cell_id"])).alias("neg_cell"),
-                    )
-                    for row in cents
-                ]
-            )
+    if assignment == "auto":
+        assignment = (
+            "plan" if len(cents) <= _AUTO_BROADCAST_CELLS else "broadcast"
         )
-    )
+    if assignment not in ("plan", "broadcast"):
+        raise ValueError(
+            f"ivf_knn_graph: assignment must be auto|plan|broadcast, "
+            f"got {assignment!r}"
+        )
     base = emb.select(
         F.col(id_col),
         F.col(vec_col),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nv"),
-    ).withColumn("__cells", ranked_cells)
+    )
+    if assignment == "plan":
+        if len(cents) > _MAX_PLAN_CELLS:
+            raise ValueError(
+                f"ivf_knn_graph: {len(cents)} centroids exceed the "
+                f"plan-constant path's {_MAX_PLAN_CELLS}-cell bound "
+                "(codegen literal blow-up) — pass "
+                "assignment='broadcast'"
+            )
+        # descending (cosine, -cell) structs: element 1 is the
+        # vector's own cell (same convention as semantic_dedup's
+        # array_max), the first n_probe are its probe set
+        ranked_cells = F.reverse(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            cosine(
+                                F.col(vec_col),
+                                F.array(
+                                    *[F.lit(float(x)) for x in row["sv"]]
+                                ),
+                                norm_a=F.col("__nv"),
+                            ).alias("c"),
+                            F.lit(-int(row["cell_id"])).alias("neg_cell"),
+                        )
+                        for row in cents
+                    ]
+                )
+            )
+        )
+        base = base.withColumn("__cells", ranked_cells).select(
+            id_col,
+            vec_col,
+            "__nv",
+            (-F.element_at("__cells", 1)["neg_cell"])
+            .cast("long")
+            .alias("__own"),
+            F.transform(
+                F.slice("__cells", 1, n_probe),
+                lambda s: (-s["neg_cell"]).cast("long"),
+            ).alias("__probes"),
+        )
+    else:
+        ranked = _ranked_cells_pandas(
+            emb.sparkSession, cents, n_probe, vec_col
+        )
+        base = base.withColumn("__rc", ranked).select(
+            id_col,
+            vec_col,
+            "__nv",
+            F.col("__rc.own").alias("__own"),
+            F.col("__rc.probes").alias("__probes"),
+        )
     corpus_side = base.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         F.col("__nv").alias("__cn"),
-        (-F.element_at("__cells", 1)["neg_cell"]).cast("long").alias("__cell"),
+        F.col("__own").alias("__cell"),
     )
     query_side = base.select(
         F.col(id_col).alias("__qid"),
         F.col(vec_col).alias("__qv"),
         F.col("__nv").alias("__qn"),
-        F.explode(
-            F.transform(
-                F.slice("__cells", 1, n_probe),
-                lambda s: (-s["neg_cell"]).cast("long"),
-            )
-        ).alias("__cell"),
+        F.explode("__probes").alias("__cell"),
     )
     scored = (
         corpus_side.join(query_side, "__cell")
