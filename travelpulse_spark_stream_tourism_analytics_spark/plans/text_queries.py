@@ -2812,6 +2812,45 @@ _PQ_ADC_EXPR = (
             FROM adc
         ) WHERE rn <= 5
     ) pq
+    UNION ALL
+    -- kNN graph (round 9): every vector of a 400-row corpus is a
+    -- query; own cell = argmax-cosine seeded centroid, probes = the
+    -- top-2 cells, candidates = corpus vectors whose OWN cell is
+    -- probed, top-3 by (rounded cosine DESC, neighbor ASC).
+    SELECT 'knn_graph' AS variant, query_id, neighbor_id, cosine AS score
+    FROM (
+        WITH kgbase AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id < 400
+        ), kgseeds AS (
+            SELECT vec_id AS cell_id, v AS sv FROM kgbase WHERE vec_id < 8
+        ), kgrank AS MATERIALIZED (
+            SELECT b.vec_id, b.v, s.cell_id,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY round(list_dot_product(b.v, s.sv)
+                                / (sqrt(list_dot_product(b.v, b.v))
+                                   * sqrt(list_dot_product(s.sv, s.sv))), 6)
+                                DESC, s.cell_id
+                   ) AS crk
+            FROM kgbase b, kgseeds s
+        ), kgscored AS (
+            SELECT p.vec_id AS query_id, o.vec_id AS neighbor_id,
+                   round(list_dot_product(p.v, o.v)
+                         / (sqrt(list_dot_product(p.v, p.v))
+                            * sqrt(list_dot_product(o.v, o.v))), 6) AS cosine
+            FROM (SELECT vec_id, v, cell_id FROM kgrank WHERE crk <= 2) p
+            JOIN (SELECT vec_id, v, cell_id FROM kgrank WHERE crk = 1) o
+              ON o.cell_id = p.cell_id AND o.vec_id <> p.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id
+                   ) AS rn
+            FROM kgscored
+        ) WHERE rn <= 3
+    ) kg
     """,
 )
 def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2828,11 +2867,14 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     search (round 4: similarity.pq_encode + pq_search_adc over the
     seeded plan-constant codebooks — codes are 4 one-byte ints per
     64-dim vector, the 32x storage path; search is m table lookups in
-    pure exprs, no float vectors in the join). The metric column is
-    ``score``: cosine for the knn/semdedup branches, approximate
-    squared L2 for pq_adc. Rounded to 1e-6 BEFORE ranking on all
-    sides so summation-order ulps cannot flip orderings. Constituents:
-    embedding_knn + embedding_ivf_seeded_knn above."""
+    pure exprs, no float vectors in the join), plus the distributed
+    corpus-wide kNN GRAPH (round 9: similarity.ivf_knn_graph over a
+    bounded 400-vector corpus with the seeded quantizer — every
+    vector is a query, nothing collected). The metric column is
+    ``score``: cosine for the knn/semdedup/knn_graph branches,
+    approximate squared L2 for pq_adc. Rounded to 1e-6 BEFORE ranking
+    on all sides so summation-order ulps cannot flip orderings.
+    Constituents: embedding_knn + embedding_ivf_seeded_knn above."""
     brute = embedding_knn(spark, sf_dir).select(
         F.lit("brute").alias("variant"), "query_id", "neighbor_id",
         F.col("cosine").alias("score"),
@@ -2893,11 +2935,34 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.col("adc_dist").alias("score"),
     )
+    # knn_graph branch (round 9, VERDICT r8 item 7): the distributed
+    # corpus-wide kNN graph (similarity.ivf_knn_graph — round 8's
+    # flagship, previously pinned only bit-for-bit vs brute force)
+    # gets a DuckDB-checked row: 400-vector corpus, the same seeded
+    # 8-cell quantizer, 2-of-8 probe, top-3 per vector. EVERY corpus
+    # vector is a query — no driver-side query collect.
+    kg_corpus = emb.filter(F.col("vec_id") < 400)
+    kg = similarity.ivf_knn_graph(
+        kg_corpus,
+        "vec_id",
+        "v",
+        kg_corpus.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+        ),
+        k=3,
+        n_probe=2,
+    ).select(
+        F.lit("knn_graph").alias("variant"),
+        F.col("vec_id").alias("query_id"),
+        "neighbor_id",
+        F.col("cosine").alias("score"),
+    )
     return (
         brute.unionByName(ivf)
         .unionByName(int8)
         .unionByName(sem)
         .unionByName(pq)
+        .unionByName(kg)
     )
 
 
