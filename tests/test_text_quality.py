@@ -1678,6 +1678,52 @@ def test_curate_cli_cap_key_regdomain(spark, tmp_path, capsys, monkeypatch):
     assert run(["--cap-key", "regdomain", "--psl", str(psl)]) == 4
 
 
+def test_curate_cli_cap_exempts_keyless_docs(spark, tmp_path, capsys, monkeypatch):
+    """ADVICE r8: docs whose cap key is null (no url) or '' (non-URL
+    string) are NOT one publisher — they must be exempt from the
+    per-domain cap with a printed count, not silently pooled under one
+    pseudo-domain and truncated to K."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import run_pipeline
+
+    docs_dir = tmp_path / "docs_keyless"
+    docs_dir.mkdir()
+    body = (
+        "Sunny beaches and quiet mountain trails make this island a "
+        "favorite for travelers seeking calm weather in spring %d."
+    )
+    with open(docs_dir / "part-0.jsonl", "w") as fh:
+        for i in range(12):
+            rec = {"doc_id": i, "text": body % i}
+            if i % 3 == 0:
+                rec["url"] = f"https://example.com/post/{i}"  # 4 docs
+            elif i % 3 == 1:
+                rec["url"] = None  # null key
+            else:
+                rec["url"] = "not a url at all"  # '' key
+            fh.write(json.dumps(rec) + "\n")
+
+    out = str(tmp_path / "out_keyless")
+    monkeypatch.setattr(sys, "argv", [
+        "run_pipeline.py", "--mode", "curate", "--path", str(docs_dir),
+        "--out", out, "--cap-per-domain", "2", "--cap-key", "domain",
+    ])
+    run_pipeline.main()
+    got = capsys.readouterr().out
+    # 8 keyless docs exempt; example.com capped 4 -> 2; chain sees 10
+    assert ">>> cap-per-domain: 8 docs carry no usable cap key" in got
+    line = [
+        ln for ln in got.splitlines() if ln.startswith(">>> curated;")
+    ][0]
+    assert int(line.split(";")[1].split()[0]) == 10
+
+
 def test_dsir_importance_and_ppl_buckets_semantics(spark):
     """DSIR importance weighting + CCNet perplexity bucketing (round
     5): a doc made of trusted-corpus vocabulary scores a HIGHER

@@ -91,14 +91,28 @@ def build_ann_index(
     codes-only index when recall@ADC suffices.
 
     Returns the meta dict (also written to meta.json)."""
-    import math
-    import warnings
-
     emb = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
     # The projection feeds three full passes (clamp-count, IVF fit, PQ
     # fit) plus the encode join — persist once so the clamp count is not
-    # an extra uncached scan (ADVICE r7), and reuse it for meta.
+    # an extra uncached scan (ADVICE r7), and reuse it for meta. The
+    # whole build runs under try/finally so an empty-corpus raise or a
+    # mid-fit failure cannot leak a session-wide cached DataFrame
+    # (ADVICE r8).
     emb = emb.persist()
+    try:
+        return _build_ann_index_persisted(
+            emb, id_col, out_dir, n_cells, m, k_codes, seed, store_vectors
+        )
+    finally:
+        emb.unpersist()
+
+
+def _build_ann_index_persisted(
+    emb, id_col, out_dir, n_cells, m, k_codes, seed, store_vectors
+):
+    import math
+    import warnings
+
     n_vectors = emb.count()
     if n_vectors == 0:
         raise ValueError("build_ann_index: empty training set")
@@ -155,7 +169,6 @@ def build_ann_index(
     codes.write.mode("overwrite").partitionBy("cell").parquet(
         f"{out_dir}/codes.parquet"
     )
-    emb.unpersist()
 
     meta = {
         "id_col": id_col,
