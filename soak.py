@@ -360,6 +360,81 @@ def knn_graph_soak(spark, sf_dir: str, k: int = 10) -> dict:
     }
 
 
+def knn_graph_broadcast_soak(
+    spark, sf_dir: str, n_cells: int = 1024, k: int = 10
+) -> dict:
+    """The broadcast-centroid assignment path at >= 10^3 cells
+    (VERDICT r8 item 3): a quantizer this wide is exactly where the
+    plan-constant path's codegen literals stop scaling, so this row
+    drives ivf_knn_graph through the Arrow-batched numpy assignment
+    (auto-selected above 256 cells, asserted via the plan). Quantizer
+    = the n_cells lowest-id corpus vectors (deterministic, no fit
+    cost — the row measures the ASSIGNMENT path, not k-means);
+    n_probe = n_cells/8, same eighth-width as the sibling row. On
+    corpora small enough to brute-force, also records recall vs the
+    exact graph."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        as_double_vec,
+        brute_force_knn,
+        ivf_knn_graph,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    n = emb.count()
+    n_cells = min(n_cells, n)
+    cents = emb.orderBy("vec_id").limit(n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+    n_probe = max(1, n_cells // 8)
+    t0 = time.perf_counter()
+    graph = ivf_knn_graph(emb, "vec_id", "v", cents, k=k, n_probe=n_probe)
+    graph.write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    plan = graph._jdf.queryExecution().executedPlan().toString()
+    edges = graph.count()
+    covered = graph.select("vec_id").distinct().count()
+    recall = None
+    if n <= 4000:  # exact graph is n^2 — bounded corpora only
+        got: dict = {}
+        for r in graph.collect():
+            got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        queries = emb.select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        )
+        exact: dict = {}
+        for r in brute_force_knn(
+            emb, queries, "vec_id", "q_id", "v", k=k
+        ).collect():
+            exact.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+        recall = round(
+            sum(
+                len(got.get(q, set()) & nbrs) / len(nbrs)
+                for q, nbrs in exact.items()
+            )
+            / len(exact),
+            4,
+        )
+    spark.catalog.clearCache()
+    return {
+        "n_vectors": n,
+        "n_cells": n_cells,
+        "n_probe": n_probe,
+        "k": k,
+        "edges": edges,
+        "vertex_coverage": round(covered / n, 4),
+        "recall_vs_exact": recall,
+        "took_broadcast_path": "ArrowEvalPython" in plan,
+        "wall_sec": round(wall, 2),
+    }
+
+
 def curate_quality_gap(spark, sf_dir: str) -> dict:
     """Quality assertion for the fuzzy curate chain (VERDICT r4 item
     8): run the near-dup selection through the SAME
@@ -857,6 +932,27 @@ def main() -> None:
         if prev_wall is not None and row["wall_sec"] > 2 * 10 * prev_wall:
             anomalies.append(f"knn_graph:{sf_name}")
         prev_wall = row["wall_sec"]
+
+    # Round 9: the broadcast-centroid assignment path at >=10^3 cells
+    # (VERDICT r8 item 3) — must actually take the pandas-UDF path,
+    # cover every vertex, and (where the exact graph is computable)
+    # keep eighth-width recall usable.
+    result["knn_graph_broadcast"] = {}
+    for sf_name, d in (("sf0.1", SF01), ("sf1", args.data_dir)):
+        row = knn_graph_broadcast_soak(spark, d)
+        result["knn_graph_broadcast"][sf_name] = row
+        print(
+            f"knn graph broadcast @{sf_name}:", json.dumps(row), flush=True
+        )
+        if (
+            not row["took_broadcast_path"]
+            or row["vertex_coverage"] < 0.99
+            or (
+                row["recall_vs_exact"] is not None
+                and row["recall_vs_exact"] < 0.35
+            )
+        ):
+            anomalies.append(f"knn_graph_broadcast:{sf_name}")
 
     result["anomalies"] = anomalies
     result["notes"] = [

@@ -1139,3 +1139,31 @@ def test_ivf_knn_graph_assignment_guards(spark):
         similarity.ivf_knn_graph(
             emb, "vec_id", "v", cents, n_probe=2, assignment="collect"
         )
+
+
+def test_semantic_dedup_broadcast_matches_plan(spark):
+    """semantic_dedup shares ivf_knn_graph's assignment switch: the
+    broadcast-numpy argmax must reproduce the plan-constant path's
+    drop set EXACTLY (same dropped ids, same witnesses, same rounded
+    cosines) on a corpus with planted exact duplicates."""
+    emb = _emb_vectors(spark)
+    base = emb.filter(F.col("vec_id") < 300)
+    planted = base.filter(F.col("vec_id") < 6).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "v"
+    )
+    corpus = base.unionByName(planted)
+    cents = corpus.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+    def rows(assignment):
+        return {
+            (r["vec_id"], r["cell_id"], r["dup_of"], r["cosine"])
+            for r in similarity.semantic_dedup(
+                corpus, "vec_id", "v", cents, min_cosine=0.99,
+                assignment=assignment,
+            ).collect()
+        }
+    got_plan, got_bc = rows("plan"), rows("broadcast")
+    assert got_plan == got_bc
+    # the planted copies are the expected drop set
+    assert {t[0] for t in got_plan} == {1000000 + i for i in range(6)}

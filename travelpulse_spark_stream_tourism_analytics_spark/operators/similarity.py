@@ -661,6 +661,7 @@ def semantic_dedup(
     vec_col: str,
     centroids: DataFrame,
     min_cosine: float = 0.99,
+    assignment: str = "auto",
 ) -> DataFrame:
     """SemDedup-shape semantic deduplication (cluster-then-prune, the
     Abbas et al. 2023 recipe, arXiv:2303.09540): assign every vector
@@ -685,36 +686,83 @@ def semantic_dedup(
     vector copies). The intra-cluster pair join is an equi-join on
     cell_id, O(sum of cluster_size^2) — bounded by sizing the centroid
     count ~n/target_cluster_size exactly like IVF cells, and tileable
-    with blocked_self_join_pairs if a cluster saturates."""
-    cents = centroids.select("cell_id", "sv").collect()
-    # Row self-norm computed ONCE per vector (not once per centroid);
-    # each centroid's self-dot is a constant Catalyst folds away.
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    cosine(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(x)) for x in row["sv"]]),
-                        norm_a=F.col("__nv"),
-                    ).alias("c"),
-                    F.lit(-int(row["cell_id"])).alias("neg_cell"),
-                )
-                for row in cents
-            ]
-        )
+    with blocked_self_join_pairs if a cluster saturates.
+
+    ``assignment`` is the same strategy switch as
+    :func:`ivf_knn_graph` (VERDICT r8 item 3): ``"plan"`` compiles the
+    argmax to plan constants (refused past ``_MAX_PLAN_CELLS``);
+    ``"broadcast"`` routes through the broadcast-numpy pandas UDF —
+    the n/cluster_size-sized quantizer at corpus scale is exactly the
+    sqrt(N)-cells regime where codegen literals stop working;
+    ``"auto"`` switches at ``_AUTO_BROADCAST_CELLS``. Both paths share
+    the (rounded-cosine DESC, cell_id ASC) comparator and are pinned
+    value-identical in tests."""
+    cents = (
+        centroids.select("cell_id", "sv")
+        .limit(_MAX_BROADCAST_CELLS + 1)
+        .collect()
     )
-    assigned = (
-        emb.withColumn(
-            "__nv", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+    if not cents:
+        raise ValueError("semantic_dedup: empty centroid set")
+    if len(cents) > _MAX_BROADCAST_CELLS:
+        raise ValueError(
+            f"semantic_dedup: centroid table exceeds "
+            f"{_MAX_BROADCAST_CELLS} rows — use two-level coarse "
+            "quantization (or pre-assign with ivf_index and call "
+            "semantic_dedup_assigned)"
         )
-        .withColumn("__best", best)
-        .select(
+    if assignment == "auto":
+        assignment = (
+            "plan" if len(cents) <= _AUTO_BROADCAST_CELLS else "broadcast"
+        )
+    if assignment == "plan":
+        if len(cents) > _MAX_PLAN_CELLS:
+            raise ValueError(
+                f"semantic_dedup: {len(cents)} centroids exceed the "
+                f"plan-constant path's {_MAX_PLAN_CELLS}-cell bound — "
+                "pass assignment='broadcast'"
+            )
+        # Row self-norm computed ONCE per vector (not once per
+        # centroid); each centroid's self-dot is a constant Catalyst
+        # folds away.
+        best = F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        cosine(
+                            F.col(vec_col),
+                            F.array(*[F.lit(float(x)) for x in row["sv"]]),
+                            norm_a=F.col("__nv"),
+                        ).alias("c"),
+                        F.lit(-int(row["cell_id"])).alias("neg_cell"),
+                    )
+                    for row in cents
+                ]
+            )
+        )
+        assigned = (
+            emb.withColumn(
+                "__nv", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+            )
+            .withColumn("__best", best)
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                (-F.col("__best.neg_cell")).cast("long").alias("cell_id"),
+            )
+        )
+    elif assignment == "broadcast":
+        ranked = _ranked_cells_pandas(emb.sparkSession, cents, 1, vec_col)
+        assigned = emb.withColumn("__rc", ranked).select(
             F.col(id_col),
             F.col(vec_col),
-            (-F.col("__best.neg_cell")).cast("long").alias("cell_id"),
+            F.col("__rc.own").alias("cell_id"),
         )
-    )
+    else:
+        raise ValueError(
+            f"semantic_dedup: assignment must be auto|plan|broadcast, "
+            f"got {assignment!r}"
+        )
     return semantic_dedup_assigned(
         assigned, id_col, vec_col, "cell_id", min_cosine
     )
