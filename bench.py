@@ -243,11 +243,19 @@ def main() -> None:
             from pyspark.sql import functions as F
 
             col, tags = BRANCHES[name]
+            # SPLIT_BUILD entries: branch numbers are exec-only too
+            # (construction re-pays the serial plan-build collects on
+            # every branch — the JVM-age drift the split removes).
+            time_branch = (
+                (lambda f: min(time_runs_split(f)[1]))
+                if name in SPLIT_BUILD
+                else (lambda f: min(time_runs(f)))
+            )
             constituents.setdefault(name, {}).update(
                 {
-                    tag: min(time_runs(
+                    tag: time_branch(
                         lambda s, d, t=tag: fn(s, d).filter(F.col(col) == t)
-                    ))
+                    )
                     for tag in tags
                 }
             )

@@ -338,7 +338,12 @@ def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False,
         # are not one publisher, and pooling them under a single
         # pseudo-domain silently truncates e.g. a 30%-null-url corpus
         # to K docs (ADVICE r8). Surfaced, not silent.
-        keyed = docs.withColumn("__cap_key", key)
+        # localCheckpoint: the key expression (a ~9k-rule PSL literal
+        # map under --cap-key regdomain) is referenced by the count
+        # plus BOTH filter branches below — without the barrier the
+        # filters inline it 3x and push it into the scan (the repo's
+        # recorded pushdown-duplication trap).
+        keyed = docs.withColumn("__cap_key", key).localCheckpoint()
         keyless = F.col("__cap_key").isNull() | (F.col("__cap_key") == "")
         n_keyless = keyed.where(keyless).count()
         if n_keyless:

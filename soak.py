@@ -394,7 +394,12 @@ def knn_graph_broadcast_soak(
     )
     n_probe = max(1, n_cells // 8)
     t0 = time.perf_counter()
-    graph = ivf_knn_graph(emb, "vec_id", "v", cents, k=k, n_probe=n_probe)
+    # persist: the row is also read for edge count / coverage / recall
+    # below — without the cache each read would re-run the full
+    # assignment + probe join and triple the row's wall contribution
+    graph = ivf_knn_graph(
+        emb, "vec_id", "v", cents, k=k, n_probe=n_probe
+    ).persist()
     graph.write.format("noop").mode("overwrite").save()
     wall = time.perf_counter() - t0
     plan = graph._jdf.queryExecution().executedPlan().toString()

@@ -1088,8 +1088,12 @@ def test_ivf_knn_graph_broadcast_matches_plan_bit_for_bit(spark):
     got_plan, got_bc = _graph_rows(plan_g), _graph_rows(bc_g)
     assert got_plan == got_bc and len(got_plan) > 0
     # the broadcast path really is the pandas-UDF plan, the plan path
-    # really is codegen-only
-    assert "ArrowEvalPython" in _plan_of(bc_g)
+    # really is codegen-only; and the cell join must never be a
+    # broadcast build (both sides are corpus-sized — at sf1 a
+    # misestimated UDF side OOMed the driver, SOAK_r9 first run)
+    bc_plan = _plan_of(bc_g)
+    assert "ArrowEvalPython" in bc_plan
+    assert "BroadcastHashJoin" not in bc_plan
     assert "ArrowEvalPython" not in _plan_of(plan_g)
 
 
@@ -1167,3 +1171,47 @@ def test_semantic_dedup_broadcast_matches_plan(spark):
     assert got_plan == got_bc
     # the planted copies are the expected drop set
     assert {t[0] for t in got_plan} == {1000000 + i for i in range(6)}
+
+
+def test_ivf_knn_graph_degenerate_vectors_parity(spark):
+    """Degenerate-input contract (review round 9): a ZERO-norm
+    centroid is refused up front (under ANSI its 0-divisor cosine is
+    a task-killing DIVIDE_BY_ZERO deep in the plan); NULL and
+    ZERO-norm corpus vectors are excluded from the graph in BOTH
+    assignment paths (instead of crashing the broadcast UDF /
+    ANSI-crashing the plan path); the two paths stay bit-for-bit
+    identical on the surviving vectors."""
+    emb = _emb_vectors(spark).filter(F.col("vec_id") < 120)
+    dim = len(emb.select("v").first()["v"])
+    extra = spark.createDataFrame(
+        [(9000, [0.0] * dim), (9001, None)],
+        "vec_id long, v array<double>",
+    )
+    corpus = emb.unionByName(extra)
+    cents = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+    zero_cent = cents.unionByName(
+        spark.createDataFrame(
+            [(99, [0.0] * dim)], "cell_id long, sv array<double>"
+        )
+    )
+    with pytest.raises(ValueError, match="zero-norm centroid"):
+        similarity.ivf_knn_graph(
+            corpus, "vec_id", "v", zero_cent, k=4, n_probe=2
+        )
+
+    def rows(assignment):
+        return {
+            (r["vec_id"], r["neighbor_id"], r["cosine"])
+            for r in similarity.ivf_knn_graph(
+                corpus, "vec_id", "v", cents, k=4, n_probe=2,
+                assignment=assignment,
+            ).collect()
+        }
+
+    got_plan, got_bc = rows("plan"), rows("broadcast")
+    assert got_plan == got_bc and len(got_plan) > 0
+    # neither degenerate vector is a query or a neighbor in either path
+    ids = {t[0] for t in got_plan} | {t[1] for t in got_plan}
+    assert 9000 not in ids and 9001 not in ids

@@ -411,12 +411,30 @@ def _ranked_cells_pandas(spark, cents, n_probe: int, vec_col: str):
     Parity engineering: the dot products accumulate SEQUENTIALLY over
     dimensions (``acc += V[:, d] * C[:, d]`` in element order — the
     identical IEEE add sequence as the ``F.aggregate`` fold in
-    :func:`dot`), norms multiply in the same ``na * nb`` order, and
-    rounding is half-away-from-zero at 1e-6 like Spark's ``round``.
+    :func:`dot`), norms multiply in the same ``na * nb`` order,
+    rounding is half-away-from-zero at 1e-6, and NaN cosines (a
+    zero-norm vector or centroid) rank GREATEST like Spark's Double
+    ordering (substituted with +inf before ranking — emitted values
+    are cell ids, never the scores, so the substitution is
+    invisible). Known 1-ulp caveat: Spark's ``round`` is HALF_UP on
+    the double's SHORTEST DECIMAL rendering (BigDecimal.valueOf)
+    while this path rounds the binary value — they disagree only for
+    doubles within ~1 ulp of a .5e-6 decimal boundary, and a
+    disagreement changes the output only if it also flips a cell
+    ORDER (another cell's cosine between the two roundings); absent
+    on the pinned fixtures, ~1e-16-per-comparison at random. The same
+    caveat already applies to every DuckDB-round-vs-Spark-round
+    oracle in the repo. Null / wrong-dimension / null-element vectors
+    get a NULL assignment (they fall out of the cell equi-join —
+    exactly where the plan-constant path's null cosines land them).
     Centroid chunks bound the (batch x cells) score matrix at
     ~2048-cell tiles; a cell cut at a tile boundary is dominated by
     >= n_probe cells of its own tile under the global comparator, so
-    tiling never changes the global top-n_probe."""
+    tiling never changes the global top-n_probe. The centroid matrix
+    ships as a SparkContext broadcast that lives as long as the
+    returned expression's lineage (the ContextCleaner reclaims it
+    with the plan) — at the 200k-cell cap that is ~100 MB per live
+    plan, the price of not re-shipping it with every task closure."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -439,8 +457,33 @@ def _ranked_cells_pandas(spark, cents, n_probe: int, vec_col: str):
         ids, cm, cn = bc.value
         if len(v) == 0:
             return pd.DataFrame({"own": [], "probes": []})
-        vm = np.array(v.tolist(), dtype=np.float64)
-        b, dim = vm.shape
+        raw = v.tolist()
+        dim = cm.shape[1]
+        try:
+            vm = np.array(raw, dtype=np.float64)
+            if vm.ndim != 2 or vm.shape[1] != dim:
+                raise ValueError("ragged or wrong-dimension batch")
+            valid = np.ones(len(vm), dtype=bool)
+        except (TypeError, ValueError):
+            # null vectors / null elements / ragged dims: rank as
+            # NULL (dropped by the cell equi-join, like the plan
+            # path's null cosines) instead of crashing the batch
+            valid = np.array(
+                [
+                    r is not None
+                    and len(r) == dim
+                    and not any(x is None for x in r)
+                    for r in raw
+                ]
+            )
+            vm = np.array(
+                [
+                    r if ok else [0.0] * dim
+                    for r, ok in zip(raw, valid)
+                ],
+                dtype=np.float64,
+            )
+        b = len(vm)
         vn = np.zeros(b)
         for d in range(dim):
             vn += vm[:, d] * vm[:, d]
@@ -451,8 +494,14 @@ def _ranked_cells_pandas(spark, cents, n_probe: int, vec_col: str):
             acc = np.zeros((b, len(tile)))
             for d in range(dim):
                 acc += vm[:, d : d + 1] * tile[:, d][None, :]
-            cos = acc / (vn[:, None] * cn[s : s + 2048][None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (vn[:, None] * cn[s : s + 2048][None, :])
             cos = np.copysign(np.floor(np.abs(cos) * 1e6 + 0.5), cos) / 1e6
+            # Spark's Double ordering ranks NaN GREATEST; numpy sorts
+            # it last — substitute +inf so a zero-norm vector or
+            # centroid ranks identically in both paths (only cell ids
+            # are emitted, never these scores)
+            cos = np.where(np.isnan(cos), np.inf, cos)
             idx = np.argsort(-cos, axis=1, kind="stable")[:, :npb]
             cand_cos.append(np.take_along_axis(cos, idx, axis=1))
             cand_pos.append(idx + s)
@@ -468,7 +517,12 @@ def _ranked_cells_pandas(spark, cents, n_probe: int, vec_col: str):
             )
         )
         top = ids[cpos.ravel()[glob].reshape(b, ncand)[:, :npb]]
-        return pd.DataFrame({"own": top[:, 0], "probes": list(top)})
+        own = [int(t) if ok else None for t, ok in zip(top[:, 0], valid)]
+        probes = [
+            [int(x) for x in row] if ok else None
+            for row, ok in zip(top, valid)
+        ]
+        return pd.DataFrame({"own": own, "probes": probes})
 
     return ranked(F.col(vec_col))
 
@@ -561,11 +615,29 @@ def ivf_knn_graph(
             f"ivf_knn_graph: assignment must be auto|plan|broadcast, "
             f"got {assignment!r}"
         )
+    # Degenerate inputs (review round 9). Centroids: a zero-norm (or
+    # null) centroid has no direction — every cosine against it is a
+    # 0-divisor, which ANSI mode turns into a task-killing
+    # DIVIDE_BY_ZERO — refuse it up front with the cell id named.
+    # Corpus vectors: null / null-element vectors (null self-norm) and
+    # zero vectors (0 self-norm) are EXCLUDED from the graph by
+    # contract — without this filter the plan path dies on ANSI
+    # division and the broadcast path would silently diverge from it.
+    # NaN-element vectors pass (NaN > 0 in Spark's Double ordering)
+    # and rank identically in both paths (NaN greatest).
+    for row in cents:
+        sv = row["sv"]
+        if sv is None or not any(float(x) != 0.0 for x in sv):
+            raise ValueError(
+                f"ivf_knn_graph: zero-norm centroid (cell_id="
+                f"{row['cell_id']}) — a quantizer cell must have a "
+                "direction; drop or re-fit it"
+            )
     base = emb.select(
         F.col(id_col),
         F.col(vec_col),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nv"),
-    )
+    ).filter(F.col("__nv").isNotNull() & (F.col("__nv") > 0))
     if assignment == "plan":
         if len(cents) > _MAX_PLAN_CELLS:
             raise ValueError(
@@ -631,8 +703,15 @@ def ivf_knn_graph(
         F.col("__nv").alias("__qn"),
         F.explode("__probes").alias("__cell"),
     )
+    # The cell join must NEVER broadcast: both sides are corpus-sized
+    # (the query side n_probe-times over), and the pandas-UDF-backed
+    # base carries no size stats — at sf1 the planner misestimated it,
+    # picked a broadcast build, and blew the driver (SOAK_r9 first
+    # run). The merge hint pins the scale-safe sort-merge-on-cell plan
+    # regardless of estimates; AQE still handles cell skew under it.
     scored = (
-        corpus_side.join(query_side, "__cell")
+        corpus_side.hint("merge")
+        .join(query_side.hint("merge"), "__cell")
         .filter(F.col("neighbor_id") != F.col("__qid"))
         .select(
             F.col("__qid").alias(id_col),
