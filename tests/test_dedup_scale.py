@@ -1215,3 +1215,31 @@ def test_ivf_knn_graph_degenerate_vectors_parity(spark):
     # neither degenerate vector is a query or a neighbor in either path
     ids = {t[0] for t in got_plan} | {t[1] for t in got_plan}
     assert 9000 not in ids and 9001 not in ids
+
+
+def test_ranked_cells_multi_tile_merge_matches_plan(spark, monkeypatch):
+    """The broadcast assignment tiles its (batch x cells) score matrix
+    at _ASSIGN_TILE_CELLS; no fixture reaches the 2048-cell default,
+    so force 7-cell tiles over a 21-cell quantizer (with a planted
+    duplicate-centroid tie straddling tiles) and require the
+    multi-tile candidate merge to still match the plan-constant path
+    bit-for-bit."""
+    monkeypatch.setattr(similarity, "_ASSIGN_TILE_CELLS", 7)
+    emb = _emb_vectors(spark).filter(F.col("vec_id") < 150)
+    cents = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    ).unionByName(
+        # duplicate of cell 2's vector under the HIGHEST cell id: its
+        # tie sits in the last tile while the winner is in the first
+        emb.filter(F.col("vec_id") == 2).select(
+            F.lit(77).cast("long").alias("cell_id"), F.col("v").alias("sv")
+        )
+    )
+    plan_g = similarity.ivf_knn_graph(
+        emb, "vec_id", "v", cents, k=4, n_probe=5, assignment="plan"
+    )
+    bc_g = similarity.ivf_knn_graph(
+        emb, "vec_id", "v", cents, k=4, n_probe=5, assignment="broadcast"
+    )
+    assert _graph_rows(plan_g) == _graph_rows(bc_g)
+    assert len(_graph_rows(bc_g)) > 0

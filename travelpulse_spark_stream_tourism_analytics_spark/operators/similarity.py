@@ -400,6 +400,10 @@ def ivf_knn(
 _AUTO_BROADCAST_CELLS = 256
 _MAX_PLAN_CELLS = 1024
 _MAX_BROADCAST_CELLS = 200_000
+# (batch x tile) score-matrix bound inside the broadcast assignment
+# UDF; captured as a closure value at plan-build time (patchable in
+# tests to force multi-tile merging on small fixtures)
+_ASSIGN_TILE_CELLS = 2048
 
 
 def _ranked_cells_pandas(spark, cents, n_probe: int, vec_col: str):
@@ -451,6 +455,7 @@ def _ranked_cells_pandas(spark, cents, n_probe: int, vec_col: str):
     cnorm = np.sqrt(cnorm)
     bc = spark.sparkContext.broadcast((cell_ids, cmat, cnorm))
     npb = int(n_probe)
+    tile_n = int(_ASSIGN_TILE_CELLS)
 
     @pandas_udf("own bigint, probes array<bigint>")
     def ranked(v: pd.Series) -> pd.DataFrame:
@@ -489,13 +494,13 @@ def _ranked_cells_pandas(spark, cents, n_probe: int, vec_col: str):
             vn += vm[:, d] * vm[:, d]
         vn = np.sqrt(vn)
         cand_cos, cand_pos = [], []
-        for s in range(0, len(cm), 2048):
-            tile = cm[s : s + 2048]
+        for s in range(0, len(cm), tile_n):
+            tile = cm[s : s + tile_n]
             acc = np.zeros((b, len(tile)))
             for d in range(dim):
                 acc += vm[:, d : d + 1] * tile[:, d][None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
-                cos = acc / (vn[:, None] * cn[s : s + 2048][None, :])
+                cos = acc / (vn[:, None] * cn[s : s + tile_n][None, :])
             cos = np.copysign(np.floor(np.abs(cos) * 1e6 + 0.5), cos) / 1e6
             # Spark's Double ordering ranks NaN GREATEST; numpy sorts
             # it last — substitute +inf so a zero-norm vector or
