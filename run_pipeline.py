@@ -746,6 +746,13 @@ def main() -> None:
         "(needs a store_vectors index)",
     )
     ap.add_argument(
+        "--assignment", choices=["auto", "plan", "broadcast"],
+        default="auto",
+        help="--mode knn-graph: cell-assignment strategy — plan "
+        "constants (small quantizers), broadcast numpy + pandas UDF "
+        "(the sqrt(N)-cells path), or auto (switch above 256 cells)",
+    )
+    ap.add_argument(
         "--n-merges",
         type=int,
         default=200,
@@ -1061,13 +1068,15 @@ def main() -> None:
         n_cells = cents.count()
         n_probe = min(args.n_probe, n_cells)
         graph = ivf_knn_graph(
-            emb, "vec_id", "v", cents, k=args.k, n_probe=n_probe
+            emb, "vec_id", "v", cents, k=args.k, n_probe=n_probe,
+            assignment=args.assignment,
         )
         graph.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(
             f">>> knn graph built; {n} (vector, neighbor) edges "
-            f"(k={args.k}, n_probe={n_probe}) -> {args.out}"
+            f"(k={args.k}, n_probe={n_probe}, "
+            f"assignment={args.assignment}) -> {args.out}"
         )
         return
 

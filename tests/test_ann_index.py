@@ -380,3 +380,44 @@ def test_build_ann_index_empty_corpus_raises_without_cache_leak(
     with _pytest.raises(ValueError, match="empty training set"):
         build_ann_index(empty, str(tmp_path / "idx_e"))
     assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
+
+
+def test_knn_graph_cli_assignment_broadcast(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """--assignment broadcast forces the pandas-UDF cell assignment
+    through the CLI even on a small quantizer, and the graph matches
+    the default (plan) path's edges exactly."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import run_pipeline
+
+    idx = str(tmp_path / "idx_b")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "build-ann-index",
+         "--path", "/root/testdata/sf0.001", "--out", idx,
+         "--cells", "8", "--pq-m", "8", "--pq-codes", "16"],
+    )
+    run_pipeline.main()
+    capsys.readouterr()
+
+    outs = {}
+    for mode in ("plan", "broadcast"):
+        out = str(tmp_path / f"graph_{mode}")
+        monkeypatch.setattr(
+            sys, "argv",
+            ["run_pipeline.py", "--mode", "knn-graph",
+             "--path", "/root/testdata/sf0.001", "--index", idx,
+             "--out", out, "--k", "3", "--n-probe", "2",
+             "--assignment", mode],
+        )
+        run_pipeline.main()
+        assert f"assignment={mode}" in capsys.readouterr().out
+        outs[mode] = {
+            tuple(r) for r in spark.read.parquet(out).collect()
+        }
+    assert outs["plan"] == outs["broadcast"] and len(outs["plan"]) > 0
