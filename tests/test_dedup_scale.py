@@ -1243,3 +1243,59 @@ def test_ranked_cells_multi_tile_merge_matches_plan(spark, monkeypatch):
     )
     assert _graph_rows(plan_g) == _graph_rows(bc_g)
     assert len(_graph_rows(bc_g)) > 0
+
+
+def test_two_level_knn_graph_full_coarse_probe_equals_flat(spark):
+    """Two-level coarse quantization (the >200k-cell regime where even
+    a broadcast centroid matrix stops being reasonable): with every
+    coarse cell probed, every fine cell is reachable exactly once and
+    the graph must equal the flat-assignment graph BIT-FOR-BIT —
+    same neighbors, same rounded cosines."""
+    emb = _emb_vectors(spark).filter(F.col("vec_id") < 150)
+    cents = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+    two = similarity.two_level_knn_graph(
+        emb, "vec_id", "v", cents, k=4, n_probe=3,
+        n_coarse_probe=10_000,  # clamped to the coarse count: exact
+    )
+    flat = similarity.ivf_knn_graph(
+        emb, "vec_id", "v", cents, k=4, n_probe=3, assignment="broadcast"
+    )
+    got_two, got_flat = _graph_rows(two), _graph_rows(flat)
+    assert got_two == got_flat and len(got_two) > 0
+    plan = _plan_of(two)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_two_level_knn_graph_narrow_coarse_probe_recall(spark):
+    """Narrow coarse probing trades recall like IVF probing: the graph
+    stays deterministic, covers every vertex, and keeps a usable
+    recall floor against the exact graph on the fixture corpus."""
+    emb = _emb_vectors(spark).filter(F.col("vec_id") < 150)
+    cents = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+    g = similarity.two_level_knn_graph(
+        emb, "vec_id", "v", cents, k=4, n_probe=3, n_coarse_probe=2
+    )
+    rows = g.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    assert len(got) == 150  # every vertex has edges
+    again = {}
+    for r in g.collect():
+        again.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    assert got == again  # deterministic
+    queries = emb.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    exact = {}
+    for r in similarity.brute_force_knn(
+        emb, queries, "vec_id", "q_id", "v", k=4
+    ).collect():
+        exact.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    recall = sum(
+        len(got.get(q, set()) & nbrs) / len(nbrs) for q, nbrs in exact.items()
+    ) / len(exact)
+    assert recall >= 0.3, recall

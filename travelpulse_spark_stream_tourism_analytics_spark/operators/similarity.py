@@ -601,10 +601,9 @@ def ivf_knn_graph(
     if len(cents) > _MAX_BROADCAST_CELLS:
         raise ValueError(
             f"ivf_knn_graph: centroid table exceeds "
-            f"{_MAX_BROADCAST_CELLS} rows — a quantizer this large "
-            "wants two-level coarse quantization (assign to a coarse "
-            "cell first, then argmax within it), not a flat "
-            "driver-side argmax"
+            f"{_MAX_BROADCAST_CELLS} rows — use two_level_knn_graph "
+            "(coarse-then-fine assignment; the fine table stays a "
+            "DataFrame), not a flat driver-side argmax"
         )
     if not 1 <= n_probe <= len(cents):
         raise ValueError(
@@ -696,6 +695,19 @@ def ivf_knn_graph(
             F.col("__rc.own").alias("__own"),
             F.col("__rc.probes").alias("__probes"),
         )
+    return _graph_from_assigned(base, id_col, vec_col, k)
+
+
+def _graph_from_assigned(
+    base: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """(id, vec, __nv, __own, __probes) -> the top-k cosine graph:
+    corpus keyed by own cell, queries replicated into probe cells,
+    sort-merge equi-join on cell, per-query top-k window. Shared by
+    every cell-assignment strategy (plan constants / broadcast numpy /
+    two-level)."""
+    from pyspark.sql.window import Window
+
     corpus_side = base.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
@@ -737,6 +749,156 @@ def ivf_knn_graph(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def two_level_knn_graph(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    n_coarse: int | None = None,
+    n_coarse_probe: int = 2,
+) -> DataFrame:
+    """:func:`ivf_knn_graph` for quantizers TOO LARGE TO COLLECT —
+    the regime past ``_MAX_BROADCAST_CELLS`` where even a broadcast
+    centroid matrix stops being reasonable (sqrt(N) sizing crosses
+    200k cells around 4x10^10 vectors). The fine centroid table stays
+    a DataFrame end to end; nothing corpus- or quantizer-sized ever
+    reaches the driver:
+
+    * a COARSE quantizer of ``n_coarse`` cells (default
+      ``~sqrt(|centroids|)``, capped at 4096) is drawn
+      deterministically from the fine table by hash-stride
+      (``xxhash64(cell_id) % stride == 0`` — no ordering shuffle, no
+      collect of the big table; only the selected coarse rows are
+      collected, and they are small by construction);
+    * every FINE centroid is assigned to its nearest coarse cell with
+      the same broadcast-numpy kernel the flat path uses (the fine
+      table is just another vector corpus here);
+    * every corpus vector ranks the coarse cells (same kernel), probes
+      its ``n_coarse_probe`` nearest, and meets only the fine
+      centroids living in those coarse cells through a sort-merge
+      equi-join on coarse cell — |emb| x (fine/coarse x probes)
+      candidate rows instead of |emb| x |centroids|;
+    * the per-vector top-``n_probe`` fine cells use the identical
+      (rounded cosine DESC, cell_id ASC) comparator, then the shared
+      :func:`_graph_from_assigned` join/window builds the graph.
+
+    Exactness contract: ``n_coarse_probe >= n_coarse`` makes every
+    fine cell reachable, and the result is pinned BIT-FOR-BIT against
+    the flat-assignment graph in tests; narrower coarse probes trade
+    recall exactly like IVF probing (a vector can miss a fine cell
+    whose coarse parent it did not probe)."""
+    import math
+
+    n_fine = centroids.count()
+    if n_fine == 0:
+        raise ValueError("two_level_knn_graph: empty centroid set")
+    if not 1 <= n_probe <= n_fine:
+        raise ValueError(
+            f"two_level_knn_graph: n_probe must be in [1, {n_fine}], "
+            f"got {n_probe}"
+        )
+    if n_coarse is None:
+        n_coarse = min(4096, max(1, round(math.sqrt(n_fine))))
+    stride = max(1, n_fine // n_coarse)
+    coarse = (
+        centroids.filter(F.pmod(F.xxhash64("cell_id"), F.lit(stride)) == 0)
+        .select("cell_id", "sv")
+        .limit(_MAX_BROADCAST_CELLS)
+        .collect()
+    )
+    if not coarse:  # hash-stride can miss on tiny tables — fall back
+        coarse = centroids.select("cell_id", "sv").limit(1).collect()
+    for row in coarse:
+        if row["sv"] is None or not any(float(x) != 0.0 for x in row["sv"]):
+            raise ValueError(
+                f"two_level_knn_graph: zero-norm coarse centroid "
+                f"(cell_id={row['cell_id']})"
+            )
+    n_coarse_probe = min(n_coarse_probe, len(coarse))
+
+    def with_coarse(df, rank_n, out_col):
+        ranked = _ranked_cells_pandas(
+            df.sparkSession, coarse, rank_n, "sv" if "sv" in df.columns else vec_col
+        )
+        return df.withColumn("__crc", ranked).withColumn(
+            out_col,
+            F.col("__crc.probes") if rank_n > 1 else F.array("__crc.own"),
+        ).drop("__crc")
+
+    # fine centroids -> their single nearest coarse cell
+    fine_assigned = (
+        with_coarse(
+            centroids.select("cell_id", "sv").filter(
+                F.col("sv").isNotNull()
+            ),
+            1,
+            "__coarse",
+        )
+        .select(
+            F.col("cell_id").alias("__fcell"),
+            F.col("sv").alias("__fsv"),
+            F.sqrt(dot(F.col("sv"), F.col("sv"))).alias("__fn"),
+            F.explode("__coarse").alias("__ccell"),
+        )
+        .filter(F.col("__fn") > 0)
+    )
+    # corpus vectors -> probed coarse cells -> candidate fine cells ->
+    # top-n_probe fine cells by the shared comparator
+    vec_coarse = with_coarse(
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nv"),
+        ).filter(F.col("__nv").isNotNull() & (F.col("__nv") > 0)),
+        n_coarse_probe,
+        "__cprobes",
+    ).select(
+        id_col, vec_col, "__nv", F.explode("__cprobes").alias("__ccell")
+    )
+    from pyspark.sql.window import Window
+
+    cand = (
+        vec_coarse.hint("merge")
+        .join(fine_assigned.hint("merge"), "__ccell")
+        .select(
+            id_col,
+            vec_col,
+            "__nv",
+            "__fcell",
+            cosine(
+                F.col(vec_col),
+                F.col("__fsv"),
+                norm_a=F.col("__nv"),
+                norm_b=F.col("__fn"),
+            ).alias("__fc"),
+        )
+    )
+    wf = Window.partitionBy(id_col).orderBy(
+        F.desc("__fc"), F.asc("__fcell")
+    )
+    assigned = (
+        cand.withColumn("__frn", F.row_number().over(wf))
+        .filter(F.col("__frn") <= n_probe)
+        .groupBy(id_col)
+        .agg(
+            F.first(vec_col).alias(vec_col),
+            F.first("__nv").alias("__nv"),
+            F.min(F.when(F.col("__frn") == 1, F.col("__fcell"))).alias(
+                "__own"
+            ),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__frn", "__fcell"))
+                ),
+                lambda s: s["__fcell"],
+            ).alias("__probes"),
+        )
+    )
+    return _graph_from_assigned(assigned, id_col, vec_col, k)
 
 
 def semantic_dedup(
@@ -791,9 +953,9 @@ def semantic_dedup(
     if len(cents) > _MAX_BROADCAST_CELLS:
         raise ValueError(
             f"semantic_dedup: centroid table exceeds "
-            f"{_MAX_BROADCAST_CELLS} rows — use two-level coarse "
-            "quantization (or pre-assign with ivf_index and call "
-            "semantic_dedup_assigned)"
+            f"{_MAX_BROADCAST_CELLS} rows — pre-assign cells (e.g. "
+            "with ivf_index, or the two_level_knn_graph-style "
+            "coarse-then-fine join) and call semantic_dedup_assigned"
         )
     if assignment == "auto":
         assignment = (
