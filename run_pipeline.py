@@ -676,7 +676,7 @@ def main() -> None:
         choices=["kpis", "dedup", "dedup-batch", "curate", "report",
                  "train-classifier", "train-bpe", "compact",
                  "build-ann-index", "ann-search", "knn-graph",
-                 "centrality"],
+                 "decontam", "centrality"],
         default="kpis",
         help="kpis: the 16-query tourism topology; dedup: streaming "
         "document near-dup verdicts (--path is a JSONL docs dir, "
@@ -693,7 +693,19 @@ def main() -> None:
         "top-k cosine neighbors for EVERY vector of an embeddings "
         "table (--path) using an ann index's IVF centroids as the "
         "quantizer (--index), edges to --out — fully distributed, "
-        "no driver-side query collect",
+        "no driver-side query collect; decontam: embedding-space "
+        "benchmark decontamination — flag every training vector "
+        "(--path) whose max cosine against the eval suite (--eval) "
+        "reaches --min-cosine, flagged rows to --out",
+    )
+    ap.add_argument(
+        "--eval",
+        help="--mode decontam: eval-suite embeddings parquet/dir "
+        "(small by construction — it packs into one broadcast row)",
+    )
+    ap.add_argument(
+        "--min-cosine", type=float, default=0.95,
+        help="--mode decontam: flag threshold on the rounded cosine",
     )
     ap.add_argument(
         "--cells", type=int, default=0,
@@ -746,11 +758,20 @@ def main() -> None:
         "(needs a store_vectors index)",
     )
     ap.add_argument(
-        "--assignment", choices=["auto", "plan", "broadcast"],
+        "--assignment", choices=["auto", "plan", "broadcast", "two-level"],
         default="auto",
         help="--mode knn-graph: cell-assignment strategy — plan "
         "constants (small quantizers), broadcast numpy + pandas UDF "
-        "(the sqrt(N)-cells path), or auto (switch above 256 cells)",
+        "(the sqrt(N)-cells path), auto (switch above 256 cells), or "
+        "two-level (coarse-then-fine; the quantizer stays a DataFrame "
+        "— the >200k-cell regime where even a broadcast matrix is "
+        "unreasonable)",
+    )
+    ap.add_argument(
+        "--n-coarse-probe", type=int, default=2,
+        help="--mode knn-graph --assignment two-level: coarse cells "
+        "probed per vector when ranking fine cells (recall knob of "
+        "the first quantization level)",
     )
     ap.add_argument(
         "--n-merges",
@@ -1049,6 +1070,7 @@ def main() -> None:
         from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
             as_double_vec,
             ivf_knn_graph,
+            two_level_knn_graph,
         )
 
         table = os.path.join(args.path, "embeddings.parquet")
@@ -1067,16 +1089,60 @@ def main() -> None:
         # same defaults.
         n_cells = cents.count()
         n_probe = min(args.n_probe, n_cells)
-        graph = ivf_knn_graph(
-            emb, "vec_id", "v", cents, k=args.k, n_probe=n_probe,
-            assignment=args.assignment,
-        )
+        if args.assignment == "two-level":
+            graph = two_level_knn_graph(
+                emb, "vec_id", "v", cents, k=args.k, n_probe=n_probe,
+                n_coarse_probe=args.n_coarse_probe,
+            )
+        else:
+            graph = ivf_knn_graph(
+                emb, "vec_id", "v", cents, k=args.k, n_probe=n_probe,
+                assignment=args.assignment,
+            )
         graph.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(
             f">>> knn graph built; {n} (vector, neighbor) edges "
             f"(k={args.k}, n_probe={n_probe}, "
             f"assignment={args.assignment}) -> {args.out}"
+        )
+        return
+
+    if args.mode == "decontam":
+        if not args.path or not getattr(args, "eval") or not args.out:
+            ap.error(
+                "--mode decontam requires --path (training embeddings "
+                "parquet/dir), --eval (eval-suite embeddings "
+                "parquet/dir) and --out (flagged rows parquet)"
+            )
+        from pyspark.sql import functions as F
+
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+            as_double_vec,
+            semantic_decontaminate,
+        )
+
+        def _emb_of(path):
+            table = os.path.join(path, "embeddings.parquet")
+            raw = spark.read.parquet(
+                table if os.path.exists(table) else path
+            )
+            return raw.select(
+                "vec_id", as_double_vec(F.col("embedding")).alias("v")
+            )
+
+        flagged = semantic_decontaminate(
+            _emb_of(args.path),
+            _emb_of(getattr(args, "eval")),
+            "vec_id",
+            "v",
+            min_cosine=args.min_cosine,
+        )
+        flagged.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(
+            f">>> decontam done; {n} training vectors flagged "
+            f"(min_cosine={args.min_cosine}) -> {args.out}"
         )
         return
 

@@ -421,3 +421,90 @@ def test_knn_graph_cli_assignment_broadcast(
             tuple(r) for r in spark.read.parquet(out).collect()
         }
     assert outs["plan"] == outs["broadcast"] and len(outs["plan"]) > 0
+
+
+def test_knn_graph_cli_assignment_two_level(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """--assignment two-level routes the CLI through
+    two_level_knn_graph (coarse-then-fine; the quantizer never
+    collects as a flat matrix); with every coarse cell probed
+    (--n-coarse-probe clamps to the coarse count) the graph equals
+    the flat plan-constant path's edges exactly."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import run_pipeline
+
+    idx = str(tmp_path / "idx_tl")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "build-ann-index",
+         "--path", "/root/testdata/sf0.001", "--out", idx,
+         "--cells", "8", "--pq-m", "8", "--pq-codes", "16"],
+    )
+    run_pipeline.main()
+    capsys.readouterr()
+
+    outs = {}
+    for mode, extra in (
+        ("plan", []),
+        ("two-level", ["--n-coarse-probe", "4096"]),
+    ):
+        out = str(tmp_path / f"graph_tl_{mode}")
+        monkeypatch.setattr(
+            sys, "argv",
+            ["run_pipeline.py", "--mode", "knn-graph",
+             "--path", "/root/testdata/sf0.001", "--index", idx,
+             "--out", out, "--k", "3", "--n-probe", "2",
+             "--assignment", mode, *extra],
+        )
+        run_pipeline.main()
+        assert f"assignment={mode}" in capsys.readouterr().out
+        outs[mode] = {
+            tuple(r) for r in spark.read.parquet(out).collect()
+        }
+    assert outs["plan"] == outs["two-level"] and len(outs["plan"]) > 0
+
+
+def test_decontam_cli_flags_planted_eval_copies(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """--mode decontam flags exactly the training vectors whose max
+    cosine against the eval suite reaches --min-cosine; planted exact
+    copies of eval vectors are the guaranteed flag set at 0.99."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import run_pipeline
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    eval_dir = str(tmp_path / "eval")
+    train_dir = str(tmp_path / "train")
+    out = str(tmp_path / "flagged")
+    eval_df = emb.filter(F.col("vec_id") < 20)
+    eval_df.write.parquet(eval_dir)
+    emb.filter(F.col("vec_id") >= 20).select("vec_id", "embedding").unionByName(
+        eval_df.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"
+        )
+    ).write.parquet(train_dir)
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "decontam", "--path", train_dir,
+         "--eval", eval_dir, "--out", out, "--min-cosine", "0.99"],
+    )
+    run_pipeline.main()
+    assert ">>> decontam done; 5 training vectors flagged" in (
+        capsys.readouterr().out
+    )
+    rows = {
+        r["vec_id"]: (r["matched_eval_id"], r["cosine"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {s + 2000000: (s, 1.0) for s in range(5)}

@@ -1136,7 +1136,7 @@ def test_ivf_knn_graph_assignment_guards(spark):
         F.col("id").cast("int").alias("cell_id"),
         F.array(F.lit(1.0)).alias("sv"),
     )
-    with pytest.raises(ValueError, match="two-level"):
+    with pytest.raises(ValueError, match="two_level_knn_graph"):
         similarity.ivf_knn_graph(emb, "vec_id", "v", huge, n_probe=2)
     cents = _seeded_cells(emb)
     with pytest.raises(ValueError, match="assignment"):
@@ -1299,3 +1299,105 @@ def test_two_level_knn_graph_narrow_coarse_probe_recall(spark):
         len(got.get(q, set()) & nbrs) / len(nbrs) for q, nbrs in exact.items()
     ) / len(exact)
     assert recall >= 0.3, recall
+
+
+def test_semantic_decontaminate_matches_window_path(spark):
+    """The zero-shuffle packed-eval argmax must equal a naive
+    cross-join + per-train-row window top-1 EXACTLY (same flagged
+    ids, same witnesses, same rounded cosines) — planted eval copies
+    are the guaranteed leak set, the organic neighborhood comes along
+    at the low fixture threshold."""
+    from pyspark.sql.window import Window
+
+    emb = _emb_vectors(spark)
+    eval_df = emb.filter(F.col("vec_id") < 20)
+    train = emb.filter(F.col("vec_id") >= 20).unionByName(
+        eval_df.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 2000000).alias("vec_id"), "v"
+        )
+    )
+    got = {
+        (r["vec_id"], r["matched_eval_id"], r["cosine"])
+        for r in similarity.semantic_decontaminate(
+            train, eval_df, "vec_id", "v", min_cosine=0.35
+        ).collect()
+    }
+    naive = (
+        train.select(F.col("vec_id").alias("tid"), F.col("v").alias("tv"))
+        .crossJoin(
+            eval_df.select(
+                F.col("vec_id").alias("eid"), F.col("v").alias("ev")
+            )
+        )
+        .select(
+            "tid",
+            "eid",
+            similarity.cosine(F.col("tv"), F.col("ev")).alias("c"),
+        )
+    )
+    w = Window.partitionBy("tid").orderBy(F.desc("c"), F.asc("eid"))
+    want = {
+        (r["tid"], r["eid"], r["c"])
+        for r in naive.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("c") >= 0.35))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # every planted copy is flagged at cosine 1.0 with its source
+    flagged = {t: (e, c) for t, e, c in got}
+    for src in range(5):
+        assert flagged[src + 2000000] == (src, 1.0)
+
+
+def test_semantic_decontaminate_zero_shuffle_train_side(spark):
+    """The 100 TB contract: the train side never shuffles — the only
+    exchanges are the eval suite's SinglePartition pack and its
+    broadcast; `hashpartitioning` must not appear anywhere in the
+    plan (no window, no groupBy, no join key on the corpus)."""
+    emb = _emb_vectors(spark)
+    flagged = similarity.semantic_decontaminate(
+        emb.filter(F.col("vec_id") >= 20),
+        emb.filter(F.col("vec_id") < 20),
+        "vec_id",
+        "v",
+        min_cosine=0.35,
+    )
+    plan = _plan_of(flagged)
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_semantic_decontaminate_degenerate_guards(spark):
+    """ANSI-safety contract: zero-norm train vectors are excluded (not
+    fatal), zero-norm eval vectors are dropped from the suite, and an
+    eval set that is empty after the filter raises instead of
+    vacuously passing the corpus."""
+    import pytest as _pytest
+
+    emb = _emb_vectors(spark)
+    dim = len(emb.select("v").first()["v"])
+    zero = spark.createDataFrame(
+        [(999000, [0.0] * dim)], "vec_id long, v array<double>"
+    )
+    eval_df = emb.filter(F.col("vec_id") < 20)
+    # zero-norm train row: excluded, everything else unaffected
+    train = emb.filter(F.col("vec_id") >= 20).unionByName(zero)
+    rows = similarity.semantic_decontaminate(
+        train, eval_df, "vec_id", "v", min_cosine=0.35
+    ).collect()
+    assert all(r["vec_id"] != 999000 for r in rows)
+    # zero-norm eval row: dropped from the suite, no ANSI crash
+    rows2 = similarity.semantic_decontaminate(
+        train,
+        eval_df.unionByName(zero),
+        "vec_id",
+        "v",
+        min_cosine=0.35,
+    ).collect()
+    assert {(r["vec_id"], r["matched_eval_id"]) for r in rows2} == {
+        (r["vec_id"], r["matched_eval_id"]) for r in rows
+    }
+    # all-zero eval set: refuse
+    with _pytest.raises(ValueError, match="eval set is empty"):
+        similarity.semantic_decontaminate(
+            train, zero, "vec_id", "v", min_cosine=0.35
+        )

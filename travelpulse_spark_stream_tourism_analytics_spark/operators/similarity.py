@@ -201,6 +201,93 @@ def dequantize(quant: Column) -> Column:
     return F.transform(quant["q"], lambda x: x * quant["scale"])
 
 
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eval_id_col: str | None = None,
+    eval_vec_col: str | None = None,
+    min_cosine: float = 0.99,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every TRAIN
+    vector whose max cosine against ANY eval-set vector reaches
+    ``min_cosine``, with the best-matching eval id as the witness.
+
+    The semantic complement of the n-gram 'contam' branch
+    (plans/text_queries.docs_top_terms): n-gram hashing catches
+    verbatim leakage, this catches paraphrased/reformatted eval items
+    that share an embedding neighborhood with a training doc (the
+    leakage mode n-grams miss).
+
+    100 TB plan shape — ZERO shuffles on the train side: the eval set
+    is a benchmark suite (small by construction), so it is packed into
+    ONE broadcast row as an array of (id, vec, norm) structs; each
+    train row computes its argmax-cosine eval match with pure array
+    expressions fused into the scan (no window, no groupBy, no join
+    key). The only exchanges in the plan are the eval-side global
+    aggregation (SinglePartition over the tiny suite) and its
+    broadcast — `hashpartitioning` never appears. For eval suites too
+    large to pack (>~10^5 rows), fall back to
+    :func:`brute_force_knn`'s window path or LSH-bucket both sides.
+
+    Determinism: cosine is rounded 1e-6 (class contract); the witness
+    tiebreak is the LOWEST eval id via array_max over (cosine,
+    -eval_id) structs — order-independent, so collect_list's
+    nondeterministic packing order cannot change results.
+
+    Degenerate inputs (same contract as ivf_knn_graph): zero-norm or
+    null eval vectors are dropped from the packed suite (cosine
+    against them is a 0-divisor — ANSI DIVIDE_BY_ZERO); an eval set
+    that becomes EMPTY after that filter raises (decontaminating
+    against nothing must not silently pass everything); zero-norm /
+    null train vectors are excluded from flagging.
+    """
+    eval_id_col = eval_id_col or id_col
+    eval_vec_col = eval_vec_col or vec_col
+    ev = eval_df.select(
+        F.col(eval_id_col).cast("long").alias("__eid"),
+        F.col(eval_vec_col).alias("__ev"),
+        F.sqrt(dot(F.col(eval_vec_col), F.col(eval_vec_col))).alias("__en"),
+    ).filter(F.col("__en").isNotNull() & (F.col("__en") > 0))
+    if ev.limit(1).count() == 0:
+        raise ValueError(
+            "semantic_decontaminate: eval set is empty after the "
+            "zero-norm filter — refusing to vacuously pass the corpus"
+        )
+    packed = ev.agg(
+        F.collect_list(F.struct("__eid", "__ev", "__en")).alias("__eval")
+    )
+    base = train.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nv"),
+    ).filter(F.col("__nv").isNotNull() & (F.col("__nv") > 0))
+    best = F.array_max(
+        F.transform(
+            F.col("__eval"),
+            lambda e: F.struct(
+                cosine(
+                    F.col(vec_col),
+                    e["__ev"],
+                    norm_a=F.col("__nv"),
+                    norm_b=e["__en"],
+                ).alias("c"),
+                (-e["__eid"]).alias("neg_id"),
+            ),
+        )
+    )
+    return (
+        base.crossJoin(F.broadcast(packed))
+        .select(
+            F.col(id_col),
+            (-best["neg_id"]).alias("matched_eval_id"),
+            best["c"].alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(min_cosine))
+    )
+
+
 def lsh_neardup_pairs_multiprobe(
     emb: DataFrame,
     id_col: str,

@@ -2851,6 +2851,39 @@ _PQ_ADC_EXPR = (
             FROM kgscored
         ) WHERE rn <= 3
     ) kg
+    UNION ALL
+    -- Semantic decontamination (round 9): train docs whose max cosine
+    -- against ANY eval vector (vec_id < 20) reaches 0.35, witness =
+    -- the best-matching eval id (lowest id on ties). Planted copies
+    -- of eval ids 0-4 (+2000000) are the guaranteed contamination.
+    SELECT 'semantic_contam' AS variant, query_id, neighbor_id,
+           cosine AS score
+    FROM (
+        WITH scbase AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), sceval AS (
+            SELECT vec_id AS eid, v AS ev FROM scbase WHERE vec_id < 20
+        ), sctrain AS (
+            SELECT vec_id, v FROM scbase WHERE vec_id >= 20
+            UNION ALL
+            SELECT vec_id + 2000000 AS vec_id, v FROM scbase
+            WHERE vec_id < 5
+        ), scscored AS (
+            SELECT t.vec_id AS query_id, e.eid AS neighbor_id,
+                   round(list_dot_product(t.v, e.ev)
+                         / (sqrt(list_dot_product(t.v, t.v))
+                            * sqrt(list_dot_product(e.ev, e.ev))), 6)
+                       AS cosine
+            FROM sctrain t, sceval e
+        )
+        SELECT query_id, neighbor_id, cosine FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id
+                   ) AS rn
+            FROM scscored
+        ) WHERE rn = 1 AND cosine >= 0.35
+    ) sc
     """,
 )
 def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2870,8 +2903,13 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure exprs, no float vectors in the join), plus the distributed
     corpus-wide kNN GRAPH (round 9: similarity.ivf_knn_graph over a
     bounded 400-vector corpus with the seeded quantizer — every
-    vector is a query, nothing collected). The metric column is
-    ``score``: cosine for the knn/semdedup/knn_graph branches,
+    vector is a query, nothing collected), plus embedding-space
+    benchmark DECONTAMINATION (round 9:
+    similarity.semantic_decontaminate — the semantic complement of
+    docs_top_terms' n-gram 'contam' branch; the eval suite packs into
+    one broadcast row and the train side flags its argmax-cosine eval
+    match in a zero-shuffle scan). The metric column is ``score``:
+    cosine for the knn/semdedup/knn_graph/semantic_contam branches,
     approximate squared L2 for pq_adc. Rounded to 1e-6 BEFORE ranking
     on all sides so summation-order ulps cannot flip orderings.
     Constituents: embedding_knn + embedding_ivf_seeded_knn above."""
@@ -2957,12 +2995,34 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.col("cosine").alias("score"),
     )
+    # semantic_contam branch (round 9): embedding-space benchmark
+    # decontamination (similarity.semantic_decontaminate — the eval
+    # suite packs into ONE broadcast row; the train side is a
+    # zero-shuffle scan). Eval = vec_id < 20; planted copies of eval
+    # ids 0-4 (+2000000) are the guaranteed leak set; 0.35 catches the
+    # organic near-neighborhood on this corpus (max organic cosine
+    # 0.49) without flagging everything.
+    contam_eval = emb.filter(F.col("vec_id") < 20)
+    contam_train = emb.filter(F.col("vec_id") >= 20).unionByName(
+        contam_eval.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 2000000).alias("vec_id"), "v"
+        )
+    )
+    contam = similarity.semantic_decontaminate(
+        contam_train, contam_eval, "vec_id", "v", min_cosine=0.35
+    ).select(
+        F.lit("semantic_contam").alias("variant"),
+        F.col("vec_id").alias("query_id"),
+        F.col("matched_eval_id").alias("neighbor_id"),
+        F.col("cosine").alias("score"),
+    )
     return (
         brute.unionByName(ivf)
         .unionByName(int8)
         .unionByName(sem)
         .unionByName(pq)
         .unionByName(kg)
+        .unionByName(contam)
     )
 
 
