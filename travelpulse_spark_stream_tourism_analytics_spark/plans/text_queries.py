@@ -2852,6 +2852,49 @@ _PQ_ADC_EXPR = (
         ) WHERE rn <= 3
     ) kg
     UNION ALL
+    -- Two-level kNN graph (round 9): same 400-vector corpus and
+    -- seeded quantizer as kg, k=2 / 3-of-8 fine probes, with EVERY
+    -- coarse cell probed — the exactness contract under which the
+    -- coarse-then-fine assignment equals flat IVF bit-for-bit, so the
+    -- flat formulation IS the SQL twin (the narrow-coarse-probe
+    -- recall trade is pytest+soak territory: the hash-stride coarse
+    -- draw uses xxhash64, which DuckDB cannot replay).
+    SELECT 'knn_graph_2l' AS variant, query_id, neighbor_id,
+           cosine AS score
+    FROM (
+        WITH kgbase AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id < 400
+        ), kgseeds AS (
+            SELECT vec_id AS cell_id, v AS sv FROM kgbase WHERE vec_id < 8
+        ), kgrank AS MATERIALIZED (
+            SELECT b.vec_id, b.v, s.cell_id,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY round(list_dot_product(b.v, s.sv)
+                                / (sqrt(list_dot_product(b.v, b.v))
+                                   * sqrt(list_dot_product(s.sv, s.sv))), 6)
+                                DESC, s.cell_id
+                   ) AS crk
+            FROM kgbase b, kgseeds s
+        ), kgscored AS (
+            SELECT p.vec_id AS query_id, o.vec_id AS neighbor_id,
+                   round(list_dot_product(p.v, o.v)
+                         / (sqrt(list_dot_product(p.v, p.v))
+                            * sqrt(list_dot_product(o.v, o.v))), 6) AS cosine
+            FROM (SELECT vec_id, v, cell_id FROM kgrank WHERE crk <= 3) p
+            JOIN (SELECT vec_id, v, cell_id FROM kgrank WHERE crk = 1) o
+              ON o.cell_id = p.cell_id AND o.vec_id <> p.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id
+                   ) AS rn
+            FROM kgscored
+        ) WHERE rn <= 2
+    ) kg2
+    UNION ALL
     -- Semantic decontamination (round 9): train docs whose max cosine
     -- against ANY eval vector (vec_id < 20) reaches 0.35, witness =
     -- the best-matching eval id (lowest id on ties). Planted copies
@@ -2903,7 +2946,11 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure exprs, no float vectors in the join), plus the distributed
     corpus-wide kNN GRAPH (round 9: similarity.ivf_knn_graph over a
     bounded 400-vector corpus with the seeded quantizer — every
-    vector is a query, nothing collected), plus embedding-space
+    vector is a query, nothing collected), plus its TWO-LEVEL
+    coarse-then-fine assignment path at full coarse probe width
+    (round 9: similarity.two_level_knn_graph — the >200k-cell regime
+    where the quantizer stays a DataFrame; exact there, so the flat
+    formulation is the SQL twin), plus embedding-space
     benchmark DECONTAMINATION (round 9:
     similarity.semantic_decontaminate — the semantic complement of
     docs_top_terms' n-gram 'contam' branch; the eval suite packs into
@@ -2995,6 +3042,27 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.col("cosine").alias("score"),
     )
+    # knn_graph_2l branch (round 9): the coarse-then-fine assignment
+    # path (similarity.two_level_knn_graph — the quantizer stays a
+    # DataFrame) at FULL coarse probe width, where it must equal flat
+    # IVF bit-for-bit; k/n_probe differ from the kg branch so the two
+    # paths produce distinct row sets.
+    kg2 = similarity.two_level_knn_graph(
+        kg_corpus,
+        "vec_id",
+        "v",
+        kg_corpus.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+        ),
+        k=2,
+        n_probe=3,
+        n_coarse_probe=10_000,  # clamps to the coarse count: exact
+    ).select(
+        F.lit("knn_graph_2l").alias("variant"),
+        F.col("vec_id").alias("query_id"),
+        "neighbor_id",
+        F.col("cosine").alias("score"),
+    )
     # semantic_contam branch (round 9): embedding-space benchmark
     # decontamination (similarity.semantic_decontaminate — the eval
     # suite packs into ONE broadcast row; the train side is a
@@ -3022,6 +3090,7 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sem)
         .unionByName(pq)
         .unionByName(kg)
+        .unionByName(kg2)
         .unionByName(contam)
     )
 
