@@ -440,6 +440,128 @@ def knn_graph_broadcast_soak(
     }
 
 
+def knn_graph_two_level_soak(
+    spark, sf_dir: str, n_cells: int = 1024, k: int = 10,
+    n_coarse_probe: int = 8,
+) -> dict:
+    """The coarse-then-fine assignment path (round 9): the regime past
+    _MAX_BROADCAST_CELLS where the fine quantizer must stay a
+    DataFrame end to end. Same deterministic 1,024-cell quantizer and
+    eighth-width fine probe as the broadcast sibling row, but cell
+    assignment goes through the coarse level (~sqrt(n_cells) coarse
+    cells, ``n_coarse_probe`` probed). Records wall, coverage, and —
+    on corpora small enough — the edge overlap vs the FLAT broadcast
+    assignment at identical (k, n_probe): the coarse-probe recall
+    trade, measured, not asserted. Exactness (full coarse probe ==
+    flat, bit-for-bit) is test-pinned."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        as_double_vec,
+        ivf_knn_graph,
+        two_level_knn_graph,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    n = emb.count()
+    n_cells = min(n_cells, n)
+    cents = emb.orderBy("vec_id").limit(n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+    n_probe = max(1, n_cells // 8)
+    t0 = time.perf_counter()
+    graph = two_level_knn_graph(
+        emb, "vec_id", "v", cents, k=k, n_probe=n_probe,
+        n_coarse_probe=n_coarse_probe,
+    ).persist()
+    graph.write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    edges = graph.count()
+    covered = graph.select("vec_id").distinct().count()
+    overlap = None
+    if n <= 4000:  # the flat twin costs a second full build
+        flat = ivf_knn_graph(
+            emb, "vec_id", "v", cents, k=k, n_probe=n_probe,
+            assignment="broadcast",
+        )
+        flat_edges = {
+            (r["vec_id"], r["neighbor_id"]) for r in flat.collect()
+        }
+        two_edges = {
+            (r["vec_id"], r["neighbor_id"]) for r in graph.collect()
+        }
+        overlap = round(len(two_edges & flat_edges) / len(flat_edges), 4)
+    spark.catalog.clearCache()
+    return {
+        "n_vectors": n,
+        "n_cells": n_cells,
+        "n_probe": n_probe,
+        "n_coarse_probe": n_coarse_probe,
+        "k": k,
+        "edges": edges,
+        "vertex_coverage": round(covered / n, 4),
+        "edge_overlap_vs_flat": overlap,
+        "wall_sec": round(wall, 2),
+    }
+
+
+def decontam_soak(spark, sf_dir: str, min_cosine: float = 0.99) -> dict:
+    """Scale row for embedding-space decontamination (round 9): eval
+    suite = the 200 lowest-id vectors, training side = the rest PLUS
+    planted exact copies of 20 eval vectors. Gates: the planted set is
+    flagged exactly (each copy matched to its source at cosine 1.0),
+    and the train side never shuffles (no hashpartitioning in the
+    plan — the suite rides as one broadcast row)."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        as_double_vec,
+        semantic_decontaminate,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    eval_df = emb.filter(F.col("vec_id") < 200)
+    train = emb.filter(F.col("vec_id") >= 200).unionByName(
+        eval_df.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 5_000_000).alias("vec_id"), "v"
+        )
+    )
+    n_train = train.count()
+    t0 = time.perf_counter()
+    flagged = semantic_decontaminate(
+        train, eval_df, "vec_id", "v", min_cosine=min_cosine
+    )
+    rows = flagged.collect()
+    wall = time.perf_counter() - t0
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    planted_ok = {
+        r["vec_id"]: (r["matched_eval_id"], r["cosine"]) for r in rows
+    }
+    planted_exact = all(
+        planted_ok.get(s + 5_000_000) == (s, 1.0) for s in range(20)
+    )
+    spark.catalog.clearCache()
+    return {
+        "n_train": n_train,
+        "n_eval": 200,
+        "min_cosine": min_cosine,
+        "n_flagged": len(rows),
+        "planted_all_flagged_exact": planted_exact,
+        "train_side_shuffle_free": "hashpartitioning" not in plan,
+        "wall_sec": round(wall, 2),
+    }
+
+
 def curate_quality_gap(spark, sf_dir: str) -> dict:
     """Quality assertion for the fuzzy curate chain (VERDICT r4 item
     8): run the near-dup selection through the SAME
@@ -958,6 +1080,40 @@ def main() -> None:
             )
         ):
             anomalies.append(f"knn_graph_broadcast:{sf_name}")
+
+    # Round 9: the coarse-then-fine assignment (quantizer stays a
+    # DataFrame) — full coverage, and the coarse-probe recall trade
+    # recorded as edge overlap vs the flat assignment where the flat
+    # twin is affordable.
+    result["knn_graph_two_level"] = {}
+    for sf_name, d in (("sf0.1", SF01), ("sf1", args.data_dir)):
+        row = knn_graph_two_level_soak(spark, d)
+        result["knn_graph_two_level"][sf_name] = row
+        print(
+            f"knn graph two-level @{sf_name}:", json.dumps(row), flush=True
+        )
+        # overlap floor is a STRUCTURAL sanity bound, not a knob
+        # assertion: quarter-width coarse probing (8 of 32) measures
+        # ~0.50 on this corpus and the row exists to record that
+        # trade; 0.3 catches a broken assignment, not a narrow probe.
+        if row["vertex_coverage"] < 0.99 or (
+            row["edge_overlap_vs_flat"] is not None
+            and row["edge_overlap_vs_flat"] < 0.3
+        ):
+            anomalies.append(f"knn_graph_two_level:{sf_name}")
+
+    # Round 9: embedding-space decontamination — planted eval copies
+    # must be flagged exactly and the train side must stay
+    # shuffle-free (the eval suite rides as one broadcast row).
+    result["decontam"] = {}
+    for sf_name, d in (("sf0.1", SF01), ("sf1", args.data_dir)):
+        row = decontam_soak(spark, d)
+        result["decontam"][sf_name] = row
+        print(f"decontam @{sf_name}:", json.dumps(row), flush=True)
+        if not row["planted_all_flagged_exact"] or not row[
+            "train_side_shuffle_free"
+        ]:
+            anomalies.append(f"decontam:{sf_name}")
 
     result["anomalies"] = anomalies
     result["notes"] = [
