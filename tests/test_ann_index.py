@@ -508,3 +508,57 @@ def test_decontam_cli_flags_planted_eval_copies(
         for r in spark.read.parquet(out).collect()
     }
     assert rows == {s + 2000000: (s, 1.0) for s in range(5)}
+
+
+def test_ann_add_packed_argmin_matches_window_assignment(spark, tmp_path):
+    """add_to_ann_index's packed-broadcast-row argmin (zero-shuffle
+    cell assignment) must reproduce the crossJoin+window formulation
+    EXACTLY — same d2 fold per (vector, center) pair, same
+    (d2 ASC, cell ASC) tiebreak via struct ordering."""
+    import json as _json
+
+    from pyspark.sql.window import Window
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.ann_index import (
+        add_to_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "idx_pk")
+    build_ann_index(
+        emb.filter(F.col("vec_id") < 100), idx, n_cells=8, m=8, k_codes=16
+    )
+    newbie = emb.filter(F.col("vec_id") >= 100)
+    add_to_ann_index(spark, idx, newbie)
+
+    codes = spark.read.parquet(f"{idx}/codes.parquet")
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in codes.filter(F.col("vec_id") >= 100).collect()
+    }
+
+    # reference: the old crossJoin + per-id window formulation over
+    # the same frozen centers
+    centers = spark.read.parquet(f"{idx}/centroids.parquet").select(
+        "cell", F.col("center")
+    )
+    v = newbie.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__v")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("__v"), F.col("center"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("__d2"), F.asc("cell"))
+    want = {
+        r["vec_id"]: r["cell"]
+        for r in v.crossJoin(F.broadcast(centers))
+        .select("vec_id", "cell", dist2.alias("__d2"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .collect()
+    }
+    assert got == want and len(got) == 400

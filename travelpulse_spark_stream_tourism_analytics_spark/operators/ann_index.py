@@ -368,35 +368,44 @@ def add_to_ann_index(
         id_col, F.col(vec_col).cast("array<double>").alias("__v")
     )
 
-    # cell assignment under the frozen coarse quantizer: broadcast the
-    # tiny centroid table, argmin by expanded |v|^2 - 2vc + |c|^2 per
-    # row in one map-side pass (no KMeans re-fit, no shuffle)
+    # cell assignment under the frozen coarse quantizer: the centroid
+    # table packs into ONE broadcast row of (cell, center) structs and
+    # every new vector computes its argmin-L2 cell with pure array
+    # expressions fused into the scan — zero shuffle, and none of the
+    # |emb| x |cells| row amplification the previous crossJoin+window
+    # shape pushed through a per-id exchange (at the sqrt(N) cell
+    # sizing the build uses, that amplified relation — not the encode
+    # — became the stage's cost). Selection is array_min over
+    # (d2, cell) structs: field-by-field struct ordering reproduces
+    # the window's (d2 ASC, cell ASC) tiebreak, and d2 is the same
+    # zip_with fold per (vector, center) pair, so the assignment is
+    # bit-identical to the window formulation (test-pinned).
     c_rows = [
         (int(i), [float(x) for x in c]) for i, c in enumerate(centers)
     ]
     c_df = spark.createDataFrame(c_rows, "cell int, center array<double>")
-    dist2 = F.aggregate(
-        F.zip_with(
-            F.col("__v"), F.col("center"), lambda a, b: (a - b) * (a - b)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    packed = c_df.agg(
+        F.collect_list(F.struct("cell", "center")).alias("__cells")
     )
-    from pyspark.sql.window import Window
-
-    assigned = (
-        emb.crossJoin(F.broadcast(c_df))
-        .select(id_col, "__v", "cell", dist2.alias("__d2"))
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(
-                    F.asc("__d2"), F.asc("cell")
-                )
+    best = F.array_min(
+        F.transform(
+            F.col("__cells"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__v"),
+                        c["center"],
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                c["cell"].alias("cell"),
             ),
         )
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__d2")
+    )
+    assigned = emb.crossJoin(F.broadcast(packed)).select(
+        id_col, "__v", best["cell"].alias("cell")
     )
     codes = pq_encode(emb, id_col, "__v", [np.array(b) for b in books]).join(
         assigned.select(
