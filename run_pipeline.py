@@ -669,6 +669,23 @@ def run_centrality(
     return summary
 
 
+def _load_embeddings(spark, path: str):
+    """(vec_id, v array<double>) from an embeddings parquet table or a
+    testdata dir containing embeddings.parquet — the shared loader for
+    every embeddings-driven CLI mode (knn-graph, decontam)."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        as_double_vec,
+    )
+
+    table = os.path.join(path, "embeddings.parquet")
+    raw = spark.read.parquet(table if os.path.exists(table) else path)
+    return raw.select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -704,8 +721,9 @@ def main() -> None:
         "(small by construction — it packs into one broadcast row)",
     )
     ap.add_argument(
-        "--min-cosine", type=float, default=0.95,
-        help="--mode decontam: flag threshold on the rounded cosine",
+        "--min-cosine", type=float, default=0.99,
+        help="--mode decontam: flag threshold on the rounded cosine "
+        "(default 0.99 — the semantic_decontaminate library default)",
     )
     ap.add_argument(
         "--cells", type=int, default=0,
@@ -1068,18 +1086,11 @@ def main() -> None:
         from pyspark.sql import functions as F
 
         from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
-            as_double_vec,
             ivf_knn_graph,
             two_level_knn_graph,
         )
 
-        table = os.path.join(args.path, "embeddings.parquet")
-        emb_raw = spark.read.parquet(
-            table if os.path.exists(table) else args.path
-        )
-        emb = emb_raw.select(
-            "vec_id", as_double_vec(F.col("embedding")).alias("v")
-        )
+        emb = _load_embeddings(spark, args.path)
         cents = spark.read.parquet(
             os.path.join(args.index, "centroids.parquet")
         ).select(F.col("cell").alias("cell_id"), F.col("center").alias("sv"))
@@ -1109,31 +1120,19 @@ def main() -> None:
         return
 
     if args.mode == "decontam":
-        if not args.path or not getattr(args, "eval") or not args.out:
+        if not args.path or not args.eval or not args.out:
             ap.error(
                 "--mode decontam requires --path (training embeddings "
                 "parquet/dir), --eval (eval-suite embeddings "
                 "parquet/dir) and --out (flagged rows parquet)"
             )
-        from pyspark.sql import functions as F
-
         from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
-            as_double_vec,
             semantic_decontaminate,
         )
 
-        def _emb_of(path):
-            table = os.path.join(path, "embeddings.parquet")
-            raw = spark.read.parquet(
-                table if os.path.exists(table) else path
-            )
-            return raw.select(
-                "vec_id", as_double_vec(F.col("embedding")).alias("v")
-            )
-
         flagged = semantic_decontaminate(
-            _emb_of(args.path),
-            _emb_of(getattr(args, "eval")),
+            _load_embeddings(spark, args.path),
+            _load_embeddings(spark, args.eval),
             "vec_id",
             "v",
             min_cosine=args.min_cosine,

@@ -537,6 +537,7 @@ def decontam_soak(spark, sf_dir: str, min_cosine: float = 0.99) -> dict:
         )
     )
     n_train = train.count()
+    n_eval = eval_df.count()  # measured, not assumed from the slice
     t0 = time.perf_counter()
     flagged = semantic_decontaminate(
         train, eval_df, "vec_id", "v", min_cosine=min_cosine
@@ -553,7 +554,7 @@ def decontam_soak(spark, sf_dir: str, min_cosine: float = 0.99) -> dict:
     spark.catalog.clearCache()
     return {
         "n_train": n_train,
-        "n_eval": 200,
+        "n_eval": n_eval,
         "min_cosine": min_cosine,
         "n_flagged": len(rows),
         "planted_all_flagged_exact": planted_exact,

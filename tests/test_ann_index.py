@@ -515,8 +515,6 @@ def test_ann_add_packed_argmin_matches_window_assignment(spark, tmp_path):
     cell assignment) must reproduce the crossJoin+window formulation
     EXACTLY — same d2 fold per (vector, center) pair, same
     (d2 ASC, cell ASC) tiebreak via struct ordering."""
-    import json as _json
-
     from pyspark.sql.window import Window
 
     from travelpulse_spark_stream_tourism_analytics_spark.operators.ann_index import (

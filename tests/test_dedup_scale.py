@@ -1401,3 +1401,27 @@ def test_semantic_decontaminate_degenerate_guards(spark):
         similarity.semantic_decontaminate(
             train, zero, "vec_id", "v", min_cosine=0.35
         )
+    # NaN vectors (round-9 review): NaN > 0 is TRUE in Spark's Double
+    # ordering and NaN ranks greatest, so an unguarded NaN eval vector
+    # would become the witness for — and flag — the ENTIRE corpus,
+    # and a NaN train vector would always be falsely flagged. Both
+    # must be excluded exactly like zero-norm rows.
+    nan_row = spark.createDataFrame(
+        [(999001, [float("nan")] + [1.0] * (dim - 1))],
+        "vec_id long, v array<double>",
+    )
+    rows3 = similarity.semantic_decontaminate(
+        train.unionByName(nan_row),
+        eval_df.unionByName(nan_row),
+        "vec_id",
+        "v",
+        min_cosine=0.35,
+    ).collect()
+    assert {(r["vec_id"], r["matched_eval_id"]) for r in rows3} == {
+        (r["vec_id"], r["matched_eval_id"]) for r in rows
+    }
+    # all-NaN eval set: refuse, same as all-zero
+    with _pytest.raises(ValueError, match="eval set is empty"):
+        similarity.semantic_decontaminate(
+            train, nan_row, "vec_id", "v", min_cosine=0.35
+        )

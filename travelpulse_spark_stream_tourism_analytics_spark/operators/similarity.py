@@ -236,20 +236,30 @@ def semantic_decontaminate(
     -eval_id) structs — order-independent, so collect_list's
     nondeterministic packing order cannot change results.
 
-    Degenerate inputs (same contract as ivf_knn_graph): zero-norm or
-    null eval vectors are dropped from the packed suite (cosine
-    against them is a 0-divisor — ANSI DIVIDE_BY_ZERO); an eval set
-    that becomes EMPTY after that filter raises (decontaminating
-    against nothing must not silently pass everything); zero-norm /
-    null train vectors are excluded from flagging.
+    Degenerate inputs (same contract as ivf_knn_graph): zero-norm,
+    null, or NaN-norm eval vectors are dropped from the packed suite
+    (a zero norm is a 0-divisor — ANSI DIVIDE_BY_ZERO; a NaN norm
+    would make every cosine NaN, and NaN ranks GREATEST in Spark's
+    Double ordering AND passes ``>= min_cosine``, so one NaN eval
+    vector would otherwise become the witness for — and flag — the
+    ENTIRE corpus); an eval set that becomes EMPTY after that filter
+    raises (decontaminating against nothing must not silently pass
+    everything); zero-norm / null / NaN-norm train vectors are
+    excluded from flagging by the same filter.
     """
     eval_id_col = eval_id_col or id_col
     eval_vec_col = eval_vec_col or vec_col
+
+    def usable(norm_col):
+        return (
+            norm_col.isNotNull() & ~F.isnan(norm_col) & (norm_col > 0)
+        )
+
     ev = eval_df.select(
         F.col(eval_id_col).cast("long").alias("__eid"),
         F.col(eval_vec_col).alias("__ev"),
         F.sqrt(dot(F.col(eval_vec_col), F.col(eval_vec_col))).alias("__en"),
-    ).filter(F.col("__en").isNotNull() & (F.col("__en") > 0))
+    ).filter(usable(F.col("__en")))
     if ev.limit(1).count() == 0:
         raise ValueError(
             "semantic_decontaminate: eval set is empty after the "
@@ -262,7 +272,7 @@ def semantic_decontaminate(
         F.col(id_col),
         F.col(vec_col),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nv"),
-    ).filter(F.col("__nv").isNotNull() & (F.col("__nv") > 0))
+    ).filter(usable(F.col("__nv")))
     best = F.array_max(
         F.transform(
             F.col("__eval"),
