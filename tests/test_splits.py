@@ -169,3 +169,139 @@ def test_temperature_weights_semantics_and_budget_composition(spark):
         # capped by what the source actually has (code upsamples past
         # its own mass at alpha=0.3 — the sampler can't mint tokens)
         assert per[s] == min(budget - (budget % 100), int(tok[s])), s
+
+
+def test_cluster_balanced_sample_caps_and_matches_window_assignment(spark):
+    """Embedding-cluster-balanced subsampling: every kept vector's
+    cell equals the crossJoin+window argmax-cosine reference, no cell
+    exceeds the cap, the kept set per cell is exactly the md5-order
+    prefix of the cell's members, and the whole thing is
+    deterministic."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        as_double_vec,
+        cosine,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+        cluster_balanced_sample,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    )
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+    got = cluster_balanced_sample(
+        emb, seeds, cap=20, id_col="vec_id", vec_col="v"
+    )
+    rows = got.collect()
+    per_cell: dict = {}
+    for r in rows:
+        per_cell.setdefault(r["cell_id"], []).append(r)
+    assert all(len(v) <= 20 for v in per_cell.values())
+    assert sum(len(v) for v in per_cell.values()) < 500  # something capped
+
+    # reference assignment: crossJoin + per-vector window argmax
+    ref = (
+        emb.crossJoin(
+            seeds.select(
+                F.col("cell_id").alias("rcell"), F.col("sv").alias("rsv")
+            )
+        )
+        .select(
+            "vec_id",
+            "rcell",
+            cosine(F.col("v"), F.col("rsv")).alias("c"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("c"), F.asc("rcell")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    ref_cell = {r["vec_id"]: (r["rcell"], r["c"]) for r in ref.collect()}
+    for r in rows:
+        assert ref_cell[r["vec_id"]] == (r["cell_id"], r["own_cosine"])
+
+    # kept set per cell == the md5-order prefix of that cell's members
+    import hashlib
+
+    members: dict = {}
+    for vid, (cell, _c) in ref_cell.items():
+        members.setdefault(cell, []).append(vid)
+    for cell, vids in members.items():
+        prefix = sorted(
+            vids,
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )[:20]
+        assert sorted(r["vec_id"] for r in per_cell[cell]) == sorted(prefix)
+
+    again = {tuple(r) for r in got.collect()}
+    assert again == {tuple(r) for r in rows}  # deterministic
+
+
+def test_cluster_balanced_sample_guards(spark):
+    """cap >= 1 enforced; zero/NaN-norm centroids refused by id;
+    zero/NaN-norm vectors excluded from the sample, not fatal."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        as_double_vec,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+        cluster_balanced_sample,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+        .filter(F.col("vec_id") < 50)
+    )
+    seeds = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+    with pytest.raises(ValueError, match="cap must be >= 1"):
+        cluster_balanced_sample(emb, seeds, cap=0, id_col="vec_id", vec_col="v")
+
+    dim = len(emb.select("v").first()["v"])
+    zero_seed = spark.createDataFrame(
+        [(77, [0.0] * dim)], "cell_id long, sv array<double>"
+    )
+    with pytest.raises(ValueError, match=r"\[77\]"):
+        cluster_balanced_sample(
+            emb, seeds.unionByName(zero_seed), cap=5,
+            id_col="vec_id", vec_col="v",
+        )
+    nan_seed = spark.createDataFrame(
+        [(78, [float("nan")] * dim)], "cell_id long, sv array<double>"
+    )
+    with pytest.raises(ValueError, match=r"\[78\]"):
+        cluster_balanced_sample(
+            emb, seeds.unionByName(nan_seed), cap=5,
+            id_col="vec_id", vec_col="v",
+        )
+    with pytest.raises(ValueError, match="empty centroid set"):
+        cluster_balanced_sample(
+            emb, seeds.filter(F.col("cell_id") < 0), cap=5,
+            id_col="vec_id", vec_col="v",
+        )
+
+    # degenerate corpus rows excluded, not fatal
+    bad = spark.createDataFrame(
+        [(999000, [0.0] * dim), (999001, [float("nan")] * dim)],
+        "vec_id long, v array<double>",
+    )
+    rows = cluster_balanced_sample(
+        emb.unionByName(bad), seeds, cap=1000, id_col="vec_id", vec_col="v"
+    ).collect()
+    ids = {r["vec_id"] for r in rows}
+    assert 999000 not in ids and 999001 not in ids and len(ids) == 50

@@ -258,3 +258,101 @@ def weighted_sample_without_replacement(
         d.withColumn(rank_col, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    centroids: DataFrame,
+    cap: int,
+    id_col: str = "doc_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Embedding-cluster-balanced subsampling: assign every vector to
+    its max-cosine centroid cell, then keep at most ``cap`` members
+    per cell in deterministic md5 order — the diversity-sampling
+    primitive (cap the over-represented embedding neighborhoods
+    instead of sampling them proportionally; the cluster-level
+    counterpart of per-domain caps, and the keep-some complement of
+    SemDedup's prune-all-but-one).
+
+    100 TB shape: the centroid table (sized ~n/target_cluster by the
+    caller, small by construction) packs into ONE broadcast row —
+    cell assignment is pure array expressions fused into the scan,
+    the same zero-shuffle kernel as semantic_decontaminate; the only
+    shuffle is the per-cell cap window, keyed by cell. Determinism:
+    cosine rounded 1e-6, cell tiebreak lowest id (array_max over
+    (cosine, -cell) structs — order-independent of collect_list
+    packing), in-cell order md5(id) with an id tiebreak.
+
+    Degenerate inputs follow the semantic_decontaminate contract:
+    zero-norm / null / NaN-norm centroids are refused (an unusable
+    cell would silently swallow its members), same-kind vectors are
+    excluded from the sample.
+    """
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        cosine,
+        dot,
+    )
+
+    if cap < 1:
+        raise ValueError(f"cluster_balanced_sample: cap must be >= 1, got {cap}")
+    cents = centroids.select(
+        F.col("cell_id").cast("long").alias("__cid"),
+        F.col("sv").alias("__sv"),
+        F.sqrt(dot(F.col("sv"), F.col("sv"))).alias("__sn"),
+    ).collect()
+    bad = [
+        r["__cid"]
+        for r in cents
+        if r["__sn"] is None or r["__sn"] != r["__sn"] or r["__sn"] <= 0
+    ]
+    if not cents or bad:
+        raise ValueError(
+            "cluster_balanced_sample: empty centroid set"
+            if not cents
+            else f"cluster_balanced_sample: unusable (zero/NaN-norm) "
+            f"centroids {bad} — drop or re-fit them"
+        )
+    spark = emb.sparkSession
+    c_df = spark.createDataFrame(
+        [(r["__cid"], [float(x) for x in r["__sv"]]) for r in cents],
+        "cell_id long, sv array<double>",
+    )
+    packed = c_df.agg(
+        F.collect_list(F.struct("cell_id", "sv")).alias("__cells")
+    )
+    nv = F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+    best = F.array_max(
+        F.transform(
+            F.col("__cells"),
+            lambda c: F.struct(
+                cosine(
+                    F.col(vec_col), c["sv"], norm_a=F.col("__nv")
+                ).alias("c"),
+                (-c["cell_id"]).alias("neg_cell"),
+            ),
+        )
+    )
+    assigned = (
+        emb.select(F.col(id_col), F.col(vec_col), nv.alias("__nv"))
+        .filter(
+            F.col("__nv").isNotNull()
+            & ~F.isnan("__nv")
+            & (F.col("__nv") > 0)
+        )
+        .crossJoin(F.broadcast(packed))
+        .select(
+            id_col,
+            (-best["neg_cell"]).alias("cell_id"),
+            best["c"].alias("own_cosine"),
+        )
+    )
+    w = Window.partitionBy("cell_id").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        assigned.withColumn(
+            "cluster_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("cluster_rank") <= cap)
+    )

@@ -984,6 +984,45 @@ _PII_HITS_SQL = " + ".join(
                CAST(sum(CAST(len({words}) AS BIGINT)) AS DOUBLE) AS t
         FROM documents GROUP BY source
     )
+    UNION ALL
+    -- cluster_cap branch (round 9): embedding-cluster-balanced
+    -- subsampling — own cell = argmax rounded cosine vs the 8 seed
+    -- centroids (lowest cell on ties), at most 25 kept per cell in
+    -- md5(id) order with an id tiebreak; n_docs = in-cluster rank,
+    -- weight = the rounded own-centroid cosine.
+    SELECT 'cluster_cap' AS branch, d.doc_id, d.source, d.lang,
+           d.n_chars, a.rnk AS n_docs, a.own_cosine AS weight
+    FROM (
+        WITH cbase AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), cseeds AS (
+            SELECT vec_id AS cell_id, v AS sv FROM cbase WHERE vec_id < 8
+        ), cassigned AS (
+            SELECT vec_id, cell_id, c AS own_cosine FROM (
+                SELECT b.vec_id, s.cell_id,
+                       round(list_dot_product(b.v, s.sv)
+                             / (sqrt(list_dot_product(b.v, b.v))
+                                * sqrt(list_dot_product(s.sv, s.sv))), 6)
+                           AS c,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY round(list_dot_product(b.v, s.sv)
+                                    / (sqrt(list_dot_product(b.v, b.v))
+                                       * sqrt(list_dot_product(s.sv, s.sv))),
+                                    6) DESC, s.cell_id
+                       ) AS rn
+                FROM cbase b, cseeds s
+            ) ranked1 WHERE rn = 1
+        )
+        SELECT vec_id, cell_id, own_cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY cell_id
+                   ORDER BY md5(vec_id::VARCHAR), vec_id
+               ) AS BIGINT) AS rnk
+        FROM cassigned
+    ) a
+    JOIN documents d ON d.doc_id = a.vec_id
+    WHERE a.rnk <= 25
     """.format(words=_WORDS_SQL.format(c="text")),
 )
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1121,11 +1160,44 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_docs"),
         "weight",
     )
+    # branch='cluster_cap' (round 9, operators/splits.py
+    # cluster_balanced_sample): embedding-cluster-balanced
+    # subsampling — every doc's vector assigned to its max-cosine
+    # seeded cell (the semdedup 8-seed convention), at most 25 docs
+    # kept per cell in deterministic md5 order. The diversity-sampling
+    # primitive: caps over-represented embedding neighborhoods the way
+    # --cap-per-domain caps hosts. n_docs = in-cluster rank, weight =
+    # rounded cosine to the own centroid.
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+        cluster_balanced_sample,
+    )
+
+    emb9 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.as_double_vec(F.col("embedding")).alias("v")
+    )
+    seeds9 = emb9.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+    capped = cluster_balanced_sample(
+        emb9, seeds9, cap=25, id_col="vec_id", vec_col="v"
+    )
+    cluster_cap = capped.join(
+        docs, capped["vec_id"] == docs["doc_id"]
+    ).select(
+        F.lit("cluster_cap").alias("branch"),
+        docs["doc_id"],
+        "source",
+        "lang",
+        "n_chars",
+        F.col("cluster_rank").alias("n_docs"),
+        F.col("own_cosine").alias("weight"),
+    )
     return (
         sample.unionByName(mixture)
         .unionByName(budget)
         .unionByName(es)
         .unionByName(tw)
+        .unionByName(cluster_cap)
     )
 
 
