@@ -1425,3 +1425,35 @@ def test_semantic_decontaminate_degenerate_guards(spark):
         similarity.semantic_decontaminate(
             train, nan_row, "vec_id", "v", min_cosine=0.35
         )
+
+
+def test_two_level_cell_assignment_feeds_semantic_dedup(spark):
+    """two_level_cell_assignment (the pre-assignment the semantic_dedup
+    >200k-cell error points at): with every coarse cell probed, own
+    cells equal the flat broadcast argmax bit-for-bit, and
+    semantic_dedup_assigned over the two-level assignment reproduces
+    semantic_dedup(assignment='broadcast') exactly."""
+    base = _emb_vectors(spark).filter(F.col("vec_id") < 150)
+    # planted exact copies: the guaranteed drop set at min_cosine=0.9
+    emb = base.unionByName(
+        base.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "v"
+        )
+    )
+    cents = base.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+    two = similarity.two_level_cell_assignment(
+        emb, "vec_id", "v", cents, n_coarse_probe=10_000
+    )
+    flat = similarity.semantic_dedup(
+        emb, "vec_id", "v", cents, min_cosine=0.9, assignment="broadcast"
+    )
+    got = {
+        tuple(r)
+        for r in similarity.semantic_dedup_assigned(
+            two, "vec_id", "v", "cell_id", min_cosine=0.9
+        ).collect()
+    }
+    want = {tuple(r) for r in flat.collect()}
+    assert got == want and len(got) > 0

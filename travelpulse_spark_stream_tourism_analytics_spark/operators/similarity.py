@@ -888,6 +888,53 @@ def two_level_knn_graph(
     the flat-assignment graph in tests; narrower coarse probes trade
     recall exactly like IVF probing (a vector can miss a fine cell
     whose coarse parent it did not probe)."""
+    assigned = _two_level_assigned(
+        emb, id_col, vec_col, centroids, n_probe, n_coarse, n_coarse_probe
+    )
+    return _graph_from_assigned(assigned, id_col, vec_col, k)
+
+
+def two_level_cell_assignment(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    n_coarse: int | None = None,
+    n_coarse_probe: int = 2,
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Own-cell assignment through the coarse-then-fine join — the
+    pre-assignment feeder for :func:`semantic_dedup_assigned` when the
+    quantizer is too large to collect (the path semantic_dedup's
+    >``_MAX_BROADCAST_CELLS`` error points at). Returns
+    ``(id, vec, cell_col)`` where the cell is the vector's top fine
+    centroid by the shared (rounded cosine DESC, cell_id ASC)
+    comparator, searched only within the ``n_coarse_probe`` probed
+    coarse cells. With every coarse cell probed the assignment equals
+    the flat argmax bit-for-bit (test-pinned); narrower probes can
+    mis-assign a vector whose true cell hides behind an unprobed
+    coarse parent — the same recall trade as IVF probing, acceptable
+    for dedup because SemDedup only compares WITHIN cells."""
+    assigned = _two_level_assigned(
+        emb, id_col, vec_col, centroids, 1, n_coarse, n_coarse_probe
+    )
+    return assigned.select(
+        id_col, vec_col, F.col("__own").alias(cell_col)
+    )
+
+
+def _two_level_assigned(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    n_probe: int,
+    n_coarse: int | None,
+    n_coarse_probe: int,
+) -> DataFrame:
+    """Shared coarse-then-fine assignment: ``(id, vec, __nv, __own,
+    __probes)`` with the fine table kept as a DataFrame end to end
+    (see :func:`two_level_knn_graph` for the plan shape)."""
     import math
 
     n_fine = centroids.count()
@@ -977,7 +1024,7 @@ def two_level_knn_graph(
     wf = Window.partitionBy(id_col).orderBy(
         F.desc("__fc"), F.asc("__fcell")
     )
-    assigned = (
+    return (
         cand.withColumn("__frn", F.row_number().over(wf))
         .filter(F.col("__frn") <= n_probe)
         .groupBy(id_col)
@@ -995,7 +1042,6 @@ def two_level_knn_graph(
             ).alias("__probes"),
         )
     )
-    return _graph_from_assigned(assigned, id_col, vec_col, k)
 
 
 def semantic_dedup(
@@ -1050,9 +1096,9 @@ def semantic_dedup(
     if len(cents) > _MAX_BROADCAST_CELLS:
         raise ValueError(
             f"semantic_dedup: centroid table exceeds "
-            f"{_MAX_BROADCAST_CELLS} rows — pre-assign cells (e.g. "
-            "with ivf_index, or the two_level_knn_graph-style "
-            "coarse-then-fine join) and call semantic_dedup_assigned"
+            f"{_MAX_BROADCAST_CELLS} rows — pre-assign cells (with "
+            "ivf_index, or two_level_cell_assignment for a quantizer "
+            "this size) and call semantic_dedup_assigned"
         )
     if assignment == "auto":
         assignment = (
