@@ -197,6 +197,14 @@ def test_mixture_weights_are_temperature_scaled(spark, tmp_path):
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
     df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    # the entry's cluster_cap branch (round 9) scans the embeddings
+    # table at build time — every driver sf dir carries one, so the
+    # synthetic dir must too (a tiny one; this test reads only the
+    # mixture branch)
+    spark.createDataFrame(
+        [(i, [float(i % 7 + 1)] * 8) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
     out = all_queries()["docs_stratified_sample"](spark, str(tmp_path))
     mix = {
         r["source"]: (r["n_docs"], r["weight"])
