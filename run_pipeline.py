@@ -693,7 +693,7 @@ def main() -> None:
         choices=["kpis", "dedup", "dedup-batch", "curate", "report",
                  "train-classifier", "train-bpe", "compact",
                  "build-ann-index", "ann-search", "knn-graph",
-                 "decontam", "centrality"],
+                 "decontam", "cluster-sample", "centrality"],
         default="kpis",
         help="kpis: the 16-query tourism topology; dedup: streaming "
         "document near-dup verdicts (--path is a JSONL docs dir, "
@@ -713,7 +713,15 @@ def main() -> None:
         "no driver-side query collect; decontam: embedding-space "
         "benchmark decontamination — flag every training vector "
         "(--path) whose max cosine against the eval suite (--eval) "
-        "reaches --min-cosine, flagged rows to --out",
+        "reaches --min-cosine, flagged rows to --out; cluster-sample: "
+        "embedding-cluster-balanced subsampling — assign every vector "
+        "(--path) to its max-cosine cell of an ann index's IVF "
+        "centroids (--index) and keep at most --cap per cell in "
+        "deterministic md5 order, kept rows to --out",
+    )
+    ap.add_argument(
+        "--cap", type=int, default=1000,
+        help="--mode cluster-sample: max vectors kept per cluster",
     )
     ap.add_argument(
         "--eval",
@@ -1142,6 +1150,38 @@ def main() -> None:
         print(
             f">>> decontam done; {n} training vectors flagged "
             f"(min_cosine={args.min_cosine}) -> {args.out}"
+        )
+        return
+
+    if args.mode == "cluster-sample":
+        if not args.path or not args.index or not args.out:
+            ap.error(
+                "--mode cluster-sample requires --path (embeddings "
+                "parquet/dir), --index (an ann index dir — its IVF "
+                "centroids are the clusters) and --out (kept rows "
+                "parquet)"
+            )
+        from pyspark.sql import functions as F
+
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+            cluster_balanced_sample,
+        )
+
+        cents = spark.read.parquet(
+            os.path.join(args.index, "centroids.parquet")
+        ).select(F.col("cell").alias("cell_id"), F.col("center").alias("sv"))
+        kept = cluster_balanced_sample(
+            _load_embeddings(spark, args.path),
+            cents,
+            cap=args.cap,
+            id_col="vec_id",
+            vec_col="v",
+        ).select("vec_id", "cell_id", "cluster_rank", "own_cosine")
+        kept.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(
+            f">>> cluster sample done; {n} vectors kept "
+            f"(cap={args.cap} per cell) -> {args.out}"
         )
         return
 

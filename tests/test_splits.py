@@ -305,3 +305,50 @@ def test_cluster_balanced_sample_guards(spark):
     ).collect()
     ids = {r["vec_id"] for r in rows}
     assert 999000 not in ids and 999001 not in ids and len(ids) == 50
+
+
+def test_cluster_sample_cli_caps_per_index_cell(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """--mode cluster-sample composes an ann index's IVF centroids
+    with cluster_balanced_sample: no cell keeps more than --cap rows,
+    every cell with members is represented, and ranks are 1..n."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from pyspark.sql import functions as F
+
+    import run_pipeline
+
+    idx = str(tmp_path / "idx_cs")
+    out = str(tmp_path / "kept")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "build-ann-index",
+         "--path", "/root/testdata/sf0.001", "--out", idx,
+         "--cells", "8", "--pq-m", "8", "--pq-codes", "16"],
+    )
+    run_pipeline.main()
+    capsys.readouterr()
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "cluster-sample",
+         "--path", "/root/testdata/sf0.001", "--index", idx,
+         "--out", out, "--cap", "30"],
+    )
+    run_pipeline.main()
+    got = capsys.readouterr().out
+    assert ">>> cluster sample done; " in got and "cap=30 per cell" in got
+    kept = spark.read.parquet(out)
+    per = {
+        r["cell_id"]: r["n"]
+        for r in kept.groupBy("cell_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per and all(n <= 30 for n in per.values())
+    assert kept.count() < 500  # something was capped
+    ranks = kept.groupBy("cell_id").agg(F.max("cluster_rank").alias("m")).collect()
+    assert all(r["m"] == per[r["cell_id"]] for r in ranks)
