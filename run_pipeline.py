@@ -800,6 +800,19 @@ def main() -> None:
         "the first quantization level)",
     )
     ap.add_argument(
+        "--update-graph",
+        help="--mode knn-graph: fold --path (a NEW embedding batch) "
+        "into this existing edge parquet instead of rebuilding — "
+        "requires --old-path (the already-indexed embeddings); with "
+        "the same quantizer/k/n-probe the chained result equals a "
+        "whole-corpus rebuild bit-for-bit",
+    )
+    ap.add_argument(
+        "--old-path",
+        help="--mode knn-graph --update-graph: embeddings parquet/dir "
+        "of the corpus the existing graph covers",
+    )
+    ap.add_argument(
         "--n-merges",
         type=int,
         default=200,
@@ -1108,7 +1121,41 @@ def main() -> None:
         # same defaults.
         n_cells = cents.count()
         n_probe = min(args.n_probe, n_cells)
-        if args.assignment == "two-level":
+        if args.update_graph:
+            if not args.old_path:
+                ap.error(
+                    "--update-graph requires --old-path (the "
+                    "embeddings the existing graph covers)"
+                )
+            if os.path.abspath(args.update_graph) == os.path.abspath(
+                args.out
+            ):
+                ap.error(
+                    "--out must differ from --update-graph: Spark "
+                    "cannot overwrite a parquet dir it is reading "
+                    "(write to a new dir, then swap)"
+                )
+            if args.assignment == "two-level":
+                ap.error(
+                    "--update-graph supports the flat assignment "
+                    "paths (auto|plan|broadcast) only"
+                )
+            from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+                incremental_knn_graph,
+            )
+
+            graph = incremental_knn_graph(
+                spark.read.parquet(args.update_graph),
+                _load_embeddings(spark, args.old_path),
+                emb,
+                "vec_id",
+                "v",
+                cents,
+                k=args.k,
+                n_probe=n_probe,
+                assignment=args.assignment,
+            )
+        elif args.assignment == "two-level":
             graph = two_level_knn_graph(
                 emb, "vec_id", "v", cents, k=args.k, n_probe=n_probe,
                 n_coarse_probe=args.n_coarse_probe,
@@ -1118,10 +1165,11 @@ def main() -> None:
                 emb, "vec_id", "v", cents, k=args.k, n_probe=n_probe,
                 assignment=args.assignment,
             )
+        mode_tag = "updated" if args.update_graph else "built"
         graph.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(
-            f">>> knn graph built; {n} (vector, neighbor) edges "
+            f">>> knn graph {mode_tag}; {n} (vector, neighbor) edges "
             f"(k={args.k}, n_probe={n_probe}, "
             f"assignment={args.assignment}) -> {args.out}"
         )

@@ -560,3 +560,78 @@ def test_ann_add_packed_argmin_matches_window_assignment(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 400
+
+
+def test_knn_graph_cli_update_equals_rebuild(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """--update-graph folds a new embedding batch into an existing
+    edge parquet; with the same quantizer/k/n-probe the result equals
+    the whole-corpus rebuild exactly, and --out == --update-graph is
+    refused (Spark cannot overwrite a parquet dir it reads)."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import pytest as _pytest
+
+    import run_pipeline
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old_dir = str(tmp_path / "old_emb")
+    new_dir = str(tmp_path / "new_emb")
+    emb.filter(F.col("vec_id") < 300).write.parquet(old_dir)
+    emb.filter(F.col("vec_id") >= 300).write.parquet(new_dir)
+
+    idx = str(tmp_path / "idx_u")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "build-ann-index",
+         "--path", "/root/testdata/sf0.001", "--out", idx,
+         "--cells", "8", "--pq-m", "8", "--pq-codes", "16"],
+    )
+    run_pipeline.main()
+    capsys.readouterr()
+
+    g_old = str(tmp_path / "g_old")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "knn-graph", "--path", old_dir,
+         "--index", idx, "--out", g_old, "--k", "3", "--n-probe", "2"],
+    )
+    run_pipeline.main()
+    capsys.readouterr()
+
+    g_new = str(tmp_path / "g_new")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "knn-graph", "--path", new_dir,
+         "--index", idx, "--out", g_new, "--k", "3", "--n-probe", "2",
+         "--update-graph", g_old, "--old-path", old_dir],
+    )
+    run_pipeline.main()
+    assert ">>> knn graph updated; " in capsys.readouterr().out
+
+    g_full = str(tmp_path / "g_full")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "knn-graph",
+         "--path", "/root/testdata/sf0.001", "--index", idx,
+         "--out", g_full, "--k", "3", "--n-probe", "2"],
+    )
+    run_pipeline.main()
+    capsys.readouterr()
+    got = {tuple(r) for r in spark.read.parquet(g_new).collect()}
+    want = {tuple(r) for r in spark.read.parquet(g_full).collect()}
+    assert got == want and len(got) > 0
+
+    # self-overwrite refused
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "knn-graph", "--path", new_dir,
+         "--index", idx, "--out", g_old, "--k", "3", "--n-probe", "2",
+         "--update-graph", g_old, "--old-path", old_dir],
+    )
+    with _pytest.raises(SystemExit):
+        run_pipeline.main()

@@ -1457,3 +1457,33 @@ def test_two_level_cell_assignment_feeds_semantic_dedup(spark):
     }
     want = {tuple(r) for r in flat.collect()}
     assert got == want and len(got) > 0
+
+
+def test_incremental_knn_graph_chained_equals_whole_corpus(spark):
+    """Incremental kNN-graph maintenance (the graph twin of
+    incremental_simhash_neardups): chaining two batch folds over the
+    frozen quantizer equals the whole-corpus ivf_knn_graph rebuild
+    BIT-FOR-BIT — same edges, same rounded cosines — and the plan
+    keeps the scale-safe join shape (no cartesian/BNLJ)."""
+    emb = _emb_vectors(spark)
+    a = emb.filter(F.col("vec_id") < 200)
+    b = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 350))
+    c = emb.filter(F.col("vec_id") >= 350)
+    cents = _seeded_cells(emb)
+
+    g_a = similarity.ivf_knn_graph(a, "vec_id", "v", cents, k=4, n_probe=2)
+    g_ab = similarity.incremental_knn_graph(
+        g_a, a, b, "vec_id", "v", cents, k=4, n_probe=2
+    )
+    g_abc = similarity.incremental_knn_graph(
+        g_ab, a.unionByName(b), c, "vec_id", "v", cents, k=4, n_probe=2
+    )
+    full = similarity.ivf_knn_graph(
+        emb, "vec_id", "v", cents, k=4, n_probe=2
+    )
+    got = _graph_rows(g_abc)
+    want = _graph_rows(full)
+    assert got == want and len(got) > 0
+    plan = _plan_of(g_abc)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -686,8 +686,17 @@ def ivf_knn_graph(
     LIMIT-guarded collect, never an unbounded one — VERDICT r8
     item 6): past that, use two-level coarse quantization instead of
     a flat argmax."""
-    from pyspark.sql.window import Window
+    cents, assignment = _validated_cents(centroids, n_probe, assignment)
+    base = _flat_assigned(emb, id_col, vec_col, cents, n_probe, assignment)
+    return _graph_from_assigned(base, id_col, vec_col, k)
 
+
+def _validated_cents(
+    centroids: DataFrame, n_probe: int, assignment: str
+) -> tuple:
+    """Bounded centroid collect + the shared validation contract of
+    the flat kNN-graph family (see :func:`ivf_knn_graph`); returns
+    (collected rows, resolved assignment)."""
     cents = (
         centroids.select("cell_id", "sv")
         .limit(_MAX_BROADCAST_CELLS + 1)
@@ -734,6 +743,20 @@ def ivf_knn_graph(
                 f"{row['cell_id']}) — a quantizer cell must have a "
                 "direction; drop or re-fit it"
             )
+    return cents, assignment
+
+
+def _flat_assigned(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list,
+    n_probe: int,
+    assignment: str,
+) -> DataFrame:
+    """Shared flat cell assignment over a COLLECTED, validated centroid
+    list: ``(id, vec, __nv, __own, __probes)`` via plan constants or
+    the broadcast-numpy kernel (see :func:`ivf_knn_graph`)."""
     base = emb.select(
         F.col(id_col),
         F.col(vec_col),
@@ -769,7 +792,7 @@ def ivf_knn_graph(
                 )
             )
         )
-        base = base.withColumn("__cells", ranked_cells).select(
+        return base.withColumn("__cells", ranked_cells).select(
             id_col,
             vec_col,
             "__nv",
@@ -781,18 +804,14 @@ def ivf_knn_graph(
                 lambda s: (-s["neg_cell"]).cast("long"),
             ).alias("__probes"),
         )
-    else:
-        ranked = _ranked_cells_pandas(
-            emb.sparkSession, cents, n_probe, vec_col
-        )
-        base = base.withColumn("__rc", ranked).select(
-            id_col,
-            vec_col,
-            "__nv",
-            F.col("__rc.own").alias("__own"),
-            F.col("__rc.probes").alias("__probes"),
-        )
-    return _graph_from_assigned(base, id_col, vec_col, k)
+    ranked = _ranked_cells_pandas(emb.sparkSession, cents, n_probe, vec_col)
+    return base.withColumn("__rc", ranked).select(
+        id_col,
+        vec_col,
+        "__nv",
+        F.col("__rc.own").alias("__own"),
+        F.col("__rc.probes").alias("__probes"),
+    )
 
 
 def _graph_from_assigned(
@@ -803,15 +822,24 @@ def _graph_from_assigned(
     sort-merge equi-join on cell, per-query top-k window. Shared by
     every cell-assignment strategy (plan constants / broadcast numpy /
     two-level)."""
-    from pyspark.sql.window import Window
+    return _topk_edges(
+        _scored_cell_pairs(base, base, id_col, vec_col), id_col, k
+    )
 
-    corpus_side = base.select(
+
+def _scored_cell_pairs(
+    corpus_base: DataFrame, query_base: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Candidate edges between two assigned frames: corpus side keyed
+    by its OWN cell, query side replicated into its probe cells,
+    sort-merge equi-join on cell, rounded cosine per met pair."""
+    corpus_side = corpus_base.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         F.col("__nv").alias("__cn"),
         F.col("__own").alias("__cell"),
     )
-    query_side = base.select(
+    query_side = query_base.select(
         F.col(id_col).alias("__qid"),
         F.col(vec_col).alias("__qv"),
         F.col("__nv").alias("__qn"),
@@ -823,7 +851,7 @@ def _graph_from_assigned(
     # picked a broadcast build, and blew the driver (SOAK_r9 first
     # run). The merge hint pins the scale-safe sort-merge-on-cell plan
     # regardless of estimates; AQE still handles cell skew under it.
-    scored = (
+    return (
         corpus_side.hint("merge")
         .join(query_side.hint("merge"), "__cell")
         .filter(F.col("neighbor_id") != F.col("__qid"))
@@ -838,6 +866,13 @@ def _graph_from_assigned(
             ).alias("cosine"),
         )
     )
+
+
+def _topk_edges(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Per-query top-k over candidate edges with the shared
+    (rounded cosine DESC, neighbor_id ASC) comparator."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy(id_col).orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -846,6 +881,78 @@ def _graph_from_assigned(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def incremental_knn_graph(
+    old_graph: DataFrame,
+    old_emb: DataFrame,
+    new_emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    assignment: str = "auto",
+) -> DataFrame:
+    """Incremental kNN-graph maintenance: fold a NEW batch of vectors
+    into an existing :func:`ivf_knn_graph` result without re-joining
+    the old corpus against itself — the graph twin of
+    ``add_to_ann_index`` / ``incremental_simhash_neardups``, for the
+    daily-embedding-batch ingest.
+
+    Parity contract (the incremental-dedup contract, applied to the
+    graph): with the SAME frozen quantizer, ``k``, ``n_probe`` and
+    assignment as the original build, chaining this over batches is
+    BIT-FOR-BIT equal to rebuilding ``ivf_knn_graph`` over the whole
+    corpus (test-pinned). That holds because top-k is mergeable:
+    a full rebuild ranks each old vector over (old candidates ∪ new
+    candidates), and top-k(top-k(old) ∪ new) == top-k(old ∪ new) —
+    the old graph already IS top-k(old). New and old ids must be
+    disjoint (same contract as every incremental operator here);
+    quantizer drift is the rebuild signal, exactly as for the ANN
+    index.
+
+    Cost shape — the whole point: the corpus x corpus cell join runs
+    ONLY where the batch is involved. Three pieces:
+
+    * new queries vs (old ∪ new) corpus — |new| x cell-width join;
+    * old queries vs the NEW corpus only — |old| probes meet |new|
+      own-cells on the same merge-hinted cell join (never
+      |old| x |old| again);
+    * those candidates union the old graph's stored edges (already
+      scored — no recompute) and re-rank per old vertex.
+
+    The old corpus IS rescanned once for its map-side cell assignment
+    (pure projection, no shuffle) — what is avoided is the quadratic
+    piece, the old x old cell join."""
+    cents, assignment = _validated_cents(centroids, n_probe, assignment)
+    assigned_old = _flat_assigned(
+        old_emb, id_col, vec_col, cents, n_probe, assignment
+    )
+    assigned_new = _flat_assigned(
+        new_emb, id_col, vec_col, cents, n_probe, assignment
+    )
+    new_edges = _topk_edges(
+        _scored_cell_pairs(
+            assigned_old.unionByName(assigned_new),
+            assigned_new,
+            id_col,
+            vec_col,
+        ),
+        id_col,
+        k,
+    )
+    old_candidates = _scored_cell_pairs(
+        assigned_new, assigned_old, id_col, vec_col
+    )
+    old_edges = _topk_edges(
+        old_graph.select(id_col, "neighbor_id", "cosine").unionByName(
+            old_candidates
+        ),
+        id_col,
+        k,
+    )
+    return old_edges.unionByName(new_edges)
 
 
 def two_level_knn_graph(
