@@ -510,6 +510,72 @@ def knn_graph_two_level_soak(
     }
 
 
+def knn_graph_incremental_soak(
+    spark, sf_dir: str, n_cells: int = 1024, k: int = 10
+) -> dict:
+    """Incremental fold vs full rebuild (round 9): 90% of the corpus
+    carries an existing graph, the last 10% arrives as a batch.
+    Gates: the fold equals the whole-corpus rebuild EXACTLY (the
+    mergeable-top-k contract at soak scale, not just the fixture),
+    and at sf1 — where join work dominates fixed overhead — the fold
+    is cheaper than the rebuild (its joins are batch-sized: new x all
+    + old x new, never old x old again)."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        as_double_vec,
+        incremental_knn_graph,
+        ivf_knn_graph,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    n = emb.count()
+    cut = int(n * 0.9)
+    old_emb, new_emb = (
+        emb.filter(F.col("vec_id") < cut),
+        emb.filter(F.col("vec_id") >= cut),
+    )
+    n_cells = min(n_cells, cut)
+    cents = emb.orderBy("vec_id").limit(n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+    n_probe = max(1, n_cells // 8)
+    old_graph = ivf_knn_graph(
+        old_emb, "vec_id", "v", cents, k=k, n_probe=n_probe
+    ).persist()
+    old_graph.write.format("noop").mode("overwrite").save()
+
+    t0 = time.perf_counter()
+    folded = incremental_knn_graph(
+        old_graph, old_emb, new_emb, "vec_id", "v", cents,
+        k=k, n_probe=n_probe,
+    )
+    folded_rows = {tuple(r) for r in folded.collect()}
+    wall_fold = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    full = ivf_knn_graph(emb, "vec_id", "v", cents, k=k, n_probe=n_probe)
+    full_rows = {tuple(r) for r in full.collect()}
+    wall_rebuild = time.perf_counter() - t1
+    spark.catalog.clearCache()
+    return {
+        "n_vectors": n,
+        "n_new": n - cut,
+        "n_cells": n_cells,
+        "n_probe": n_probe,
+        "k": k,
+        "edges": len(folded_rows),
+        "fold_equals_rebuild": folded_rows == full_rows,
+        "wall_fold_sec": round(wall_fold, 2),
+        "wall_rebuild_sec": round(wall_rebuild, 2),
+    }
+
+
 def decontam_soak(spark, sf_dir: str, min_cosine: float = 0.99) -> dict:
     """Scale row for embedding-space decontamination (round 9): eval
     suite = the 200 lowest-id vectors, training side = the rest PLUS
@@ -1102,6 +1168,24 @@ def main() -> None:
             and row["edge_overlap_vs_flat"] < 0.3
         ):
             anomalies.append(f"knn_graph_two_level:{sf_name}")
+
+    # Round 9: incremental graph fold — must equal the whole-corpus
+    # rebuild exactly at soak scale, and beat the rebuild's wall at
+    # sf1 (batch-sized joins; fixed job overhead can mask the win on
+    # the tiny sf0.1 corpus, so the wall gate applies at sf1 only).
+    result["knn_graph_incremental"] = {}
+    for sf_name, d in (("sf0.1", SF01), ("sf1", args.data_dir)):
+        row = knn_graph_incremental_soak(spark, d)
+        result["knn_graph_incremental"][sf_name] = row
+        print(
+            f"knn graph incremental @{sf_name}:", json.dumps(row),
+            flush=True,
+        )
+        if not row["fold_equals_rebuild"] or (
+            sf_name == "sf1"
+            and row["wall_fold_sec"] >= row["wall_rebuild_sec"]
+        ):
+            anomalies.append(f"knn_graph_incremental:{sf_name}")
 
     # Round 9: embedding-space decontamination — planted eval copies
     # must be flagged exactly and the train side must stay
