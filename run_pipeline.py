@@ -1127,14 +1127,22 @@ def main() -> None:
                     "--update-graph requires --old-path (the "
                     "embeddings the existing graph covers)"
                 )
-            if os.path.abspath(args.update_graph) == os.path.abspath(
-                args.out
+            # realpath, not abspath: a symlinked --out still clobbers
+            # the dir Spark reads. Guard EVERY read path of this job
+            # (the old graph AND both embedding dirs), not just the
+            # graph — mode('overwrite') deletes the target first.
+            out_real = os.path.realpath(args.out)
+            for flag, p in (
+                ("--update-graph", args.update_graph),
+                ("--old-path", args.old_path),
+                ("--path", args.path),
             ):
-                ap.error(
-                    "--out must differ from --update-graph: Spark "
-                    "cannot overwrite a parquet dir it is reading "
-                    "(write to a new dir, then swap)"
-                )
+                if p and os.path.realpath(p) == out_real:
+                    ap.error(
+                        f"--out must differ from {flag}: Spark cannot "
+                        "overwrite a parquet dir this job reads "
+                        "(write to a new dir, then swap)"
+                    )
             if args.assignment == "two-level":
                 ap.error(
                     "--update-graph supports the flat assignment "

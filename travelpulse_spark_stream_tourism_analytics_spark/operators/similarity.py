@@ -692,28 +692,32 @@ def ivf_knn_graph(
 
 
 def _validated_cents(
-    centroids: DataFrame, n_probe: int, assignment: str
+    centroids: DataFrame,
+    n_probe: int,
+    assignment: str,
+    caller: str = "ivf_knn_graph",
 ) -> tuple:
     """Bounded centroid collect + the shared validation contract of
     the flat kNN-graph family (see :func:`ivf_knn_graph`); returns
-    (collected rows, resolved assignment)."""
+    (collected rows, resolved assignment). ``caller`` names the
+    user-facing API in error messages."""
     cents = (
         centroids.select("cell_id", "sv")
         .limit(_MAX_BROADCAST_CELLS + 1)
         .collect()
     )
     if not cents:
-        raise ValueError("ivf_knn_graph: empty centroid set")
+        raise ValueError(f"{caller}: empty centroid set")
     if len(cents) > _MAX_BROADCAST_CELLS:
         raise ValueError(
-            f"ivf_knn_graph: centroid table exceeds "
+            f"{caller}: centroid table exceeds "
             f"{_MAX_BROADCAST_CELLS} rows — use two_level_knn_graph "
             "(coarse-then-fine assignment; the fine table stays a "
             "DataFrame), not a flat driver-side argmax"
         )
     if not 1 <= n_probe <= len(cents):
         raise ValueError(
-            f"ivf_knn_graph: n_probe must be in [1, {len(cents)}], "
+            f"{caller}: n_probe must be in [1, {len(cents)}], "
             f"got {n_probe}"
         )
     if assignment == "auto":
@@ -722,7 +726,7 @@ def _validated_cents(
         )
     if assignment not in ("plan", "broadcast"):
         raise ValueError(
-            f"ivf_knn_graph: assignment must be auto|plan|broadcast, "
+            f"{caller}: assignment must be auto|plan|broadcast, "
             f"got {assignment!r}"
         )
     # Degenerate inputs (review round 9). Centroids: a zero-norm (or
@@ -739,7 +743,7 @@ def _validated_cents(
         sv = row["sv"]
         if sv is None or not any(float(x) != 0.0 for x in sv):
             raise ValueError(
-                f"ivf_knn_graph: zero-norm centroid (cell_id="
+                f"{caller}: zero-norm centroid (cell_id="
                 f"{row['cell_id']}) — a quantizer cell must have a "
                 "direction; drop or re-fit it"
             )
@@ -924,13 +928,27 @@ def incremental_knn_graph(
 
     The old corpus IS rescanned once for its map-side cell assignment
     (pure projection, no shuffle) — what is avoided is the quadratic
-    piece, the old x old cell join."""
-    cents, assignment = _validated_cents(centroids, n_probe, assignment)
-    assigned_old = _flat_assigned(
-        old_emb, id_col, vec_col, cents, n_probe, assignment
+    piece, the old x old cell join. Both assigned frames are
+    scoped-persisted: each feeds TWO join branches (old: corpus side
+    of the new-query join + query side of the candidate join; new:
+    the reverse), and without the stage boundary the full scan +
+    per-vector centroid ranking would re-execute per branch — on a
+    cluster you would materialize the assignments to parquet at the
+    same seam."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators._cache import (
+        scoped_persist,
     )
-    assigned_new = _flat_assigned(
-        new_emb, id_col, vec_col, cents, n_probe, assignment
+
+    cents, assignment = _validated_cents(
+        centroids, n_probe, assignment, caller="incremental_knn_graph"
+    )
+    assigned_old = scoped_persist(
+        _flat_assigned(old_emb, id_col, vec_col, cents, n_probe, assignment),
+        "similarity.incremental_knn_graph.old",
+    )
+    assigned_new = scoped_persist(
+        _flat_assigned(new_emb, id_col, vec_col, cents, n_probe, assignment),
+        "similarity.incremental_knn_graph.new",
     )
     new_edges = _topk_edges(
         _scored_cell_pairs(
@@ -996,7 +1014,8 @@ def two_level_knn_graph(
     recall exactly like IVF probing (a vector can miss a fine cell
     whose coarse parent it did not probe)."""
     assigned = _two_level_assigned(
-        emb, id_col, vec_col, centroids, n_probe, n_coarse, n_coarse_probe
+        emb, id_col, vec_col, centroids, n_probe, n_coarse, n_coarse_probe,
+        caller="two_level_knn_graph",
     )
     return _graph_from_assigned(assigned, id_col, vec_col, k)
 
@@ -1023,7 +1042,8 @@ def two_level_cell_assignment(
     coarse parent — the same recall trade as IVF probing, acceptable
     for dedup because SemDedup only compares WITHIN cells."""
     assigned = _two_level_assigned(
-        emb, id_col, vec_col, centroids, 1, n_coarse, n_coarse_probe
+        emb, id_col, vec_col, centroids, 1, n_coarse, n_coarse_probe,
+        caller="two_level_cell_assignment",
     )
     return assigned.select(
         id_col, vec_col, F.col("__own").alias(cell_col)
@@ -1038,6 +1058,7 @@ def _two_level_assigned(
     n_probe: int,
     n_coarse: int | None,
     n_coarse_probe: int,
+    caller: str = "two_level_knn_graph",
 ) -> DataFrame:
     """Shared coarse-then-fine assignment: ``(id, vec, __nv, __own,
     __probes)`` with the fine table kept as a DataFrame end to end
@@ -1046,10 +1067,10 @@ def _two_level_assigned(
 
     n_fine = centroids.count()
     if n_fine == 0:
-        raise ValueError("two_level_knn_graph: empty centroid set")
+        raise ValueError(f"{caller}: empty centroid set")
     if not 1 <= n_probe <= n_fine:
         raise ValueError(
-            f"two_level_knn_graph: n_probe must be in [1, {n_fine}], "
+            f"{caller}: n_probe must be in [1, {n_fine}], "
             f"got {n_probe}"
         )
     if n_coarse is None:
@@ -1066,7 +1087,7 @@ def _two_level_assigned(
     for row in coarse:
         if row["sv"] is None or not any(float(x) != 0.0 for x in row["sv"]):
             raise ValueError(
-                f"two_level_knn_graph: zero-norm coarse centroid "
+                f"{caller}: zero-norm coarse centroid "
                 f"(cell_id={row['cell_id']})"
             )
     n_coarse_probe = min(n_coarse_probe, len(coarse))

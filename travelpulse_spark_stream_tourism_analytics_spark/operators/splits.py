@@ -294,13 +294,32 @@ def cluster_balanced_sample(
         dot,
     )
 
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        _MAX_BROADCAST_CELLS,
+    )
+
     if cap < 1:
         raise ValueError(f"cluster_balanced_sample: cap must be >= 1, got {cap}")
-    cents = centroids.select(
-        F.col("cell_id").cast("long").alias("__cid"),
-        F.col("sv").alias("__sv"),
-        F.sqrt(dot(F.col("sv"), F.col("sv"))).alias("__sn"),
-    ).collect()
+    # LIMIT-bounded collect (the r8 contract every centroid-consuming
+    # operator honors): past the broadcast cap, pre-assign with
+    # similarity.two_level_cell_assignment and cap with top_k_per_group
+    # instead of letting the driver OOM.
+    cents = (
+        centroids.select(
+            F.col("cell_id").cast("long").alias("__cid"),
+            F.col("sv").alias("__sv"),
+            F.sqrt(dot(F.col("sv"), F.col("sv"))).alias("__sn"),
+        )
+        .limit(_MAX_BROADCAST_CELLS + 1)
+        .collect()
+    )
+    if len(cents) > _MAX_BROADCAST_CELLS:
+        raise ValueError(
+            f"cluster_balanced_sample: centroid table exceeds "
+            f"{_MAX_BROADCAST_CELLS} rows — assign cells with "
+            "two_level_cell_assignment (the quantizer stays a "
+            "DataFrame) and cap per cell with a window instead"
+        )
     bad = [
         r["__cid"]
         for r in cents
@@ -315,19 +334,29 @@ def cluster_balanced_sample(
         )
     spark = emb.sparkSession
     c_df = spark.createDataFrame(
-        [(r["__cid"], [float(x) for x in r["__sv"]]) for r in cents],
-        "cell_id long, sv array<double>",
+        [
+            (r["__cid"], [float(x) for x in r["__sv"]], float(r["__sn"]))
+            for r in cents
+        ],
+        "cell_id long, sv array<double>, sn double",
     )
     packed = c_df.agg(
-        F.collect_list(F.struct("cell_id", "sv")).alias("__cells")
+        F.collect_list(F.struct("cell_id", "sv", "sn")).alias("__cells")
     )
     nv = F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+    # norm_b is the PACKED precomputed centroid norm: without it the
+    # dim-length self-norm fold re-evaluates once per (vector, cell)
+    # pair (the cosine() docstring's warning — same reason
+    # semantic_decontaminate packs norms)
     best = F.array_max(
         F.transform(
             F.col("__cells"),
             lambda c: F.struct(
                 cosine(
-                    F.col(vec_col), c["sv"], norm_a=F.col("__nv")
+                    F.col(vec_col),
+                    c["sv"],
+                    norm_a=F.col("__nv"),
+                    norm_b=c["sn"],
                 ).alias("c"),
                 (-c["cell_id"]).alias("neg_cell"),
             ),
