@@ -686,6 +686,26 @@ def _load_embeddings(spark, path: str):
     )
 
 
+def _guard_out_overwrite(ap, out: str, reads) -> None:
+    """Refuse --out equal to any input dir of a mode that writes with
+    mode('overwrite') — Spark DELETES the target before the read plan
+    executes, so a user passing --out pointing at an input would lose
+    the input silently (review round 10: the --update-graph guard,
+    hoisted and applied to EVERY overwrite-to---out mode). realpath,
+    not abspath: a symlinked --out still clobbers the dir Spark reads.
+
+    ``reads`` is a sequence of (flag_name, path) pairs; None/empty
+    paths are skipped."""
+    out_real = os.path.realpath(out)
+    for flag, p in reads:
+        if p and os.path.realpath(p) == out_real:
+            ap.error(
+                f"--out must differ from {flag}: Spark cannot "
+                "overwrite a parquet dir this job reads "
+                "(write to a new dir, then swap)"
+            )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -805,7 +825,9 @@ def main() -> None:
         "into this existing edge parquet instead of rebuilding — "
         "requires --old-path (the already-indexed embeddings); with "
         "the same quantizer/k/n-probe the chained result equals a "
-        "whole-corpus rebuild bit-for-bit",
+        "whole-corpus rebuild bit-for-bit. New and old vec_ids must "
+        "be DISJOINT (a re-delivered batch would duplicate edge "
+        "sets) — this mode validates that and fails on overlap",
     )
     ap.add_argument(
         "--old-path",
@@ -1083,6 +1105,9 @@ def main() -> None:
             ann_search,
         )
 
+        _guard_out_overwrite(
+            ap, args.out, [("--path", args.path), ("--index", args.index)]
+        )
         queries = spark.read.parquet(args.path)
         res = ann_search(
             spark, args.index, queries, k=args.k, n_probe=args.n_probe,
@@ -1111,6 +1136,16 @@ def main() -> None:
             two_level_knn_graph,
         )
 
+        _guard_out_overwrite(
+            ap,
+            args.out,
+            [
+                ("--path", args.path),
+                ("--index", args.index),
+                ("--update-graph", args.update_graph),
+                ("--old-path", args.old_path),
+            ],
+        )
         emb = _load_embeddings(spark, args.path)
         cents = spark.read.parquet(
             os.path.join(args.index, "centroids.parquet")
@@ -1127,22 +1162,6 @@ def main() -> None:
                     "--update-graph requires --old-path (the "
                     "embeddings the existing graph covers)"
                 )
-            # realpath, not abspath: a symlinked --out still clobbers
-            # the dir Spark reads. Guard EVERY read path of this job
-            # (the old graph AND both embedding dirs), not just the
-            # graph — mode('overwrite') deletes the target first.
-            out_real = os.path.realpath(args.out)
-            for flag, p in (
-                ("--update-graph", args.update_graph),
-                ("--old-path", args.old_path),
-                ("--path", args.path),
-            ):
-                if p and os.path.realpath(p) == out_real:
-                    ap.error(
-                        f"--out must differ from {flag}: Spark cannot "
-                        "overwrite a parquet dir this job reads "
-                        "(write to a new dir, then swap)"
-                    )
             if args.assignment == "two-level":
                 ap.error(
                     "--update-graph supports the flat assignment "
@@ -1162,6 +1181,7 @@ def main() -> None:
                 k=args.k,
                 n_probe=n_probe,
                 assignment=args.assignment,
+                validate=True,
             )
         elif args.assignment == "two-level":
             graph = two_level_knn_graph(
@@ -1194,6 +1214,9 @@ def main() -> None:
             semantic_decontaminate,
         )
 
+        _guard_out_overwrite(
+            ap, args.out, [("--path", args.path), ("--eval", args.eval)]
+        )
         flagged = semantic_decontaminate(
             _load_embeddings(spark, args.path),
             _load_embeddings(spark, args.eval),
@@ -1223,6 +1246,9 @@ def main() -> None:
             cluster_balanced_sample,
         )
 
+        _guard_out_overwrite(
+            ap, args.out, [("--path", args.path), ("--index", args.index)]
+        )
         cents = spark.read.parquet(
             os.path.join(args.index, "centroids.parquet")
         ).select(F.col("cell").alias("cell_id"), F.col("center").alias("sv"))

@@ -635,3 +635,82 @@ def test_knn_graph_cli_update_equals_rebuild(
     )
     with _pytest.raises(SystemExit):
         run_pipeline.main()
+
+
+def test_cli_out_overwrite_guard_covers_every_mode(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """The hoisted self-overwrite guard (round-10 review): EVERY mode
+    that writes mode('overwrite') to --out must refuse --out equal to
+    ANY of its input dirs — mode('overwrite') deletes the target
+    before the read plan runs, so an unguarded job silently destroys
+    its own input. Covers the plain knn-graph build, decontam,
+    cluster-sample and ann-search (the --update-graph case is pinned
+    in test_knn_graph_cli_update_equals_rebuild); plus the
+    --update-graph id-disjointness validation: a re-delivered
+    (overlapping) batch fails with the contract named instead of
+    silently duplicating edge sets."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import pytest as _pytest
+
+    import run_pipeline
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb_dir = str(tmp_path / "emb")
+    emb.filter(F.col("vec_id") < 200).write.parquet(emb_dir)
+
+    idx = str(tmp_path / "idx_g")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "build-ann-index",
+         "--path", emb_dir, "--out", idx,
+         "--cells", "8", "--pq-m", "8", "--pq-codes", "16"],
+    )
+    run_pipeline.main()
+    capsys.readouterr()
+
+    cases = [
+        # plain knn-graph build: --out == --path and --out == --index
+        ["--mode", "knn-graph", "--path", emb_dir, "--index", idx,
+         "--out", emb_dir],
+        ["--mode", "knn-graph", "--path", emb_dir, "--index", idx,
+         "--out", idx],
+        # decontam: --out == --eval
+        ["--mode", "decontam", "--path", emb_dir, "--eval", emb_dir,
+         "--out", emb_dir],
+        # cluster-sample: --out == --index
+        ["--mode", "cluster-sample", "--path", emb_dir, "--index", idx,
+         "--out", idx],
+        # ann-search: --out == --index
+        ["--mode", "ann-search", "--path", emb_dir, "--index", idx,
+         "--out", idx],
+    ]
+    for extra in cases:
+        monkeypatch.setattr(sys, "argv", ["run_pipeline.py"] + extra)
+        with _pytest.raises(SystemExit):
+            run_pipeline.main()
+        assert "must differ from" in capsys.readouterr().err
+
+    # overlapping redelivery through --update-graph: ValueError with
+    # the disjointness contract named
+    g_old = str(tmp_path / "g_old2")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "knn-graph", "--path", emb_dir,
+         "--index", idx, "--out", g_old, "--k", "3", "--n-probe", "2"],
+    )
+    run_pipeline.main()
+    capsys.readouterr()
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "knn-graph", "--path", emb_dir,
+         "--index", idx, "--out", str(tmp_path / "g_new2"),
+         "--k", "3", "--n-probe", "2",
+         "--update-graph", g_old, "--old-path", emb_dir],
+    )
+    with _pytest.raises(ValueError, match="disjoint"):
+        run_pipeline.main()

@@ -1425,6 +1425,54 @@ def test_semantic_decontaminate_degenerate_guards(spark):
         similarity.semantic_decontaminate(
             train, nan_row, "vec_id", "v", min_cosine=0.35
         )
+    # Inf vectors (round-10 review): an Inf element gives norm = Inf,
+    # which passes a NaN-only guard, and then every cosine against it
+    # is Inf/Inf = NaN — NaN ranks greatest AND passes >= min_cosine,
+    # so one Inf eval vector would flag the ENTIRE corpus. Must be
+    # excluded exactly like zero/NaN-norm rows, on both sides.
+    inf_row = spark.createDataFrame(
+        [(999002, [float("inf")] + [1.0] * (dim - 1))],
+        "vec_id long, v array<double>",
+    )
+    rows4 = similarity.semantic_decontaminate(
+        train.unionByName(inf_row),
+        eval_df.unionByName(inf_row),
+        "vec_id",
+        "v",
+        min_cosine=0.35,
+    ).collect()
+    assert {(r["vec_id"], r["matched_eval_id"]) for r in rows4} == {
+        (r["vec_id"], r["matched_eval_id"]) for r in rows
+    }
+    # all-Inf eval set: refuse
+    with _pytest.raises(ValueError, match="eval set is empty"):
+        similarity.semantic_decontaminate(
+            train, inf_row, "vec_id", "v", min_cosine=0.35
+        )
+
+
+def test_semantic_decontaminate_eval_pack_bound(spark, monkeypatch):
+    """The packed-broadcast-row contract (round-10 review): eval
+    suites past _MAX_EVAL_PACK usable rows are REFUSED with the
+    fallback named, instead of building a multi-GB single row that
+    dies opaquely in an executor. The count is LIMIT-bounded (n+1),
+    so the refusal itself never scans the whole oversized suite."""
+    import pytest as _pytest
+
+    emb = _emb_vectors(spark)
+    train = emb.filter(F.col("vec_id") >= 20)
+    eval_df = emb.filter(F.col("vec_id") < 20)
+    monkeypatch.setattr(similarity, "_MAX_EVAL_PACK", 10)
+    with _pytest.raises(ValueError, match="exceeds 10 usable rows"):
+        similarity.semantic_decontaminate(
+            train, eval_df, "vec_id", "v", min_cosine=0.35
+        )
+    # at the bound exactly: allowed
+    got = similarity.semantic_decontaminate(
+        train, eval_df.filter(F.col("vec_id") < 10), "vec_id", "v",
+        min_cosine=0.35,
+    ).collect()
+    assert isinstance(got, list)
 
 
 def test_two_level_cell_assignment_feeds_semantic_dedup(spark):
@@ -1485,5 +1533,75 @@ def test_incremental_knn_graph_chained_equals_whole_corpus(spark):
     want = _graph_rows(full)
     assert got == want and len(got) > 0
     plan = _plan_of(g_abc)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_knn_graph_validates_id_disjointness(spark):
+    """The disjointness contract (round-10 review): a re-delivered
+    batch whose ids overlap the old corpus would silently duplicate
+    that vertex's edge set; validate=True must catch it eagerly with
+    the offending id named, and a clean batch must pass under the
+    same flag."""
+    import pytest as _pytest
+
+    emb = _emb_vectors(spark)
+    a = emb.filter(F.col("vec_id") < 200)
+    b = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300))
+    cents = _seeded_cells(emb)
+    g_a = similarity.ivf_knn_graph(a, "vec_id", "v", cents, k=4, n_probe=2)
+    # overlapping redelivery: batch includes an already-indexed id
+    bad = b.unionByName(a.filter(F.col("vec_id") == 7))
+    with _pytest.raises(ValueError, match="disjoint"):
+        similarity.incremental_knn_graph(
+            g_a, a, bad, "vec_id", "v", cents, k=4, n_probe=2,
+            validate=True,
+        )
+    # clean batch under validate=True: identical to the unvalidated fold
+    g_v = similarity.incremental_knn_graph(
+        g_a, a, b, "vec_id", "v", cents, k=4, n_probe=2, validate=True
+    )
+    g_nv = similarity.incremental_knn_graph(
+        g_a, a, b, "vec_id", "v", cents, k=4, n_probe=2
+    )
+    assert _graph_rows(g_v) == _graph_rows(g_nv)
+
+
+def test_delete_from_knn_graph_equals_rebuild(spark):
+    """Deletion maintenance parity: delete_from_knn_graph over a built
+    graph equals ivf_knn_graph rebuilt over the surviving corpus
+    BIT-FOR-BIT — deleted vertices gone, every survivor whose stored
+    top-k pointed at one re-ranked, every unaffected survivor's stored
+    edges reused untouched. Idempotent on never-existed ids, and the
+    repair plan keeps the scale-safe join shape."""
+    emb = _emb_vectors(spark)
+    cents = _seeded_cells(emb)
+    full = similarity.ivf_knn_graph(emb, "vec_id", "v", cents, k=4, n_probe=2)
+
+    deleted = emb.filter(
+        (F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 300)
+    ).select("vec_id")
+    remaining = emb.join(deleted, "vec_id", "left_anti")
+
+    patched = similarity.delete_from_knn_graph(
+        full, emb, deleted, "vec_id", "v", cents, k=4, n_probe=2
+    )
+    rebuilt = similarity.ivf_knn_graph(
+        remaining, "vec_id", "v", cents, k=4, n_probe=2
+    )
+    got = _graph_rows(patched)
+    want = _graph_rows(rebuilt)
+    assert got == want and len(got) > 0
+    # no deleted id survives as vertex or neighbor
+    dead = {r["vec_id"] for r in deleted.collect()}
+    assert not any(q in dead or n in dead for q, n, _ in got)
+    # idempotent replay: ids that never existed (or are already gone)
+    ghost = spark.createDataFrame([(10**9,)], "vec_id long")
+    again = similarity.delete_from_knn_graph(
+        patched, remaining, deleted.unionByName(ghost), "vec_id", "v",
+        cents, k=4, n_probe=2,
+    )
+    assert _graph_rows(again) == want
+    plan = _plan_of(patched)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

@@ -289,22 +289,39 @@ def test_cluster_balanced_sample_guards(spark):
             emb, seeds.unionByName(nan_seed), cap=5,
             id_col="vec_id", vec_col="v",
         )
+    # Inf-norm centroid (round-10 review): passes both a NaN
+    # self-compare and <=0, then every cosine against it is
+    # Inf/Inf = NaN which ranks GREATEST — the cell would swallow
+    # every vector. Must be refused by id like zero/NaN.
+    inf_seed = spark.createDataFrame(
+        [(79, [float("inf")] + [1.0] * (dim - 1))],
+        "cell_id long, sv array<double>",
+    )
+    with pytest.raises(ValueError, match=r"\[79\]"):
+        cluster_balanced_sample(
+            emb, seeds.unionByName(inf_seed), cap=5,
+            id_col="vec_id", vec_col="v",
+        )
     with pytest.raises(ValueError, match="empty centroid set"):
         cluster_balanced_sample(
             emb, seeds.filter(F.col("cell_id") < 0), cap=5,
             id_col="vec_id", vec_col="v",
         )
 
-    # degenerate corpus rows excluded, not fatal
+    # degenerate corpus rows (zero / NaN / Inf norm) excluded, not fatal
     bad = spark.createDataFrame(
-        [(999000, [0.0] * dim), (999001, [float("nan")] * dim)],
+        [
+            (999000, [0.0] * dim),
+            (999001, [float("nan")] * dim),
+            (999002, [float("inf")] + [1.0] * (dim - 1)),
+        ],
         "vec_id long, v array<double>",
     )
     rows = cluster_balanced_sample(
         emb.unionByName(bad), seeds, cap=1000, id_col="vec_id", vec_col="v"
     ).collect()
     ids = {r["vec_id"] for r in rows}
-    assert 999000 not in ids and 999001 not in ids and len(ids) == 50
+    assert not ids & {999000, 999001, 999002} and len(ids) == 50
 
 
 def test_cluster_sample_cli_caps_per_index_cell(

@@ -227,9 +227,19 @@ def semantic_decontaminate(
     expressions fused into the scan (no window, no groupBy, no join
     key). The only exchanges in the plan are the eval-side global
     aggregation (SinglePartition over the tiny suite) and its
-    broadcast — `hashpartitioning` never appears. For eval suites too
-    large to pack (>~10^5 rows), fall back to
-    :func:`brute_force_knn`'s window path or LSH-bucket both sides.
+    broadcast — `hashpartitioning` never appears. Eval suites past
+    ``_MAX_EVAL_PACK`` (10^5) usable rows are REFUSED — the packed
+    row would be multi-GB and die opaquely in the executor — with an
+    error naming the fallback: :func:`brute_force_knn`'s window path
+    or LSH-bucketing both sides.
+
+    NOT fully lazy: ONE eager, LIMIT-bounded action runs at call time
+    (``limit(_MAX_EVAL_PACK + 1).count()`` on the filtered eval side)
+    serving as both the emptiness check and the packing-size refusal,
+    so bad inputs fail fast instead of deep inside a materialization.
+    The eval side is scanned once for the check and once for the
+    packed aggregate; for a benchmark-suite-sized table both scans
+    are trivial.
 
     Determinism: cosine is rounded 1e-6 (class contract); the witness
     tiebreak is the LOWEST eval id via array_max over (cosine,
@@ -251,8 +261,16 @@ def semantic_decontaminate(
     eval_vec_col = eval_vec_col or vec_col
 
     def usable(norm_col):
+        # < +inf matters as much as the NaN check: an Inf-norm vector
+        # (an Inf element, or a dot() that overflows) makes every
+        # cosine against it Inf/Inf = NaN, and NaN ranks GREATEST and
+        # passes >= min_cosine — one such eval vector would flag the
+        # ENTIRE corpus (review round 10)
         return (
-            norm_col.isNotNull() & ~F.isnan(norm_col) & (norm_col > 0)
+            norm_col.isNotNull()
+            & ~F.isnan(norm_col)
+            & (norm_col > 0)
+            & (norm_col < F.lit(float("inf")))
         )
 
     ev = eval_df.select(
@@ -260,10 +278,22 @@ def semantic_decontaminate(
         F.col(eval_vec_col).alias("__ev"),
         F.sqrt(dot(F.col(eval_vec_col), F.col(eval_vec_col))).alias("__en"),
     ).filter(usable(F.col("__en")))
-    if ev.limit(1).count() == 0:
+    # ONE eager, LIMIT-bounded action at call time (documented in the
+    # docstring): it is both the emptiness check and the packing-size
+    # refusal. LIMIT n+1 means the scan stops early on huge suites —
+    # it never counts past the bound.
+    n_ev = ev.limit(_MAX_EVAL_PACK + 1).count()
+    if n_ev == 0:
         raise ValueError(
             "semantic_decontaminate: eval set is empty after the "
             "zero-norm filter — refusing to vacuously pass the corpus"
+        )
+    if n_ev > _MAX_EVAL_PACK:
+        raise ValueError(
+            f"semantic_decontaminate: eval set exceeds "
+            f"{_MAX_EVAL_PACK} usable rows — the packed broadcast row "
+            "would be multi-GB; use brute_force_knn's window path or "
+            "LSH-bucket both sides instead (see docstring)"
         )
     packed = ev.agg(
         F.collect_list(F.struct("__eid", "__ev", "__en")).alias("__eval")
@@ -497,6 +527,11 @@ def ivf_knn(
 _AUTO_BROADCAST_CELLS = 256
 _MAX_PLAN_CELLS = 1024
 _MAX_BROADCAST_CELLS = 200_000
+# semantic_decontaminate packs the eval suite into ONE broadcast row;
+# past this many usable eval rows that row is multi-GB and dies
+# opaquely in the executor — refuse with the documented fallback
+# instead (same bounded-collect contract as _MAX_BROADCAST_CELLS)
+_MAX_EVAL_PACK = 100_000
 # (batch x tile) score-matrix bound inside the broadcast assignment
 # UDF; captured as a closure value at plan-build time (patchable in
 # tests to force multi-tile merging on small fixtures)
@@ -897,6 +932,7 @@ def incremental_knn_graph(
     k: int = 5,
     n_probe: int = 2,
     assignment: str = "auto",
+    validate: bool = False,
 ) -> DataFrame:
     """Incremental kNN-graph maintenance: fold a NEW batch of vectors
     into an existing :func:`ivf_knn_graph` result without re-joining
@@ -912,9 +948,17 @@ def incremental_knn_graph(
     a full rebuild ranks each old vector over (old candidates ∪ new
     candidates), and top-k(top-k(old) ∪ new) == top-k(old ∪ new) —
     the old graph already IS top-k(old). New and old ids must be
-    disjoint (same contract as every incremental operator here);
-    quantizer drift is the rebuild signal, exactly as for the ANN
-    index.
+    DISJOINT (same contract as every incremental operator here) — a
+    re-delivered batch whose ids overlap the old corpus would
+    silently union the stored old top-k with fresh new-side edges for
+    the same vertex, producing duplicate edge sets instead of the
+    advertised rebuild parity. Pass ``validate=True`` (the CLI
+    ``--update-graph`` mode does) to check: one eager LIMIT-bounded
+    semi-join raises with the first overlapping id. Default off so
+    library callers who already enforce disjointness upstream keep a
+    fully lazy operator. Quantizer drift is the rebuild signal,
+    exactly as for the ANN index; deletions are
+    :func:`delete_from_knn_graph`.
 
     Cost shape — the whole point: the corpus x corpus cell join runs
     ONLY where the batch is involved. Three pieces:
@@ -942,6 +986,23 @@ def incremental_knn_graph(
     cents, assignment = _validated_cents(
         centroids, n_probe, assignment, caller="incremental_knn_graph"
     )
+    if validate:
+        # eager, LIMIT-bounded disjointness check (docstring contract):
+        # id-projection semi-join, stops at the first overlap
+        clash = (
+            new_emb.select(id_col)
+            .join(old_emb.select(id_col), id_col, "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"incremental_knn_graph: new-batch id "
+                f"{clash[0][id_col]!r} already exists in the old "
+                "corpus — new and old ids must be disjoint (a "
+                "re-delivered batch would silently duplicate that "
+                "vertex's edge set); dedup the batch or rebuild"
+            )
     assigned_old = scoped_persist(
         _flat_assigned(old_emb, id_col, vec_col, cents, n_probe, assignment),
         "similarity.incremental_knn_graph.old",
@@ -971,6 +1032,85 @@ def incremental_knn_graph(
         k,
     )
     return old_edges.unionByName(new_edges)
+
+
+def delete_from_knn_graph(
+    graph: DataFrame,
+    emb: DataFrame,
+    deleted: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    assignment: str = "auto",
+) -> DataFrame:
+    """Deletion maintenance for an :func:`ivf_knn_graph` result: drop
+    the deleted vertices AND repair every surviving vertex whose
+    stored top-k pointed at one — the missing half of the
+    :func:`incremental_knn_graph` daily-ingest story (additions fold,
+    deletions re-rank).
+
+    Why re-rank is unavoidable for affected vertices: the graph
+    stores only the top ``k`` edges, so when a stored neighbor
+    disappears the (k+1)-th candidate is simply not there — no local
+    patch can recover it. But the blast radius is bounded: a deleted
+    vertex appears in at most (in-degree) stored edge lists, so the
+    re-rank set is ~``k x |deleted|`` vertices, NOT the corpus. The
+    repair is those affected queries re-run through the same
+    merge-hinted cell join against the REMAINING corpus.
+
+    Parity contract (test-pinned): with the same frozen quantizer /
+    ``k`` / ``n_probe`` / assignment, the result is BIT-FOR-BIT equal
+    to ``ivf_knn_graph`` rebuilt over ``emb`` minus ``deleted``.
+    Proof shape: affected vertices are literally rebuilt; an
+    UNaffected vertex's stored top-k contains no deleted neighbor, and
+    removing non-top-k candidates from a candidate set never changes
+    top-k, so its stored edges ARE the rebuild's. Edges are never
+    recomputed for unaffected vertices — their stored cosines are
+    reused as-is.
+
+    ``deleted`` is a DataFrame of ids (one column named ``id_col``) —
+    batch-sized by contract, joined via semi/anti joins so nothing is
+    collected. Ids in ``deleted`` that never existed are ignored
+    (idempotent replays are safe). 100 TB cost shape: three anti/semi
+    joins on id plus ONE cell join whose query side is the
+    ~``k x |deleted|`` affected set; the remaining corpus is scanned
+    once for its map-side cell assignment (scoped-persisted — it
+    feeds both sides of the repair join)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators._cache import (
+        scoped_persist,
+    )
+
+    cents, assignment = _validated_cents(
+        centroids, n_probe, assignment, caller="delete_from_knn_graph"
+    )
+    dset = deleted.select(F.col(id_col)).distinct()
+    surviving = graph.select(id_col, "neighbor_id", "cosine").join(
+        dset, id_col, "left_anti"
+    )
+    affected = (
+        surviving.join(
+            dset.withColumnRenamed(id_col, "neighbor_id"),
+            "neighbor_id",
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    kept_edges = surviving.join(affected, id_col, "left_anti")
+    remaining = emb.join(dset, id_col, "left_anti")
+    assigned_rem = scoped_persist(
+        _flat_assigned(remaining, id_col, vec_col, cents, n_probe, assignment),
+        "similarity.delete_from_knn_graph.remaining",
+    )
+    affected_queries = assigned_rem.join(affected, id_col, "left_semi")
+    repaired = _topk_edges(
+        _scored_cell_pairs(assigned_rem, affected_queries, id_col, vec_col),
+        id_col,
+        k,
+    )
+    return kept_edges.unionByName(repaired)
 
 
 def two_level_knn_graph(

@@ -23,6 +23,8 @@ contribute; this picks WHICH documents realize it.)
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -320,10 +322,14 @@ def cluster_balanced_sample(
             "two_level_cell_assignment (the quantizer stays a "
             "DataFrame) and cap per cell with a window instead"
         )
+    # math.isfinite rejects NaN AND Inf: an Inf-norm centroid passes
+    # both a NaN self-compare and a <=0 test, then every cosine
+    # against it is Inf/Inf = NaN — which ranks GREATEST in Spark's
+    # Double ordering and would swallow every vector (review round 10)
     bad = [
         r["__cid"]
         for r in cents
-        if r["__sn"] is None or r["__sn"] != r["__sn"] or r["__sn"] <= 0
+        if r["__sn"] is None or not math.isfinite(r["__sn"]) or r["__sn"] <= 0
     ]
     if not cents or bad:
         raise ValueError(
@@ -368,6 +374,7 @@ def cluster_balanced_sample(
             F.col("__nv").isNotNull()
             & ~F.isnan("__nv")
             & (F.col("__nv") > 0)
+            & (F.col("__nv") < F.lit(float("inf")))
         )
         .crossJoin(F.broadcast(packed))
         .select(

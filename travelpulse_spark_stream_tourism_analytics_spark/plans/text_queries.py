@@ -994,7 +994,18 @@ _PII_HITS_SQL = " + ".join(
            d.n_chars, a.rnk AS n_docs, a.own_cosine AS weight
     FROM (
         WITH cbase AS (
+            -- mirror the operator's degenerate-input contract: zero /
+            -- NaN / Inf-norm vectors are EXCLUDED from the sample on
+            -- the Spark side, so the oracle must drop them too (else
+            -- a degenerate row divides by a zero norm here and the
+            -- branch diverges instead of matching the exclusion)
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[]) > 0
+              AND NOT isnan(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[]))
+              AND NOT isinf(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[]))
         ), cseeds AS (
             SELECT vec_id AS cell_id, v AS sv FROM cbase WHERE vec_id < 8
         ), cassigned AS (
