@@ -323,8 +323,15 @@ def main() -> None:
                 "metric": "headline_query_wall_clock",
                 "value": total,
                 "unit": "sec",
+                # self-describing statistics (VERDICT r9 item 6): the
+                # per-query numbers are min-of-3 (min isolates plan
+                # cost from box noise / codegen cold hits) while the
+                # stream row is a median — stamp both so cross-round
+                # comparisons never mix conventions unknowingly
+                "stat": "min_of_3",
                 "queries": timings,
                 "stream": {
+                    "stat": f"median_of_{n_stream_runs}",
                     "events_per_sec": stream_median,
                     "events_per_sec_min": rates[0],
                     "events_per_sec_max": rates[-1],
