@@ -576,6 +576,495 @@ def knn_graph_incremental_soak(
     }
 
 
+def knn_graph_two_level_recall_curve(
+    spark, sf_dir: str, n_cells: int = 1024, k: int = 10,
+    probes: tuple = (2, 4, 8, 16, 32),
+) -> dict:
+    """The two-level path's RECALL STORY (VERDICT r9 item 3): SOAK_r9
+    recorded a single point (edge overlap ~0.50 at 8-of-32 coarse
+    probes) with no curve to guide parameter choice. This measures
+    edge overlap vs the flat broadcast assignment at identical
+    (n_cells, k, n_probe) across n_coarse_probe values, so the
+    default can be recall-guided instead of guessed. The flat twin
+    builds ONCE; each curve point reuses it."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        as_double_vec,
+        ivf_knn_graph,
+        two_level_knn_graph,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    n = emb.count()
+    n_cells = min(n_cells, n)
+    cents = emb.orderBy("vec_id").limit(n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+    n_probe = max(1, n_cells // 8)
+    flat = ivf_knn_graph(
+        emb, "vec_id", "v", cents, k=k, n_probe=n_probe,
+        assignment="broadcast",
+    )
+    flat_edges = {(r["vec_id"], r["neighbor_id"]) for r in flat.collect()}
+    spark.catalog.clearCache()
+    curve = {}
+    for ncp in probes:
+        t0 = time.perf_counter()
+        two = two_level_knn_graph(
+            emb, "vec_id", "v", cents, k=k, n_probe=n_probe,
+            n_coarse_probe=ncp,
+        )
+        edges = {(r["vec_id"], r["neighbor_id"]) for r in two.collect()}
+        wall = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        curve[str(ncp)] = {
+            "edge_overlap_vs_flat": round(
+                len(edges & flat_edges) / len(flat_edges), 4
+            ),
+            "wall_sec": round(wall, 2),
+        }
+    return {
+        "n_vectors": n,
+        "n_cells": n_cells,
+        "n_probe": n_probe,
+        "k": k,
+        "curve": curve,
+    }
+
+
+def knn_graph_chained_fold_soak(
+    spark, sf_dir: str, n_cells: int = 1024, k: int = 10,
+    n_batches: int = 5,
+) -> dict:
+    """Chained incremental folds (VERDICT r9 item 5): the bit-for-bit
+    pin covers ONE fold; this drives >=5 successive daily batches —
+    base = 50% of the corpus, then 5 equal batches — asserting at
+    EVERY step that the folded graph equals the whole-cumulative
+    rebuild, and recording per-fold vs per-rebuild wall so the
+    daily-ingest claim (fold cost stays batch-sized/flat while
+    rebuild cost grows with the corpus) is measured, not argued."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        as_double_vec,
+        incremental_knn_graph,
+        ivf_knn_graph,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    n = emb.count()
+    base_n = n // 2
+    batch_n = (n - base_n) // n_batches
+    n_cells = min(n_cells, base_n)
+    cents = emb.orderBy("vec_id").limit(n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+    n_probe = max(1, n_cells // 8)
+    covered = emb.filter(F.col("vec_id") < base_n)
+    graph = ivf_knn_graph(
+        covered, "vec_id", "v", cents, k=k, n_probe=n_probe
+    ).persist()
+    graph.write.format("noop").mode("overwrite").save()
+    steps = []
+    all_equal = True
+    for b in range(n_batches):
+        lo = base_n + b * batch_n
+        hi = n if b == n_batches - 1 else lo + batch_n
+        batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        t0 = time.perf_counter()
+        folded = incremental_knn_graph(
+            graph, covered, batch, "vec_id", "v", cents,
+            k=k, n_probe=n_probe,
+        ).persist()
+        folded_rows = {tuple(r) for r in folded.collect()}
+        wall_fold = time.perf_counter() - t0
+        covered = emb.filter(F.col("vec_id") < hi)
+        t1 = time.perf_counter()
+        rebuilt = ivf_knn_graph(
+            covered, "vec_id", "v", cents, k=k, n_probe=n_probe
+        )
+        rebuilt_rows = {tuple(r) for r in rebuilt.collect()}
+        wall_rebuild = time.perf_counter() - t1
+        eq = folded_rows == rebuilt_rows
+        all_equal = all_equal and eq
+        steps.append(
+            {
+                "batch": b + 1,
+                "batch_rows": hi - lo,
+                "corpus_rows": hi,
+                "fold_equals_rebuild": eq,
+                "wall_fold_sec": round(wall_fold, 2),
+                "wall_rebuild_sec": round(wall_rebuild, 2),
+            }
+        )
+        graph.unpersist()
+        graph = folded
+    graph.unpersist()
+    spark.catalog.clearCache()
+    folds = [s["wall_fold_sec"] for s in steps]
+    rebuilds = [s["wall_rebuild_sec"] for s in steps]
+    return {
+        "n_vectors": n,
+        "n_batches": n_batches,
+        "n_cells": n_cells,
+        "n_probe": n_probe,
+        "k": k,
+        "all_steps_equal": all_equal,
+        "fold_walls_sec": folds,
+        "rebuild_walls_sec": rebuilds,
+        # flat-cost check: last fold vs first fold (both batch-sized)
+        "fold_wall_ratio_last_vs_first": round(folds[-1] / folds[0], 2),
+        "rebuild_wall_ratio_last_vs_first": round(
+            rebuilds[-1] / rebuilds[0], 2
+        ),
+        "steps": steps,
+    }
+
+
+def knn_graph_delete_soak(
+    spark, sf_dir: str, n_cells: int = 1024, k: int = 10,
+    delete_frac: float = 0.05,
+) -> dict:
+    """Deletion-repair scale row (VERDICT r9 item 7's operator,
+    measured): build the graph, delete delete_frac of the vertices,
+    and require delete_from_knn_graph == ivf_knn_graph over the
+    surviving corpus EXACTLY, with the repair cheaper than the
+    rebuild at sf1 (the affected set is ~k x |deleted| vertices, not
+    the corpus)."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        as_double_vec,
+        delete_from_knn_graph,
+        ivf_knn_graph,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    n = emb.count()
+    n_cells = min(n_cells, n)
+    cents = emb.orderBy("vec_id").limit(n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+    n_probe = max(1, n_cells // 8)
+    graph = ivf_knn_graph(
+        emb, "vec_id", "v", cents, k=k, n_probe=n_probe
+    ).persist()
+    graph.write.format("noop").mode("overwrite").save()
+    stride = max(2, int(1 / delete_frac))
+    deleted = emb.filter(F.col("vec_id") % stride == 0).select("vec_id")
+    n_del = deleted.count()
+    remaining = emb.join(deleted, "vec_id", "left_anti")
+
+    t0 = time.perf_counter()
+    patched = delete_from_knn_graph(
+        graph, emb, deleted, "vec_id", "v", cents, k=k, n_probe=n_probe
+    )
+    patched_rows = {tuple(r) for r in patched.collect()}
+    wall_patch = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    rebuilt = ivf_knn_graph(
+        remaining, "vec_id", "v", cents, k=k, n_probe=n_probe
+    )
+    rebuilt_rows = {tuple(r) for r in rebuilt.collect()}
+    wall_rebuild = time.perf_counter() - t1
+    graph.unpersist()
+    spark.catalog.clearCache()
+    return {
+        "n_vectors": n,
+        "n_deleted": n_del,
+        "n_cells": n_cells,
+        "n_probe": n_probe,
+        "k": k,
+        "patched_equals_rebuild": patched_rows == rebuilt_rows,
+        "edges": len(patched_rows),
+        "wall_patch_sec": round(wall_patch, 2),
+        "wall_rebuild_sec": round(wall_rebuild, 2),
+    }
+
+
+def _jvm_peak_rss_mb() -> int:
+    """Peak resident set (VmHWM) of the local-mode JVM — in local[32]
+    driver and executors share one process, so this IS both the
+    peak-driver and peak-executor memory the mega row records."""
+    import glob
+
+    best = 0
+    for st in glob.glob("/proc/[0-9]*/status"):
+        try:
+            with open(st.replace("status", "cmdline"), "rb") as fh:
+                cmd = fh.read()
+            if b"java" not in cmd.split(b"\x00", 1)[0]:
+                continue
+            if b"spark" not in cmd.lower():
+                continue
+            with open(st) as fh:
+                for line in fh:
+                    if line.startswith("VmHWM"):
+                        best = max(best, int(line.split()[1]) // 1024)
+                        break
+        except OSError:
+            continue
+    return best
+
+
+def knn_graph_megascale_soak(
+    spark,
+    n_vectors: int = 1_000_000,
+    dim: int = 64,
+    n_cells: int = 10_000,
+    n_probe: int = 4,
+    k: int = 10,
+    n_recall_queries: int = 1_000,
+    skew_frac: float = 0.01,
+    n_coarse_probe: int = 4,
+) -> dict:
+    """The measured large-scale point VERDICT r9 ranked first: every
+    design claim for the >=10^4-cell regime (broadcast-numpy
+    assignment, two-level coarse quantization, AQE skew handling
+    under the merge hint) had landed with the largest measured run at
+    20k vectors x 1,024 cells. This drives BOTH assignment paths at
+    1M synthetic 64-d vectors through a 10^4-cell quantizer and
+    records wall, vertex coverage, peak JVM memory, recall vs exact
+    (numpy brute force over the FULL corpus for a deterministic
+    query sample — stronger than a subsample-vs-subsample check),
+    plus a deliberately skewed run where skew_frac of the corpus
+    shares ONE direction and lands in ONE cell (~100x the average
+    occupancy) to exercise AQE's skew split under the pinned
+    sort-merge hint.
+
+    Synthetic corpus (deterministic, no RNG, generated distributed —
+    never on the driver): CLUSTERED, not uniform — uniform random
+    high-dim vectors have all-pairwise cosines near 0 (concentration
+    of measure), making "nearest neighbor" statistically meaningless
+    and IVF recall a coin flip regardless of implementation (measured
+    ~0.10 at any probe width on the uniform prototype). Instead each
+    vector belongs to cluster c = pmod(xxhash64(id), n_cells) and is
+    center_c + 0.35 x per-id noise, both components hash-uniform in
+    [-1, 1) — the structure real embedding corpora have and the
+    structure IVF exists to exploit. The quantizer is a hash-stride
+    sample of the corpus itself (a sampled member stands in for each
+    fitted center)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        ivf_knn_graph,
+        two_level_knn_graph,
+    )
+
+    def synth(skewed: bool):
+        cluster = F.pmod(F.xxhash64(F.col("id")), F.lit(n_cells))
+        clustered = F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (
+                F.pmod(F.xxhash64(cluster, i), F.lit(1000003))
+                / 1000003.0 * 2.0 - 1.0
+            )
+            + 0.35
+            * (
+                F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000003))
+                / 1000003.0 * 2.0 - 1.0
+            ),
+        )
+        base = spark.range(n_vectors).select(
+            F.col("id").alias("vec_id"), clustered.alias("v")
+        )
+        if not skewed:
+            return base
+        # the first skew_frac of ids share one direction (all-ones)
+        # plus a tiny per-id perturbation: near-identical vectors that
+        # all assign to the SAME nearest centroid -> one mega-cell
+        skew_n = int(n_vectors * skew_frac)
+        tight = F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: F.lit(1.0)
+            + F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(997))
+            / 997.0 * 0.001,
+        )
+        return base.withColumn(
+            "v", F.when(F.col("vec_id") < skew_n, tight).otherwise(F.col("v"))
+        )
+
+    def quantizer(emb, skewed: bool):
+        # hash-stride sample of the corpus as centroids; in the skewed
+        # run, draw from OUTSIDE the planted cluster so its ~skew_n
+        # members all fall to one outside cell (the mega-cell)
+        pool = emb
+        if skewed:
+            pool = emb.filter(F.col("vec_id") >= int(n_vectors * skew_frac))
+        stride = max(1, n_vectors // n_cells)
+        return (
+            pool.filter(F.col("vec_id") % stride == 0)
+            .limit(n_cells)
+            .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("sv"))
+        )
+
+    def run(build_fn, emb, cents, label: str, probe_skew: bool = False) -> dict:
+        t0 = time.perf_counter()
+        graph = build_fn(emb, cents).persist()
+        graph.write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        plan = graph._jdf.queryExecution().executedPlan().toString()
+        edges = graph.count()
+        covered = graph.select("vec_id").distinct().count()
+        row = {
+            "wall_sec": round(wall, 2),
+            "edges": edges,
+            "vertex_coverage": round(covered / n_vectors, 4),
+            "took_broadcast_path": "ArrowEvalPython" in plan,
+            "peak_jvm_rss_mb": _jvm_peak_rss_mb(),
+        }
+        if probe_skew:
+            # AQE runtime decisions (skew split) live only in an
+            # EXECUTED QueryExecution — a noop write runs its own QE,
+            # so the flag must come from driving the graph's own plan
+            # (toRdd().count()). Costs one extra join+window pass: the
+            # operator's scoped-persisted assignment cache survives
+            # the graph unpersist, so assignment is not re-paid in
+            # full. Probed only on the skewed run.
+            graph.unpersist(blocking=True)
+            g2 = build_fn(emb, cents)
+            qe = g2._jdf.queryExecution()
+            qe.toRdd().count()
+            row["aqe_skew_split"] = "skew=true" in qe.executedPlan().toString()
+            graph = g2.persist()
+            graph.write.format("noop").mode("overwrite").save()
+        # recall vs exact: numpy brute force over the FULL corpus for
+        # a deterministic stride sample of queries
+        qstride = max(1, n_vectors // n_recall_queries)
+        sample_ids = set(range(0, n_vectors, qstride))
+        got: dict = {}
+        for r in graph.filter(
+            F.col("vec_id") % qstride == 0
+        ).collect():
+            got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        # collect the corpus via Arrow in id order for the exact side
+        pdf = emb.orderBy("vec_id").toPandas()
+        mat = np.array(pdf["v"].tolist(), dtype=np.float32)
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.linalg.norm(mat, axis=1)
+        q_idx = np.array(sorted(sample_ids))
+        recalls = []
+        for s in range(0, len(q_idx), 200):
+            chunk = q_idx[s : s + 200]
+            sims = (mat[chunk] @ mat.T) / (
+                norms[chunk][:, None] * norms[None, :]
+            )
+            for row_i, qid in enumerate(chunk):
+                sims[row_i, qid] = -np.inf  # self excluded
+                top = np.argpartition(-sims[row_i], k)[:k]
+                exact = {int(ids[t]) for t in top}
+                recalls.append(
+                    len(got.get(int(qid), set()) & exact) / k
+                )
+        row["recall_vs_exact"] = round(float(np.mean(recalls)), 4)
+        row["n_recall_queries"] = len(q_idx)
+        graph.unpersist()
+        spark.catalog.clearCache()
+        print(f"mega {label}:", json.dumps(row), flush=True)
+        return row
+
+    out = {
+        "n_vectors": n_vectors,
+        "dim": dim,
+        "n_cells": n_cells,
+        "n_probe": n_probe,
+        "k": k,
+    }
+    emb = synth(skewed=False).persist()
+    emb.write.format("noop").mode("overwrite").save()
+    cents = quantizer(emb, skewed=False)
+    out["broadcast"] = run(
+        lambda e, c: ivf_knn_graph(
+            e, "vec_id", "v", c, k=k, n_probe=n_probe,
+            assignment="broadcast",
+        ),
+        emb, cents, "broadcast",
+    )
+    out["two_level"] = run(
+        lambda e, c: two_level_knn_graph(
+            e, "vec_id", "v", c, k=k, n_probe=n_probe,
+            n_coarse_probe=n_coarse_probe,
+        ),
+        emb, cents, "two_level",
+    )
+    emb.unpersist()
+    emb_skew = synth(skewed=True).persist()
+    emb_skew.write.format("noop").mode("overwrite").save()
+    # The mega-cell is row-quadratic but byte-small on the JOIN INPUT
+    # (10k vectors x 64 doubles ~ 5 MB): under the default 256 MB
+    # skewedPartitionThresholdInBytes AQE would never mark it, and
+    # with 32 shuffle partitions the hot cell hides inside a 300-cell
+    # partition. Surface it the way a real cluster job would: enough
+    # shuffle partitions that the hot cell dominates its partition,
+    # and thresholds sized to the data — these are the exact knobs a
+    # 100 TB deployment tunes, exercised here so the row demonstrates
+    # the machinery rather than asserting it.
+    # Two knobs measured necessary (proto runs, this round):
+    # (a) enough shuffle partitions that the hot cell DOMINATES its
+    #     partition by input bytes — AQE skew detection is
+    #     input-size-based, so under the 32-partition default the
+    #     5 MB mega-cell hides inside a 17 MB median partition and is
+    #     invisible (2048 was also tried: the split still refused and
+    #     per-task overhead tripled the wall — 512 is the sweet spot
+    #     here);
+    # (b) forceOptimizeSkewedJoin — the graph join's output feeds the
+    #     top-k window's OWN shuffle, and Spark's default skew rule
+    #     conservatively skips joins followed by another exchange;
+    #     force is safe exactly because that downstream exchange
+    #     re-partitions anyway.
+    saved = {
+        key: spark.conf.get(key)
+        for key in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "512")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "1m",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m"
+        )
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        out["skewed_broadcast"] = run(
+            lambda e, c: ivf_knn_graph(
+                e, "vec_id", "v", c, k=k, n_probe=n_probe,
+                assignment="broadcast",
+            ),
+            emb_skew, quantizer(emb_skew, skewed=True), "skewed_broadcast",
+            probe_skew=True,
+        )
+    finally:
+        for key, val in saved.items():
+            spark.conf.set(key, val)
+    emb_skew.unpersist()
+    return out
+
+
 def decontam_soak(spark, sf_dir: str, min_cosine: float = 0.99) -> dict:
     """Scale row for embedding-space decontamination (round 9): eval
     suite = the 200 lowest-id vectors, training side = the rest PLUS
@@ -989,6 +1478,15 @@ def main() -> None:
     ap.add_argument("--data-dir", default="/tmp/tp_sf1")
     ap.add_argument("--out", default="SOAK_r3.json")
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument(
+        "--mega", action="store_true",
+        help="also run the 1M-vector / 10^4-cell kNN-graph mega "
+        "section (adds ~30 min)",
+    )
+    ap.add_argument(
+        "--mega-only", action="store_true",
+        help="run ONLY the mega section (writes --out with just it)",
+    )
     args = ap.parse_args()
 
     from travelpulse_spark_stream_tourism_analytics_spark.plans import all_queries
@@ -1004,6 +1502,40 @@ def main() -> None:
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
 
+    result = {"sf1_dir": args.data_dir, "queries": {}, "buckets": {}}
+    anomalies = []
+
+    def checkpoint():
+        """Rewrite --out after every section: a late-section crash
+        must not lose the earlier measurements (the round-9 gotcha:
+        the JSON used to write only at the end)."""
+        result["anomalies"] = anomalies
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(result, f, indent=1)
+        os.replace(tmp, args.out)
+
+    if args.mega or args.mega_only:
+        result["knn_graph_megascale"] = knn_graph_megascale_soak(spark)
+        mega = result["knn_graph_megascale"]
+        for key in ("broadcast", "two_level", "skewed_broadcast"):
+            row = mega[key]
+            if row["vertex_coverage"] < 0.99:
+                anomalies.append(f"knn_graph_megascale:{key}")
+        if not mega["broadcast"]["took_broadcast_path"]:
+            anomalies.append("knn_graph_megascale:not_broadcast_path")
+        if not mega["skewed_broadcast"].get("aqe_skew_split"):
+            anomalies.append("knn_graph_megascale:skew_not_split")
+        checkpoint()
+        if args.mega_only:
+            print(
+                "mega-only:",
+                json.dumps({"anomalies": anomalies}),
+                f"-> {args.out}",
+            )
+            spark.stop()
+            return
+
     catalog = dict(all_queries())
     # Round 4: the end-to-end curation pipeline + health report soak
     # alongside the catalog (the curate chain includes the LSH ->
@@ -1011,8 +1543,6 @@ def main() -> None:
     from bench import EXTRA
 
     catalog.update(EXTRA)
-    result = {"sf1_dir": args.data_dir, "queries": {}, "buckets": {}}
-    anomalies = []
 
     def timed(fn, sf_dir):
         """Materialize through the noop sink: full execution, no
@@ -1050,8 +1580,11 @@ def main() -> None:
             flush=True,
         )
 
+    checkpoint()
+
     for sf_name, d in (("sf0.1", SF01), ("sf1", args.data_dir)):
         result["buckets"][sf_name] = bucket_histograms(spark, d)
+    checkpoint()
 
     result["streaming_dedup"] = streaming_dedup_soak(
         spark, os.path.join(args.data_dir, "_stream_soak")
@@ -1078,6 +1611,7 @@ def main() -> None:
         and result["season_livefire"]["scores_in_range"]
     ):
         anomalies.append("season_livefire")
+    checkpoint()
 
     # Round 5: the fuzzy curate chain's QUALITY claim, measured — the
     # kept canonical docs must out-score the near-dup losers they
@@ -1092,6 +1626,7 @@ def main() -> None:
             and gap["mean_within_cluster_gap"] < 0
         ):
             anomalies.append(f"curate_quality:{sf_name}")
+    checkpoint()
 
     # Round 6: the ANN index's recall-vs-probe-width contract at scale
     # (VERDICT r5 item 5) — the soak pins the whole curve at both
@@ -1112,6 +1647,7 @@ def main() -> None:
             full is not None and full < 0.95
         ):
             anomalies.append(f"ann_recall:{sf_name}")
+    checkpoint()
 
     # Round 8: the distributed kNN graph's 10x-data scaling row
     # (exactness is test-pinned; this records wall/coverage at scale).
@@ -1126,6 +1662,7 @@ def main() -> None:
         if prev_wall is not None and row["wall_sec"] > 2 * 10 * prev_wall:
             anomalies.append(f"knn_graph:{sf_name}")
         prev_wall = row["wall_sec"]
+    checkpoint()
 
     # Round 9: the broadcast-centroid assignment path at >=10^3 cells
     # (VERDICT r8 item 3) — must actually take the pandas-UDF path,
@@ -1147,6 +1684,7 @@ def main() -> None:
             )
         ):
             anomalies.append(f"knn_graph_broadcast:{sf_name}")
+    checkpoint()
 
     # Round 9: the coarse-then-fine assignment (quantizer stays a
     # DataFrame) — full coverage, and the coarse-probe recall trade
@@ -1168,6 +1706,22 @@ def main() -> None:
             and row["edge_overlap_vs_flat"] < 0.3
         ):
             anomalies.append(f"knn_graph_two_level:{sf_name}")
+    checkpoint()
+
+    # Round 10: the two-level coarse-probe RECALL CURVE (VERDICT r9
+    # item 3) — edge overlap vs the flat assignment across
+    # n_coarse_probe at the 20k-vector scale, so the default stops
+    # being a guess. sf1 only: the sf0.1 corpus (2k vectors) makes
+    # every point trivially exact.
+    result["knn_graph_two_level_curve"] = knn_graph_two_level_recall_curve(
+        spark, args.data_dir
+    )
+    print(
+        "two-level recall curve:",
+        json.dumps(result["knn_graph_two_level_curve"]),
+        flush=True,
+    )
+    checkpoint()
 
     # Round 9: incremental graph fold — must equal the whole-corpus
     # rebuild exactly at soak scale, and beat the rebuild's wall at
@@ -1186,6 +1740,37 @@ def main() -> None:
             and row["wall_fold_sec"] >= row["wall_rebuild_sec"]
         ):
             anomalies.append(f"knn_graph_incremental:{sf_name}")
+    checkpoint()
+
+    # Round 10: chained folds (VERDICT r9 item 5) — 5 successive
+    # daily batches at sf1, equality required at EVERY step, per-fold
+    # wall ~flat while the rebuild wall grows with the corpus.
+    row = knn_graph_chained_fold_soak(spark, args.data_dir)
+    result["knn_graph_chained_fold"] = row
+    print("chained fold:", json.dumps(row), flush=True)
+    if not row["all_steps_equal"]:
+        anomalies.append("knn_graph_chained_fold:equality")
+    # flat-cost gate: the last (batch-sized) fold must not cost more
+    # than 2x the first — growth there would mean the fold is secretly
+    # corpus-sized
+    if row["fold_wall_ratio_last_vs_first"] > 2.0:
+        anomalies.append("knn_graph_chained_fold:fold_cost_growth")
+    checkpoint()
+
+    # Round 10: deletion repair (VERDICT r9 item 7) — patched graph ==
+    # rebuild over the surviving corpus exactly; repair cheaper than
+    # the rebuild at sf1 (affected set is ~k x |deleted|).
+    result["knn_graph_delete"] = {}
+    for sf_name, d in (("sf0.1", SF01), ("sf1", args.data_dir)):
+        row = knn_graph_delete_soak(spark, d)
+        result["knn_graph_delete"][sf_name] = row
+        print(f"knn graph delete @{sf_name}:", json.dumps(row), flush=True)
+        if not row["patched_equals_rebuild"] or (
+            sf_name == "sf1"
+            and row["wall_patch_sec"] >= row["wall_rebuild_sec"]
+        ):
+            anomalies.append(f"knn_graph_delete:{sf_name}")
+    checkpoint()
 
     # Round 9: embedding-space decontamination — planted eval copies
     # must be flagged exactly and the train side must stay
@@ -1199,6 +1784,7 @@ def main() -> None:
             "train_side_shuffle_free"
         ]:
             anomalies.append(f"decontam:{sf_name}")
+    checkpoint()
 
     result["anomalies"] = anomalies
     result["notes"] = [

@@ -538,6 +538,35 @@ _MAX_EVAL_PACK = 100_000
 _ASSIGN_TILE_CELLS = 2048
 
 
+_ASSIGN_BUFS: dict = {}
+
+
+def _assign_bufs(b: int, width: int):
+    """Per-worker buffer cache for the assignment kernel: page faults
+    on fresh large allocations cost ~40us/page in this environment,
+    and three (batch x tile) buffers are ~500 MB — allocated once per
+    reused python worker instead of once per Arrow batch (measured:
+    the per-batch allocation dominated the 10^6 x 10^4 assignment
+    wall). Keyed by shape; one live set per worker (batch sizes are
+    uniform except a partition's tail batch, which evicts at most
+    once). The kernel references this helper by module name, so every
+    executor task resolves to the SAME worker-process dict."""
+    import numpy as np
+
+    key = (b, width)
+    bufs = _ASSIGN_BUFS.get(key)
+    if bufs is None:
+        if len(_ASSIGN_BUFS) > 2:
+            _ASSIGN_BUFS.clear()
+        bufs = (
+            np.empty((b, width)),
+            np.empty((b, width)),
+            np.empty((b, width), dtype=np.int64),
+        )
+        _ASSIGN_BUFS[key] = bufs
+    return bufs
+
+
 def _ranked_cells_pandas(spark, cents, n_probe: int, vec_col: str):
     """struct(own, probes) pandas UDF over the vector column: each
     vector's own (top-1) cell and its ``n_probe`` nearest cells by
@@ -594,10 +623,13 @@ def _ranked_cells_pandas(spark, cents, n_probe: int, vec_col: str):
         ids, cm, cn = bc.value
         if len(v) == 0:
             return pd.DataFrame({"own": [], "probes": []})
-        raw = v.tolist()
+        raw = v.to_numpy()
         dim = cm.shape[1]
         try:
-            vm = np.array(raw, dtype=np.float64)
+            # np.stack over the Arrow-delivered array column: no
+            # Python-float boxing (tolist() at 10^6 x 64 doubles was
+            # a measurable slice of the batch wall)
+            vm = np.stack(raw).astype(np.float64, copy=False)
             if vm.ndim != 2 or vm.shape[1] != dim:
                 raise ValueError("ragged or wrong-dimension batch")
             valid = np.ones(len(vm), dtype=bool)
@@ -625,35 +657,84 @@ def _ranked_cells_pandas(spark, cents, n_probe: int, vec_col: str):
         for d in range(dim):
             vn += vm[:, d] * vm[:, d]
         vn = np.sqrt(vn)
-        cand_cos, cand_pos = [], []
+        # Round-10 kernel rework, all measured on this box:
+        # (a) dot-product regime split — the dim-SEQUENTIAL
+        #     accumulation exists for bit-parity with the
+        #     plan-constant path's F.aggregate fold, but that path is
+        #     REFUSED past _MAX_PLAN_CELLS, so past it there is
+        #     nothing to be bit-identical to and one BLAS GEMM
+        #     replaces ~dim full passes over the score matrix (GEMM's
+        #     pairwise summation drifts <=1 ulp BEFORE the 1e-6
+        #     rounding — the docstring's existing caveat, now only in
+        #     the regime where no plan twin exists);
+        # (b) preallocated buffers + in-place ops — fresh numpy
+        #     temporaries page-fault at ~40us/page in this
+        #     environment, and the old body allocated ~10 full
+        #     (batch x tile) arrays per tile (28s/batch at 10^4
+        #     cells, gemm itself 0.4s); two float + one int buffer
+        #     are reused across tiles;
+        # (c) exact int64 composite comparator + argmax selection —
+        #     mi = the 1e-6-rounded cosine in integer units (NaN/+Inf
+        #     -> a sentinel ABOVE every real cosine, replaying
+        #     Spark's NaN-greatest Double ordering; -Inf -> below),
+        #     comp = mi * 2^32 - cell_position packs (cosine DESC,
+        #     cell_id ASC) into one collision-free key (|mi| <= 2e6,
+        #     positions < 2^32 by the _MAX_BROADCAST_CELLS bound);
+        #     top-n_probe per tile is n_probe argmax sweeps with
+        #     in-place knockout instead of a full argsort or an
+        #     index-matrix-allocating argpartition.
+        seq_parity = len(cm) <= _MAX_PLAN_CELLS
+        width = min(tile_n, len(cm))
+        fbuf, fbuf2, ibuf = _assign_bufs(b, width)
+        rows_idx = np.arange(b)
+        cand_comp, cand_pos = [], []
         for s in range(0, len(cm), tile_n):
             tile = cm[s : s + tile_n]
-            acc = np.zeros((b, len(tile)))
-            for d in range(dim):
-                acc += vm[:, d : d + 1] * tile[:, d][None, :]
+            w = len(tile)
+            acc = fbuf[:, :w]
+            if seq_parity:
+                acc.fill(0.0)
+                for d in range(dim):
+                    acc += vm[:, d : d + 1] * tile[:, d][None, :]
+            else:
+                np.matmul(vm, tile.T, out=acc)
+            denom = fbuf2[:, :w]
+            # single divide by the (vn * cn) PRODUCT — dividing by
+            # each factor in turn lands on different ulps than the
+            # fold path's dot/(na*nb)
+            np.multiply(vn[:, None], cn[s : s + w][None, :], out=denom)
             with np.errstate(divide="ignore", invalid="ignore"):
-                cos = acc / (vn[:, None] * cn[s : s + tile_n][None, :])
-            cos = np.copysign(np.floor(np.abs(cos) * 1e6 + 0.5), cos) / 1e6
-            # Spark's Double ordering ranks NaN GREATEST; numpy sorts
-            # it last — substitute +inf so a zero-norm vector or
-            # centroid ranks identically in both paths (only cell ids
-            # are emitted, never these scores)
-            cos = np.where(np.isnan(cos), np.inf, cos)
-            idx = np.argsort(-cos, axis=1, kind="stable")[:, :npb]
-            cand_cos.append(np.take_along_axis(cos, idx, axis=1))
-            cand_pos.append(idx + s)
-        ccos = np.concatenate(cand_cos, axis=1)
-        cpos = np.concatenate(cand_pos, axis=1)
-        ncand = ccos.shape[1]
-        # one global lexsort: (row, cosine DESC, cell_id ASC)
-        glob = np.lexsort(
-            (
-                ids[cpos].ravel(),
-                -ccos.ravel(),
-                np.repeat(np.arange(b), ncand),
+                acc /= denom
+            m = denom  # reuse: holds the rounded comparator next
+            np.fabs(acc, out=m)
+            m *= 1e6
+            m += 0.5
+            np.floor(m, out=m)
+            np.copysign(m, acc, out=m)
+            np.nan_to_num(
+                m, copy=False, nan=2e6, posinf=2e6, neginf=-2e6
             )
-        )
-        top = ids[cpos.ravel()[glob].reshape(b, ncand)[:, :npb]]
+            comp = ibuf[:, :w]
+            comp[...] = m  # cast pass
+            comp *= np.int64(1) << 32
+            comp -= np.arange(s, s + w, dtype=np.int64)[None, :]
+            nsel = min(npb, w)
+            sel_comp = np.empty((b, nsel), dtype=np.int64)
+            sel_pos = np.empty((b, nsel), dtype=np.int64)
+            for j in range(nsel):
+                am = comp.argmax(axis=1)
+                sel_comp[:, j] = comp[rows_idx, am]
+                sel_pos[:, j] = am + s
+                comp[rows_idx, am] = np.iinfo(np.int64).min
+            cand_comp.append(sel_comp)
+            cand_pos.append(sel_pos)
+        ccomp = np.concatenate(cand_comp, axis=1)
+        cpos = np.concatenate(cand_pos, axis=1)
+        # global top-npb: the composite key IS the comparator, so a
+        # plain stable argsort over the few surviving candidates per
+        # row finishes the exact (cosine DESC, cell_id ASC) ranking
+        sel = np.argsort(-ccomp, axis=1, kind="stable")[:, :npb]
+        top = ids[np.take_along_axis(cpos, sel, axis=1)]
         own = [int(t) if ok else None for t, ok in zip(top[:, 0], valid)]
         probes = [
             [int(x) for x in row] if ok else None
@@ -721,8 +802,22 @@ def ivf_knn_graph(
     LIMIT-guarded collect, never an unbounded one — VERDICT r8
     item 6): past that, use two-level coarse quantization instead of
     a flat argmax."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators._cache import (
+        scoped_persist,
+    )
+
     cents, assignment = _validated_cents(centroids, n_probe, assignment)
     base = _flat_assigned(emb, id_col, vec_col, cents, n_probe, assignment)
+    if assignment == "broadcast":
+        # the assigned frame feeds BOTH sides of the cell join; on the
+        # plan-constant path re-evaluating it is a cheap projection,
+        # but on the broadcast path it is the Arrow-batched pandas UDF
+        # over the whole corpus — without the stage boundary that UDF
+        # executes twice (measured ~2x the assignment wall at 10^5
+        # vectors x 10^3 cells; at 10^6 it dominates the build). Same
+        # contract as incremental_knn_graph's scoped persists; on a
+        # cluster this seam is a parquet materialization.
+        base = scoped_persist(base, "similarity.ivf_knn_graph.assigned")
     return _graph_from_assigned(base, id_col, vec_col, k)
 
 
@@ -1153,9 +1248,19 @@ def two_level_knn_graph(
     the flat-assignment graph in tests; narrower coarse probes trade
     recall exactly like IVF probing (a vector can miss a fine cell
     whose coarse parent it did not probe)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators._cache import (
+        scoped_persist,
+    )
+
     assigned = _two_level_assigned(
         emb, id_col, vec_col, centroids, n_probe, n_coarse, n_coarse_probe,
         caller="two_level_knn_graph",
+    )
+    # both sides of the graph join read the assignment, whose lineage
+    # here is always the coarse-ranking UDF plus the fine-centroid
+    # join — persist the seam (see ivf_knn_graph's broadcast note)
+    assigned = scoped_persist(
+        assigned, "similarity.two_level_knn_graph.assigned"
     )
     return _graph_from_assigned(assigned, id_col, vec_col, k)
 
