@@ -977,8 +977,9 @@ def knn_graph_megascale_soak(
                 )
         row["recall_vs_exact"] = round(float(np.mean(recalls)), 4)
         row["n_recall_queries"] = len(q_idx)
-        graph.unpersist()
-        spark.catalog.clearCache()
+        # unpersist ONLY the graph — catalog.clearCache() here would
+        # also drop the shared corpus persist between phases
+        graph.unpersist(blocking=True)
         print(f"mega {label}:", json.dumps(row), flush=True)
         return row
 
@@ -1061,7 +1062,8 @@ def knn_graph_megascale_soak(
     finally:
         for key, val in saved.items():
             spark.conf.set(key, val)
-    emb_skew.unpersist()
+    emb_skew.unpersist(blocking=True)
+    spark.catalog.clearCache()  # leave the session clean for the rest
     return out
 
 
