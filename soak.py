@@ -834,6 +834,7 @@ def knn_graph_megascale_soak(
     n_recall_queries: int = 1_000,
     skew_frac: float = 0.01,
     n_coarse_probe: int = 4,
+    phases: tuple | None = None,
 ) -> dict:
     """The measured large-scale point VERDICT r9 ranked first: every
     design claim for the >=10^4-cell regime (broadcast-numpy
@@ -918,35 +919,41 @@ def knn_graph_megascale_soak(
         )
 
     def run(build_fn, emb, cents, label: str, probe_skew: bool = False) -> dict:
-        t0 = time.perf_counter()
-        graph = build_fn(emb, cents).persist()
-        graph.write.format("noop").mode("overwrite").save()
-        wall = time.perf_counter() - t0
-        plan = graph._jdf.queryExecution().executedPlan().toString()
-        edges = graph.count()
-        covered = graph.select("vec_id").distinct().count()
-        row = {
-            "wall_sec": round(wall, 2),
-            "edges": edges,
-            "vertex_coverage": round(covered / n_vectors, 4),
-            "took_broadcast_path": "ArrowEvalPython" in plan,
-            "peak_jvm_rss_mb": _jvm_peak_rss_mb(),
-        }
+        row = {}
         if probe_skew:
             # AQE runtime decisions (skew split) live only in an
             # EXECUTED QueryExecution — a noop write runs its own QE,
-            # so the flag must come from driving the graph's own plan
-            # (toRdd().count()). Costs one extra join+window pass: the
-            # operator's scoped-persisted assignment cache survives
-            # the graph unpersist, so assignment is not re-paid in
-            # full. Probed only on the skewed run.
-            graph.unpersist(blocking=True)
-            g2 = build_fn(emb, cents)
-            qe = g2._jdf.queryExecution()
+            # so the timed pass here drives the graph's own plan via
+            # toRdd().count() and reads the flag from it; a second,
+            # persisted pass follows for edge/coverage/recall stats
+            # (the operator's scoped-persisted assignment cache makes
+            # the second pass cheaper than a cold build).
+            g_probe = build_fn(emb, cents)
+            qe = g_probe._jdf.queryExecution()
+            t0 = time.perf_counter()
             qe.toRdd().count()
-            row["aqe_skew_split"] = "skew=true" in qe.executedPlan().toString()
-            graph = g2.persist()
+            row["wall_sec"] = round(time.perf_counter() - t0, 2)
+            row["aqe_skew_split"] = (
+                "skew=true" in qe.executedPlan().toString()
+            )
+            graph = build_fn(emb, cents).persist()
             graph.write.format("noop").mode("overwrite").save()
+        else:
+            t0 = time.perf_counter()
+            graph = build_fn(emb, cents).persist()
+            graph.write.format("noop").mode("overwrite").save()
+            row["wall_sec"] = round(time.perf_counter() - t0, 2)
+        plan = graph._jdf.queryExecution().executedPlan().toString()
+        edges = graph.count()
+        covered = graph.select("vec_id").distinct().count()
+        row.update(
+            {
+                "edges": edges,
+                "vertex_coverage": round(covered / n_vectors, 4),
+                "took_broadcast_path": "ArrowEvalPython" in plan,
+                "peak_jvm_rss_mb": _jvm_peak_rss_mb(),
+            }
+        )
         # recall vs exact: numpy brute force over the FULL corpus for
         # a deterministic stride sample of queries
         qstride = max(1, n_vectors // n_recall_queries)
@@ -990,24 +997,27 @@ def knn_graph_megascale_soak(
         "n_probe": n_probe,
         "k": k,
     }
-    emb = synth(skewed=False).persist()
-    emb.write.format("noop").mode("overwrite").save()
-    cents = quantizer(emb, skewed=False)
-    out["broadcast"] = run(
-        lambda e, c: ivf_knn_graph(
-            e, "vec_id", "v", c, k=k, n_probe=n_probe,
-            assignment="broadcast",
-        ),
-        emb, cents, "broadcast",
-    )
-    out["two_level"] = run(
-        lambda e, c: two_level_knn_graph(
-            e, "vec_id", "v", c, k=k, n_probe=n_probe,
-            n_coarse_probe=n_coarse_probe,
-        ),
-        emb, cents, "two_level",
-    )
-    emb.unpersist()
+    if phases is None or "flat" in phases:
+        emb = synth(skewed=False).persist()
+        emb.write.format("noop").mode("overwrite").save()
+        cents = quantizer(emb, skewed=False)
+        out["broadcast"] = run(
+            lambda e, c: ivf_knn_graph(
+                e, "vec_id", "v", c, k=k, n_probe=n_probe,
+                assignment="broadcast",
+            ),
+            emb, cents, "broadcast",
+        )
+        out["two_level"] = run(
+            lambda e, c: two_level_knn_graph(
+                e, "vec_id", "v", c, k=k, n_probe=n_probe,
+                n_coarse_probe=n_coarse_probe,
+            ),
+            emb, cents, "two_level",
+        )
+        emb.unpersist()
+    if phases is not None and "skewed" not in phases:
+        return out
     emb_skew = synth(skewed=True).persist()
     emb_skew.write.format("noop").mode("overwrite").save()
     # The mega-cell is row-quadratic but byte-small on the JOIN INPUT
@@ -1037,6 +1047,7 @@ def knn_graph_megascale_soak(
         for key in (
             "spark.sql.shuffle.partitions",
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             "spark.sql.adaptive.forceOptimizeSkewedJoin",
         )
@@ -1051,12 +1062,28 @@ def knn_graph_megascale_soak(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m"
         )
         spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        skew_cents = quantizer(emb_skew, skewed=True)
+        build = lambda e, c: ivf_knn_graph(  # noqa: E731
+            e, "vec_id", "v", c, k=k, n_probe=n_probe,
+            assignment="broadcast",
+        )
+        # A/B on the skew factor: the hot partition here is the
+        # mega-cell (~5.5 MB of input) sharing a 512-way partition
+        # with ~20 average cells (~1.1 MB) — 6.6 MB vs a 1.1 MB
+        # median is UNDER the default skewedPartitionFactor=5 bar
+        # (measured: no split, the mega-cell runs as one task), so
+        # the first arm records the un-split wall and the second
+        # lowers the factor to 2 — the knob a real deployment tunes
+        # when a quadratic hot key hides under the 5x default.
         out["skewed_broadcast"] = run(
-            lambda e, c: ivf_knn_graph(
-                e, "vec_id", "v", c, k=k, n_probe=n_probe,
-                assignment="broadcast",
-            ),
-            emb_skew, quantizer(emb_skew, skewed=True), "skewed_broadcast",
+            build, emb_skew, skew_cents, "skewed_broadcast",
+            probe_skew=True,
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        out["skewed_broadcast_factor2"] = run(
+            build, emb_skew, skew_cents, "skewed_broadcast_factor2",
             probe_skew=True,
         )
     finally:
@@ -1520,13 +1547,13 @@ def main() -> None:
     if args.mega or args.mega_only:
         result["knn_graph_megascale"] = knn_graph_megascale_soak(spark)
         mega = result["knn_graph_megascale"]
-        for key in ("broadcast", "two_level", "skewed_broadcast"):
-            row = mega[key]
-            if row["vertex_coverage"] < 0.99:
+        for key, row in mega.items():
+            if isinstance(row, dict) and row["vertex_coverage"] < 0.99:
                 anomalies.append(f"knn_graph_megascale:{key}")
         if not mega["broadcast"]["took_broadcast_path"]:
             anomalies.append("knn_graph_megascale:not_broadcast_path")
-        if not mega["skewed_broadcast"].get("aqe_skew_split"):
+        # the A/B contract: the factor-2 arm must actually split
+        if not mega["skewed_broadcast_factor2"].get("aqe_skew_split"):
             anomalies.append("knn_graph_megascale:skew_not_split")
         checkpoint()
         if args.mega_only:
