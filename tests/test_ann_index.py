@@ -714,3 +714,98 @@ def test_cli_out_overwrite_guard_covers_every_mode(
     )
     with _pytest.raises(ValueError, match="disjoint"):
         run_pipeline.main()
+
+
+def test_knn_graph_cli_delete_equals_rebuild(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """--update-graph + --delete-ids routes through
+    delete_from_knn_graph: dropped vertices vanish, affected
+    survivors re-rank, and the pruned parquet equals a from-scratch
+    rebuild over the surviving embeddings exactly; --out equal to
+    --delete-ids is refused by the hoisted overwrite guard."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import pytest as _pytest
+
+    import run_pipeline
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb_dir = str(tmp_path / "emb_d")
+    emb.filter(F.col("vec_id") < 300).write.parquet(emb_dir)
+    del_dir = str(tmp_path / "del_ids")
+    (
+        emb.filter((F.col("vec_id") % 11 == 0) & (F.col("vec_id") < 300))
+        .select("vec_id")
+        .write.parquet(del_dir)
+    )
+    keep_dir = str(tmp_path / "emb_keep")
+    (
+        emb.filter((F.col("vec_id") % 11 != 0) & (F.col("vec_id") < 300))
+        .write.parquet(keep_dir)
+    )
+
+    idx = str(tmp_path / "idx_d")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "build-ann-index",
+         "--path", emb_dir, "--out", idx,
+         "--cells", "8", "--pq-m", "8", "--pq-codes", "16"],
+    )
+    run_pipeline.main()
+    capsys.readouterr()
+
+    g_full = str(tmp_path / "g_full_d")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "knn-graph", "--path", emb_dir,
+         "--index", idx, "--out", g_full, "--k", "3", "--n-probe", "2"],
+    )
+    run_pipeline.main()
+    capsys.readouterr()
+
+    g_pruned = str(tmp_path / "g_pruned")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "knn-graph", "--path", emb_dir,
+         "--index", idx, "--out", g_pruned, "--k", "3", "--n-probe", "2",
+         "--update-graph", g_full, "--delete-ids", del_dir],
+    )
+    run_pipeline.main()
+    assert ">>> knn graph pruned; " in capsys.readouterr().out
+
+    g_rebuilt = str(tmp_path / "g_rebuilt")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "knn-graph", "--path", keep_dir,
+         "--index", idx, "--out", g_rebuilt, "--k", "3", "--n-probe", "2"],
+    )
+    run_pipeline.main()
+    capsys.readouterr()
+    got = {tuple(r) for r in spark.read.parquet(g_pruned).collect()}
+    want = {tuple(r) for r in spark.read.parquet(g_rebuilt).collect()}
+    assert got == want and len(got) > 0
+
+    # --delete-ids without --update-graph refused; --out == --delete-ids
+    # refused by the overwrite guard
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "knn-graph", "--path", emb_dir,
+         "--index", idx, "--out", str(tmp_path / "x"),
+         "--delete-ids", del_dir],
+    )
+    with _pytest.raises(SystemExit):
+        run_pipeline.main()
+    assert "requires --update-graph" in capsys.readouterr().err
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "knn-graph", "--path", emb_dir,
+         "--index", idx, "--out", del_dir, "--k", "3", "--n-probe", "2",
+         "--update-graph", g_full, "--delete-ids", del_dir],
+    )
+    with _pytest.raises(SystemExit):
+        run_pipeline.main()
+    assert "must differ from" in capsys.readouterr().err

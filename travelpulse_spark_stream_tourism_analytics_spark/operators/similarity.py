@@ -1216,7 +1216,7 @@ def two_level_knn_graph(
     k: int = 5,
     n_probe: int = 2,
     n_coarse: int | None = None,
-    n_coarse_probe: int = 2,
+    n_coarse_probe: int | None = None,
 ) -> DataFrame:
     """:func:`ivf_knn_graph` for quantizers TOO LARGE TO COLLECT —
     the regime past ``_MAX_BROADCAST_CELLS`` where even a broadcast
@@ -1243,11 +1243,24 @@ def two_level_knn_graph(
       (rounded cosine DESC, cell_id ASC) comparator, then the shared
       :func:`_graph_from_assigned` join/window builds the graph.
 
-    Exactness contract: ``n_coarse_probe >= n_coarse`` makes every
-    fine cell reachable, and the result is pinned BIT-FOR-BIT against
-    the flat-assignment graph in tests; narrower coarse probes trade
-    recall exactly like IVF probing (a vector can miss a fine cell
-    whose coarse parent it did not probe)."""
+    Exactness contract: ``n_coarse_probe`` >= the DRAWN coarse count
+    (hash-stride draws ~n_fine/stride cells, not exactly
+    ``n_coarse``) makes every fine cell reachable, and the result is
+    pinned BIT-FOR-BIT against the flat-assignment graph in tests;
+    narrower coarse probes trade recall exactly like IVF probing (a
+    vector can miss a fine cell whose coarse parent it did not
+    probe).
+
+    ``n_coarse_probe`` DEFAULT (round 10, recall-guided): ``None``
+    resolves to ``max(2, round(sqrt(drawn coarse count)))`` — the
+    measured SOAK_r10 curve on the dispersed 20k-vector corpus
+    (1,024 fine / ~36 drawn coarse cells, edge overlap vs the flat
+    graph) reads 0.22 / 0.34 / 0.48 / 0.66 / 0.96 at 2 / 4 / 8 / 16
+    / 32 probes, and the clustered 1M-vector corpus (10^4 fine / 100
+    coarse) measured recall 0.897 vs exact at just 4 probes — the
+    sqrt-rule lands on the useful part of both curves while keeping
+    assignment work per vector ~sqrt(C), where the old constant
+    default of 2 sat at 0.22 overlap (silent low recall)."""
     from travelpulse_spark_stream_tourism_analytics_spark.operators._cache import (
         scoped_persist,
     )
@@ -1271,7 +1284,7 @@ def two_level_cell_assignment(
     vec_col: str,
     centroids: DataFrame,
     n_coarse: int | None = None,
-    n_coarse_probe: int = 2,
+    n_coarse_probe: int | None = None,
     cell_col: str = "cell_id",
 ) -> DataFrame:
     """Own-cell assignment through the coarse-then-fine join — the
@@ -1302,7 +1315,7 @@ def _two_level_assigned(
     centroids: DataFrame,
     n_probe: int,
     n_coarse: int | None,
-    n_coarse_probe: int,
+    n_coarse_probe: int | None,
     caller: str = "two_level_knn_graph",
 ) -> DataFrame:
     """Shared coarse-then-fine assignment: ``(id, vec, __nv, __own,
@@ -1335,6 +1348,20 @@ def _two_level_assigned(
                 f"{caller}: zero-norm coarse centroid "
                 f"(cell_id={row['cell_id']})"
             )
+    if n_coarse_probe is None:
+        # sqrt-rule default (round 10, measured — SOAK_r10): probing
+        # ~sqrt(n_coarse) coarse cells keeps assignment work per
+        # vector at ~sqrt(C) fine candidates while landing on the
+        # useful part of the recall curve — 1M clustered vectors
+        # through 10^4 fine / 100 coarse cells measured recall 0.897
+        # vs exact at 4 probes (sqrt-rule: 10), and the dispersed
+        # 20k-vector sf1 corpus measured edge overlap vs flat of
+        # 0.48 at 8-of-36 (sqrt-rule: 6 -> ~0.43). The old constant
+        # default of 2 sat at 0.22 overlap on that curve — silent
+        # low-recall territory (VERDICT r9). Exactness callers pass
+        # n_coarse_probe >= the drawn coarse count (hash-stride draws
+        # ~n_fine/stride cells, not exactly n_coarse).
+        n_coarse_probe = max(2, round(math.sqrt(len(coarse))))
     n_coarse_probe = min(n_coarse_probe, len(coarse))
 
     def with_coarse(df, rank_n, out_col):
