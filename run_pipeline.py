@@ -713,7 +713,7 @@ def main() -> None:
         choices=["kpis", "dedup", "dedup-batch", "curate", "report",
                  "train-classifier", "train-bpe", "compact",
                  "build-ann-index", "ann-search", "knn-graph",
-                 "decontam", "cluster-sample", "centrality"],
+                 "decontam", "cluster-sample", "centrality", "search"],
         default="kpis",
         help="kpis: the 16-query tourism topology; dedup: streaming "
         "document near-dup verdicts (--path is a JSONL docs dir, "
@@ -737,7 +737,12 @@ def main() -> None:
         "embedding-cluster-balanced subsampling — assign every vector "
         "(--path) to its max-cosine cell of an ann index's IVF "
         "centroids (--index) and keep at most --cap per cell in "
-        "deterministic md5 order, kept rows to --out",
+        "deterministic md5 order, kept rows to --out; search: BM25 "
+        "full-text retrieval over a documents dir (--path) for "
+        "--query keyword queries (repeatable), or query-by-example "
+        "with --by-doc — RRF-fused with the exact cosine ranking "
+        "when the dir has a matching embeddings table (hybrid "
+        "search); prints the ranking, or parquet to --out",
     )
     ap.add_argument(
         "--cap", type=int, default=1000,
@@ -856,6 +861,26 @@ def main() -> None:
         "--bpe-model",
         help="--mode curate: BPE model JSON from --mode train-bpe; "
         "packed samples then carry input_ids (array<int>)",
+    )
+    ap.add_argument(
+        "--query",
+        action="append",
+        help="--mode search: a keyword query (repeatable; each gets "
+        "its own BM25 ranking)",
+    )
+    ap.add_argument(
+        "--by-doc",
+        type=int,
+        help="--mode search: query-by-example doc_id — BM25 over that "
+        "doc's terms; if the corpus dir also has an embeddings table "
+        "with a matching vec_id, the lexical ranking is RRF-fused "
+        "with the exact cosine ranking (hybrid search)",
+    )
+    ap.add_argument(
+        "--top-n",
+        type=int,
+        default=10,
+        help="--mode search: results per query",
     )
     ap.add_argument(
         "--target-mb",
@@ -1308,6 +1333,102 @@ def main() -> None:
             f">>> cluster sample done; {n} vectors kept "
             f"(cap={args.cap} per cell) -> {args.out}"
         )
+        return
+
+    if args.mode == "search":
+        if not args.path or (not args.query and args.by_doc is None):
+            ap.error(
+                "--mode search requires --path (docs dir) and --query "
+                "(repeatable keyword query) or --by-doc (doc_id for "
+                "query-by-example / hybrid search)"
+            )
+        if args.out:
+            # before ANY read: bm25_rank runs an eager stats job, and
+            # the write below is mode('overwrite')
+            _guard_out_overwrite(ap, args.out, [("--path", args.path)])
+        from pyspark.sql import functions as F
+
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.retrieval import (
+            bm25_rank,
+            rrf_fuse,
+        )
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+            brute_force_knn,
+        )
+        from pyspark.sql.window import Window
+
+        docs = _load_docs(spark, args.path)
+        if args.query:
+            queries = spark.createDataFrame(
+                [(i, q) for i, q in enumerate(args.query)],
+                "query_id long, query_text string",
+            )
+            ranked = bm25_rank(docs, queries, top_n=args.top_n)
+            kind = "bm25"
+        else:
+            qdoc = docs.filter(F.col("doc_id") == args.by_doc).select(
+                F.col("doc_id").alias("query_id"),
+                F.col("text").alias("query_text"),
+            )
+            if not qdoc.limit(1).count():
+                ap.error(f"--by-doc {args.by_doc} not found in --path")
+            # lexical: BM25 over the query doc's terms, self excluded
+            # then re-ranked (top_n+1 fetched — at most one self row)
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            lex = (
+                bm25_rank(docs, qdoc, top_n=args.top_n + 1)
+                .filter(F.col("doc_id") != F.col("query_id"))
+                .withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= args.top_n)
+                .select("query_id", "rank", "doc_id")
+            )
+            emb_table = os.path.join(args.path, "embeddings.parquet")
+            if os.path.exists(emb_table):
+                emb = _load_embeddings(spark, args.path)
+                qv = emb.filter(F.col("vec_id") == args.by_doc).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qv"),
+                )
+                wv = Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine"), F.asc("neighbor_id")
+                )
+                vec = (
+                    brute_force_knn(
+                        emb, qv, "vec_id", "query_id", "v", k=args.top_n
+                    )
+                    .withColumn(
+                        "rank", F.row_number().over(wv).cast("long")
+                    )
+                    .select(
+                        "query_id", "rank",
+                        F.col("neighbor_id").alias("doc_id"),
+                    )
+                )
+                ranked = rrf_fuse([lex, vec], top_n=args.top_n)
+                kind = "hybrid-rrf"
+            else:
+                ranked = lex.withColumn(
+                    "n_systems", F.lit(1).cast("long")
+                ).withColumn("score", F.lit(None).cast("double"))
+                kind = "bm25-by-doc"
+        if args.out:
+            ranked.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(f">>> search done; {kind}, {n} results -> {args.out}")
+        else:
+            rows = ranked.orderBy("query_id", "rank").collect()
+            for r in rows:
+                print(
+                    f"q{r['query_id']} #{r['rank']} doc {r['doc_id']}"
+                    + (
+                        f" score {r['score']}"
+                        if "score" in ranked.columns and r["score"] is not None
+                        else ""
+                    )
+                )
+            print(f">>> search done; {kind}, {len(rows)} results")
         return
 
     if args.mode == "train-bpe":

@@ -688,6 +688,9 @@ def test_cli_out_overwrite_guard_covers_every_mode(
         # ann-search: --out == --index
         ["--mode", "ann-search", "--path", emb_dir, "--index", idx,
          "--out", idx],
+        # search (round 10): --out == --path
+        ["--mode", "search", "--path", emb_dir, "--query", "spark",
+         "--out", emb_dir],
     ]
     for extra in cases:
         monkeypatch.setattr(sys, "argv", ["run_pipeline.py"] + extra)

@@ -140,6 +140,76 @@ def brute_force_knn(
     )
 
 
+def filtered_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    predicate: Column,
+    vec_col: str = "v",
+    k: int = 5,
+    strategy: str = "prefilter",
+    oversample: int = 4,
+) -> DataFrame:
+    """Metadata-filtered vector search: top-k by cosine among corpus
+    rows satisfying ``predicate`` — the vector-DB operation every
+    curation stack needs ("nearest neighbors, but only rows with
+    label=X / source=Y / date>=Z").
+
+    Two strategies, the industry-standard trade:
+
+    - ``prefilter`` (exact w.r.t. the filtered corpus): the predicate
+      is applied BEFORE ranking, so Catalyst pushes it into the
+      parquet scan (partition pruning when the predicate hits a
+      partition column) and the ranking never touches excluded rows.
+      Right when the predicate is selective or when exactness over
+      the filtered set is required.
+    - ``postfilter`` (index-reusing): rank the UNFILTERED corpus to a
+      ``k * oversample`` shortlist per query, then filter the
+      shortlist and re-rank to top-k. Right when an unfiltered
+      index/shortlist already exists (reusing it beats re-probing per
+      predicate) and the predicate keeps most rows. May return FEWER
+      than k rows per query when the filter eats the shortlist — the
+      standard post-filter recall caveat, surfaced here by contract
+      rather than silently re-probing. ``oversample >= corpus/kept``
+      ratio makes the two strategies agree (test-pinned).
+
+    Ranking and tie-breaks are :func:`brute_force_knn`'s (exact
+    cosine, rounded 1e-6, neighbor id ASC; self-matches excluded).
+    For IVF-accelerated variants compose the same way: filter before
+    :func:`ivf_knn` (pre) or shortlist-then-filter (post) — the
+    strategies are orthogonal to the index.
+    """
+    if strategy == "prefilter":
+        return brute_force_knn(
+            corpus.filter(predicate), queries, id_col, query_id_col,
+            vec_col, k,
+        )
+    if strategy != "postfilter":
+        raise ValueError(
+            f"filtered_knn: unknown strategy {strategy!r} "
+            "(prefilter|postfilter)"
+        )
+    from pyspark.sql.window import Window
+
+    keep_ids = corpus.filter(predicate).select(
+        F.col(id_col).alias("neighbor_id")
+    )
+    shortlist = brute_force_knn(
+        corpus, queries, id_col, query_id_col, vec_col, k * oversample
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(keep_ids, "neighbor_id", "left_semi")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .select(query_id_col, "neighbor_id", "cosine")
+    )
+
+
 def lsh_neardup_pairs(
     emb: DataFrame,
     id_col: str,

@@ -1449,6 +1449,140 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 GROUP BY 1
             )
         ) WHERE rn <= 20
+    ),
+    -- BM25 retrieval (round 10): postings from the shared tf/dfx
+    -- CTEs; doc lengths + corpus stats; Lucene-variant non-negative
+    -- idf; per-term contributions rounded 1e-6 and summed as DECIMAL
+    -- (summation-order independent, the engine's exact convention)
+    dlx AS (
+        SELECT doc_id, len({_WORDS_SQL.format(c="text")}) AS dl
+        FROM documents
+    ),
+    bstats AS (
+        SELECT count(*)::DOUBLE AS n,
+               sum(dl)::DOUBLE / count(*) AS avgdl
+        FROM dlx
+    ),
+    bm25_q AS (
+        SELECT query_id,
+               unnest(list_distinct({_WORDS_SQL.format(c="query_text")}))
+                   AS term
+        FROM (VALUES (0, 'spark hash join'), (1, 'dup window sort'),
+                     (2, 'slow scan batch query'))
+             AS t(query_id, query_text)
+    ),
+    bm25_contrib AS (
+        SELECT q.query_id, tf.doc_id,
+               round(ln(1 + (bstats.n - dfx.df + 0.5)
+                            / (dfx.df + 0.5))
+                     * ((tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (0.25
+                           + 0.75 * dlx.dl / bstats.avgdl))),
+                     6) AS c
+        FROM tf
+        JOIN dfx USING (term)
+        JOIN dlx USING (doc_id)
+        JOIN bm25_q q ON q.term = tf.term, bstats
+    ),
+    bm25_scored AS (
+        SELECT query_id, doc_id, count(*) AS nmatch,
+               round(sum(c::DECIMAL(20,6))::DOUBLE, 6) AS score
+        FROM bm25_contrib GROUP BY 1, 2
+    ),
+    bm25_branch AS (
+        SELECT 'bm25' AS branch, 'q' || query_id::VARCHAR AS term, doc_id,
+               nmatch AS n_occurrences, rank AS n_docs, score
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id
+            ) AS rank FROM bm25_scored
+        ) WHERE rank <= 10
+    ),
+    -- RRF hybrid retrieval (round 10): query-by-example with docs
+    -- 0-2 — BM25 over the query doc's terms (top-11, self dropped,
+    -- re-ranked to 10) fused with exact cosine top-10 of the matching
+    -- embedding at k0=60; contributions are exact small-integer
+    -- divisions rounded 1e-6, summed as DECIMAL
+    rrf_qt AS (
+        SELECT doc_id AS query_id,
+               unnest(list_distinct({_WORDS_SQL.format(c="text")})) AS term
+        FROM documents WHERE doc_id < 3
+    ),
+    rrf_contrib AS (
+        SELECT q.query_id, tf.doc_id,
+               round(ln(1 + (bstats.n - dfx.df + 0.5)
+                            / (dfx.df + 0.5))
+                     * ((tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (0.25
+                           + 0.75 * dlx.dl / bstats.avgdl))),
+                     6) AS c
+        FROM tf
+        JOIN dfx USING (term)
+        JOIN dlx USING (doc_id)
+        JOIN rrf_qt q ON q.term = tf.term, bstats
+    ),
+    rrf_lex_scored AS (
+        SELECT query_id, doc_id,
+               round(sum(c::DECIMAL(20,6))::DOUBLE, 6) AS score
+        FROM rrf_contrib GROUP BY 1, 2
+    ),
+    rrf_lex AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id
+            ) AS rank
+            FROM (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY score DESC, doc_id
+                    ) AS r0 FROM rrf_lex_scored
+                ) WHERE r0 <= 11
+            ) WHERE doc_id <> query_id
+        ) WHERE rank <= 10
+    ),
+    rrf_vec AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, vec_id AS doc_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id
+                   ) AS rank
+            FROM (
+                SELECT q.query_id, b.vec_id,
+                       round(list_dot_product(q.qv, b.v)
+                             / (sqrt(list_dot_product(q.qv, q.qv))
+                                * sqrt(list_dot_product(b.v, b.v))),
+                             6) AS cosine
+                FROM (SELECT vec_id AS query_id,
+                             embedding::DOUBLE[] AS qv
+                      FROM embeddings WHERE vec_id < 3) q,
+                     (SELECT vec_id, embedding::DOUBLE[] AS v
+                      FROM embeddings) b
+                WHERE b.vec_id <> q.query_id
+            )
+        ) WHERE rank <= 10
+    ),
+    rrf_union AS (
+        SELECT query_id, doc_id,
+               round(1.0 / (60 + rank), 6) AS c FROM rrf_lex
+        UNION ALL
+        SELECT query_id, doc_id,
+               round(1.0 / (60 + rank), 6) AS c FROM rrf_vec
+    ),
+    rrf_fused AS (
+        SELECT query_id, doc_id, count(*) AS n_systems,
+               round(sum(c::DECIMAL(20,6))::DOUBLE, 6) AS score
+        FROM rrf_union GROUP BY 1, 2
+    ),
+    rrf_branch AS (
+        SELECT 'rrf' AS branch, 'q' || query_id::VARCHAR AS term, doc_id,
+               n_systems AS n_occurrences, rank AS n_docs, score
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id
+            ) AS rank FROM rrf_fused
+        ) WHERE rank <= 10
     )
     SELECT * FROM term_branch
     UNION ALL
@@ -1467,6 +1601,10 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM cms_branch
     UNION ALL
     SELECT * FROM bpe_branch
+    UNION ALL
+    SELECT * FROM bm25_branch
+    UNION ALL
+    SELECT * FROM rrf_branch
     """,
 )
 def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1525,7 +1663,21 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates with one shuffle on doc_id. 3-grams are the
     fixture-scale knob — production decontamination uses 8-13-gram
     hashes, same plan shape (the md5 join key keeps rows narrow either
-    way)."""
+    way).
+
+    branch='bm25' — full-text retrieval (round 10,
+    operators/retrieval.py bm25_rank): per-query BM25 top-10 for
+    three fixed keyword queries, Lucene-variant non-negative idf,
+    1e-6-rounded per-term contributions summed as DECIMAL. Postings
+    are the same (doc, term) shuffle tf-idf pays; queries broadcast.
+
+    branch='rrf' — hybrid lexical+vector retrieval (round 10,
+    operators/retrieval.py rrf_fuse, Cormack et al. 2009):
+    query-by-example with docs 0-2, BM25 over the query doc's terms
+    (self excluded) fused with exact cosine top-10 of the matching
+    embedding at k0=60 — rank-only fusion, no score calibration. The
+    fusion join is (queries x top_n x systems)-bounded regardless of
+    corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(
         "doc_id", F.explode(words_of(F.col("text"))).alias("term")
@@ -1727,10 +1879,81 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("score"),
         )
     )
+    # branch='bm25' (round 10, operators/retrieval.py bm25_rank):
+    # full-text retrieval with the Lucene-variant non-negative idf —
+    # per-query BM25 top-10 for three fixed keyword queries over the
+    # corpus vocabulary ('dup' is the rare high-idf discriminator).
+    # term = 'q'||query_id, n_occurrences = matched query terms,
+    # n_docs = rank. Postings are the SAME (doc, term) shuffle tf-idf
+    # pays; queries broadcast; per-term contributions round at 1e-6
+    # and sum as DECIMAL so the score is summation-order independent.
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.retrieval import (
+        bm25_rank,
+        rrf_fuse,
+    )
+
+    bm25_queries = spark.createDataFrame(
+        [(0, "spark hash join"), (1, "dup window sort"),
+         (2, "slow scan batch query")],
+        "query_id long, query_text string",
+    )
+    bm25 = bm25_rank(docs, bm25_queries, top_n=10).select(
+        F.lit("bm25").alias("branch"),
+        F.concat(F.lit("q"), F.col("query_id").cast("string")).alias("term"),
+        "doc_id",
+        F.col("n_terms_matched").alias("n_occurrences"),
+        F.col("rank").alias("n_docs"),
+        "score",
+    )
+    # branch='rrf' (round 10, operators/retrieval.py rrf_fuse): hybrid
+    # lexical + vector retrieval by reciprocal-rank fusion (k0=60).
+    # Query-by-example with docs 0-2: the lexical ranking is BM25 over
+    # the query doc's own terms (self excluded then re-ranked — fetch
+    # top-11, drop self, keep 10, which equals the top-10 of the
+    # corpus minus the query since at most one self row exists); the
+    # vector ranking is exact cosine top-10 of the matching embedding
+    # (doc_id == vec_id in this corpus). n_occurrences = systems
+    # ranking the doc, n_docs = fused rank.
+    qdocs = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    rrf_w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    lex = (
+        bm25_rank(docs, qdocs, top_n=11)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(rrf_w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id")
+    )
+    embr = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.as_double_vec(F.col("embedding")).alias("v")
+    )
+    vq = embr.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    vec_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    vec_rank = (
+        similarity.brute_force_knn(embr, vq, "vec_id", "query_id", "v", k=10)
+        .withColumn("rank", F.row_number().over(vec_w).cast("long"))
+        .select("query_id", "rank", F.col("neighbor_id").alias("doc_id"))
+    )
+    rrf = rrf_fuse([lex, vec_rank], id_col="doc_id", top_n=10).select(
+        F.lit("rrf").alias("branch"),
+        F.concat(F.lit("q"), F.col("query_id").cast("string")).alias("term"),
+        "doc_id",
+        F.col("n_systems").alias("n_occurrences"),
+        F.col("rank").alias("n_docs"),
+        "score",
+    )
     return (
         top.unionByName(contam).unionByName(tfidf).unionByName(lm)
         .unionByName(ppl).unionByName(dsir).unionByName(langid)
         .unionByName(cms).unionByName(bpe)
+        .unionByName(bm25).unionByName(rrf)
     )
 
 
@@ -3010,6 +3233,65 @@ _PQ_ADC_EXPR = (
             FROM scscored
         ) WHERE rn = 1 AND cosine >= 0.35
     ) sc
+    UNION ALL
+    SELECT 'filtered_pre' AS variant, query_id, neighbor_id,
+           cosine AS score
+    FROM (
+        WITH fb AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE label = 2
+        ), fq AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < 5
+        ), fscored AS (
+            SELECT query_id, vec_id AS neighbor_id,
+                   round(list_dot_product(qv, v)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(v, v))), 6) AS cosine
+            FROM fq, fb WHERE vec_id <> query_id
+        )
+        SELECT query_id, neighbor_id, cosine FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id
+                   ) AS rn
+            FROM fscored
+        ) WHERE rn <= 5
+    ) fpre
+    UNION ALL
+    SELECT 'filtered_post' AS variant, query_id, neighbor_id,
+           cosine AS score
+    FROM (
+        WITH pb AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v
+            FROM embeddings
+        ), pq2 AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < 5
+        ), pscored AS (
+            SELECT query_id, vec_id AS neighbor_id, label,
+                   round(list_dot_product(qv, v)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(v, v))), 6) AS cosine
+            FROM pq2, pb WHERE vec_id <> query_id
+        ), shortlist AS (
+            SELECT query_id, neighbor_id, label, cosine FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id
+                       ) AS rn
+                FROM pscored
+            ) WHERE rn <= 20
+        )
+        SELECT query_id, neighbor_id, cosine FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id
+                   ) AS rn2
+            FROM shortlist WHERE label = 2
+        ) WHERE rn2 <= 5
+    ) fpost
     """,
 )
 def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3038,8 +3320,14 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.semantic_decontaminate — the semantic complement of
     docs_top_terms' n-gram 'contam' branch; the eval suite packs into
     one broadcast row and the train side flags its argmax-cosine eval
-    match in a zero-shuffle scan). The metric column is ``score``:
-    cosine for the knn/semdedup/knn_graph/semantic_contam branches,
+    match in a zero-shuffle scan), plus METADATA-FILTERED vector
+    search (round 10: similarity.filtered_knn — top-5 among label=2
+    rows only; 'filtered_pre' applies the predicate before ranking so
+    it pushes into the scan, 'filtered_post' filters a k*4 unfiltered
+    shortlist and re-ranks, the index-reusing strategy whose
+    may-return-fewer-than-k caveat is part of the pinned semantics).
+    The metric column is ``score``: cosine for the
+    knn/semdedup/knn_graph/semantic_contam/filtered branches,
     approximate squared L2 for pq_adc. Rounded to 1e-6 BEFORE ranking
     on all sides so summation-order ulps cannot flip orderings.
     Constituents: embedding_knn + embedding_ivf_seeded_knn above."""
@@ -3167,6 +3455,33 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("matched_eval_id").alias("neighbor_id"),
         F.col("cosine").alias("score"),
     )
+    # filtered_pre / filtered_post branches (round 10,
+    # similarity.filtered_knn): metadata-filtered vector search — the
+    # vector-DB operation ("nearest neighbors, but only label=2").
+    # prefilter is exact over the filtered corpus (the predicate
+    # pushes into the scan); postfilter reuses an UNFILTERED k*4
+    # shortlist then filters and re-ranks — the index-reusing strategy
+    # whose recall caveat (may return fewer than k) is part of the
+    # pinned semantics, replayed exactly by the SQL twin.
+    embl = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        similarity.as_double_vec(F.col("embedding")).alias("v"),
+        "label",
+    )
+    fpre = similarity.filtered_knn(
+        embl, queries, "vec_id", "query_id", F.col("label") == 2,
+        vec_col="v", k=5, strategy="prefilter",
+    ).select(
+        F.lit("filtered_pre").alias("variant"), "query_id", "neighbor_id",
+        F.col("cosine").alias("score"),
+    )
+    fpost = similarity.filtered_knn(
+        embl, queries, "vec_id", "query_id", F.col("label") == 2,
+        vec_col="v", k=5, strategy="postfilter", oversample=4,
+    ).select(
+        F.lit("filtered_post").alias("variant"), "query_id", "neighbor_id",
+        F.col("cosine").alias("score"),
+    )
     return (
         brute.unionByName(ivf)
         .unionByName(int8)
@@ -3175,6 +3490,8 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(kg)
         .unionByName(kg2)
         .unionByName(contam)
+        .unionByName(fpre)
+        .unionByName(fpost)
     )
 
 
