@@ -111,7 +111,8 @@ BRANCHES = {
     "embedding_knn_variants": (
         "variant",
         ["brute", "ivf_seeded", "int8_corpus", "semdedup", "pq_adc",
-         "knn_graph", "knn_graph_2l", "semantic_contam"],
+         "knn_graph", "knn_graph_2l", "semantic_contam",
+         "filtered_pre", "filtered_post"],
     ),
     "latest_event_per_user": ("branch", ["latest", "tsmatch"]),
     "docs_exact_dedup": ("branch", ["doc", "substring"]),

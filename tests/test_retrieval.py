@@ -237,6 +237,40 @@ def test_filtered_knn_strategies(spark):
         )
 
 
+def test_retrieval_plan_shapes(spark):
+    """Plan pins: filtered_knn's prefilter predicate must reach the
+    parquet scan (a projection materializing the vector column first
+    would silently kill the pushdown), and bm25's plan must broadcast
+    the query terms and do a map-side partial top-k — never a
+    cartesian/nested-loop join."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id",
+        similarity.as_double_vec(F.col("embedding")).alias("v"),
+        "label",
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pre = similarity.filtered_knn(
+        emb, queries, "vec_id", "query_id", F.col("label") == 2, k=5
+    )
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(label,2)" in plan, "predicate not pushed to scan"
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    qs = spark.createDataFrame(
+        [(0, "spark hash join")], "query_id long, query_text string"
+    )
+    bplan = (
+        retrieval.bm25_rank(docs, qs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in bplan
+    assert "WindowGroupLimit" in bplan  # map-side partial top-k
+    assert "CartesianProduct" not in bplan
+    assert "BroadcastNestedLoopJoin" not in bplan
+
+
 def test_search_cli_bm25_and_hybrid(spark, tmp_path, capsys, monkeypatch):
     """--mode search: keyword BM25 writes a parquet ranking equal to
     the library call; --by-doc with an embeddings table fuses lexical
