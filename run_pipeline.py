@@ -713,7 +713,8 @@ def main() -> None:
         choices=["kpis", "dedup", "dedup-batch", "curate", "report",
                  "train-classifier", "train-bpe", "compact",
                  "build-ann-index", "ann-search", "knn-graph",
-                 "decontam", "cluster-sample", "centrality", "search"],
+                 "decontam", "cluster-sample", "centrality", "search",
+                 "text-index"],
         default="kpis",
         help="kpis: the 16-query tourism topology; dedup: streaming "
         "document near-dup verdicts (--path is a JSONL docs dir, "
@@ -742,7 +743,21 @@ def main() -> None:
         "--query keyword queries (repeatable), or query-by-example "
         "with --by-doc — RRF-fused with the exact cosine ranking "
         "when the dir has a matching embeddings table (hybrid "
-        "search); prints the ranking, or parquet to --out",
+        "search); prints the ranking, or parquet to --out; with "
+        "--index (a text-index dir) the lexical ranking is served "
+        "from the persisted inverted index instead of re-tokenizing "
+        "the corpus; text-index: build the persistent inverted index "
+        "(--path docs dir, --out index dir, --n-buckets), or fold a "
+        "NEW doc batch into an existing one (--path batch, --index "
+        "index dir — id overlap is validated and fails)",
+    )
+    ap.add_argument(
+        "--n-buckets",
+        type=int,
+        default=64,
+        help="--mode text-index: postings partition count — a q-term "
+        "search scans ~q/n_buckets of the postings directories, so "
+        "size UP with the corpus (web scale wants 1024+)",
     )
     ap.add_argument(
         "--cap", type=int, default=1000,
@@ -1335,6 +1350,37 @@ def main() -> None:
         )
         return
 
+    if args.mode == "text-index":
+        if not args.path or (bool(args.out) == bool(args.index)):
+            ap.error(
+                "--mode text-index requires --path (docs dir) and "
+                "EITHER --out (build a new index there) OR --index "
+                "(fold the --path batch into that existing index)"
+            )
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.text_index import (
+            add_to_text_index,
+            build_text_index,
+        )
+
+        docs = _load_docs(spark, args.path)
+        if args.out:
+            _guard_out_overwrite(ap, args.out, [("--path", args.path)])
+            stats = build_text_index(
+                docs, args.out, n_buckets=args.n_buckets
+            )
+            print(
+                f">>> text index built; {stats['n_docs']} docs, "
+                f"{stats['total_tokens']} tokens, "
+                f"{stats['n_buckets']} buckets -> {args.out}"
+            )
+        else:
+            stats = add_to_text_index(spark, args.index, docs, validate=True)
+            print(
+                f">>> text index updated; now {stats['n_docs']} docs, "
+                f"{stats['total_tokens']} tokens -> {args.index}"
+            )
+        return
+
     if args.mode == "search":
         if not args.path or (not args.query and args.by_doc is None):
             ap.error(
@@ -1358,13 +1404,31 @@ def main() -> None:
         from pyspark.sql.window import Window
 
         docs = _load_docs(spark, args.path)
+        use_index = bool(args.index)
+        if use_index:
+            if not os.path.exists(os.path.join(args.index, "stats.json")):
+                ap.error(
+                    f"--index {args.index} is not a text index (no "
+                    "stats.json) — build one with --mode text-index"
+                )
+            from travelpulse_spark_stream_tourism_analytics_spark.operators.text_index import (
+                search_text_index,
+            )
+
+        def lex_rank(queries_df, top_n):
+            if use_index:
+                return search_text_index(
+                    spark, args.index, queries_df, top_n=top_n
+                )
+            return bm25_rank(docs, queries_df, top_n=top_n)
+
         if args.query:
             queries = spark.createDataFrame(
                 [(i, q) for i, q in enumerate(args.query)],
                 "query_id long, query_text string",
             )
-            ranked = bm25_rank(docs, queries, top_n=args.top_n)
-            kind = "bm25"
+            ranked = lex_rank(queries, args.top_n)
+            kind = "bm25-index" if use_index else "bm25"
         else:
             qdoc = docs.filter(F.col("doc_id") == args.by_doc).select(
                 F.col("doc_id").alias("query_id"),
@@ -1378,7 +1442,7 @@ def main() -> None:
                 F.desc("score"), F.asc("doc_id")
             )
             lex = (
-                bm25_rank(docs, qdoc, top_n=args.top_n + 1)
+                lex_rank(qdoc, args.top_n + 1)
                 .filter(F.col("doc_id") != F.col("query_id"))
                 .withColumn("rank", F.row_number().over(w).cast("long"))
                 .filter(F.col("rank") <= args.top_n)

@@ -2261,3 +2261,182 @@ def test_compression_signals_flag_repetitive_text(spark):
     # usable as a gate predicate without NULL-semantics surprises
     kept = compression_signals(df).filter(F.col("compression_ratio") <= 6.0)
     assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4}
+
+
+def test_embedding_drift_semantics(spark):
+    """Occupancy flip between snapshots raises PSI; identical
+    snapshots give zero PSI and unit centroid-shift cosine; never-
+    occupied cells still emit a (0, 0, floored) row; degenerate
+    vectors are excluded, not fatal."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.drift import (
+        embedding_drift,
+        embedding_psi,
+    )
+
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]),
+         (1, [0.0, 1.0, 0.0, 0.0]),
+         (2, [0.0, 0.0, 1.0, 0.0])],
+        "cell_id long, sv array<double>",
+    )
+
+    def snap(spec):
+        # spec: list of (id, cell_axis, wobble)
+        rows = [
+            (i, [1.0 if d == ax else (0.1 * w if d == (ax + 1) % 4 else 0.0)
+                 for d in range(4)])
+            for i, ax, w in spec
+        ]
+        return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    base = snap([(i, 0, 1) for i in range(6)] + [(i + 10, 1, 1) for i in range(2)])
+    cand = snap([(i, 0, 2) for i in range(2)] + [(i + 10, 1, 2) for i in range(6)])
+
+    rows = {r["cell_id"]: r for r in embedding_drift(
+        base, cand, seeds, id_col="vec_id", vec_col="v"
+    ).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["base_n"] == 6 and rows[0]["cand_n"] == 2
+    assert rows[1]["base_n"] == 2 and rows[1]["cand_n"] == 6
+    assert rows[2]["base_n"] == 0 and rows[2]["cand_n"] == 0
+    assert rows[2]["psi_term"] == 0.0  # floored shares are equal
+    assert rows[2]["centroid_shift_cosine"] is None
+    # occupancy flipped 0.75/0.25 -> 0.25/0.75 in both cells
+    assert rows[0]["psi_term"] > 0.1 and rows[1]["psi_term"] > 0.1
+    # members wobbled within their cells -> shift below 1, above 0.9
+    for c in (0, 1):
+        assert 0.9 < rows[c]["centroid_shift_cosine"] < 1.0
+
+    # identical snapshots: PSI exactly 0, shift exactly 1
+    same = {r["cell_id"]: r for r in embedding_drift(
+        base, base, seeds, id_col="vec_id", vec_col="v"
+    ).collect()}
+    assert all(r["psi_term"] == 0.0 for r in same.values())
+    assert same[0]["centroid_shift_cosine"] == 1.0
+    assert embedding_psi(base, base, seeds, id_col="vec_id", vec_col="v") == 0.0
+
+    # degenerate snapshot rows excluded from counts, not fatal
+    bad = spark.createDataFrame(
+        [(90, [0.0] * 4), (91, [float("nan")] * 4),
+         (92, [float("inf"), 1.0, 0.0, 0.0])],
+        "vec_id long, v array<double>",
+    )
+    with_bad = {r["cell_id"]: r for r in embedding_drift(
+        base.unionByName(bad), cand, seeds, id_col="vec_id", vec_col="v"
+    ).collect()}
+    assert with_bad[0]["base_n"] == 6 and with_bad[1]["base_n"] == 2
+
+
+def test_embedding_drift_matches_duckdb(spark):
+    """Full replay in DuckDB over the sf0.001 embeddings (even ids =
+    baseline, odd ids = candidate, first-6 seeds): assignment, shares,
+    PSI terms and the quantized-sum centroid shift all value-exact."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.drift import (
+        embedding_drift,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        as_double_vec,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    seeds = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+    got = sorted(
+        (
+            tuple(r)
+            for r in embedding_drift(
+                emb.filter(F.col("vec_id") % 2 == 0),
+                emb.filter(F.col("vec_id") % 2 == 1),
+                seeds,
+                id_col="vec_id",
+                vec_col="v",
+            ).collect()
+        ),
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"parquet_scan('{SF_SMOKE}/embeddings.parquet')"
+    )
+    sql = """
+    WITH ebase AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[]) > 0
+          AND NOT isnan(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[]))
+          AND NOT isinf(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[]))
+    ),
+    eseeds AS (SELECT vec_id AS cell_id, v AS sv FROM ebase WHERE vec_id < 6),
+    assigned AS (
+        SELECT vec_id, v, cell_id, (vec_id % 2 = 0) AS is_base FROM (
+            SELECT b.vec_id, b.v, s.cell_id,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY round(list_dot_product(b.v, s.sv)
+                                / (sqrt(list_dot_product(b.v, b.v))
+                                   * sqrt(list_dot_product(s.sv, s.sv))),
+                                6) DESC, s.cell_id
+                   ) AS rn
+            FROM ebase b, eseeds s
+        ) WHERE rn = 1
+    ),
+    counts AS (
+        SELECT cell_id,
+               count(*) FILTER (is_base) AS base_n,
+               count(*) FILTER (NOT is_base) AS cand_n
+        FROM assigned GROUP BY cell_id
+    ),
+    totals AS (
+        SELECT count(*) FILTER (is_base)::DOUBLE AS bt,
+               count(*) FILTER (NOT is_base)::DOUBLE AS ct
+        FROM assigned
+    ),
+    sums AS (
+        SELECT cell_id, is_base,
+               list(qsum ORDER BY pos) AS sumvec
+        FROM (
+            SELECT cell_id, is_base, pos,
+                   CAST(sum(CAST(floor(v[pos] * 1e15) AS DECIMAL(38,0)))
+                        AS DOUBLE) AS qsum
+            FROM assigned, generate_series(1, 64) t(pos)
+            GROUP BY 1, 2, 3
+        ) GROUP BY 1, 2
+    ),
+    pivoted AS (
+        SELECT c.cell_id, c.base_n, c.cand_n, sb.sumvec AS bs, sc.sumvec AS cs
+        FROM counts c
+        LEFT JOIN sums sb ON sb.cell_id = c.cell_id AND sb.is_base
+        LEFT JOIN sums sc ON sc.cell_id = c.cell_id AND NOT sc.is_base
+    )
+    SELECT s.cell_id,
+           coalesce(p.base_n, 0) AS base_n,
+           coalesce(p.cand_n, 0) AS cand_n,
+           round(coalesce(p.base_n, 0) / t.bt, 6) AS base_share,
+           round(coalesce(p.cand_n, 0) / t.ct, 6) AS cand_share,
+           round((greatest(round(coalesce(p.base_n, 0) / t.bt, 6), 1e-4)
+                  - greatest(round(coalesce(p.cand_n, 0) / t.ct, 6), 1e-4))
+                 * ln(greatest(round(coalesce(p.base_n, 0) / t.bt, 6), 1e-4)
+                      / greatest(round(coalesce(p.cand_n, 0) / t.ct, 6),
+                                 1e-4)), 6) AS psi_term,
+           CASE WHEN p.bs IS NOT NULL AND p.cs IS NOT NULL THEN
+               round(list_dot_product(p.bs, p.cs)
+                     / (sqrt(list_dot_product(p.bs, p.bs))
+                        * sqrt(list_dot_product(p.cs, p.cs))), 6)
+           END AS centroid_shift_cosine
+    FROM eseeds s
+    LEFT JOIN pivoted p ON p.cell_id = s.cell_id
+    CROSS JOIN totals t
+    ORDER BY s.cell_id
+    """
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want

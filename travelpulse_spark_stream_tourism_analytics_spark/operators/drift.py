@@ -120,6 +120,152 @@ def shares_dict(df: DataFrame, value_col: str, edges: list) -> dict:
     }
 
 
+def embedding_drift(
+    base: DataFrame,
+    cand: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    floor: float = 1e-4,
+    scale: int = 6,
+) -> DataFrame:
+    """Embedding-SPACE drift between two snapshot corpora — the vector
+    complement of the scalar :func:`psi` (which sees an embedding only
+    through a projection like its norm; a distribution can rotate in
+    embedding space without moving any scalar marginal).
+
+    Both snapshots assign to the SAME fixed quantizer cells
+    (``centroids``: the usual tiny ``(cell_id, sv)`` relation — an ANN
+    index's IVF centroids are the natural choice, making this the
+    rebuild trigger :func:`~.ann_index.add_to_ann_index` documents),
+    via the shared zero-shuffle
+    :func:`~.similarity.assign_cells` kernel. Per cell:
+
+    * ``base_share`` / ``cand_share`` — occupancy shares (the cells
+      play the role of PSI's quantile buckets; categorical PSI);
+    * ``psi_term`` — ``(p - q) * ln(p / q)`` on floor-clamped ROUNDED
+      shares (clamp after rounding so both engines see identical
+      inputs); the corpus-level PSI is their sum
+      (:func:`embedding_psi`);
+    * ``centroid_shift_cosine`` — cosine between the two snapshots'
+      per-cell MEAN vectors (computed on cosine-equivalent per-cell
+      SUM vectors — scale-invariant — whose components are
+      floor-quantized ``floor(v * 1e15)`` DECIMAL(38,0) sums, the
+      pagerank recipe for order-independent, engine-portable float
+      accumulation), NULL when either side has no members. Occupancy
+      can be stable while every member drifts — this column catches
+      that mode.
+
+    Scale shape: two zero-shuffle assignment scans, one
+    (cell, dim)-wide partial-agg shuffle per snapshot (explode
+    amplifies by dim, map-side combine collapses to |cells| x dim
+    rows), then joins over the cell-sized relations. Totals ride as
+    broadcast 1-row aggregates (lazy — no eager driver action).
+
+    Every centroid cell emits a row (empty cells get share 0 →
+    floored PSI contribution), so the output is |cells|-sized by
+    construction."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        assign_cells,
+        dot,
+    )
+
+    spark = base.sparkSession
+    caller = "embedding_drift"
+
+    def cell_stats(df, tag):
+        assigned = assign_cells(
+            df, centroids, id_col=id_col, vec_col=vec_col,
+            caller=caller, keep_vec=True,
+        )
+        counts = assigned.groupBy("cell_id").agg(
+            F.count("*").alias(f"{tag}_n")
+        )
+        sums = (
+            assigned.select(
+                "cell_id", F.posexplode(vec_col).alias("pos", "val")
+            )
+            .groupBy("cell_id", "pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("val") * F.lit(1e15)).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("qsum")
+            )
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "qsum"))),
+                    lambda s: s["qsum"].cast("double"),
+                ).alias(f"{tag}_sumvec")
+            )
+        )
+        total = assigned.agg(
+            F.count("*").cast("double").alias(f"{tag}_total")
+        )
+        return counts.join(sums, "cell_id"), total
+
+    b_stats, b_total = cell_stats(base, "base")
+    c_stats, c_total = cell_stats(cand, "cand")
+
+    # every centroid cell gets a row — the cell universe is the
+    # quantizer, not whichever cells happen to be occupied
+    cells = centroids.select(F.col("cell_id").cast("long").alias("cell_id"))
+    joined = (
+        cells.join(b_stats, "cell_id", "left")
+        .join(c_stats, "cell_id", "left")
+        .crossJoin(F.broadcast(b_total))
+        .crossJoin(F.broadcast(c_total))
+    )
+    p_raw = F.round(
+        F.coalesce(F.col("base_n"), F.lit(0)) / F.col("base_total"), scale
+    )
+    q_raw = F.round(
+        F.coalesce(F.col("cand_n"), F.lit(0)) / F.col("cand_total"), scale
+    )
+    p = F.greatest(p_raw, F.lit(floor))
+    q = F.greatest(q_raw, F.lit(floor))
+    shift = F.when(
+        F.col("base_sumvec").isNotNull() & F.col("cand_sumvec").isNotNull(),
+        F.round(
+            dot(F.col("base_sumvec"), F.col("cand_sumvec"))
+            / (
+                F.sqrt(dot(F.col("base_sumvec"), F.col("base_sumvec")))
+                * F.sqrt(dot(F.col("cand_sumvec"), F.col("cand_sumvec")))
+            ),
+            scale,
+        ),
+    )
+    return joined.select(
+        "cell_id",
+        F.coalesce(F.col("base_n"), F.lit(0)).cast("long").alias("base_n"),
+        F.coalesce(F.col("cand_n"), F.lit(0)).cast("long").alias("cand_n"),
+        p_raw.alias("base_share"),
+        q_raw.alias("cand_share"),
+        F.round((p - q) * F.log(p / q), scale).alias("psi_term"),
+        shift.alias("centroid_shift_cosine"),
+    )
+
+
+def embedding_psi(
+    base: DataFrame,
+    cand: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    floor: float = 1e-4,
+) -> float:
+    """Corpus-level embedding-space PSI: the sum of
+    :func:`embedding_drift`'s per-cell terms (same 0.1 / 0.25 alert
+    conventions as the scalar PSI — shares are shares, whatever the
+    bucketing)."""
+    rows = embedding_drift(
+        base, cand, centroids, id_col=id_col, vec_col=vec_col, floor=floor
+    ).collect()
+    return float(sum(r["psi_term"] for r in rows))
+
+
 def psi(
     base: DataFrame,
     cand: DataFrame,

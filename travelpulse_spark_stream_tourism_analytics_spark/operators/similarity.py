@@ -1514,6 +1514,107 @@ def _two_level_assigned(
     )
 
 
+def assign_cells(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    caller: str = "assign_cells",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Every usable vector's argmax-cosine cell under a packed
+    broadcast centroid table — the shared zero-shuffle assignment
+    kernel of :func:`~..operators.splits.cluster_balanced_sample` and
+    :func:`~..operators.drift.embedding_drift`.
+
+    ``centroids`` is the usual tiny-quantizer relation ``(cell_id,
+    sv)``; it is LIMIT-collect-bounded at ``_MAX_BROADCAST_CELLS``
+    (past that, pre-assign with :func:`two_level_cell_assignment`) and
+    validated: empty sets and zero/NaN/Inf-norm centroids are refused
+    by id (an Inf-norm centroid's cosines are all Inf/Inf = NaN, which
+    ranks GREATEST and would swallow every vector). The packed row
+    carries precomputed centroid norms so the dim-length self-norm
+    fold is not re-evaluated once per (vector, cell) pair.
+
+    Output: ``(id, cell_id, own_cosine[, vec])`` — cosine rounded
+    1e-6, cell tiebreak lowest id (array_max over (cosine, -cell)
+    structs, order-independent of collect_list packing). Degenerate
+    corpus vectors (null / zero / NaN / Inf norm) are EXCLUDED, not
+    fatal — the semantic_decontaminate contract."""
+    import math
+
+    cents = (
+        centroids.select(
+            F.col("cell_id").cast("long").alias("__cid"),
+            F.col("sv").alias("__sv"),
+            F.sqrt(dot(F.col("sv"), F.col("sv"))).alias("__sn"),
+        )
+        .limit(_MAX_BROADCAST_CELLS + 1)
+        .collect()
+    )
+    if len(cents) > _MAX_BROADCAST_CELLS:
+        raise ValueError(
+            f"{caller}: centroid table exceeds "
+            f"{_MAX_BROADCAST_CELLS} rows — assign cells with "
+            "two_level_cell_assignment (the quantizer stays a "
+            "DataFrame) instead of a flat driver-side argmax"
+        )
+    bad = [
+        r["__cid"]
+        for r in cents
+        if r["__sn"] is None or not math.isfinite(r["__sn"]) or r["__sn"] <= 0
+    ]
+    if not cents or bad:
+        raise ValueError(
+            f"{caller}: empty centroid set"
+            if not cents
+            else f"{caller}: unusable (zero/NaN-norm) centroids "
+            f"{bad} — drop or re-fit them"
+        )
+    spark = emb.sparkSession
+    c_df = spark.createDataFrame(
+        [
+            (r["__cid"], [float(x) for x in r["__sv"]], float(r["__sn"]))
+            for r in cents
+        ],
+        "cell_id long, sv array<double>, sn double",
+    )
+    packed = c_df.agg(
+        F.collect_list(F.struct("cell_id", "sv", "sn")).alias("__cells")
+    )
+    nv = F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+    best = F.array_max(
+        F.transform(
+            F.col("__cells"),
+            lambda c: F.struct(
+                cosine(
+                    F.col(vec_col),
+                    c["sv"],
+                    norm_a=F.col("__nv"),
+                    norm_b=c["sn"],
+                ).alias("c"),
+                (-c["cell_id"]).alias("neg_cell"),
+            ),
+        )
+    )
+    return (
+        emb.select(F.col(id_col), F.col(vec_col), nv.alias("__nv"))
+        .filter(
+            F.col("__nv").isNotNull()
+            & ~F.isnan("__nv")
+            & (F.col("__nv") > 0)
+            & (F.col("__nv") < F.lit(float("inf")))
+        )
+        .crossJoin(F.broadcast(packed))
+        .select(
+            id_col,
+            (-best["neg_cell"]).alias("cell_id"),
+            best["c"].alias("own_cosine"),
+            *([vec_col] if keep_vec else []),
+        )
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     id_col: str,

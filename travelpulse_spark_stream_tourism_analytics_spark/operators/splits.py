@@ -278,7 +278,8 @@ def cluster_balanced_sample(
     SemDedup's prune-all-but-one).
 
     100 TB shape: the centroid table (sized ~n/target_cluster by the
-    caller, small by construction) packs into ONE broadcast row —
+    caller, small by construction) packs into ONE broadcast row via
+    the shared :func:`~..operators.similarity.assign_cells` kernel —
     cell assignment is pure array expressions fused into the scan,
     the same zero-shuffle kernel as semantic_decontaminate; the only
     shuffle is the per-cell cap window, keyed by cell. Determinism:
@@ -286,102 +287,26 @@ def cluster_balanced_sample(
     (cosine, -cell) structs — order-independent of collect_list
     packing), in-cell order md5(id) with an id tiebreak.
 
-    Degenerate inputs follow the semantic_decontaminate contract:
-    zero-norm / null / NaN-norm centroids are refused (an unusable
-    cell would silently swallow its members), same-kind vectors are
-    excluded from the sample.
+    Degenerate inputs follow the semantic_decontaminate contract
+    (enforced inside assign_cells): zero/NaN/Inf-norm centroids are
+    refused by id (an unusable cell would silently swallow its
+    members), same-kind vectors are excluded from the sample. The
+    centroid collect is LIMIT-bounded at _MAX_BROADCAST_CELLS — past
+    that, pre-assign with similarity.two_level_cell_assignment and
+    cap with a window instead.
     """
     from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
-        cosine,
-        dot,
-    )
-
-    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
-        _MAX_BROADCAST_CELLS,
+        assign_cells,
     )
 
     if cap < 1:
         raise ValueError(f"cluster_balanced_sample: cap must be >= 1, got {cap}")
-    # LIMIT-bounded collect (the r8 contract every centroid-consuming
-    # operator honors): past the broadcast cap, pre-assign with
-    # similarity.two_level_cell_assignment and cap with top_k_per_group
-    # instead of letting the driver OOM.
-    cents = (
-        centroids.select(
-            F.col("cell_id").cast("long").alias("__cid"),
-            F.col("sv").alias("__sv"),
-            F.sqrt(dot(F.col("sv"), F.col("sv"))).alias("__sn"),
-        )
-        .limit(_MAX_BROADCAST_CELLS + 1)
-        .collect()
-    )
-    if len(cents) > _MAX_BROADCAST_CELLS:
-        raise ValueError(
-            f"cluster_balanced_sample: centroid table exceeds "
-            f"{_MAX_BROADCAST_CELLS} rows — assign cells with "
-            "two_level_cell_assignment (the quantizer stays a "
-            "DataFrame) and cap per cell with a window instead"
-        )
-    # math.isfinite rejects NaN AND Inf: an Inf-norm centroid passes
-    # both a NaN self-compare and a <=0 test, then every cosine
-    # against it is Inf/Inf = NaN — which ranks GREATEST in Spark's
-    # Double ordering and would swallow every vector (review round 10)
-    bad = [
-        r["__cid"]
-        for r in cents
-        if r["__sn"] is None or not math.isfinite(r["__sn"]) or r["__sn"] <= 0
-    ]
-    if not cents or bad:
-        raise ValueError(
-            "cluster_balanced_sample: empty centroid set"
-            if not cents
-            else f"cluster_balanced_sample: unusable (zero/NaN-norm) "
-            f"centroids {bad} — drop or re-fit them"
-        )
-    spark = emb.sparkSession
-    c_df = spark.createDataFrame(
-        [
-            (r["__cid"], [float(x) for x in r["__sv"]], float(r["__sn"]))
-            for r in cents
-        ],
-        "cell_id long, sv array<double>, sn double",
-    )
-    packed = c_df.agg(
-        F.collect_list(F.struct("cell_id", "sv", "sn")).alias("__cells")
-    )
-    nv = F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
-    # norm_b is the PACKED precomputed centroid norm: without it the
-    # dim-length self-norm fold re-evaluates once per (vector, cell)
-    # pair (the cosine() docstring's warning — same reason
-    # semantic_decontaminate packs norms)
-    best = F.array_max(
-        F.transform(
-            F.col("__cells"),
-            lambda c: F.struct(
-                cosine(
-                    F.col(vec_col),
-                    c["sv"],
-                    norm_a=F.col("__nv"),
-                    norm_b=c["sn"],
-                ).alias("c"),
-                (-c["cell_id"]).alias("neg_cell"),
-            ),
-        )
-    )
-    assigned = (
-        emb.select(F.col(id_col), F.col(vec_col), nv.alias("__nv"))
-        .filter(
-            F.col("__nv").isNotNull()
-            & ~F.isnan("__nv")
-            & (F.col("__nv") > 0)
-            & (F.col("__nv") < F.lit(float("inf")))
-        )
-        .crossJoin(F.broadcast(packed))
-        .select(
-            id_col,
-            (-best["neg_cell"]).alias("cell_id"),
-            best["c"].alias("own_cosine"),
-        )
+    assigned = assign_cells(
+        emb,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        caller="cluster_balanced_sample",
     )
     w = Window.partitionBy("cell_id").orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
