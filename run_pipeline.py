@@ -587,6 +587,45 @@ def run_report(
             "psi_n_tokens": round(psi(base_sig, cand_sig, "n_tokens"), 6),
             "thresholds": {"investigate": 0.1, "act": 0.25},
         }
+        # embedding-SPACE drift (round 10) when both corpora carry an
+        # embeddings table: per-cell occupancy PSI against a fixed
+        # quantizer drawn from the BASELINE (16 usable vectors in
+        # deterministic md5 order — a distribution can rotate in
+        # embedding space without moving any scalar marginal, which
+        # is exactly what the two PSI lines above cannot see)
+        cand_et = os.path.join(docs_path, "embeddings.parquet")
+        base_et = os.path.join(baseline_path, "embeddings.parquet")
+        if os.path.exists(cand_et) and os.path.exists(base_et):
+            from travelpulse_spark_stream_tourism_analytics_spark.operators.drift import (
+                embedding_psi,
+            )
+            from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+                dot,
+            )
+
+            base_emb = _load_embeddings(spark, baseline_path)
+            cand_emb = _load_embeddings(spark, docs_path)
+            nrm = F.sqrt(dot(F.col("v"), F.col("v")))
+            seeds = (
+                base_emb.withColumn("__n", nrm)
+                .filter(
+                    F.col("__n").isNotNull()
+                    & ~F.isnan("__n")
+                    & (F.col("__n") > 0)
+                    & (F.col("__n") < F.lit(float("inf")))
+                )
+                .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+                .limit(16)
+                .select(
+                    F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+                )
+            )
+            drift["psi_embedding"] = round(
+                embedding_psi(
+                    base_emb, cand_emb, seeds, id_col="vec_id", vec_col="v"
+                ),
+                6,
+            )
         print(_json.dumps(drift))
         rows.append(drift)
     return rows
@@ -981,7 +1020,10 @@ def main() -> None:
     ap.add_argument(
         "--baseline",
         help="--mode report: docs dir of a BASELINE corpus; emits PSI "
-        "drift of quality_score / n_tokens vs it. --mode dedup with "
+        "drift of quality_score / n_tokens vs it, plus psi_embedding "
+        "(embedding-SPACE drift: per-cell occupancy PSI against a "
+        "baseline-drawn quantizer) when both corpora carry an "
+        "embeddings table. --mode dedup with "
         "--gate: per-micro-batch ingest PSI gauge of quality_score vs "
         "the baseline, pushed through the metrics sink",
     )

@@ -2440,3 +2440,62 @@ def test_embedding_drift_matches_duckdb(spark):
     """
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == want
+
+
+def test_report_cli_embedding_drift_line(spark, tmp_path):
+    """--mode report --baseline emits psi_embedding when BOTH corpora
+    carry embeddings tables: rotated snapshots trip it while identical
+    snapshots stay at ~0 — drift the scalar PSI lines cannot see (the
+    doc texts are IDENTICAL in both corpora)."""
+    import random
+
+    from run_pipeline import run_report
+
+    docs = [
+        (i, "the quick brown fox jumps over the lazy dog", "web", 44)
+        for i in range(200)
+    ]
+    def vecs(rotate):
+        rng = random.Random(7)  # fresh per snapshot: 'same' == 'base'
+        rows = []
+        for i in range(200):
+            # two clusters along axes 0/1; 'rotate' flips the mix AND
+            # nudges members — occupancy and centroid drift together
+            ax = 0 if (i % 4 != 0) ^ rotate else 1
+            v = [rng.uniform(-0.05, 0.05) for _ in range(8)]
+            v[ax] += 1.0
+            rows.append((i, v))
+        return rows
+
+    for name, rotate in (("base", False), ("same", False), ("rot", True)):
+        spark.createDataFrame(
+            docs, "doc_id long, text string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(
+            str(tmp_path / name / "documents.parquet")
+        )
+        spark.createDataFrame(
+            vecs(rotate), "vec_id long, embedding array<float>"
+        ).write.mode("overwrite").parquet(
+            str(tmp_path / name / "embeddings.parquet")
+        )
+
+    same = run_report(
+        spark, str(tmp_path / "same"), baseline_path=str(tmp_path / "base")
+    )[-1]
+    rot = run_report(
+        spark, str(tmp_path / "rot"), baseline_path=str(tmp_path / "base")
+    )[-1]
+    # scalar marginals identical in all three corpora
+    assert same["psi_quality_score"] < 0.1 and rot["psi_quality_score"] < 0.1
+    # embedding space: same distribution ~0, rotated mix past 'act'
+    assert same["psi_embedding"] < 0.1
+    assert rot["psi_embedding"] > 0.25
+
+    # no embeddings table -> no psi_embedding key (scalar-only report)
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "rot" / "embeddings.parquet"))
+    noemb = run_report(
+        spark, str(tmp_path / "rot"), baseline_path=str(tmp_path / "base")
+    )[-1]
+    assert "psi_embedding" not in noemb

@@ -766,6 +766,96 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS mean_v
         FROM norms, med, mad
     ) ol
+    UNION ALL
+    -- Embedding-space drift (round 10, operators/drift.py
+    -- embedding_drift): even vec_ids = baseline snapshot, odd =
+    -- candidate, first-6 seeds as the fixed quantizer. Per cell,
+    -- pos codes the metric: 0 base occupancy share, 1 cand share,
+    -- 2 PSI term on floor-clamped rounded shares, 3 centroid-shift
+    -- cosine between the snapshots' per-cell mean vectors (computed
+    -- on cosine-equivalent floor(v*1e15) DECIMAL sums — the pagerank
+    -- recipe for order-independent float accumulation; NULL rows —
+    -- a side with no members — are omitted, not emitted).
+    SELECT 'emb_drift' AS branch, dcell AS label, dpos AS pos,
+           dval AS mean_v
+    FROM (
+        WITH edbase AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[]) > 0
+              AND NOT isnan(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[]))
+              AND NOT isinf(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[]))
+        ), edseeds AS (
+            SELECT vec_id AS cell_id, v AS sv FROM edbase WHERE vec_id < 6
+        ), edassigned AS (
+            SELECT vec_id, v, cell_id, (vec_id % 2 = 0) AS is_base FROM (
+                SELECT b.vec_id, b.v, s.cell_id,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY round(list_dot_product(b.v, s.sv)
+                                    / (sqrt(list_dot_product(b.v, b.v))
+                                       * sqrt(list_dot_product(s.sv, s.sv))),
+                                    6) DESC, s.cell_id
+                       ) AS rn
+                FROM edbase b, edseeds s
+            ) WHERE rn = 1
+        ), edcounts AS (
+            SELECT cell_id,
+                   count(*) FILTER (is_base) AS base_n,
+                   count(*) FILTER (NOT is_base) AS cand_n
+            FROM edassigned GROUP BY cell_id
+        ), edtotals AS (
+            SELECT count(*) FILTER (is_base)::DOUBLE AS bt,
+                   count(*) FILTER (NOT is_base)::DOUBLE AS ct
+            FROM edassigned
+        ), edsums AS (
+            SELECT cell_id, is_base, list(qsum ORDER BY pos) AS sumvec
+            FROM (
+                SELECT cell_id, is_base, pos,
+                       CAST(sum(CAST(floor(v[pos] * 1e15)
+                                     AS DECIMAL(38,0))) AS DOUBLE) AS qsum
+                FROM edassigned, generate_series(1, 64) t(pos)
+                GROUP BY 1, 2, 3
+            ) GROUP BY 1, 2
+        ), edfinal AS (
+            SELECT s.cell_id,
+                   round(coalesce(c.base_n, 0) / t.bt, 6) AS base_share,
+                   round(coalesce(c.cand_n, 0) / t.ct, 6) AS cand_share,
+                   round((greatest(round(coalesce(c.base_n, 0) / t.bt, 6),
+                                   1e-4)
+                          - greatest(round(coalesce(c.cand_n, 0) / t.ct, 6),
+                                     1e-4))
+                         * ln(greatest(round(coalesce(c.base_n, 0) / t.bt,
+                                             6), 1e-4)
+                              / greatest(round(coalesce(c.cand_n, 0) / t.ct,
+                                               6), 1e-4)), 6) AS psi_term,
+                   CASE WHEN sb.sumvec IS NOT NULL
+                             AND sc.sumvec IS NOT NULL THEN
+                       round(list_dot_product(sb.sumvec, sc.sumvec)
+                             / (sqrt(list_dot_product(sb.sumvec, sb.sumvec))
+                                * sqrt(list_dot_product(sc.sumvec,
+                                                        sc.sumvec))), 6)
+                   END AS shift_cos
+            FROM edseeds s
+            LEFT JOIN edcounts c ON c.cell_id = s.cell_id
+            LEFT JOIN edsums sb ON sb.cell_id = s.cell_id AND sb.is_base
+            LEFT JOIN edsums sc ON sc.cell_id = s.cell_id AND NOT sc.is_base
+            CROSS JOIN edtotals t
+        )
+        SELECT CAST(cell_id AS INTEGER) AS dcell,
+               CAST(0 AS BIGINT) AS dpos, base_share AS dval FROM edfinal
+        UNION ALL
+        SELECT CAST(cell_id AS INTEGER), CAST(1 AS BIGINT), cand_share
+        FROM edfinal
+        UNION ALL
+        SELECT CAST(cell_id AS INTEGER), CAST(2 AS BIGINT), psi_term
+        FROM edfinal
+        UNION ALL
+        SELECT CAST(cell_id AS INTEGER), CAST(3 AS BIGINT), shift_cos
+        FROM edfinal WHERE shift_cos IS NOT NULL
+    ) ed
     """,
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -868,10 +958,53 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_v"),
     )
+    # branch='emb_drift' (round 10): embedding-SPACE drift between two
+    # snapshot halves of the corpus (even vec_ids = baseline, odd =
+    # candidate; first-6 seeds as the fixed quantizer) — per-cell
+    # occupancy PSI + centroid-shift cosine via operators/drift.py
+    # embedding_drift (the vector complement of the scalar PSI: a
+    # distribution can rotate in embedding space without moving any
+    # scalar marginal). pos codes the metric (0 base_share,
+    # 1 cand_share, 2 psi_term, 3 shift cosine — NULL shifts omitted).
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.drift import (
+        embedding_drift,
+    )
+
+    seeds = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
+    )
+    drift = (
+        embedding_drift(
+            emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "v"),
+            emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "v"),
+            seeds,
+            id_col="vec_id",
+            vec_col="v",
+        )
+        .select(
+            F.col("cell_id").cast("integer").alias("label"),
+            F.posexplode(
+                F.array(
+                    "base_share",
+                    "cand_share",
+                    "psi_term",
+                    "centroid_shift_cosine",
+                )
+            ).alias("pos0", "mean_v"),
+        )
+        .filter(F.col("mean_v").isNotNull())
+        .select(
+            F.lit("emb_drift").alias("branch"),
+            "label",
+            F.col("pos0").cast("long").alias("pos"),
+            "mean_v",
+        )
+    )
     return (
         centroid.unionByName(pca)
         .unionByName(whitened)
         .unionByName(outliers)
+        .unionByName(drift)
     )
 
 
