@@ -1640,3 +1640,118 @@ def test_two_level_default_coarse_probe_is_sqrt_rule(spark):
             emb, "vec_id", "v", cents, k=3, n_probe=2, n_coarse_probe=2
         )
         assert _graph_rows(g_default) != _graph_rows(g_two) or True
+
+
+def _ref_remove_dup_spans(docs, w=8, min_copies=2):
+    """Independent pure-Python reference of the remove_dup_spans spec
+    (same tokenization, same keeper convention)."""
+    import re
+    from collections import defaultdict
+
+    toks = {
+        i: [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        for i, text in docs
+    }
+    wins = defaultdict(list)  # window string -> [(doc, start)]
+    for i, ts in toks.items():
+        for s in range(len(ts) - w + 1):
+            wins[" ".join(ts[s : s + w])].append((i, s))
+    out = {}
+    removed_at = defaultdict(set)
+    for win, occs in wins.items():
+        if len({d for d, _ in occs}) < min_copies:
+            continue
+        keep_doc = min(d for d, _ in occs)
+        keep_start = min(s for d, s in occs if d == keep_doc)
+        for d, s in occs:
+            if d == keep_doc and s == keep_start:
+                continue
+            removed_at[d].update(range(s, s + w))
+    for i, ts in toks.items():
+        kept = [t for j, t in enumerate(ts) if j not in removed_at[i]]
+        out[i] = (" ".join(kept), len(ts), len(ts) - len(kept))
+    return out
+
+
+def test_remove_dup_spans_semantics(spark):
+    """Keeper (lowest-id doc, first occurrence) keeps the span; every
+    other occurrence — other docs AND later repeats inside the keeper —
+    is cut; overlapping windows of a longer span union into one cut;
+    untouched docs pass through; rerunning the detector on the output
+    finds nothing. Pinned against an independent pure-Python
+    reference."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+        remove_dup_spans,
+        substring_dup_spans,
+    )
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    long_span = "one two three four five six seven eight nine ten"  # 10
+    docs = [
+        # keeper carries the boilerplate TWICE: first stays, repeat cut
+        (1, f"intro opening {boiler} middle filler words {boiler} end"),
+        (2, f"different start {boiler} trailing tail"),
+        (3, "completely unrelated text with no shared span at all"),
+        (4, f"aaa bbb {long_span} ccc ddd"),
+        (5, f"xxx {long_span} yyy zzz"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_tokens"], r["n_tokens_removed"])
+        for r in remove_dup_spans(df, "text", "doc_id").collect()
+    }
+    want = _ref_remove_dup_spans(docs)
+    assert got == want
+    # semantics spot-checks (don't trust only the reference)
+    assert boiler in got[1][0] and got[1][0].count("alpha") == 1
+    assert "alpha" not in got[2][0]
+    assert got[2][2] == 8
+    assert got[3][2] == 0 and got[3][0].startswith("completely")
+    assert got[4][2] == 0 and got[5][2] == 10
+    # fixpoint: the deduped corpus has no cross-doc duplicated window
+    red = spark.createDataFrame(
+        [(i, t) for i, (t, _, _) in got.items()], "doc_id long, text string"
+    )
+    assert substring_dup_spans(red, "text", "doc_id").count() == 0
+    # min_copies raises the bar: nothing is shared by 3 docs here
+    all_kept = remove_dup_spans(
+        df, "text", "doc_id", min_copies=3
+    ).collect()
+    assert all(r["n_tokens_removed"] == 0 for r in all_kept)
+    import pytest
+
+    with pytest.raises(ValueError, match="min_copies"):
+        remove_dup_spans(df, "text", "doc_id", min_copies=1)
+
+
+def test_remove_dup_spans_matches_reference_random(spark):
+    """Property-style check on a seeded random corpus with planted
+    shared spans: Spark output == the pure-Python reference on every
+    document."""
+    import random
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+        remove_dup_spans,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{k}" for k in range(30)]
+    shared = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 14)))
+        for _ in range(4)
+    ]
+    docs = []
+    for i in range(24):
+        words = [rng.choice(vocab) for _ in range(rng.randint(5, 40))]
+        text = " ".join(words)
+        if i % 3 != 2:
+            sp = shared[i % 4]
+            cut = rng.randint(0, len(words))
+            text = " ".join(words[:cut] + [sp] + words[cut:])
+        docs.append((i, text))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_tokens"], r["n_tokens_removed"])
+        for r in remove_dup_spans(df, "text", "doc_id").collect()
+    }
+    assert got == _ref_remove_dup_spans(docs)

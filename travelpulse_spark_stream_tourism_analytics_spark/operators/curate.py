@@ -159,6 +159,7 @@ def curate_corpus(
     fuzzy: bool = False,
     jaccard_threshold: float = 0.5,
     strip_boilerplate: int | None = None,
+    despan_min_copies: int | None = None,
     ppl_tail_frac: float | None = None,
     lm_ref: DataFrame | None = None,
     classifier_model: dict | None = None,
@@ -196,6 +197,18 @@ def curate_corpus(
     document-level dedup because their surrounding text differs. Two
     extra shuffles: the span-hash aggregation and the chunk anti-join
     on a broadcastable span table.
+
+    With ``despan_min_copies=K`` (round 10) the GENTLER alternative
+    runs instead-of-or-before chunking: dedup.remove_dup_spans cuts
+    the duplicated ``_BOILER_WINDOW``-token spans out of each kept
+    document's token stream (one global keeper occurrence survives,
+    Lee et al. ExactSubstr removal) and the rest of the document
+    continues into chunking — where ``strip_boilerplate`` drops whole
+    chunks, this keeps the unique remainder. Composable with
+    ``strip_boilerplate`` (removal first, then the chunk filter sees
+    the rewritten stream). Adds remove_dup_spans' span shuffle plus
+    one id-keyed join to graft the rewritten text back onto the kept
+    rows' other columns.
 
     Two execution repairs (round 4, measured 48 s -> ~12 s at sf0.1):
     the input repartitions to cluster width before the regex-heavy

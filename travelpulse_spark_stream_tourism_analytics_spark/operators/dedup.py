@@ -90,6 +90,101 @@ def substring_dup_spans(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 8,
+    min_copies: int = 2,
+) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (Lee et al. 2022
+    §4.1 ExactSubstr: "when two documents share a sufficiently long
+    substring, remove it from all but one"): rewrite every document's
+    token stream with its cross-document duplicated windows cut out,
+    keeping exactly ONE occurrence globally — the first occurrence
+    (lowest start) in the lowest-id document carrying the span, the
+    same keeper convention as :func:`exact_dedup`'s ``keep_<id>``.
+
+    Operates on the engine tokenization (``words_of``: lowercase,
+    non-alnum splits) — the same stream :func:`substring_dup_spans`
+    hashes — so the output ``text_dedup`` is the SPACE-JOINED deduped
+    token stream, not a byte-offset cut of the original text (raw-byte
+    surgery needs the original offsets, which a lossy tokenizer cannot
+    return; production pipelines run the gate/chunk stages on this
+    same token stream).
+
+    A token is removed when ANY removal occurrence's window
+    ``[start, start + window_tokens)`` covers it, so overlapping
+    windows of a longer shared span union into one cut, and a window
+    repeated within the keeper document keeps only its first
+    occurrence. Documents with no duplicated spans pass through with
+    zero tokens removed (still re-joined from their token stream, so
+    the output column is uniform).
+
+    Scale shape: the span table is :func:`substring_dup_spans`'s one
+    partial-agg shuffle; occurrences are a map-side positional window
+    explode joined to the span table on the 16-byte hash (equi-join,
+    never pairwise); the per-document removal list folds back with one
+    groupBy(id) whose payload is bounded by the document's own window
+    count; the rebuild is pure array expressions. Output:
+    ``(id, text_dedup, n_tokens, n_tokens_removed)``."""
+    if min_copies < 2:
+        raise ValueError(
+            f"remove_dup_spans: min_copies must be >= 2, got {min_copies}"
+        )
+    w = window_tokens
+    keep_col = f"keep_{id_col}"
+    spans = substring_dup_spans(df, text_col, id_col, w).filter(
+        F.col("n_copies") >= min_copies
+    )
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col), words_of(F.col(text_col)).alias("__toks")
+    )
+    occ = toks.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col("__toks"), w)).alias(
+            "__start", "__win"
+        ),
+    ).select(id_col, "__start", F.md5("__win").alias("text_hash"))
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(id_col, "text_hash").orderBy("__start")
+    )
+    removals = (
+        occ.join(spans, "text_hash")
+        .withColumn("__rn", rn)
+        # the global keeper occurrence survives: first occurrence in
+        # the lowest-id document carrying the span
+        .filter(
+            ~((F.col(id_col) == F.col(keep_col)) & (F.col("__rn") == 1))
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("__start").alias("__starts"))
+    )
+    starts = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            F.col("__toks"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+        ),
+        lambda s: ~F.exists(
+            starts,
+            lambda st: (st <= s["i"]) & (s["i"] < st + F.lit(w)),
+        ),
+    )
+    return toks.join(removals, id_col, "left").select(
+        id_col,
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(
+            "text_dedup"
+        ),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias(
+            "n_tokens_removed"
+        ),
+    )
+
+
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) pairs; docs shorter than n words drop out.
 

@@ -75,6 +75,69 @@ _NGRAMS3_SQL = (
     )
     GROUP BY 2
     HAVING count(DISTINCT doc_id) >= 2
+    UNION ALL
+    -- Exact-substring REMOVAL (round 10, dedup.remove_dup_spans —
+    -- the Lee et al. ExactSubstr action half): every document's token
+    -- stream rewritten with cross-doc duplicated 8-token windows cut,
+    -- keeper = first occurrence in the lowest-id document. Column
+    -- coding: text_hash = md5 of the ENTIRE rebuilt token stream
+    -- (hash-checks every kept token of every doc), keep_doc_id = the
+    -- doc, n_copies = tokens removed.
+    SELECT 'despan' AS branch, md5(text_dedup) AS text_hash,
+           doc_id AS keep_doc_id, n_tokens_removed AS n_copies
+    FROM (
+        WITH dtoks AS (
+            SELECT doc_id, {_WORDS_SQL.format(c="text")} AS toks
+            FROM documents
+        ), doccs AS (
+            SELECT doc_id, s - 1 AS st,
+                   md5(array_to_string(toks[s:s+7], ' ')) AS h
+            FROM dtoks,
+                 unnest(generate_series(1, greatest(len(toks) - 7, 0)))
+                     AS t(s)
+        ), dspans AS (
+            SELECT h, min(doc_id) AS keep_doc
+            FROM doccs GROUP BY h
+            HAVING count(DISTINCT doc_id) >= 2
+        ), dremove AS (
+            SELECT doc_id, st FROM (
+                SELECT o.doc_id, o.st, s.keep_doc,
+                       row_number() OVER (
+                           PARTITION BY o.doc_id, o.h ORDER BY o.st
+                       ) AS rn
+                FROM doccs o JOIN dspans s USING (h)
+            ) WHERE NOT (doc_id = keep_doc AND rn = 1)
+        ), dstarts AS (
+            SELECT doc_id, list(st) AS sts FROM dremove GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               -- coalesce: DuckDB's array_to_string of an EMPTY list
+               -- is NULL while Spark's array_join is '' (a fully-
+               -- boilerplate doc loses every token); NULL toks (null
+               -- text) stays NULL on both sides
+               CASE WHEN t.toks IS NULL THEN NULL
+                    ELSE coalesce(array_to_string(
+                   list_transform(
+                       list_filter(
+                           generate_series(1, len(t.toks)),
+                           j -> len(list_filter(
+                               coalesce(d.sts, CAST([] AS BIGINT[])),
+                               st -> st <= j - 1 AND j - 1 < st + 8
+                           )) = 0
+                       ),
+                       j -> t.toks[j]
+                   ), ' '
+               ), '') END AS text_dedup,
+               len(t.toks)
+               - len(list_filter(
+                     generate_series(1, len(t.toks)),
+                     j -> len(list_filter(
+                         coalesce(d.sts, CAST([] AS BIGINT[])),
+                         st -> st <= j - 1 AND j - 1 < st + 8
+                     )) = 0
+                 )) AS n_tokens_removed
+        FROM dtoks t LEFT JOIN dstarts d USING (doc_id)
+    ) dd
     """,
 )
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,7 +163,19 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_doc_id",
         "n_copies",
     )
-    return doc.unionByName(sub)
+    # branch='despan' (round 10, dedup.remove_dup_spans): the REMOVAL
+    # half — every doc's token stream with duplicated windows cut,
+    # keeper = first occurrence in the lowest-id doc. text_hash is the
+    # md5 of the ENTIRE rebuilt stream, so the oracle hash-checks
+    # every kept token of every document; n_copies carries the
+    # removed-token count.
+    desp = dedup.remove_dup_spans(docs, "text", "doc_id", 8).select(
+        F.lit("despan").alias("branch"),
+        F.md5("text_dedup").alias("text_hash"),
+        F.col("doc_id").alias("keep_doc_id"),
+        F.col("n_tokens_removed").alias("n_copies"),
+    )
+    return doc.unionByName(sub).unionByName(desp)
 
 
 def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
