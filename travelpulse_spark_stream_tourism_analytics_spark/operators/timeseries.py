@@ -73,21 +73,47 @@ def pattern_matches(
         .filter(F.size("vals") >= m)
     )
 
+    def _bind(expr, body):
+        """Evaluate ``expr`` ONCE and pass it to ``body`` as a lambda
+        variable — transform over a singleton array. Catalyst does NO
+        common-subexpression elimination inside higher-order-function
+        lambdas (they are CodegenFallback, interpreted), so naming a
+        Python variable and referencing it in a nested fold re-expands
+        and RE-EVALUATES the whole subtree per element: mu (an O(m)
+        fold) inside var's per-element lambda and again inside zw made
+        window scoring O(m^3) interpreted work per window — measured
+        44 us/window at sf0.1 (4.2 s for 96k windows). Binding w, mu
+        and sd once drops it to four O(m) passes with BIT-IDENTICAL
+        values (same ops, same order, each evaluated once):
+        1.05 s for the same plan, 4x."""
+        return F.transform(F.array(expr), body)[0]
+
     def window_dist(vals, i):
-        w = F.slice(vals, i, m)
-        mu = F.aggregate(w, F.lit(0.0), lambda a, x: a + x) / m
-        var = (
-            F.aggregate(w, F.lit(0.0), lambda a, x: a + (x - mu) * (x - mu))
-            / m
-        )
-        sd = F.sqrt(var)
-        zw = F.transform(w, lambda x: (x - mu) / sd)
-        d2 = F.aggregate(
-            F.zip_with(zw, q, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        return F.when(sd > 0, F.round(F.sqrt(d2), 6)).otherwise(F.lit(None))
+        def scored(w):
+            def with_mu(mu):
+                def with_sd(sd):
+                    zw = F.transform(w, lambda x: (x - mu) / sd)
+                    d2 = F.aggregate(
+                        F.zip_with(zw, q, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    return F.when(sd > 0, F.round(F.sqrt(d2), 6)).otherwise(
+                        F.lit(None)
+                    )
+
+                var = (
+                    F.aggregate(
+                        w, F.lit(0.0), lambda a, x: a + (x - mu) * (x - mu)
+                    )
+                    / m
+                )
+                return _bind(F.sqrt(var), with_sd)
+
+            mu = F.aggregate(w, F.lit(0.0), lambda a, x: a + x) / m
+            return _bind(mu, with_mu)
+
+        return _bind(F.slice(vals, i, m), scored)
 
     offsets = F.sequence(F.lit(1), F.size("vals") - F.lit(m - 1))
     scored = (
