@@ -175,6 +175,14 @@ def test_contamination_branch_flags_planted_overlap(spark, tmp_path):
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
     df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    # the entry's bm25/rrf retrieval branches (round 10) scan the
+    # embeddings table at build time — every driver sf dir carries
+    # one, so the synthetic dir must too (a tiny one; this test reads
+    # only the contam and term branches)
+    spark.createDataFrame(
+        [(i, [float(i % 7 + 1)] * 8) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
     out = all_queries()["docs_top_terms"](spark, str(tmp_path))
     contam = {
         r["doc_id"]: (r["n_occurrences"], r["n_docs"])
