@@ -1599,6 +1599,161 @@ def streaming_dedup_soak(
     return out
 
 
+def text_index_soak(
+    spark, sf_dir: str, n_queries: int = 20, n_buckets: int = 64
+) -> dict:
+    """Scale row for the persistent inverted text index (round 10):
+    build once over the corpus, then serve a query batch from the
+    on-disk index. Gates: every served row equals the from-scratch
+    bm25_rank bit-for-bit (the operators/text_index.py contract, here
+    re-proven at soak scale), the pruned scan touches only the query
+    terms' buckets (a strict subset of n_buckets), and the serve wall
+    beats the from-scratch wall (the whole point of persisting — the
+    corpus tokenize + tf/df shuffles are paid once at build)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+        words_of,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.retrieval import (
+        bm25_rank,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.text_index import (
+        _bucket_py,
+        build_text_index,
+        search_text_index,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    # deterministic query batch: the first 5 tokens of n_queries docs
+    # spaced evenly through the id range (hash-free, corpus-derived)
+    stride = max(1, n_docs // n_queries)
+    qdocs = (
+        docs.filter(F.col("doc_id") % stride == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(
+                " ", F.slice(words_of(F.col("text")), 1, 5)
+            ).alias("query_text"),
+        )
+        .filter(F.length("query_text") > 0)
+        .limit(n_queries)
+    )
+    queries = qdocs.collect()
+    qdf = spark.createDataFrame(queries, "query_id long, query_text string")
+    qterms = sorted(
+        {
+            t
+            for r in queries
+            for t in r["query_text"].split(" ")
+            if t
+        }
+    )
+    buckets_touched = len({_bucket_py(t, n_buckets) for t in qterms})
+
+    idx_dir = tempfile.mkdtemp(prefix="tp_text_idx_")
+    try:
+        t0 = time.perf_counter()
+        stats = build_text_index(
+            docs, idx_dir, n_buckets=n_buckets
+        )
+        wall_build = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        served = search_text_index(spark, idx_dir, qdf).collect()
+        wall_serve = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        direct = bm25_rank(docs, qdf).collect()
+        wall_direct = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    equal = sorted(map(tuple, served), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, direct), key=lambda t: (t[0], t[1])
+    )
+    spark.catalog.clearCache()
+    return {
+        "n_docs": n_docs,
+        "n_queries": len(queries),
+        "n_query_terms": len(qterms),
+        "n_buckets": stats["n_buckets"],
+        "buckets_touched": buckets_touched,
+        "served_equals_direct": equal,
+        "result_rows": len(served),
+        "wall_build_sec": round(wall_build, 2),
+        "wall_serve_sec": round(wall_serve, 2),
+        "wall_direct_sec": round(wall_direct, 2),
+    }
+
+
+def drift_soak(spark, base_dir: str, cand_dir: str, n_cells: int = 32) -> dict:
+    """Scale row for embedding-space drift monitoring (round 10):
+    per-cell occupancy PSI + centroid-shift cosine between two
+    snapshot corpora through a fixed quantizer. Gates: the SELF-drift
+    invariant (base vs base: PSI exactly 0, every occupied cell's
+    shift cosine exactly 1.0 — the operator's fixed point), every
+    psi_term non-negative ((p-q)ln(p/q) is sign-definite), and the
+    output is |cells|-sized by construction."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.drift import (
+        embedding_drift,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        as_double_vec,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+        load_table,
+    )
+
+    def emb_of(d):
+        return load_table(spark, d, "embeddings").select(
+            "vec_id", as_double_vec(F.col("embedding")).alias("v")
+        )
+
+    base, cand = emb_of(base_dir), emb_of(cand_dir)
+    # fixed quantizer: the base snapshot's first n_cells vectors as
+    # seeds (the cluster_cap convention — any frozen cell set works;
+    # production uses an ANN index's IVF centroids)
+    cents = base.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").cast("long").alias("cell_id"),
+        F.col("v").alias("sv"),
+    )
+
+    t0 = time.perf_counter()
+    rows = embedding_drift(base, cand, cents).collect()
+    wall = time.perf_counter() - t0
+    psi = float(sum(r["psi_term"] for r in rows))
+
+    self_rows = embedding_drift(base, base, cents).collect()
+    self_psi = float(sum(r["psi_term"] for r in self_rows))
+    self_shift_ok = all(
+        r["centroid_shift_cosine"] == 1.0
+        for r in self_rows
+        if r["base_n"] > 0
+    )
+    spark.catalog.clearCache()
+    return {
+        "n_base": base.count(),
+        "n_cand": cand.count(),
+        "n_cells": n_cells,
+        "cells_reported": len(rows),
+        "psi": round(psi, 6),
+        "all_terms_nonnegative": all(r["psi_term"] >= 0 for r in rows),
+        "self_psi_zero": self_psi == 0.0,
+        "self_shift_all_one": self_shift_ok,
+        "wall_sec": round(wall, 2),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", default="/tmp/tp_sf1")
@@ -1927,6 +2082,43 @@ def main() -> None:
             "train_side_shuffle_free"
         ]:
             anomalies.append(f"decontam:{sf_name}")
+    checkpoint()
+
+    # Round 10: persistent inverted text index — build-once/serve-many
+    # must hold at scale: served == from-scratch bm25_rank bit-for-bit,
+    # buckets_touched a strict subset, serve wall under the direct wall
+    # (at sf1, where the corpus tokenize the index amortizes away is
+    # actually expensive; sf0.1 records the fixed-cost floor).
+    result["text_index"] = {}
+    for sf_name, d in (("sf0.1", SF01), ("sf1", args.data_dir)):
+        row = text_index_soak(spark, d)
+        result["text_index"][sf_name] = row
+        print(f"text index @{sf_name}:", json.dumps(row), flush=True)
+        if (
+            not row["served_equals_direct"]
+            or row["buckets_touched"] >= row["n_buckets"]
+            or (
+                sf_name == "sf1"
+                and row["wall_serve_sec"] >= row["wall_direct_sec"]
+            )
+        ):
+            anomalies.append(f"text_index:{sf_name}")
+    checkpoint()
+
+    # Round 10: embedding-space drift monitoring — the self-drift
+    # fixed point (PSI 0, shift cosine 1.0) plus the cross-snapshot
+    # row at 10x (sf0.1 base vs sf1 candidate through a frozen cell
+    # set).
+    row = drift_soak(spark, SF01, args.data_dir)
+    result["embedding_drift"] = row
+    print("embedding drift:", json.dumps(row), flush=True)
+    if (
+        not row["self_psi_zero"]
+        or not row["self_shift_all_one"]
+        or not row["all_terms_nonnegative"]
+        or row["cells_reported"] != row["n_cells"]
+    ):
+        anomalies.append("embedding_drift")
     checkpoint()
 
     result["anomalies"] = anomalies
