@@ -115,7 +115,7 @@ BRANCHES = {
          "filtered_pre", "filtered_post"],
     ),
     "latest_event_per_user": ("branch", ["latest", "tsmatch"]),
-    "docs_exact_dedup": ("branch", ["doc", "substring"]),
+    "docs_exact_dedup": ("branch", ["doc", "substring", "despan", "despan_mask"]),
     # (the graph_pagerank/graph_trustrank scope branches moved to the
     # graph_suite entry's constituents in round 6)
 }

@@ -1755,3 +1755,60 @@ def test_remove_dup_spans_matches_reference_random(spark):
         for r in remove_dup_spans(df, "text", "doc_id").collect()
     }
     assert got == _ref_remove_dup_spans(docs)
+
+
+def test_dup_span_token_mask_equivalence(spark):
+    """The loss-masking form must make the SAME dedup decision as the
+    removal form: tokens kept by the mask re-join into exactly
+    remove_dup_spans.text_dedup, counts agree, and size(mask) ==
+    n_tokens on every document (including untouched and empty ones)."""
+    import random
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+        dup_span_token_mask,
+        remove_dup_spans,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{k}" for k in range(30)]
+    shared = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 14)))
+        for _ in range(3)
+    ]
+    docs = []
+    for i in range(18):
+        words = [rng.choice(vocab) for _ in range(rng.randint(5, 40))]
+        text = " ".join(words)
+        if i % 3 != 2:
+            sp = shared[i % 3]
+            cut = rng.randint(0, len(words))
+            text = " ".join(words[:cut] + [sp] + words[cut:])
+        docs.append((i, text))
+    docs.append((100, ""))  # empty token stream -> empty mask
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    toks = {
+        i: [t for t in text.lower().split() if t] for i, text in docs
+    }
+    masks = {
+        r["doc_id"]: (r["mask"], r["n_tokens"], r["n_tokens_masked"])
+        for r in dup_span_token_mask(df, "text", "doc_id").collect()
+    }
+    removed = {
+        r["doc_id"]: (r["text_dedup"], r["n_tokens"], r["n_tokens_removed"])
+        for r in remove_dup_spans(df, "text", "doc_id").collect()
+    }
+    assert set(masks) == set(removed) == {i for i, _ in docs}
+    for i, (mask, n_tok, n_masked) in masks.items():
+        text_dedup, n_tok_r, n_removed = removed[i]
+        assert n_tok == n_tok_r == len(mask) == len(toks[i])
+        assert n_masked == n_removed == sum(1 for b in mask if not b)
+        kept = " ".join(t for t, b in zip(toks[i], mask) if b)
+        assert kept == text_dedup
+    # at least one doc actually masked something (fixture sanity)
+    assert any(m[2] > 0 for m in masks.values())
+
+    import pytest
+
+    with pytest.raises(ValueError, match="min_copies"):
+        dup_span_token_mask(df, "text", "doc_id", min_copies=0)

@@ -128,9 +128,50 @@ def remove_dup_spans(
     groupBy(id) whose payload is bounded by the document's own window
     count; the rebuild is pure array expressions. Output:
     ``(id, text_dedup, n_tokens, n_tokens_removed)``."""
+    toks, removals = _dup_span_removals(
+        df, text_col, id_col, window_tokens, min_copies, "remove_dup_spans"
+    )
+    w = window_tokens
+    starts = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            F.col("__toks"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+        ),
+        lambda s: ~F.exists(
+            starts,
+            lambda st: (st <= s["i"]) & (s["i"] < st + F.lit(w)),
+        ),
+    )
+    return toks.join(removals, id_col, "left").select(
+        id_col,
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(
+            "text_dedup"
+        ),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias(
+            "n_tokens_removed"
+        ),
+    )
+
+
+def _dup_span_removals(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int,
+    min_copies: int,
+    caller: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of :func:`remove_dup_spans` /
+    :func:`dup_span_token_mask`: returns ``(toks, removals)`` where
+    ``toks`` is (id, __toks) — the engine token stream, repartitioned
+    to cluster width before the window explode — and ``removals`` is
+    (id, __starts): per document, the start positions of every
+    duplicated-window occurrence that is NOT the global keeper (first
+    occurrence in the lowest-id document carrying the span)."""
     if min_copies < 2:
         raise ValueError(
-            f"remove_dup_spans: min_copies must be >= 2, got {min_copies}"
+            f"{caller}: min_copies must be >= 2, got {min_copies}"
         )
     w = window_tokens
     keep_col = f"keep_{id_col}"
@@ -163,24 +204,62 @@ def remove_dup_spans(
         .groupBy(id_col)
         .agg(F.collect_list("__start").alias("__starts"))
     )
+    return toks, removals
+
+
+def dup_span_token_mask(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 8,
+    min_copies: int = 2,
+) -> DataFrame:
+    """The LOSS-MASKING form of exact-substring dedup: instead of
+    cutting duplicated spans out of the token stream
+    (:func:`remove_dup_spans`), emit a per-token boolean ``mask``
+    (True = token survives, False = token sits inside a removed
+    duplicated-window occurrence). Training pipelines that keep
+    document structure intact mask the loss on duplicated tokens
+    rather than deleting them — same dedup decision, different
+    delivery (the id/keeper/occurrence semantics are IDENTICAL to
+    remove_dup_spans by construction: both derive from
+    :func:`_dup_span_removals`, and the equivalence ``tokens kept by
+    mask == remove_dup_spans.text_dedup`` is test-pinned).
+
+    Output: ``(id, mask array<boolean>, n_tokens, n_tokens_masked)``
+    with ``size(mask) == n_tokens`` (empty array for an empty/null
+    token stream is an empty mask). Same scale shape as the removal
+    form: one span-hash partial-agg shuffle, one positional-window
+    equi-join, one groupBy(id) fold, mask built map-side with pure
+    array expressions."""
+    toks, removals = _dup_span_removals(
+        df, text_col, id_col, window_tokens, min_copies,
+        "dup_span_token_mask",
+    )
+    w = window_tokens
     starts = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.transform(
-            F.col("__toks"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))
-        ),
-        lambda s: ~F.exists(
+    mask = F.transform(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
             starts,
-            lambda st: (st <= s["i"]) & (s["i"] < st + F.lit(w)),
+            lambda st: (st <= i) & (i < st + F.lit(w)),
         ),
     )
-    return toks.join(removals, id_col, "left").select(
+    # two projections so the mask expression evaluates ONCE (the
+    # pattern_matches lesson: re-referencing a non-cheap alias from the
+    # same projection re-expands it; CollapseProject keeps the stage
+    # boundary for a multiply-referenced expensive alias)
+    staged = toks.join(removals, id_col, "left").select(
         id_col,
-        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(
-            "text_dedup"
-        ),
+        mask.alias("mask"),
         F.size("__toks").cast("long").alias("n_tokens"),
-        (F.size("__toks") - F.size(kept)).cast("long").alias(
-            "n_tokens_removed"
+    )
+    return staged.select(
+        id_col,
+        "mask",
+        "n_tokens",
+        F.size(F.filter("mask", lambda b: ~b)).cast("long").alias(
+            "n_tokens_masked"
         ),
     )
 
@@ -503,18 +582,26 @@ def simhash16_expr(distinct_words: Column) -> Column:
         )
 
     md5s = F.transform(distinct_words, lambda w: F.md5(w))
-    bit_sums = F.aggregate(
+    bit_sums_expr = F.aggregate(
         md5s,
         F.array(*[F.lit(0) for _ in range(16)]),
         lambda acc, h: F.zip_with(acc, parities(h), lambda a, p: a + p),
     )
-    n = F.size(distinct_words)
-    sim: Column = F.lit(0)
-    for j in range(16):
-        sim = sim + F.when(
-            F.element_at(bit_sums, j + 1) * 2 > n, F.lit(1 << j)
-        ).otherwise(F.lit(0))
-    return sim.cast("long")
+
+    # bind the fold ONCE: the majority vote references it 16 times and
+    # codegen subexpression elimination does not fully cache the
+    # CodegenFallback HOF subtree (measured 0.77 -> 0.62 s at sf0.1;
+    # the pattern_matches lesson, bit-identical output)
+    def majority_vote(bit_sums: Column) -> Column:
+        n = F.size(distinct_words)
+        sim: Column = F.lit(0)
+        for j in range(16):
+            sim = sim + F.when(
+                F.element_at(bit_sums, j + 1) * 2 > n, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        return sim.cast("long")
+
+    return F.transform(F.array(bit_sums_expr), majority_vote)[0]
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -571,23 +658,31 @@ def simhash64_expr(distinct_words: Column) -> Column:
             ]
         )
 
-    bit_sums = F.aggregate(
+    bit_sums_expr = F.aggregate(
         hashes,
         F.array(*[F.lit(0) for _ in range(64)]),
         lambda acc, h: F.zip_with(acc, parities(h), lambda a, p: a + p),
     )
-    n = F.size(distinct_words)
-    sim: Column = F.lit(0).cast("long")
-    for j in range(64):
-        sim = sim.bitwiseOR(
-            F.shiftleft(
-                F.when(F.element_at(bit_sums, j + 1) * 2 > n, F.lit(1))
-                .otherwise(F.lit(0))
-                .cast("long"),
-                j,
+
+    # bind the fold ONCE: 64 references from the majority vote, and
+    # codegen subexpression elimination does not fully cache the
+    # CodegenFallback HOF subtree (measured 1.37 -> 0.81 s at sf0.1;
+    # bit-identical output — the pattern_matches lesson)
+    def majority_vote(bit_sums: Column) -> Column:
+        n = F.size(distinct_words)
+        sim: Column = F.lit(0).cast("long")
+        for j in range(64):
+            sim = sim.bitwiseOR(
+                F.shiftleft(
+                    F.when(F.element_at(bit_sums, j + 1) * 2 > n, F.lit(1))
+                    .otherwise(F.lit(0))
+                    .cast("long"),
+                    j,
+                )
             )
-        )
-    return sim
+        return sim
+
+    return F.transform(F.array(bit_sums_expr), majority_vote)[0]
 
 
 def simhash_neardup_pairs(

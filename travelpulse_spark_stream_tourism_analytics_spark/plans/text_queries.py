@@ -138,6 +138,60 @@ _NGRAMS3_SQL = (
                  )) AS n_tokens_removed
         FROM dtoks t LEFT JOIN dstarts d USING (doc_id)
     ) dd
+    UNION ALL
+    -- Loss-masking form (round 10, dedup.dup_span_token_mask): the
+    -- SAME dedup decision delivered as a per-token keep/mask flag.
+    -- text_hash = md5 of the mask as a '1'/'0' bitstring (position j
+    -- is '1' iff the token survives), n_copies = tokens masked. The
+    -- bitstring pins every per-token decision — strictly stronger
+    -- than the rebuilt text (repeated tokens make different masks
+    -- rebuild identical text).
+    SELECT 'despan_mask' AS branch,
+           CASE WHEN toks IS NULL THEN NULL
+                ELSE coalesce(md5(array_to_string(
+               list_transform(
+                   generate_series(1, len(toks)),
+                   j -> CASE WHEN len(list_filter(
+                            sts, st -> st <= j - 1 AND j - 1 < st + 8
+                        )) = 0 THEN '1' ELSE '0' END
+               ), ''
+           )), md5('')) END AS text_hash,
+           doc_id AS keep_doc_id,
+           len(list_filter(
+               generate_series(1, len(toks)),
+               j -> len(list_filter(
+                   sts, st -> st <= j - 1 AND j - 1 < st + 8
+               )) > 0
+           )) AS n_copies
+    FROM (
+        WITH mtoks AS (
+            SELECT doc_id, {_WORDS_SQL.format(c="text")} AS toks
+            FROM documents
+        ), moccs AS (
+            SELECT doc_id, s - 1 AS st,
+                   md5(array_to_string(toks[s:s+7], ' ')) AS h
+            FROM mtoks,
+                 unnest(generate_series(1, greatest(len(toks) - 7, 0)))
+                     AS t(s)
+        ), mspans AS (
+            SELECT h, min(doc_id) AS keep_doc
+            FROM moccs GROUP BY h
+            HAVING count(DISTINCT doc_id) >= 2
+        ), mremove AS (
+            SELECT doc_id, st FROM (
+                SELECT o.doc_id, o.st, s.keep_doc,
+                       row_number() OVER (
+                           PARTITION BY o.doc_id, o.h ORDER BY o.st
+                       ) AS rn
+                FROM moccs o JOIN mspans s USING (h)
+            ) WHERE NOT (doc_id = keep_doc AND rn = 1)
+        )
+        SELECT t.doc_id, t.toks,
+               coalesce(d.sts, CAST([] AS BIGINT[])) AS sts
+        FROM mtoks t LEFT JOIN (
+            SELECT doc_id, list(st) AS sts FROM mremove GROUP BY doc_id
+        ) d USING (doc_id)
+    ) mm
     """,
 )
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,7 +229,26 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("keep_doc_id"),
         F.col("n_tokens_removed").alias("n_copies"),
     )
-    return doc.unionByName(sub).unionByName(desp)
+    # branch='despan_mask' (round 10, dedup.dup_span_token_mask): the
+    # loss-masking delivery of the same decision — text_hash = md5 of
+    # the mask as a '1'/'0' bitstring, pinning every per-token verdict
+    # (strictly stronger than the rebuilt text: repeated tokens make
+    # different masks rebuild identical text); n_copies = tokens
+    # masked.
+    mask = dedup.dup_span_token_mask(docs, "text", "doc_id", 8).select(
+        F.lit("despan_mask").alias("branch"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    "mask", lambda b: F.when(b, F.lit("1")).otherwise("0")
+                ),
+                "",
+            )
+        ).alias("text_hash"),
+        F.col("doc_id").alias("keep_doc_id"),
+        F.col("n_tokens_masked").alias("n_copies"),
+    )
+    return doc.unionByName(sub).unionByName(desp).unionByName(mask)
 
 
 def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
