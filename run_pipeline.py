@@ -256,6 +256,7 @@ def run_dedup(spark, docs_path: str, out_dir: str, once: bool = True,
 
 def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False,
                strip_boilerplate: int | None = None,
+               despan_min_copies: int | None = None,
                ppl_tail: float | None = None,
                lm_ref_path: str | None = None,
                classifier_model_path: str | None = None,
@@ -378,6 +379,7 @@ def run_curate(spark, docs_path: str, out_dir: str, fuzzy: bool = False,
         bpe_model = load_bpe_model(bpe_model_path)
     packed = curate_corpus(docs, fuzzy=fuzzy,
                            strip_boilerplate=strip_boilerplate,
+                           despan_min_copies=despan_min_copies,
                            ppl_tail_frac=ppl_tail, lm_ref=lm_ref,
                            classifier_model=model,
                            classifier_threshold=classifier_threshold,
@@ -963,6 +965,17 @@ def main() -> None:
         metavar="K",
         help="--mode curate: drop chunks containing a window repeated "
         "verbatim in >= K kept docs (exact-substring boilerplate)",
+    )
+    ap.add_argument(
+        "--despan-min-copies",
+        type=int,
+        default=None,
+        metavar="K",
+        help="--mode curate: exact-substring REMOVAL — cut windows "
+        "repeated verbatim in >= K kept docs out of each document's "
+        "token stream (one global keeper occurrence survives) before "
+        "chunking; the gentler alternative to --strip-boilerplate's "
+        "whole-chunk drop",
     )
     ap.add_argument(
         "--labels",
@@ -1586,6 +1599,7 @@ def main() -> None:
             ap.error("--mode curate requires --path (docs dir) and --out")
         stats = run_curate(spark, args.path, args.out, fuzzy=args.fuzzy,
                          strip_boilerplate=args.strip_boilerplate,
+                         despan_min_copies=args.despan_min_copies,
                          ppl_tail=args.ppl_tail, lm_ref_path=args.lm_ref,
                          classifier_model_path=args.classifier_model,
                          classifier_threshold=args.classifier_threshold,

@@ -1491,6 +1491,56 @@ def test_curate_strip_boilerplate_drops_tainted_chunks(spark):
     assert {d for d, _ in strip} == {0, 1, 2, 3}
 
 
+def test_curate_despan_removes_spans_keeps_remainder(spark):
+    """despan_min_copies=K (round 10): the duplicated span is CUT from
+    every kept document's token stream (one global keeper occurrence
+    survives) while the unique remainder continues into chunking —
+    where strip_boilerplate would drop whole chunks, this keeps every
+    document's own words. Composes with strip_boilerplate: after
+    removal no span clears the >= K bar, so the chunk filter drops
+    nothing further."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    boiler = (
+        "this material is provided under the common license terms here"
+    )
+    uniq = [
+        " ".join(
+            f"the body{d}{j} is a tale of word{d}{j} and item{j}{d} in town{j}"
+            for j in range(6)
+        )
+        for d in range(4)
+    ]
+    rows = [(d, uniq[d] + " " + boiler) for d in range(3)]
+    rows.append((3, uniq[3]))  # clean doc, no boilerplate
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kept = curate_corpus(
+        docs, chunk_tokens=16, overlap=0, fuzzy=False, despan_min_copies=3
+    )
+    despan = [(r["doc_id"], r["chunk_text"]) for r in kept.collect()]
+    joined = {
+        d: " ".join(t for dd, t in despan if dd == d) for d in range(4)
+    }
+    # exactly one global keeper occurrence of the span survives
+    assert (
+        sum(t.count("common license terms") for _, t in despan) == 1
+    )
+    # every document keeps its own unique words
+    for d in range(4):
+        assert f"body{d}0" in joined[d] and f"word{d}5" in joined[d]
+    # strip_boilerplate composes as a no-op on the rewritten stream
+    both = curate_corpus(
+        docs, chunk_tokens=16, overlap=0, fuzzy=False,
+        despan_min_copies=3, strip_boilerplate=3,
+    )
+    assert sorted(
+        (r["doc_id"], r["chunk_text"]) for r in both.collect()
+    ) == sorted(despan)
+
+
 def test_canonicalize_url_semantics_and_duckdb_parity(spark, tmp_path):
     """URL canonicalization (round 5): lowercased scheme/host, fragment
     dropped, default ports stripped, empty path -> '/', trailing

@@ -206,9 +206,8 @@ def curate_corpus(
     continues into chunking — where ``strip_boilerplate`` drops whole
     chunks, this keeps the unique remainder. Composable with
     ``strip_boilerplate`` (removal first, then the chunk filter sees
-    the rewritten stream). Adds remove_dup_spans' span shuffle plus
-    one id-keyed join to graft the rewritten text back onto the kept
-    rows' other columns.
+    the rewritten stream). Adds remove_dup_spans' cost: one span-hash
+    shuffle plus the id-keyed removal fold-back.
 
     Two execution repairs (round 4, measured 48 s -> ~12 s at sf0.1):
     the input repartitions to cluster width before the regex-heavy
@@ -329,6 +328,27 @@ def curate_corpus(
             .select(id_col)
         )
         unique = unique.join(keep_ppl, id_col, "left_semi")
+    if despan_min_copies is not None:
+        # exact-substring REMOVAL (round 10): cut the duplicated
+        # _BOILER_WINDOW-token spans out of each kept document's token
+        # stream (one global keeper occurrence survives) and let the
+        # unique remainder continue into chunking — the gentler
+        # alternative to strip_boilerplate's whole-chunk drop. Runs
+        # BEFORE the chunker (and before strip_boilerplate's span
+        # scan, which then sees the rewritten stream), so the two
+        # compose: after removal, surviving spans occur once globally
+        # and no longer clear any >= K copies bar.
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+            remove_dup_spans,
+        )
+
+        rewritten = remove_dup_spans(
+            unique, text_col, id_col, _BOILER_WINDOW,
+            min_copies=despan_min_copies,
+        )
+        unique = rewritten.select(
+            id_col, F.col("text_dedup").alias(text_col)
+        )
     chunks = chunk_documents(
         unique, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
     )
