@@ -900,6 +900,8 @@ def main() -> None:
         "--delete-ids",
         help="--mode knn-graph --update-graph: instead of folding a "
         "new batch, DELETE these vec_ids (a parquet of vec_id rows) "
+        "(also: --mode text-index --index IDX --delete-ids P deletes "
+        "those doc_ids from the inverted index, victim buckets only) "
         "from the existing --update-graph edges — dropped vertices "
         "vanish and every survivor whose stored top-k pointed at one "
         "is re-ranked against the remaining corpus (--path = the "
@@ -1406,11 +1408,33 @@ def main() -> None:
         return
 
     if args.mode == "text-index":
+        if args.delete_ids:
+            # deletion repair: no docs dir needed, just the index and
+            # the victim id parquet
+            if not args.index or args.out or args.path:
+                ap.error(
+                    "--mode text-index --delete-ids requires --index "
+                    "(and takes neither --path nor --out: victims are "
+                    "identified by id, buckets rewritten in place)"
+                )
+            from travelpulse_spark_stream_tourism_analytics_spark.operators.text_index import (
+                delete_from_text_index,
+            )
+
+            stats = delete_from_text_index(
+                spark, args.index, spark.read.parquet(args.delete_ids)
+            )
+            print(
+                f">>> text index pruned; now {stats['n_docs']} docs, "
+                f"{stats['total_tokens']} tokens -> {args.index}"
+            )
+            return
         if not args.path or (bool(args.out) == bool(args.index)):
             ap.error(
                 "--mode text-index requires --path (docs dir) and "
                 "EITHER --out (build a new index there) OR --index "
-                "(fold the --path batch into that existing index)"
+                "(fold the --path batch into that existing index), or "
+                "--index with --delete-ids (deletion repair)"
             )
         from travelpulse_spark_stream_tourism_analytics_spark.operators.text_index import (
             add_to_text_index,

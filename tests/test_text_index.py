@@ -316,3 +316,164 @@ def test_text_index_cli_build_add_and_search(
     )
     with pytest.raises(SystemExit):
         run_pipeline.main()
+
+
+def _table_rows(spark, path, cols):
+    return sorted(
+        tuple(r) for r in spark.read.parquet(path).select(*cols).collect()
+    )
+
+
+def test_delete_equals_rebuild_over_survivors(spark, tmp_path):
+    """Deletion repair == bulk rebuild over the surviving corpus,
+    bit-for-bit: stats, vocabulary table, postings CONTENT and every
+    served score agree; untouched bucket directories keep their files
+    byte-for-byte (only victim buckets rewrite)."""
+    import os
+
+    docs = _docs(spark)
+    queries = _queries(spark)
+    idx = str(tmp_path / "del")
+    rebuilt = str(tmp_path / "rebuilt")
+    text_index.build_text_index(docs, idx, n_buckets=8)
+
+    victims = spark.createDataFrame([(1,), (3,)], "doc_id long")
+    victim_terms = {
+        t
+        for r in docs.filter("doc_id in (1, 3)").collect()
+        for t in r["text"].split()
+    }
+    victim_buckets = {zlib.crc32(t.encode()) % 8 for t in victim_terms}
+    untouched = sorted(set(range(8)) - victim_buckets)
+    before = {
+        b: sorted(os.listdir(f"{idx}/postings.parquet/bucket={b}"))
+        for b in untouched
+        if os.path.isdir(f"{idx}/postings.parquet/bucket={b}")
+    }
+
+    stats = text_index.delete_from_text_index(spark, idx, victims)
+    survivors = docs.filter("doc_id not in (1, 3)")
+    text_index.build_text_index(survivors, rebuilt, n_buckets=8)
+
+    assert stats == text_index.load_text_index_stats(rebuilt)
+    assert _table_rows(
+        spark, f"{idx}/terms.parquet", ["term", "df"]
+    ) == _table_rows(spark, f"{rebuilt}/terms.parquet", ["term", "df"])
+    cols = ["doc_id", "dl", "term", "tf"]
+    assert _table_rows(
+        spark, f"{idx}/postings.parquet", cols
+    ) == _table_rows(spark, f"{rebuilt}/postings.parquet", cols)
+    got = _collect_sorted(
+        text_index.search_text_index(spark, idx, queries, top_n=8)
+    )
+    want = _collect_sorted(
+        text_index.search_text_index(spark, rebuilt, queries, top_n=8)
+    )
+    assert got == want
+    # untouched buckets were not rewritten (same files on disk)
+    for b, files in before.items():
+        assert sorted(
+            os.listdir(f"{idx}/postings.parquet/bucket={b}")
+        ) == files
+
+
+def test_delete_then_add_chain_equals_rebuild(spark, tmp_path):
+    """The full lifecycle composes: build -> add -> delete -> add
+    equals one bulk build over the net corpus, bit-for-bit (the
+    chained-add pin extended through a deletion)."""
+    all_rows = _docs(spark).collect()
+    first = spark.createDataFrame(all_rows[:5], "doc_id long, text string")
+    second = spark.createDataFrame(all_rows[5:], "doc_id long, text string")
+    queries = _queries(spark)
+
+    idx = str(tmp_path / "chain")
+    net = str(tmp_path / "net")
+    text_index.build_text_index(first, idx, n_buckets=8)
+    text_index.delete_from_text_index(
+        spark, idx, spark.createDataFrame([(0,), (2,)], "doc_id long")
+    )
+    text_index.add_to_text_index(spark, idx, second)
+    net_docs = _docs(spark).filter("doc_id not in (0, 2)")
+    text_index.build_text_index(net_docs, net, n_buckets=8)
+
+    assert text_index.load_text_index_stats(
+        idx
+    ) == text_index.load_text_index_stats(net)
+    got = _collect_sorted(
+        text_index.search_text_index(spark, idx, queries, top_n=8)
+    )
+    want = _collect_sorted(
+        text_index.search_text_index(spark, net, queries, top_n=8)
+    )
+    assert got == want
+
+
+def test_delete_refusals_leave_index_intact(spark, tmp_path):
+    """Unknown ids and corpus-emptying deletions refuse BEFORE any
+    rewrite: the index must keep serving the same results after."""
+    docs = _docs(spark)
+    queries = _queries(spark)
+    idx = str(tmp_path / "refuse")
+    text_index.build_text_index(docs, idx, n_buckets=8)
+    baseline = _collect_sorted(
+        text_index.search_text_index(spark, idx, queries, top_n=8)
+    )
+
+    with pytest.raises(ValueError, match="no postings"):
+        text_index.delete_from_text_index(
+            spark, idx, spark.createDataFrame([(99,)], "doc_id long")
+        )
+    with pytest.raises(ValueError, match="empties the corpus"):
+        text_index.delete_from_text_index(
+            spark,
+            idx,
+            spark.createDataFrame([(i,) for i in range(8)], "doc_id long"),
+        )
+    # empty id set is a no-op, not an error
+    stats = text_index.delete_from_text_index(
+        spark, idx, spark.createDataFrame([], "doc_id long")
+    )
+    assert stats["n_docs"] == 8
+    assert (
+        _collect_sorted(
+            text_index.search_text_index(spark, idx, queries, top_n=8)
+        )
+        == baseline
+    )
+
+
+def test_text_index_cli_delete(spark, tmp_path, capsys, monkeypatch):
+    """--mode text-index --index IDX --delete-ids P prunes in place and
+    serves the rebuilt-over-survivors results."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import run_pipeline
+
+    docs = _docs(spark)
+    spark.createDataFrame([(1,), (3,)], "doc_id long").write.parquet(
+        str(tmp_path / "victims")
+    )
+    idx = str(tmp_path / "idx")
+    text_index.build_text_index(docs, idx, n_buckets=8)
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "text-index",
+         "--index", idx, "--delete-ids", str(tmp_path / "victims")],
+    )
+    run_pipeline.main()
+    out = capsys.readouterr().out
+    assert ">>> text index pruned; now 6 docs" in out
+    got = _collect_sorted(
+        text_index.search_text_index(spark, idx, _queries(spark), top_n=8)
+    )
+    want = _collect_sorted(
+        retrieval.bm25_rank(
+            docs.filter("doc_id not in (1, 3)"), _queries(spark), top_n=8
+        )
+    )
+    assert got == want

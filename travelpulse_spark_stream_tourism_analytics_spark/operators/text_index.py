@@ -39,9 +39,11 @@ BIT-FOR-BIT — test-pinned, like ``add_to_ann_index``'s frozen-model
 contract but with no drift caveat (an inverted index has no trained
 model to go stale). Doc ids must be new to the index (same
 disjointness contract as ``incremental_knn_graph``; ``validate=True``
-runs one bounded semi-join check). Deletions: filter-and-rewrite the
-affected buckets, or rebuild — documented, not implemented (tombstones
-would make df a lie).
+runs one bounded semi-join check). Deletions
+(:func:`delete_from_text_index`) rewrite only the victim buckets and
+decrement the vocab/constants exactly, so chained deletes equal a
+rebuild over the survivors — tombstones were rejected because they
+would make df a lie.
 
 100 TB sizing: the postings build is the one (doc, term) shuffle with
 map-side combine that tf-idf already pays; ``n_buckets`` bounds the
@@ -266,8 +268,7 @@ def add_to_text_index(
     df). ``validate=True`` runs one bounded semi-join against the
     stored postings' doc ids and raises on the first overlap; default
     off so callers who enforce disjointness upstream keep a
-    metadata-only plan. Deletions are out of contract: filter-and-
-    rewrite the affected buckets or rebuild."""
+    metadata-only plan. Deletions: :func:`delete_from_text_index`."""
     stats = load_text_index_stats(index_dir)
     id_col = stats["id_col"]
     n_buckets = int(stats["n_buckets"])
@@ -346,6 +347,145 @@ def add_to_text_index(
     stats["total_tokens"] = int(stats["total_tokens"]) + int(
         row["total"] or 0
     )
+    with open(f"{index_dir}/{_STATS}", "w") as fh:
+        json.dump(stats, fh)
+    return stats
+
+
+def delete_from_text_index(
+    spark: SparkSession,
+    index_dir: str,
+    doc_ids: DataFrame,
+) -> dict:
+    """Deletion repair: remove documents from the persisted index so
+    that chained deletes equal a bulk rebuild over the survivors
+    BIT-FOR-BIT — the text twin of ``delete_from_knn_graph``, closing
+    the index lifecycle (build / add / delete) the module docstring
+    previously deferred to "filter-and-rewrite or rebuild".
+
+    ``doc_ids`` is an id relation (one column named like the index's
+    ``id_col``). Only the term buckets that actually contain a victim
+    posting are rewritten (victim buckets come from one bounded
+    distinct over the victims' partition column — at most n_buckets
+    values); untouched bucket directories keep their files byte-for-
+    byte. The vocabulary table decrements per-term df by the victims'
+    per-term distinct-doc counts (each (doc, term) holds one postings
+    row, so that is a count per term) and drops terms reaching df 0;
+    n_docs / total_tokens decrement from the victims' (id, dl) pairs.
+    Every adjusted input is an exact integer — hence the rebuild
+    parity (test-pinned, like ``add_to_text_index``'s chained-add
+    contract).
+
+    Every requested id must exist in the postings: an unknown id is
+    indistinguishable from a zero-token document, whose only footprint
+    is the n_docs constant (no postings rows carry its dl), so its
+    deletion cannot be reconciled — the refusal names the rebuild
+    path. Ids must also be distinct (a doubled id would double-count
+    the constants)."""
+    import shutil
+
+    stats = load_text_index_stats(index_dir)
+    id_col = stats["id_col"]
+
+    ids = doc_ids.select(id_col).distinct()
+    n_req = ids.count()
+    if n_req == 0:
+        return stats
+
+    postings_path = f"{index_dir}/postings.parquet"
+    postings = spark.read.parquet(postings_path)
+    victims = postings.join(F.broadcast(ids), id_col, "left_semi")
+
+    # (id, dl) is constant across a doc's postings rows; one distinct
+    # recovers the corpus-constant decrements and the found-id set
+    per_doc = victims.select(id_col, "dl").distinct()
+    found = per_doc.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("total")
+    ).collect()[0]
+    n_found = int(found["n"])
+    if n_found != n_req:
+        missing = (
+            ids.join(per_doc.select(id_col), id_col, "left_anti")
+            .limit(1)
+            .collect()
+        )
+        raise ValueError(
+            f"delete_from_text_index: doc id {missing[0][id_col]!r} has "
+            "no postings in the index — either it was never ingested or "
+            "it is a zero-token document (whose dl cannot be recovered "
+            "from postings); rebuild with build_text_index over the "
+            "surviving corpus instead"
+        )
+
+    # refuse BEFORE any rewrite: an emptied corpus cannot serve BM25
+    # (0/0 length normalization) and the index must stay intact when
+    # this raises
+    stats["n_docs"] = int(stats["n_docs"]) - n_found
+    stats["total_tokens"] = int(stats["total_tokens"]) - int(
+        found["total"] or 0
+    )
+    if stats["n_docs"] <= 0 or stats["total_tokens"] <= 0:
+        raise ValueError(
+            "delete_from_text_index: deletion empties the corpus — an "
+            "empty index cannot serve BM25 (0/0 length normalization); "
+            "remove the index directory instead"
+        )
+
+    touched = sorted(
+        r["bucket"] for r in victims.select("bucket").distinct().collect()
+    )
+
+    # EVERY plan below reads the live files, so both tmp tables are
+    # written BEFORE either live directory mutates (the df-delta plan
+    # re-reads postings — swapping buckets first would erase the
+    # victims it is about to count)
+    survivors = (
+        postings.filter(F.col("bucket").isin(touched))
+        .join(F.broadcast(ids), id_col, "left_anti")
+    )
+    tmp = f"{postings_path}.__tmp"
+    (
+        survivors.repartition("bucket")
+        .sortWithinPartitions("bucket", "term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+
+    # vocab decrement: df delta per term = victims' postings rows per
+    # term (one row per (doc, term)); terms reaching df 0 drop out
+    delta = victims.groupBy("term").agg((-F.count("*")).alias("df"))
+    old_terms = spark.read.parquet(f"{index_dir}/terms.parquet").select(
+        "term", "df"
+    )
+    n_buckets = int(stats["n_buckets"])
+    merged = (
+        old_terms.unionByName(delta)
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .filter(F.col("df") > 0)
+        .withColumn("bucket", _bucket_col("term", n_buckets))
+    )
+    terms_tmp = f"{index_dir}/terms.parquet.__tmp"
+    (
+        merged.repartition("bucket")
+        .sortWithinPartitions("bucket", "term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(terms_tmp)
+    )
+
+    # both tmp tables on disk — now swap
+    for b in touched:
+        live = f"{postings_path}/bucket={b}"
+        fresh = f"{tmp}/bucket={b}"
+        shutil.rmtree(live, ignore_errors=True)
+        if os.path.isdir(fresh):
+            os.rename(fresh, live)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(f"{index_dir}/terms.parquet")
+    os.rename(terms_tmp, f"{index_dir}/terms.parquet")
+
     with open(f"{index_dir}/{_STATS}", "w") as fh:
         json.dump(stats, fh)
     return stats
