@@ -1624,6 +1624,7 @@ def text_index_soak(
     from travelpulse_spark_stream_tourism_analytics_spark.operators.text_index import (
         _bucket_py,
         build_text_index,
+        delete_from_text_index,
         search_text_index,
     )
     from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
@@ -1673,6 +1674,26 @@ def text_index_soak(
         t0 = time.perf_counter()
         direct = bm25_rank(docs, qdf).collect()
         wall_direct = time.perf_counter() - t0
+
+        # deletion repair at scale (round 10): delete ~10% of the
+        # corpus by id, then the pruned index must serve exactly what
+        # a from-scratch BM25 over the survivors computes — and the
+        # repair must cost less than the rebuild it replaces
+        victims = docs.select("doc_id").filter(
+            F.col("doc_id") % 10 == 3
+        )
+        n_victims = victims.count()
+        t0 = time.perf_counter()
+        del_stats = delete_from_text_index(spark, idx_dir, victims)
+        wall_delete = time.perf_counter() - t0
+        survivors = docs.filter(F.col("doc_id") % 10 != 3)
+        pruned = search_text_index(spark, idx_dir, qdf).collect()
+        t0 = time.perf_counter()
+        direct_surv = bm25_rank(survivors, qdf).collect()
+        wall_rebuildish = time.perf_counter() - t0
+        delete_equal = sorted(map(tuple, pruned)) == sorted(
+            map(tuple, direct_surv)
+        )
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -1691,6 +1712,11 @@ def text_index_soak(
         "wall_build_sec": round(wall_build, 2),
         "wall_serve_sec": round(wall_serve, 2),
         "wall_direct_sec": round(wall_direct, 2),
+        "n_deleted": n_victims,
+        "n_docs_after_delete": del_stats["n_docs"],
+        "delete_serves_survivors_exactly": delete_equal,
+        "wall_delete_sec": round(wall_delete, 2),
+        "wall_direct_survivors_sec": round(wall_rebuildish, 2),
     }
 
 
@@ -2096,6 +2122,7 @@ def main() -> None:
         print(f"text index @{sf_name}:", json.dumps(row), flush=True)
         if (
             not row["served_equals_direct"]
+            or not row["delete_serves_survivors_exactly"]
             or row["buckets_touched"] >= row["n_buckets"]
             or (
                 sf_name == "sf1"
