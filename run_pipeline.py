@@ -815,6 +815,24 @@ def main() -> None:
         "(default 0.99 — the semantic_decontaminate library default)",
     )
     ap.add_argument(
+        "--ngrams",
+        type=int,
+        default=None,
+        metavar="N",
+        help="--mode decontam: TEXT-side instead of embedding-side — "
+        "flag training docs sharing verbatim N-gram token windows "
+        "with any --eval doc (GPT-3 convention: 13); --path/--eval "
+        "are docs dirs here",
+    )
+    ap.add_argument(
+        "--min-shared",
+        type=int,
+        default=1,
+        metavar="K",
+        help="--mode decontam --ngrams: flag at >= K distinct shared "
+        "windows (default 1)",
+    )
+    ap.add_argument(
         "--cells", type=int, default=0,
         help="--mode build-ann-index: IVF coarse cells; 0 (default) "
         "auto-sizes to max(16, round(sqrt(n_vectors))) — the FAISS "
@@ -1347,9 +1365,35 @@ def main() -> None:
         if not args.path or not args.eval or not args.out:
             ap.error(
                 "--mode decontam requires --path (training embeddings "
-                "parquet/dir), --eval (eval-suite embeddings "
-                "parquet/dir) and --out (flagged rows parquet)"
+                "parquet/dir, or docs dir with --ngrams), --eval "
+                "(eval-suite embeddings or docs) and --out (flagged "
+                "rows parquet)"
             )
+        if args.ngrams:
+            # TEXT-side decontamination (late round 10): verbatim
+            # n-gram overlap with the eval suite — the lexical
+            # complement of the embedding path below
+            from travelpulse_spark_stream_tourism_analytics_spark.operators.quality import (
+                ngram_decontaminate,
+            )
+
+            _guard_out_overwrite(
+                ap, args.out, [("--path", args.path), ("--eval", args.eval)]
+            )
+            flagged = ngram_decontaminate(
+                _load_docs(spark, args.path),
+                _load_docs(spark, args.eval),
+                n=args.ngrams,
+                min_shared=args.min_shared,
+            )
+            flagged.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(
+                f">>> decontam done; {n} training docs flagged "
+                f"({args.ngrams}-gram overlap >= {args.min_shared}) "
+                f"-> {args.out}"
+            )
+            return
         from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
             semantic_decontaminate,
         )

@@ -2557,3 +2557,85 @@ def test_report_cli_embedding_drift_line(spark, tmp_path):
         spark, str(tmp_path / "rot"), baseline_path=str(tmp_path / "base")
     )[-1]
     assert "psi_embedding" not in noemb
+
+
+def test_ngram_decontaminate_semantics(spark):
+    """Text-side decontamination: a train doc sharing >= min_shared
+    distinct n-gram windows with ANY eval doc is flagged with exact
+    counts; disjoint docs are absent; min_shared raises the bar;
+    repeated windows inside one doc count once (array_distinct)."""
+    import pytest
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.quality import (
+        ngram_decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            # shares "alpha beta gamma" + "beta gamma delta" with eval 0
+            (25, "intro alpha beta gamma delta outro"),
+            # shares one window with EACH eval doc
+            (26, "alpha beta gamma stop zeta eta theta end"),
+            # nothing contiguous
+            (27, "alpha gamma beta delta epsilon zeta"),
+            # the shared window occurs twice -> still counts once
+            (28, "alpha beta gamma pad alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shared_ngrams"], r["n_eval_docs"])
+        for r in ngram_decontaminate(tr, ev, n=3).collect()
+    }
+    assert got == {25: (2, 1), 26: (2, 2), 28: (1, 1)}
+    strict = {
+        r["doc_id"]
+        for r in ngram_decontaminate(tr, ev, n=3, min_shared=2).collect()
+    }
+    assert strict == {25, 26}
+    with pytest.raises(ValueError, match="min_shared"):
+        ngram_decontaminate(tr, ev, min_shared=0)
+
+
+def test_decontam_cli_ngram_side(spark, tmp_path, capsys, monkeypatch):
+    """--mode decontam --ngrams N runs the text-side operator over
+    docs dirs and writes the flagged parquet."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import run_pipeline
+
+    spark.createDataFrame(
+        [
+            (25, "intro alpha beta gamma delta outro"),
+            (27, "nothing shared here at all friend"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(str(tmp_path / "train" / "documents.parquet"))
+    spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    ).write.parquet(str(tmp_path / "eval" / "documents.parquet"))
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "decontam",
+         "--path", str(tmp_path / "train"),
+         "--eval", str(tmp_path / "eval"),
+         "--out", str(tmp_path / "flagged"),
+         "--ngrams", "3"],
+    )
+    run_pipeline.main()
+    assert "1 training docs flagged" in capsys.readouterr().out
+    rows = spark.read.parquet(str(tmp_path / "flagged")).collect()
+    assert [(r["doc_id"], r["n_shared_ngrams"]) for r in rows] == [(25, 2)]

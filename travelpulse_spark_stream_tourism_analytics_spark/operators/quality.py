@@ -169,3 +169,69 @@ def compression_signals(
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_shared: int = 1,
+) -> DataFrame:
+    """TEXT-side benchmark decontamination: flag every training
+    document sharing at least ``min_shared`` distinct ``n``-gram token
+    windows with any eval-suite document — the lexical complement of
+    :func:`~.similarity.semantic_decontaminate` (which sees only
+    embeddings; a verbatim benchmark answer survives paraphrase-level
+    embedding thresholds and vice versa). ``n=13`` is the GPT-3 /
+    Brown et al. 2020 appendix-C convention; fixture-scale callers
+    (the ``contam`` catalog branch) pass ``n=3``.
+
+    Returns one row per FLAGGED training doc: ``(id,
+    n_shared_ngrams, n_eval_docs)`` — how many distinct windows hit
+    the suite, and how many distinct eval documents were matched.
+    Unflagged docs are absent (retrieval semantics, like
+    semantic_decontaminate).
+
+    Scale shape: the eval suite is bounded by contract and rides as a
+    BROADCAST of its distinct window hashes (16-byte md5 each — a
+    60-task suite at ~10^5 windows is megabytes); the train side is
+    one scan + window explode + broadcast-hash join + one groupBy(id)
+    partial agg, never a corpus x corpus shuffle. The train explode
+    repartitions to cluster width first: the ngram+md5 projection is
+    per-row compute whose parallelism otherwise inherits the parquet
+    layout (the sf1-soak 2-partition trap; AQE sizes by bytes, not
+    compute)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+        word_ngrams,
+        words_of,
+    )
+
+    if min_shared < 1:
+        raise ValueError(
+            f"ngram_decontaminate: min_shared must be >= 1, got {min_shared}"
+        )
+
+    def doc_windows(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_ngrams(words_of(F.col(text_col)), n))
+            ).alias("__ng"),
+        ).select(id_col, F.md5("__ng").alias("__h"))
+
+    ev = doc_windows(eval_docs).select(
+        F.col(id_col).alias("__eval_id"), "__h"
+    )
+    par = train.sparkSession.sparkContext.defaultParallelism
+    tr = doc_windows(train.repartition(par))
+    return (
+        tr.join(F.broadcast(ev), "__h")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("__h").alias("n_shared_ngrams"),
+            F.countDistinct("__eval_id").alias("n_eval_docs"),
+        )
+        .filter(F.col("n_shared_ngrams") >= min_shared)
+    )

@@ -2055,40 +2055,29 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("log_ratio").alias("score"),
     )
 
-    def doc_ngrams(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(word_ngrams(words_of(F.col("text")), 3))
-            ).alias("ng"),
-        ).select("doc_id", F.md5("ng").alias("h"))
-
-    eval_ng = doc_ngrams(docs.filter(F.col("doc_id") < 20)).select(
-        F.col("doc_id").alias("eval_id"), "h"
+    # branch='contam' now rides the GENERIC operator
+    # (operators/quality.py ngram_decontaminate, late round 10 — the
+    # eval suite broadcasts as distinct window hashes, the train side
+    # repartitions to cluster width before the per-row ngram+md5
+    # projection; identical counts to the former inline form). n=3 at
+    # fixture scale; production default is the GPT-3 13-gram.
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.quality import (
+        ngram_decontaminate,
     )
-    # The per-doc ngram+md5 projection is the expensive stage and its
-    # parallelism is otherwise whatever the parquet layout gives the
-    # scan (the sf1 soak read 50k docs as TWO partitions -> 2 of 32
-    # cores, 123 s); an explicit repartition of the small doc rows
-    # unlocks full width before the heavy projection (AQE can't help:
-    # it sizes by input bytes, and the cost here is per-row compute).
-    par = spark.sparkContext.defaultParallelism
-    train_ng = doc_ngrams(docs.filter(F.col("doc_id") >= 20).repartition(par))
-    contam = (
-        train_ng.join(F.broadcast(eval_ng), "h")
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct("h").alias("n_occurrences"),
-            F.countDistinct("eval_id").alias("n_docs"),
-        )
-        .select(
-            F.lit("contam").alias("branch"),
-            F.lit(None).cast("string").alias("term"),
-            "doc_id",
-            "n_occurrences",
-            "n_docs",
-            F.lit(None).cast("double").alias("score"),
-        )
+
+    contam = ngram_decontaminate(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        "doc_id",
+        "text",
+        n=3,
+    ).select(
+        F.lit("contam").alias("branch"),
+        F.lit(None).cast("string").alias("term"),
+        "doc_id",
+        F.col("n_shared_ngrams").alias("n_occurrences"),
+        F.col("n_eval_docs").alias("n_docs"),
+        F.lit(None).cast("double").alias("score"),
     )
     # branch='cmsketch' (round 5, operators/sketches.py): for the
     # exact top-20 terms, score=1.0 iff the whole-corpus count-min
