@@ -509,3 +509,31 @@ def test_docs_text_profile_is_shuffle_free(spark):
     plan = plan_of(spark, "docs_text_profile")
     assert "Exchange" not in plan
     assert "Scan parquet" in plan  # sanity: plan rendered fully
+
+
+def test_remove_dup_spans_plan_shape(spark):
+    """The exact-substring removal must never go pairwise: occurrences
+    meet the span table on the 16-byte window hash (equi-join), the
+    removal list folds back with ONE id-keyed aggregation, and no
+    cartesian/nested-loop appears anywhere — the plan that survives a
+    boilerplate-heavy 100 TB crawl (the span side degrades to
+    sort-merge gracefully when it outgrows broadcast)."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+        remove_dup_spans,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = remove_dup_spans(docs, "text", "doc_id")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "text_hash" in plan  # the equi-join key reached the plan
+    # exactly one occurrence-side explode feeds the join (posexplode
+    # of the positional windows) plus the detector's own explode
+    assert plan.count("Generate") >= 2
