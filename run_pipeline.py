@@ -454,6 +454,56 @@ def run_train_classifier(spark, docs_path: str, labels_path: str,
     }
 
 
+def run_text_index_stream(spark, docs_path: str, index_dir: str,
+                          max_files_per_trigger: int | None = None) -> dict:
+    """Streaming ingest for the persistent inverted index (``--mode
+    text-index --stream``): a JSONL docs stream folds into the on-disk
+    index one micro-batch at a time through foreachBatch — the first
+    batch builds the index, every later batch rides
+    ``add_to_text_index``. Because chained adds equal a bulk build
+    BIT-FOR-BIT (every BM25 input is exact), the streamed index equals
+    the batch-built index over the same corpus — test-pinned.
+
+    Redelivery safety: foreachBatch may replay a batch after a
+    failure; ``validate=True`` turns the replayed (now id-overlapping)
+    add into a crisp error instead of silently double-counting tf —
+    the index is a side-effecting sink, so exactly-once must come from
+    the id-disjointness contract, not the checkpoint."""
+    import shutil
+    import tempfile
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.text_index import (
+        add_to_text_index,
+        build_text_index,
+    )
+
+    reader = spark.readStream.schema("doc_id long, text string")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.json(docs_path)
+    stats = {"batches": 0}
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        if not os.path.exists(os.path.join(index_dir, "stats.json")):
+            build_text_index(batch_df, index_dir)
+        else:
+            add_to_text_index(spark, index_dir, batch_df, validate=True)
+        stats["batches"] += 1
+
+    chk = tempfile.mkdtemp(prefix="tp_tidx_chk_")
+    q = (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(chk, ignore_errors=True)
+    return stats
+
+
 def run_dedup_batch(spark, docs_path: str, out_dir: str,
                     index_path: str, bits: int = 64,
                     retain_min_id: int | None = None) -> dict:
@@ -1076,6 +1126,22 @@ def main() -> None:
         "--once", action="store_true", help="availableNow: drain inputs and exit"
     )
     ap.add_argument(
+        "--max-files-per-trigger",
+        type=int,
+        default=None,
+        metavar="N",
+        help="streaming modes: cap input files per micro-batch "
+        "(maxFilesPerTrigger)",
+    )
+    ap.add_argument(
+        "--stream", action="store_true",
+        help="--mode text-index --index IDX: fold a JSONL docs STREAM "
+        "at --path into the index one micro-batch at a time "
+        "(availableNow; first batch builds, later batches add — "
+        "streamed == bulk build bit-for-bit by the chained-add "
+        "contract)"
+    )
+    ap.add_argument(
         "--ttl-ms",
         type=int,
         default=None,
@@ -1473,12 +1539,35 @@ def main() -> None:
                 f"{stats['total_tokens']} tokens -> {args.index}"
             )
             return
+        if args.stream:
+            if not args.path or not args.index or args.out:
+                ap.error(
+                    "--mode text-index --stream requires --path (JSONL "
+                    "docs stream dir) and --index (the index dir; "
+                    "created by the first batch) — no --out"
+                )
+            st = run_text_index_stream(
+                spark, args.path, args.index,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
+            from travelpulse_spark_stream_tourism_analytics_spark.operators.text_index import (
+                load_text_index_stats,
+            )
+
+            stats = load_text_index_stats(args.index)
+            print(
+                f">>> text index streamed; {st['batches']} batches, now "
+                f"{stats['n_docs']} docs, {stats['total_tokens']} tokens "
+                f"-> {args.index}"
+            )
+            return
         if not args.path or (bool(args.out) == bool(args.index)):
             ap.error(
                 "--mode text-index requires --path (docs dir) and "
                 "EITHER --out (build a new index there) OR --index "
                 "(fold the --path batch into that existing index), or "
-                "--index with --delete-ids (deletion repair)"
+                "--index with --delete-ids (deletion repair), or "
+                "--index with --stream (streaming ingest)"
             )
         from travelpulse_spark_stream_tourism_analytics_spark.operators.text_index import (
             add_to_text_index,

@@ -477,3 +477,58 @@ def test_text_index_cli_delete(spark, tmp_path, capsys, monkeypatch):
         )
     )
     assert got == want
+
+
+def test_text_index_streaming_ingest_equals_bulk(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """--mode text-index --stream folds a JSONL docs stream into the
+    index one micro-batch at a time (first batch builds, later add);
+    the streamed index equals a bulk build over the same corpus
+    bit-for-bit — the chained-add contract composed through
+    foreachBatch."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import run_pipeline
+
+    all_rows = _docs(spark).collect()
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for part, lo in enumerate(range(0, 8, 3)):
+        with open(stream_dir / f"part-{part}.json", "w") as fh:
+            for r in all_rows[lo : lo + 3]:
+                fh.write(
+                    json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+                    + "\n"
+                )
+
+    idx = str(tmp_path / "streamed")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "text-index", "--stream",
+         "--path", str(stream_dir), "--index", idx,
+         "--max-files-per-trigger", "1"],
+    )
+    run_pipeline.main()
+    out = capsys.readouterr().out
+    assert "text index streamed; 3 batches, now 8 docs" in out
+
+    bulk = str(tmp_path / "bulk")
+    text_index.build_text_index(_docs(spark), bulk, n_buckets=64)
+    # streamed default n_buckets == build default, so stats line up
+    assert text_index.load_text_index_stats(
+        idx
+    ) == text_index.load_text_index_stats(bulk)
+    queries = _queries(spark)
+    got = _collect_sorted(
+        text_index.search_text_index(spark, idx, queries, top_n=8)
+    )
+    want = _collect_sorted(
+        text_index.search_text_index(spark, bulk, queries, top_n=8)
+    )
+    assert got == want
