@@ -381,7 +381,12 @@ def delete_from_text_index(
     is the n_docs constant (no postings rows carry its dl), so its
     deletion cannot be reconciled — the refusal names the rebuild
     path. Ids must also be distinct (a doubled id would double-count
-    the constants)."""
+    the constants).
+
+    The id relation BROADCASTS (the semi/anti join sides): deletion
+    batches are operationally bounded — a corpus-scale purge should
+    ``build_text_index`` over the survivors instead, which is also
+    cheaper than rewriting almost every bucket here."""
     import shutil
 
     stats = load_text_index_stats(index_dir)
