@@ -532,3 +532,27 @@ def test_text_index_streaming_ingest_equals_bulk(
         text_index.search_text_index(spark, bulk, queries, top_n=8)
     )
     assert got == want
+
+
+def test_delete_refuses_duplicate_ingest_corruption(spark, tmp_path):
+    """An index holding the same id twice with different document
+    lengths (a double-ingest that bypassed validate) must refuse
+    deletion with the duplicate named — subtracting either dl would
+    corrupt the constants further."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "dup")
+    text_index.build_text_index(docs, idx, n_buckets=8)
+    # simulate the corruption: re-add doc 1 with DIFFERENT text
+    text_index.add_to_text_index(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [(1, "completely different longer text body now")],
+            "doc_id long, text string",
+        ),
+        validate=False,
+    )
+    with pytest.raises(ValueError, match="multiple distinct document"):
+        text_index.delete_from_text_index(
+            spark, idx, spark.createDataFrame([(1,)], "doc_id long")
+        )

@@ -408,6 +408,25 @@ def delete_from_text_index(
         F.count("*").alias("n"), F.sum("dl").alias("total")
     ).collect()[0]
     n_found = int(found["n"])
+    if n_found > n_req:
+        # more (id, dl) pairs than requested ids: some id carries TWO
+        # distinct dls — the index holds the same id twice (a
+        # double-ingest that bypassed add's validate), and subtracting
+        # either dl would corrupt the constants further
+        dup = (
+            per_doc.groupBy(id_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        raise ValueError(
+            f"delete_from_text_index: doc id {dup[0][id_col]!r} appears "
+            "in the postings with multiple distinct document lengths — "
+            "the index holds duplicate ingests of this id (the add-time "
+            "id-disjointness contract was bypassed); rebuild with "
+            "build_text_index over the corrected corpus"
+        )
     if n_found != n_req:
         missing = (
             ids.join(per_doc.select(id_col), id_col, "left_anti")
