@@ -1790,9 +1790,18 @@ def test_dup_span_token_mask_equivalence(spark):
     toks = {
         i: [t for t in text.lower().split() if t] for i, text in docs
     }
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+
+    # exercise the precomputed-spans path: passing the detector's own
+    # output must change nothing
+    pre = substring_dup_spans(df, "text", "doc_id", 8)
     masks = {
         r["doc_id"]: (r["mask"], r["n_tokens"], r["n_tokens_masked"])
-        for r in dup_span_token_mask(df, "text", "doc_id").collect()
+        for r in dup_span_token_mask(
+            df, "text", "doc_id", spans=pre
+        ).collect()
     }
     removed = {
         r["doc_id"]: (r["text_dedup"], r["n_tokens"], r["n_tokens_removed"])

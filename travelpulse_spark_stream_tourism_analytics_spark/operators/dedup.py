@@ -96,6 +96,7 @@ def remove_dup_spans(
     id_col: str,
     window_tokens: int = 8,
     min_copies: int = 2,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """The REMOVAL half of exact-substring dedup (Lee et al. 2022
     §4.1 ExactSubstr: "when two documents share a sufficiently long
@@ -129,7 +130,8 @@ def remove_dup_spans(
     count; the rebuild is pure array expressions. Output:
     ``(id, text_dedup, n_tokens, n_tokens_removed)``."""
     toks, removals = _dup_span_removals(
-        df, text_col, id_col, window_tokens, min_copies, "remove_dup_spans"
+        df, text_col, id_col, window_tokens, min_copies,
+        "remove_dup_spans", spans,
     )
     w = window_tokens
     starts = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
@@ -161,6 +163,7 @@ def _dup_span_removals(
     window_tokens: int,
     min_copies: int,
     caller: str,
+    spans: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared core of :func:`remove_dup_spans` /
     :func:`dup_span_token_mask`: returns ``(toks, removals)`` where
@@ -213,6 +216,7 @@ def dup_span_token_mask(
     id_col: str,
     window_tokens: int = 8,
     min_copies: int = 2,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """The LOSS-MASKING form of exact-substring dedup: instead of
     cutting duplicated spans out of the token stream
@@ -234,7 +238,7 @@ def dup_span_token_mask(
     array expressions."""
     toks, removals = _dup_span_removals(
         df, text_col, id_col, window_tokens, min_copies,
-        "dup_span_token_mask",
+        "dup_span_token_mask", spans,
     )
     w = window_tokens
     starts = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))

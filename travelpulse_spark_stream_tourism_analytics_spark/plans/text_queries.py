@@ -211,7 +211,16 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = dedup.exact_dedup(docs, "text", "doc_id").select(
         F.lit("doc").alias("branch"), "text_hash", "keep_doc_id", "n_copies"
     )
-    sub = dedup.substring_dup_spans(docs, "text", "doc_id", 8).select(
+    # THREE branches consume the span table (substring report, despan
+    # removal, despan_mask) but NO persist is needed: the subtrees are
+    # identical, so Spark's ReusedExchange computes the span shuffle
+    # once within the union plan (A/B-measured a wash vs scoped_persist
+    # at sf0.1 — [2.69, 2.15] unshared vs [2.54, 2.10] persisted).
+    # Library callers materializing the removal and masking forms as
+    # SEPARATE actions should precompute + persist spans and pass it
+    # via the operators' spans= parameter instead.
+    spans = dedup.substring_dup_spans(docs, "text", "doc_id", 8)
+    sub = spans.select(
         F.lit("substring").alias("branch"),
         "text_hash",
         "keep_doc_id",
@@ -223,7 +232,7 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 of the ENTIRE rebuilt stream, so the oracle hash-checks
     # every kept token of every document; n_copies carries the
     # removed-token count.
-    desp = dedup.remove_dup_spans(docs, "text", "doc_id", 8).select(
+    desp = dedup.remove_dup_spans(docs, "text", "doc_id", 8, spans=spans).select(
         F.lit("despan").alias("branch"),
         F.md5("text_dedup").alias("text_hash"),
         F.col("doc_id").alias("keep_doc_id"),
@@ -235,7 +244,9 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (strictly stronger than the rebuilt text: repeated tokens make
     # different masks rebuild identical text); n_copies = tokens
     # masked.
-    mask = dedup.dup_span_token_mask(docs, "text", "doc_id", 8).select(
+    mask = dedup.dup_span_token_mask(
+        docs, "text", "doc_id", 8, spans=spans
+    ).select(
         F.lit("despan_mask").alias("branch"),
         F.md5(
             F.array_join(
