@@ -805,7 +805,7 @@ def main() -> None:
                  "train-classifier", "train-bpe", "compact",
                  "build-ann-index", "ann-search", "knn-graph",
                  "decontam", "cluster-sample", "centrality", "search",
-                 "text-index"],
+                 "text-index", "shard"],
         default="kpis",
         help="kpis: the 16-query tourism topology; dedup: streaming "
         "document near-dup verdicts (--path is a JSONL docs dir, "
@@ -840,7 +840,27 @@ def main() -> None:
         "the corpus; text-index: build the persistent inverted index "
         "(--path docs dir, --out index dir, --n-buckets), or fold a "
         "NEW doc batch into an existing one (--path batch, --index "
-        "index dir — id overlap is validated and fails)",
+        "index dir — id overlap is validated and fails); shard: "
+        "deterministic corpus shuffle + shard export — every row of "
+        "--path gets (shard, pos) from the md5(id || ':' || seed) "
+        "shuffle key, written to --out partitioned by shard with a "
+        "per-shard manifest (count, token sum, id checksum) a trainer "
+        "can verify shards against; (--shuffle-seed, --n-shards) "
+        "fully determine the layout, so an epoch replays bit-for-bit",
+    )
+    ap.add_argument(
+        "--n-shards",
+        type=int,
+        default=64,
+        help="--mode shard: shard count — size well above the "
+        "executor count so each shard's within-shard sort is bounded "
+        "(web scale wants 8-64k)",
+    )
+    ap.add_argument(
+        "--shuffle-seed",
+        default="",
+        help="--mode shard: epoch seed — a different seed is an "
+        "independent deterministic epoch order",
     )
     ap.add_argument(
         "--n-buckets",
@@ -1514,6 +1534,72 @@ def main() -> None:
         print(
             f">>> cluster sample done; {n} vectors kept "
             f"(cap={args.cap} per cell) -> {args.out}"
+        )
+        return
+
+    if args.mode == "shard":
+        if not args.path or not args.out:
+            ap.error(
+                "--mode shard requires --path (a documents parquet/"
+                "dir) and --out (the shard export dir)"
+            )
+        from pyspark.sql import functions as F
+
+        from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+            words_of,
+        )
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+            shard_manifest,
+            shuffled_shards,
+        )
+
+        _guard_out_overwrite(ap, args.out, [("--path", args.path)])
+        docs = _load_docs(spark, args.path)
+        id_col = "doc_id" if "doc_id" in docs.columns else docs.columns[0]
+        tokens_col = None
+        if "n_tokens" in docs.columns:
+            tokens_col = "n_tokens"
+        elif "text" in docs.columns:
+            docs = docs.withColumn(
+                "n_tokens", F.size(words_of(F.col("text"))).cast("long")
+            )
+            tokens_col = "n_tokens"
+        assigned = shuffled_shards(
+            docs, n_shards=args.n_shards, seed=args.shuffle_seed,
+            id_col=id_col,
+        )
+        # one shuffle total: the row_number window already hash-
+        # partitioned on shard, so the partitioned write reuses it;
+        # sortWithinPartitions gives a sequential reader pos order
+        # on disk, not just as a column
+        (
+            assigned.repartition(args.n_shards, "shard")
+            .sortWithinPartitions("shard", "pos")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(args.out, "shards"))
+        )
+        written = spark.read.parquet(os.path.join(args.out, "shards"))
+        man = shard_manifest(
+            written, id_col=id_col, tokens_col=tokens_col
+        )
+        man.write.mode("overwrite").parquet(
+            os.path.join(args.out, "manifest.parquet")
+        )
+        stats = man.agg(
+            F.count("*").alias("shards"),
+            F.sum("n_docs").alias("docs"),
+            F.min(F.col("positions_dense").cast("int")).alias("dense"),
+        ).collect()[0]
+        if stats["dense"] != 1:
+            raise SystemExit(
+                "shard export integrity check failed: a shard's "
+                "positions are not contiguous 1..n"
+            )
+        print(
+            f">>> shard export done; {stats['docs']} rows into "
+            f"{stats['shards']} shards (seed="
+            f"{args.shuffle_seed!r}) -> {args.out}"
         )
         return
 

@@ -691,6 +691,8 @@ def test_cli_out_overwrite_guard_covers_every_mode(
         # search (round 10): --out == --path
         ["--mode", "search", "--path", emb_dir, "--query", "spark",
          "--out", emb_dir],
+        # shard (round 10): --out == --path
+        ["--mode", "shard", "--path", emb_dir, "--out", emb_dir],
     ]
     for extra in cases:
         monkeypatch.setattr(sys, "argv", ["run_pipeline.py"] + extra)

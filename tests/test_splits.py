@@ -369,3 +369,171 @@ def test_cluster_sample_cli_caps_per_index_cell(
     assert kept.count() < 500  # something was capped
     ranks = kept.groupBy("cell_id").agg(F.max("cluster_rank").alias("m")).collect()
     assert all(r["m"] == per[r["cell_id"]] for r in ranks)
+
+
+def test_shuffled_shards_semantics(spark):
+    """Deterministic shuffle+shard contract: stable across runs and
+    partitionings, positions contiguous per shard, n_shards=1 is one
+    global permutation, different seeds permute differently, shard
+    sizes roughly uniform, n_shards<1 refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+        shuffled_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(400)], "doc_id long, source string"
+    )
+    got = shuffled_shards(df, n_shards=4, seed="e1")
+    rows = {r["doc_id"]: (r["shard"], r["pos"]) for r in got.collect()}
+    assert len(rows) == 400
+
+    # stable under a different physical partitioning
+    again = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffled_shards(
+            df.repartition(13, "source"), n_shards=4, seed="e1"
+        ).collect()
+    }
+    assert rows == again
+
+    # per-shard positions are exactly 1..len(shard)
+    by_shard = {}
+    for shard, pos in rows.values():
+        by_shard.setdefault(shard, []).append(pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # binomial concentration: no shard is empty or >2x the mean here
+    sizes = [len(v) for v in by_shard.values()]
+    assert min(sizes) > 0 and max(sizes) < 200
+
+    # n_shards=1: a single global permutation of all rows
+    one = shuffled_shards(df, n_shards=1, seed="e1").collect()
+    assert {r["shard"] for r in one} == {0}
+    assert sorted(r["pos"] for r in one) == list(range(1, 401))
+
+    # a different seed gives a different permutation (same id sets)
+    other = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffled_shards(df, n_shards=4, seed="e2").collect()
+    }
+    assert other != rows and set(other) == set(rows)
+
+    with pytest.raises(ValueError, match="n_shards"):
+        shuffled_shards(df, n_shards=0)
+
+
+def test_shard_manifest_matches_recount(spark):
+    """Manifest rows certify (count, token sum, id-set checksum,
+    dense positions) per shard — and the checksum flips when an id
+    set differs."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+        shard_manifest,
+        shuffled_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10 + i % 7) for i in range(300)], "doc_id long, n_tokens long"
+    )
+    assigned = shuffled_shards(df, n_shards=4, seed="m1")
+    man = {
+        r["shard"]: r
+        for r in shard_manifest(assigned, tokens_col="n_tokens").collect()
+    }
+    assert set(man) == {0, 1, 2, 3}
+    raw = assigned.groupBy("shard").agg(
+        F.count("*").alias("n"), F.sum("n_tokens").alias("t")
+    ).collect()
+    for r in raw:
+        m = man[r["shard"]]
+        assert m["n_docs"] == r["n"]
+        assert m["n_tokens"] == r["t"]
+        assert m["positions_dense"] is True
+    assert sum(m["n_docs"] for m in man.values()) == 300
+
+    # dropping one row changes exactly that shard's checksum and count
+    victim = assigned.filter("shard = 2").limit(1).collect()[0]["doc_id"]
+    man2 = {
+        r["shard"]: r
+        for r in shard_manifest(
+            assigned.filter(F.col("doc_id") != victim),
+            tokens_col="n_tokens",
+        ).collect()
+    }
+    assert man2[2]["id_checksum"] != man[2]["id_checksum"]
+    assert man2[2]["n_docs"] == man[2]["n_docs"] - 1
+    for s in (0, 1, 3):
+        assert man2[s]["id_checksum"] == man[s]["id_checksum"]
+
+    # tokens_col omitted -> n_tokens column present but NULL
+    nul = shard_manifest(assigned).collect()
+    assert all(r["n_tokens"] is None for r in nul)
+
+
+def test_shard_cli_roundtrip(spark, tmp_path, capsys, monkeypatch):
+    """--mode shard writes shards/ partitioned by shard plus a
+    manifest that re-verifies against the written rows; the layout is
+    bit-identical to the library operator and replays under the same
+    (seed, n_shards)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import run_pipeline
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+        shuffled_shards,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "text")
+    docs_dir = str(tmp_path / "docs")
+    docs.write.parquet(docs_dir)
+
+    out = str(tmp_path / "export")
+    argv = ["run_pipeline.py", "--mode", "shard", "--path", docs_dir,
+            "--out", out, "--n-shards", "4", "--shuffle-seed", "ep0"]
+    monkeypatch.setattr(sys, "argv", argv)
+    run_pipeline.main()
+    assert ">>> shard export done" in capsys.readouterr().out
+
+    written = spark.read.parquet(os.path.join(out, "shards"))
+    lib = shuffled_shards(docs, n_shards=4, seed="ep0")
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"]) for r in written.collect()
+    }
+    want = {r["doc_id"]: (r["shard"], r["pos"]) for r in lib.collect()}
+    assert got == want
+
+    man = spark.read.parquet(os.path.join(out, "manifest.parquet"))
+    mrows = {r["shard"]: r for r in man.collect()}
+    counts = {
+        r["shard"]: r["n"]
+        for r in written.groupBy("shard").agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {s: m["n_docs"] for s, m in mrows.items()} == counts
+    assert all(m["positions_dense"] for m in mrows.values())
+    assert all(m["n_tokens"] is not None for m in mrows.values())
+
+    # replay: a second export under the same seed is identical
+    out2 = str(tmp_path / "export2")
+    monkeypatch.setattr(
+        sys, "argv", argv[:argv.index(out)] + [out2] + argv[argv.index(out) + 1:]
+    )
+    run_pipeline.main()
+    capsys.readouterr()
+    again = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in spark.read.parquet(os.path.join(out2, "shards")).collect()
+    }
+    assert again == got

@@ -317,3 +317,112 @@ def cluster_balanced_sample(
         )
         .filter(F.col("cluster_rank") <= cap)
     )
+
+
+def shuffled_shards(
+    docs: DataFrame,
+    n_shards: int,
+    seed: str = "",
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment — the last mile
+    of a training-data pipeline: tokenized/packed rows leave the engine
+    as N shard files in a shuffled order a trainer can replay exactly.
+
+    Every row gets a shuffle key ``md5(id || ':' || seed)`` — the
+    engine's standard portable-hash primitive (no RNG state, identical
+    on any engine/partitioning/cluster size) — then:
+
+    - ``shard`` = first 8 hex chars of the key as an integer, mod
+      ``n_shards``. Hash-mod, NOT a global-rank range split: shard
+      sizes are binomial-concentrated around N/n_shards (relative
+      spread ~ 1/sqrt(N/n_shards) — at a million rows per shard,
+      +-0.1%) and every shard is a statistically identical,
+      mixture-preserving sample of the corpus (any prefix of any shard
+      has the corpus's source mix in expectation — the property
+      training-order shuffling exists to provide). The 2^32-mod bias
+      is <= n_shards/2^32 per shard — irrelevant below millions of
+      shards.
+    - ``pos`` = 1-based rank of the key within the shard (id
+      tie-break; md5 collisions on distinct ids are 2^-128 — the
+      tie-break keeps determinism unconditional, not probabilistic).
+
+    A trainer reads shards in any order but each shard sequentially by
+    ``pos``; (seed, n_shards) fully determine the layout, so an epoch
+    is reproducible bit-for-bit and a different ``seed`` gives an
+    independent epoch order.
+
+    Scale shape: ONE hash-partition shuffle on ``shard`` (which the
+    sharded write needs anyway) and a per-shard streaming
+    ``row_number`` — no global sort, no single-task rank, no driver
+    collect. At 100 TB pick n_shards >> executor count (e.g. 8-64k) so
+    each shard sorts a bounded slice; the window sort is the price of
+    a replayable within-shard order.
+    """
+    if n_shards < 1:
+        raise ValueError(
+            f"shuffled_shards: n_shards must be >= 1, got {n_shards}"
+        )
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+        % F.lit(int(n_shards))
+    ).cast("int")
+    d = docs.withColumn("__shuffle_key", key).withColumn(shard_col, shard)
+    w = Window.partitionBy(shard_col).orderBy("__shuffle_key", id_col)
+    return (
+        d.withColumn(pos_col, F.row_number().over(w).cast("long"))
+        .drop("__shuffle_key")
+    )
+
+
+def shard_manifest(
+    assigned: DataFrame,
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Per-shard manifest over a ``shuffled_shards`` result:
+    ``(shard, n_docs, n_tokens, id_checksum)``.
+
+    ``id_checksum`` is the DECIMAL(38,0) sum of the first 15 md5 hex
+    chars of each member id as an integer — exact, order-independent,
+    engine-portable (the float-free accumulation recipe every checksum
+    in this engine uses), so two manifests agree iff the shards hold
+    the same id SETS regardless of partitioning or engine.
+    ``n_docs == max(pos)`` by construction (row_number is dense), so a
+    manifest row also certifies the shard's positions are the
+    contiguous 1..n_docs a sequential reader expects.
+
+    One partial-agg shuffle on shard (map-side combined); the manifest
+    is n_shards rows — write it next to the shards and a resuming
+    trainer can verify a shard file without re-reading the corpus.
+    """
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("decimal(38,0)")
+        ).alias("id_checksum"),
+        F.max(pos_col).alias("__max_pos"),
+    ]
+    if tokens_col is not None:
+        aggs.insert(1, F.sum(tokens_col).cast("long").alias("n_tokens"))
+    else:
+        aggs.insert(1, F.lit(None).cast("long").alias("n_tokens"))
+    out = assigned.groupBy(shard_col).agg(*aggs)
+    return out.select(
+        shard_col,
+        "n_docs",
+        "n_tokens",
+        "id_checksum",
+        (F.col("n_docs") == F.col("__max_pos")).alias("positions_dense"),
+    )

@@ -1326,6 +1326,24 @@ _PII_HITS_SQL = " + ".join(
     ) a
     JOIN documents d ON d.doc_id = a.vec_id
     WHERE a.rnk <= 25
+    UNION ALL
+    -- shard branch (round 10, operators/splits.py shuffled_shards):
+    -- deterministic corpus shuffle + shard export — shuffle key
+    -- md5(id || ':e1'), shard = first-8-hex int mod 8, pos = 1-based
+    -- key rank within the shard (id tiebreak). n_docs carries pos,
+    -- weight carries the shard id.
+    SELECT 'shard' AS branch, doc_id, source, lang, n_chars,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY k, doc_id
+           ) AS BIGINT) AS n_docs,
+           CAST(shard AS DOUBLE) AS weight
+    FROM (
+        SELECT doc_id, source, lang, n_chars,
+               md5(doc_id::VARCHAR || ':e1') AS k,
+               (('0x' || substr(md5(doc_id::VARCHAR || ':e1'), 1, 8))
+                    ::BIGINT % 8) AS shard
+        FROM documents
+    )
     """.format(words=_WORDS_SQL.format(c="text")),
 )
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1495,12 +1513,34 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_rank").alias("n_docs"),
         F.col("own_cosine").alias("weight"),
     )
+    # branch='shard' (round 10, operators/splits.py shuffled_shards):
+    # the training-order last mile — deterministic md5-keyed corpus
+    # shuffle into 8 hash-mod shards with a replayable within-shard
+    # position. n_docs = pos, weight = shard id.
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+        shuffled_shards,
+    )
+
+    sharded = shuffled_shards(
+        docs.select("doc_id", "source", "lang", "n_chars"),
+        n_shards=8,
+        seed="e1",
+    ).select(
+        F.lit("shard").alias("branch"),
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.col("pos").alias("n_docs"),
+        F.col("shard").cast("double").alias("weight"),
+    )
     return (
         sample.unionByName(mixture)
         .unionByName(budget)
         .unionByName(es)
         .unionByName(tw)
         .unionByName(cluster_cap)
+        .unionByName(sharded)
     )
 
 
