@@ -1720,6 +1720,216 @@ def text_index_soak(
     }
 
 
+def minhash_quality_soak(spark, sf_dir: str) -> dict:
+    """Measured ACCURACY of the MinHash-LSH dedup family — the banding
+    S-curve the theory promises, observed on real candidate sets.
+
+    The sf corpora's organic near-dups are bimodal (verbatim copies at
+    J>=0.9, unrelated docs at J<0.1) — no mass where the S-curve
+    bends. So the soak plants a GRADED corpus: each base doc gets one
+    mutated copy whose tokens are replaced at a per-doc rate p cycled
+    through {2,5,8,12,16,20,30,40}% (hash-deterministic per (doc,
+    position) — no RNG), each replacement a token unique to that copy.
+    Token loss p kills ~1-(1-p)^3 of 3-shingles, spreading the planted
+    pairs' TRUE Jaccard (measured exactly, never assumed) across the
+    0.1-0.9 bins.
+
+    RECALL is measured over the planted pairs — a COMPLETE ground
+    truth by construction (one known pair per base doc), binned by
+    exact Jaccard, against the theoretical hit rate 1-(1-J^r)^b at
+    the bin midpoint. PRECISION is measured by exact-Jaccard
+    verification of each config's own candidate set (bounded by the
+    candidate count; a config whose candidates exceed the verify cap
+    records the count and a null precision — logged, never silent).
+    An earlier design verified the whole share->=1-hash candidate
+    UNIVERSE for corpus-wide recall; that job is quadratic in
+    min-shingle bucket sizes and OOMed a single 8g JVM at sf0.1 —
+    the planted-pair design measures the same curve at linear cost.
+
+    Swept configs (all k=12, the production signature length): the
+    production (bands=4, rows=3) operating point plus the other
+    integer factorizations.
+    """
+    from pyspark.sql import functions as F
+
+    # The verify pass joins pair tables against EXPLODED shingle
+    # relations whose plan stats are garbage; the planner's static
+    # shuffled-hash pick OOMs building a per-partition hash map over
+    # the fanned-out side. Forcing sort-merge (spills gracefully) for
+    # the section is the same medicine as the kNN-graph merge hint —
+    # scoped here, production operators unchanged.
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        return _minhash_quality_body(spark, sf_dir, F)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+
+
+def _minhash_quality_body(spark, sf_dir: str, F) -> dict:
+    from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
+        words_of,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators import dedup
+    from travelpulse_spark_stream_tourism_analytics_spark.operators._cache import (
+        clear_operator_caches,
+        scoped_persist,
+    )
+
+    copy_shift = 10_000_000_000
+    verify_cap = 5_000_000
+
+    base = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    rates = [0.02, 0.05, 0.08, 0.12, 0.16, 0.20, 0.30, 0.40]
+    p = F.element_at(
+        F.array(*[F.lit(r) for r in rates]),
+        (F.col("doc_id") % len(rates) + 1).cast("int"),
+    )
+    toks = words_of(F.col("text"))
+    # per-position uniform in [0,1): first 4 md5 hex chars of
+    # (doc_id:pos) over 16^4 — deterministic, engine-agnostic
+    idx = F.sequence(F.lit(0), F.size(toks) - 1)
+    mut = F.zip_with(
+        toks,
+        idx,
+        lambda t, j: F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            j.cast("string"),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(65536.0)
+            < p,
+            F.concat(
+                F.lit("zz"),
+                F.col("doc_id").cast("string"),
+                F.lit("q"),
+                j.cast("string"),
+            ),
+        ).otherwise(t),
+    )
+    copies = base.select(
+        (F.col("doc_id") + F.lit(copy_shift)).alias("doc_id"),
+        F.array_join(mut, " ").alias("text"),
+    )
+    docs = base.unionByName(copies)
+    shingled = scoped_persist(
+        dedup.exploded_shingles(docs, "doc_id", "text", n=3),
+        "soak.minhash_quality.shingled",
+    )
+    sigs = scoped_persist(
+        dedup.minhash_signatures(shingled, "doc_id", k=12),
+        "soak.minhash_quality.sigs",
+    )
+
+    t0 = time.perf_counter()
+    planted = base.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(copy_shift)).alias("id_b"),
+    )
+    truth = scoped_persist(
+        dedup.pair_jaccard(planted, shingled, "doc_id"),
+        "soak.minhash_quality.truth",
+    )
+    bin_expr = F.least(F.lit(9), F.floor(F.col("jaccard") * 10)).cast("int")
+    truth_bins = {
+        int(r["bin"]): int(r["n"])
+        for r in truth.groupBy(bin_expr.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    wall_truth = time.perf_counter() - t0
+
+    n_docs = docs.count()
+    out = {
+        "n_docs_with_copies": n_docs,
+        "planted_pairs": sum(truth_bins.values()),
+        "verify_cap": verify_cap,
+        "wall_truth_sec": round(wall_truth, 2),
+        "truth_pairs_by_bin": {
+            f"{b / 10:.1f}-{(b + 1) / 10:.1f}": n
+            for b, n in sorted(truth_bins.items())
+        },
+        "configs": {},
+    }
+    for bands, rows in ((4, 3), (6, 2), (2, 6), (12, 1), (3, 4)):
+        t0 = time.perf_counter()
+        cands = dedup.lsh_candidate_pairs(
+            dedup.lsh_bands(sigs, "doc_id", bands=bands, rows=rows),
+            "doc_id",
+        )
+        cands = scoped_persist(cands, "soak.minhash_quality.cands")
+        n_cands = cands.count()
+        # recall over the planted graded pairs
+        hit = cands.join(truth, ["id_a", "id_b"])
+        hit_bins = {
+            int(r["bin"]): int(r["n"])
+            for r in hit.groupBy(bin_expr.alias("bin"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        recall = {}
+        for b, n_true in sorted(truth_bins.items()):
+            mid = (b + 0.5) / 10
+            theory = 1 - (1 - mid**rows) ** bands
+            recall[f"{b / 10:.1f}-{(b + 1) / 10:.1f}"] = {
+                "n_true": n_true,
+                "n_hit": hit_bins.get(b, 0),
+                "recall": round(hit_bins.get(b, 0) / n_true, 4)
+                if n_true
+                else None,
+                "theory_mid": round(theory, 4),
+            }
+        # exact precision by verifying THIS config's candidates
+        if n_cands <= verify_cap:
+            ver = dedup.pair_jaccard(cands, shingled, "doc_id")
+            vrow = ver.agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("jaccard") >= 0.5).cast("long")).alias("n5"),
+                F.sum((F.col("jaccard") >= 0.7).cast("long")).alias("n7"),
+            ).collect()[0]
+            # candidates sharing NO shingle never reach pair_jaccard
+            # rows (inner join on intersection) — they are exact-J=0
+            prec5 = round((vrow["n5"] or 0) / n_cands, 4) if n_cands else None
+            prec7 = round((vrow["n7"] or 0) / n_cands, 4) if n_cands else None
+        else:
+            print(
+                f"minhash_quality: b{bands}r{rows} candidates "
+                f"{n_cands} > verify cap {verify_cap}; precision "
+                "skipped (count recorded)",
+                flush=True,
+            )
+            prec5 = prec7 = None
+        wall = time.perf_counter() - t0
+        out["configs"][f"b{bands}r{rows}"] = {
+            "bands": bands,
+            "rows": rows,
+            "candidates": n_cands,
+            "candidates_per_doc": round(n_cands / n_docs, 2),
+            "precision_j05": prec5,
+            "precision_j07": prec7,
+            "wall_sec": round(wall, 2),
+            "recall_by_bin": recall,
+        }
+    clear_operator_caches()
+    spark.catalog.clearCache()
+    return out
+
+
 def drift_soak(spark, base_dir: str, cand_dir: str, n_cells: int = 32) -> dict:
     """Scale row for embedding-space drift monitoring (round 10):
     per-cell occupancy PSI + centroid-shift cosine between two
@@ -2146,6 +2356,46 @@ def main() -> None:
         or row["cells_reported"] != row["n_cells"]
     ):
         anomalies.append("embedding_drift")
+    checkpoint()
+
+    # Round 10: MinHash-LSH measured ACCURACY — the banding S-curve
+    # observed on a graded-overlap corpus (planted copies at 8 token-
+    # replacement rates), exact-Jaccard ground truth from the
+    # k=128/r=1 candidate universe. Gates: every (config, bin) with
+    # >= 50 true pairs must sit within 0.15 of the theoretical
+    # 1-(1-J^r)^b at the bin midpoint, and the production (4,3)
+    # config must hold recall >= 0.85 from the 0.8 bin up.
+    result["minhash_quality"] = {}
+    for sf_name, d in (("sf0.1", SF01), ("sf1", args.data_dir)):
+        row = minhash_quality_soak(spark, d)
+        result["minhash_quality"][sf_name] = row
+        print(
+            f"minhash quality @{sf_name}:",
+            json.dumps(
+                {
+                    c: {
+                        "cands": v["candidates"],
+                        "p05": v["precision_j05"],
+                    }
+                    for c, v in row["configs"].items()
+                }
+            ),
+            flush=True,
+        )
+        for cname, cfg in row["configs"].items():
+            for bname, b in cfg["recall_by_bin"].items():
+                if b["n_true"] >= 50 and b["recall"] is not None:
+                    if abs(b["recall"] - b["theory_mid"]) > 0.15:
+                        anomalies.append(
+                            f"minhash_quality:{sf_name}:{cname}:{bname}"
+                        )
+        prod = row["configs"]["b4r3"]["recall_by_bin"]
+        for bname in ("0.8-0.9", "0.9-1.0"):
+            b = prod.get(bname)
+            if b and b["n_true"] >= 30 and b["recall"] < 0.85:
+                anomalies.append(
+                    f"minhash_quality:{sf_name}:prod_recall:{bname}"
+                )
     checkpoint()
 
     result["anomalies"] = anomalies
