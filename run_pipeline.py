@@ -863,6 +863,14 @@ def main() -> None:
         "independent deterministic epoch order",
     )
     ap.add_argument(
+        "--verify",
+        action="store_true",
+        help="--mode shard: verify an existing export (--path is the "
+        "export dir) against its manifest instead of writing one — "
+        "per-shard count/checksum/position check, exit 1 on any "
+        "mismatch",
+    )
+    ap.add_argument(
         "--n-buckets",
         type=int,
         default=64,
@@ -1535,6 +1543,35 @@ def main() -> None:
             f">>> cluster sample done; {n} vectors kept "
             f"(cap={args.cap} per cell) -> {args.out}"
         )
+        return
+
+    if args.mode == "shard" and args.verify:
+        if not args.path or args.out:
+            ap.error(
+                "--mode shard --verify takes --path (an existing "
+                "shard export dir) and no --out"
+            )
+        from pyspark.sql import functions as F
+
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+            verify_shards,
+        )
+
+        rows = verify_shards(spark, args.path).collect()
+        bad = [r for r in rows if not r["ok"]]
+        for r in sorted(bad, key=lambda r: (r["shard"] is None, r["shard"])):
+            print(
+                f"shard {r['shard']}: MISMATCH (docs {r['n_docs']} vs "
+                f"stored {r['n_docs_stored']}, checksum_ok="
+                f"{r['checksum_ok']}, dense_ok={r['dense_ok']})"
+            )
+        print(
+            f">>> shard verify {'FAILED' if bad else 'ok'}; "
+            f"{len(rows) - len(bad)}/{len(rows)} shards match "
+            f"-> {args.path}"
+        )
+        if bad:
+            raise SystemExit(1)
         return
 
     if args.mode == "shard":

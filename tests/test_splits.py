@@ -537,3 +537,76 @@ def test_shard_cli_roundtrip(spark, tmp_path, capsys, monkeypatch):
         for r in spark.read.parquet(os.path.join(out2, "shards")).collect()
     }
     assert again == got
+
+
+def test_verify_shards_detects_corruption(spark, tmp_path, capsys, monkeypatch):
+    """verify_shards passes on an intact export; a dropped row, a
+    manifest from a different seed, and a missing shard directory all
+    surface as ok=false rows; the CLI exits 1 on mismatch."""
+    import os
+    import shutil
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import pytest as _pytest
+    import run_pipeline
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+        shard_manifest,
+        shuffled_shards,
+        verify_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} tok{i + 2}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "exp")
+    assigned = shuffled_shards(docs, n_shards=4, seed="v1")
+    (
+        assigned.repartition(4, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(out, "shards"))
+    )
+    shard_manifest(
+        spark.read.parquet(os.path.join(out, "shards"))
+    ).write.mode("overwrite").parquet(os.path.join(out, "manifest.parquet"))
+
+    ok = verify_shards(spark, out).collect()
+    assert len(ok) == 4 and all(r["ok"] for r in ok)
+
+    # CLI happy path
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "shard", "--verify", "--path", out],
+    )
+    run_pipeline.main()
+    assert ">>> shard verify ok" in capsys.readouterr().out
+
+    # corrupt one shard: rewrite it minus one row
+    victim_dir = os.path.join(out, "shards", "shard=2")
+    sub = spark.read.parquet(victim_dir)
+    keep = sub.orderBy("pos").limit(sub.count() - 1)
+    tmp_dir = str(tmp_path / "sub")
+    keep.write.mode("overwrite").parquet(tmp_dir)
+    shutil.rmtree(victim_dir)
+    shutil.copytree(tmp_dir, victim_dir)
+    rows = {r["shard"]: r for r in verify_shards(spark, out).collect()}
+    assert not rows[2]["ok"] and not rows[2]["checksum_ok"]
+    assert all(rows[s]["ok"] for s in (0, 1, 3))
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "shard", "--verify", "--path", out],
+    )
+    with _pytest.raises(SystemExit):
+        run_pipeline.main()
+    assert "FAILED" in capsys.readouterr().out
+
+    # a shard directory missing entirely -> its manifest row fails
+    shutil.rmtree(victim_dir)
+    rows = {r["shard"]: r for r in verify_shards(spark, out).collect()}
+    assert not rows[2]["ok"] and rows[2]["n_docs"] is None

@@ -426,3 +426,68 @@ def shard_manifest(
         "id_checksum",
         (F.col("n_docs") == F.col("__max_pos")).alias("positions_dense"),
     )
+
+
+def verify_shards(
+    spark,
+    export_dir: str,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Re-derive the manifest from a written ``--mode shard`` export
+    and compare it shard-by-shard against the stored one:
+    ``(shard, ok, n_docs, n_docs_stored, checksum_ok, dense_ok)``.
+
+    The consumer-side half of the manifest contract: a trainer (or a
+    copy job) runs this against the export it actually sees — a
+    truncated parquet file, a lost shard directory, or a re-write
+    under a different seed all surface as a row with ``ok = false``
+    naming the shard, without the trainer having to know anything
+    about the shuffle key. Cost is one scan of the shards + the
+    n_shards-row manifest join; nothing is collected.
+
+    A shard present in the manifest but missing on disk appears with
+    null recomputed counts (full outer join); a shard on disk missing
+    from the manifest likewise fails with null stored counts.
+    """
+    import os
+
+    stored = spark.read.parquet(
+        os.path.join(export_dir, "manifest.parquet")
+    ).select(
+        "shard",
+        F.col("n_docs").alias("n_docs_stored"),
+        F.col("n_tokens").alias("n_tokens_stored"),
+        F.col("id_checksum").alias("id_checksum_stored"),
+    )
+    written = spark.read.parquet(os.path.join(export_dir, "shards"))
+    fresh = shard_manifest(
+        written,
+        id_col=id_col,
+        tokens_col=tokens_col
+        if tokens_col is not None
+        else ("n_tokens" if "n_tokens" in written.columns else None),
+    )
+    j = fresh.join(stored, "shard", "full_outer")
+    checksum_ok = (
+        F.col("id_checksum").isNotNull()
+        & F.col("id_checksum_stored").isNotNull()
+        & (F.col("id_checksum") == F.col("id_checksum_stored"))
+    )
+    tokens_ok = F.coalesce(
+        F.col("n_tokens") == F.col("n_tokens_stored"),
+        F.col("n_tokens").isNull() & F.col("n_tokens_stored").isNull(),
+    )
+    counts_ok = (
+        F.col("n_docs").isNotNull()
+        & (F.col("n_docs") == F.col("n_docs_stored"))
+    )
+    dense_ok = F.coalesce(F.col("positions_dense"), F.lit(False))
+    return j.select(
+        "shard",
+        (checksum_ok & counts_ok & dense_ok & tokens_ok).alias("ok"),
+        "n_docs",
+        "n_docs_stored",
+        checksum_ok.alias("checksum_ok"),
+        dense_ok.alias("dense_ok"),
+    )
