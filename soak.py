@@ -1930,6 +1930,94 @@ def _minhash_quality_body(spark, sf_dir: str, F) -> dict:
     return out
 
 
+def shard_export_soak(
+    spark,
+    out_dir: str,
+    n_rows: int = 10_000_000,
+    n_shards: int = 256,
+) -> dict:
+    """Scale row for the deterministic shard export: 10M rows through
+    the full write -> manifest -> consumer-verify lifecycle.
+
+    Records the two claims the operator's docstring makes: (1) shard
+    sizes are binomial-concentrated (min/max/relative spread across
+    n_shards hash-mod shards — expected ~4-5 sigma/mean in either
+    direction at ~39k rows/shard), and (2) the whole lifecycle is one
+    shuffle + a per-shard streaming rank — wall should be dominated by
+    the window sort + parquet write, linear in rows. The verify pass
+    must return all-ok on what was just written.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+        shard_manifest,
+        shuffled_shards,
+        verify_shards,
+    )
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = spark.range(n_rows).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc body "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    t0 = time.perf_counter()
+    assigned = shuffled_shards(docs, n_shards=n_shards, seed="soak")
+    (
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(out_dir, "shards"))
+    )
+    written = spark.read.parquet(os.path.join(out_dir, "shards"))
+    man = shard_manifest(written)
+    man.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "manifest.parquet")
+    )
+    wall_export = time.perf_counter() - t0
+
+    stats = spark.read.parquet(
+        os.path.join(out_dir, "manifest.parquet")
+    ).agg(
+        F.count("*").alias("shards"),
+        F.sum("n_docs").alias("rows"),
+        F.min("n_docs").alias("min_docs"),
+        F.max("n_docs").alias("max_docs"),
+        F.min(F.col("positions_dense").cast("int")).alias("dense"),
+    ).collect()[0]
+
+    t0 = time.perf_counter()
+    ver = verify_shards(spark, out_dir).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("ok").cast("int")).alias("n_ok"),
+    ).collect()[0]
+    wall_verify = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    mean = n_rows / n_shards
+    return {
+        "n_rows": n_rows,
+        "n_shards": n_shards,
+        "wall_export_sec": round(wall_export, 2),
+        "wall_verify_sec": round(wall_verify, 2),
+        "rows_written": int(stats["rows"]),
+        "min_shard_docs": int(stats["min_docs"]),
+        "max_shard_docs": int(stats["max_docs"]),
+        "max_rel_spread": round(
+            max(
+                stats["max_docs"] - mean, mean - stats["min_docs"]
+            ) / mean,
+            4,
+        ),
+        "positions_dense_all": bool(stats["dense"] == 1),
+        "verify_all_ok": bool(ver["n"] == n_shards and ver["n_ok"] == n_shards),
+    }
+
+
 def drift_soak(spark, base_dir: str, cand_dir: str, n_cells: int = 32) -> dict:
     """Scale row for embedding-space drift monitoring (round 10):
     per-cell occupancy PSI + centroid-shift cosine between two
@@ -2396,6 +2484,23 @@ def main() -> None:
                 anomalies.append(
                     f"minhash_quality:{sf_name}:prod_recall:{bname}"
                 )
+    checkpoint()
+
+    # Round 10: deterministic shard export at 10M rows — write ->
+    # manifest -> consumer-verify lifecycle; gates: every row lands,
+    # every shard verifies, positions dense, and the hash-mod size
+    # spread stays within 5% of the mean (binomial concentration:
+    # ~5 sigma is 2.5% at this rows/shard).
+    row = shard_export_soak(spark, "/tmp/tp_shard_soak")
+    result["shard_export"] = row
+    print("shard export:", json.dumps(row), flush=True)
+    if (
+        not row["verify_all_ok"]
+        or not row["positions_dense_all"]
+        or row["rows_written"] != row["n_rows"]
+        or row["max_rel_spread"] > 0.05
+    ):
+        anomalies.append("shard_export")
     checkpoint()
 
     result["anomalies"] = anomalies
