@@ -911,6 +911,18 @@ def main() -> None:
         "windows (default 1)",
     )
     ap.add_argument(
+        "--bloom-bits",
+        type=int,
+        default=0,
+        metavar="M",
+        help="--mode decontam --ngrams: fold the eval suite's windows "
+        "into an M-bit SQL-native Bloom prefilter instead of "
+        "broadcasting their raw hashes — the scale path for eval "
+        "suites past ~10^7 windows; output is IDENTICAL (survivors "
+        "are exactly verified). Size M to ~8-16 bits per distinct "
+        "eval window. 0 (default) = plain broadcast",
+    )
+    ap.add_argument(
         "--cells", type=int, default=0,
         help="--mode build-ann-index: IVF coarse cells; 0 (default) "
         "auto-sizes to max(16, round(sqrt(n_vectors))) — the FAISS "
@@ -1479,6 +1491,8 @@ def main() -> None:
                 _load_docs(spark, args.eval),
                 n=args.ngrams,
                 min_shared=args.min_shared,
+                strategy="bloom" if args.bloom_bits else "broadcast",
+                bloom_bits=args.bloom_bits or (1 << 24),
             )
             flagged.write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()

@@ -2639,3 +2639,79 @@ def test_decontam_cli_ngram_side(spark, tmp_path, capsys, monkeypatch):
     assert "1 training docs flagged" in capsys.readouterr().out
     rows = spark.read.parquet(str(tmp_path / "flagged")).collect()
     assert [(r["doc_id"], r["n_shared_ngrams"]) for r in rows] == [(25, 2)]
+
+    # --bloom-bits routes through the bloom prefilter; same output
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "decontam",
+         "--path", str(tmp_path / "train"),
+         "--eval", str(tmp_path / "eval"),
+         "--out", str(tmp_path / "flagged_bloom"),
+         "--ngrams", "3", "--bloom-bits", "4096"],
+    )
+    run_pipeline.main()
+    capsys.readouterr()
+    brows = spark.read.parquet(str(tmp_path / "flagged_bloom")).collect()
+    assert sorted(map(str, brows)) == sorted(map(str, rows))
+
+
+def test_ngram_decontaminate_bloom_equals_broadcast(spark):
+    """strategy='bloom' is a prefilter, not an approximation: output
+    equals strategy='broadcast' exactly — including at an absurdly
+    dense 64-bit filter where nearly every probe collides (the exact
+    verify stage kills every false positive); the word-table joins
+    are broadcast (no train-side shuffle)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.quality import (
+        ngram_decontaminate,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") < 20)
+    tr = docs.filter(F.col("doc_id") >= 20)
+
+    base = {
+        (r["doc_id"], r["n_shared_ngrams"], r["n_eval_docs"])
+        for r in ngram_decontaminate(tr, ev, n=3).collect()
+    }
+    assert base  # the fixture plants shared windows
+
+    bloom = ngram_decontaminate(
+        tr, ev, n=3, strategy="bloom", bloom_bits=1 << 20
+    )
+    got = {
+        (r["doc_id"], r["n_shared_ngrams"], r["n_eval_docs"])
+        for r in bloom.collect()
+    }
+    assert got == base
+
+    # word-table probes are BROADCAST hash joins — the train side
+    # must not shuffle for the prefilter
+    plan = bloom._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4
+
+    # degenerate 64-bit filter: everything collides, the prefilter
+    # passes almost all windows, the verify stage still makes the
+    # result exact
+    dense = {
+        (r["doc_id"], r["n_shared_ngrams"], r["n_eval_docs"])
+        for r in ngram_decontaminate(
+            tr, ev, n=3, strategy="bloom", bloom_bits=64, bloom_hashes=2
+        ).collect()
+    }
+    assert dense == base
+
+    # min_shared carries through the bloom path
+    k2 = ngram_decontaminate(
+        tr, ev, n=3, min_shared=2, strategy="bloom", bloom_bits=1 << 20
+    ).collect()
+    assert all(r["n_shared_ngrams"] >= 2 for r in k2)
+
+    with pytest.raises(ValueError, match="strategy"):
+        ngram_decontaminate(tr, ev, strategy="xor")
+    with pytest.raises(ValueError, match="bloom_bits"):
+        ngram_decontaminate(tr, ev, strategy="bloom", bloom_bits=32)

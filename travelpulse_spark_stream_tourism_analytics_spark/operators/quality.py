@@ -178,6 +178,9 @@ def ngram_decontaminate(
     text_col: str = "text",
     n: int = 13,
     min_shared: int = 1,
+    strategy: str = "broadcast",
+    bloom_bits: int = 1 << 24,
+    bloom_hashes: int = 4,
 ) -> DataFrame:
     """TEXT-side benchmark decontamination: flag every training
     document sharing at least ``min_shared`` distinct ``n``-gram token
@@ -202,7 +205,28 @@ def ngram_decontaminate(
     repartitions to cluster width first: the ngram+md5 projection is
     per-row compute whose parallelism otherwise inherits the parquet
     layout (the sf1-soak 2-partition trap; AQE sizes by bytes, not
-    compute)."""
+    compute).
+
+    ``strategy='bloom'`` is the scale path past the broadcast
+    contract: when the eval suite's distinct windows outgrow a raw
+    hash broadcast (~10^7+, GBs of 16-byte hashes), its windows are
+    folded into a SQL-native Bloom filter instead — each window sets
+    ``bloom_hashes`` bits of a ``bloom_bits``-bit filter, packed as a
+    (word, bits) table of 64-bit words via ``bit_or`` (at most
+    bloom_bits/64 rows, ~3x the raw bitmap with row overhead but
+    ~10x smaller than the hashes it replaces). The train side then
+    runs ``bloom_hashes`` successive map-side BROADCAST joins against
+    that word table — a window drops at the FIRST unset bit, so rows
+    shrink probe by probe with zero train-side shuffle — and only the
+    surviving ~fp-rate fraction joins the exact eval hash set, whose
+    verification makes the output IDENTICAL to the broadcast strategy
+    (Bloom false positives die there; test-pinned, even at an
+    absurdly dense filter). Size ``bloom_bits`` to ~8-16 bits per
+    distinct eval window (fp ~2.4-0.5% at bloom_hashes=4); an
+    overdense filter is CORRECT but prefilters nothing — the
+    candidate count measures it. Positions derive from
+    ``xxhash64(window_md5, probe_index)`` — engine-deterministic,
+    no RNG."""
     from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
         word_ngrams,
         words_of,
@@ -211,6 +235,16 @@ def ngram_decontaminate(
     if min_shared < 1:
         raise ValueError(
             f"ngram_decontaminate: min_shared must be >= 1, got {min_shared}"
+        )
+    if strategy not in ("broadcast", "bloom"):
+        raise ValueError(
+            "ngram_decontaminate: strategy must be 'broadcast' or "
+            f"'bloom', got {strategy!r}"
+        )
+    if strategy == "bloom" and (bloom_bits < 64 or bloom_hashes < 1):
+        raise ValueError(
+            "ngram_decontaminate: bloom_bits must be >= 64 and "
+            f"bloom_hashes >= 1, got {bloom_bits}/{bloom_hashes}"
         )
 
     def doc_windows(df: DataFrame) -> DataFrame:
@@ -226,9 +260,72 @@ def ngram_decontaminate(
     )
     par = train.sparkSession.sparkContext.defaultParallelism
     tr = doc_windows(train.repartition(par))
+
+    if strategy == "bloom":
+        m = int(bloom_bits)
+
+        def pos(col, i):
+            return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m))
+
+        words = (
+            ev.select("__h")
+            .distinct()
+            .select(
+                F.explode(
+                    F.array(
+                        *[pos(F.col("__h"), i) for i in range(bloom_hashes)]
+                    )
+                ).alias("__pos")
+            )
+            .groupBy(F.shiftright(F.col("__pos"), 6).alias("__word"))
+            .agg(
+                F.bit_or(
+                    # pyspark's shiftleft() wrapper takes only a
+                    # Python int for numBits; the SQL function itself
+                    # accepts a column — call it directly
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("long"),
+                        F.pmod(F.col("__pos"), F.lit(64)).cast("int"),
+                    )
+                ).alias("__bits")
+            )
+        )
+        # one broadcast hash join per probe; a window drops at its
+        # FIRST unset bit, so each successive join sees fewer rows
+        # and the train side never shuffles
+        for i in range(bloom_hashes):
+            p = pos(F.col("__h"), i)
+            wtab = F.broadcast(
+                words.select(
+                    F.col("__word").alias(f"__w{i}"),
+                    F.col("__bits").alias(f"__b{i}"),
+                )
+            )
+            tr = (
+                tr.withColumn(f"__w{i}", F.shiftright(p, 6))
+                .withColumn(
+                    f"__m{i}",
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("long"),
+                        F.pmod(p, F.lit(64)).cast("int"),
+                    ),
+                )
+                .join(wtab, f"__w{i}")
+                .filter(
+                    F.col(f"__b{i}").bitwiseAND(F.col(f"__m{i}")) != 0
+                )
+                .drop(f"__w{i}", f"__b{i}", f"__m{i}")
+            )
+        # exact verification: only the bloom-surviving fraction joins
+        # the true hash set — false positives die here, making the
+        # output identical to strategy='broadcast'
+        joined = tr.join(ev, "__h")
+    else:
+        joined = tr.join(F.broadcast(ev), "__h")
     return (
-        tr.join(F.broadcast(ev), "__h")
-        .groupBy(id_col)
+        joined.groupBy(id_col)
         .agg(
             F.countDistinct("__h").alias("n_shared_ngrams"),
             F.countDistinct("__eval_id").alias("n_eval_docs"),
