@@ -805,7 +805,7 @@ def main() -> None:
                  "train-classifier", "train-bpe", "compact",
                  "build-ann-index", "ann-search", "knn-graph",
                  "decontam", "cluster-sample", "centrality", "search",
-                 "text-index", "shard"],
+                 "text-index", "shard", "ann-delete"],
         default="kpis",
         help="kpis: the 16-query tourism topology; dedup: streaming "
         "document near-dup verdicts (--path is a JSONL docs dir, "
@@ -1556,6 +1556,27 @@ def main() -> None:
         print(
             f">>> cluster sample done; {n} vectors kept "
             f"(cap={args.cap} per cell) -> {args.out}"
+        )
+        return
+
+    if args.mode == "ann-delete":
+        if not args.index or not args.delete_ids or args.path or args.out:
+            ap.error(
+                "--mode ann-delete requires --index (an ann index "
+                "dir) and --delete-ids (a parquet of ids), and takes "
+                "neither --path nor --out: victim cells rewrite in "
+                "place, the frozen quantizer/codebooks are untouched"
+            )
+        from travelpulse_spark_stream_tourism_analytics_spark.operators.ann_index import (
+            delete_from_ann_index,
+        )
+
+        meta = delete_from_ann_index(
+            spark, args.index, spark.read.parquet(args.delete_ids)
+        )
+        print(
+            f">>> ann index pruned; now {meta['n_vectors']} vectors "
+            f"-> {args.index}"
         )
         return
 

@@ -814,3 +814,119 @@ def test_knn_graph_cli_delete_equals_rebuild(
     with _pytest.raises(SystemExit):
         run_pipeline.main()
     assert "must differ from" in capsys.readouterr().err
+
+
+def test_delete_from_ann_index_lifecycle(spark, tmp_path, capsys, monkeypatch):
+    """Deletion repair for the persistent index: victim cells rewrite
+    surgically (untouched cell dirs byte-for-byte), the pruned codes
+    equal original-minus-victims exactly, delete-then-re-add of the
+    same vectors reproduces the original codes (frozen-model
+    re-encoding is deterministic), ghost deletions are idempotent
+    no-ops, emptying is refused, search serves only survivors, and
+    the CLI routes through the operator."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import pytest as _pytest
+    import run_pipeline
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.ann_index import (
+        add_to_ann_index,
+        ann_search,
+        build_ann_index,
+        delete_from_ann_index,
+        load_ann_meta,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < 300)
+    idx = str(tmp_path / "idx")
+    build_ann_index(emb, idx, n_cells=8, m=8, k_codes=16)
+    codes_dir = os.path.join(idx, "codes.parquet")
+
+    def snapshot(d):
+        out = {}
+        for root, _, files in os.walk(d):
+            for f in files:
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, d)] = fh.read()
+        return out
+
+    before_codes = {
+        r["vec_id"]: (r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(codes_dir).collect()
+    }
+    before_files = snapshot(codes_dir)
+    victims = spark.createDataFrame(
+        [(i,) for i in range(0, 300, 10)], "vec_id long"
+    )
+    victim_ids = set(range(0, 300, 10))
+    victim_cells = {before_codes[v][0] for v in victim_ids}
+
+    meta = delete_from_ann_index(spark, idx, victims)
+    assert meta["n_vectors"] == 300 - 30
+    assert load_ann_meta(idx)["n_vectors"] == 270
+
+    after_codes = {
+        r["vec_id"]: (r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(codes_dir).collect()
+    }
+    assert after_codes == {
+        k: v for k, v in before_codes.items() if k not in victim_ids
+    }
+    # untouched cell directories keep their files byte-for-byte
+    after_files = snapshot(codes_dir)
+    for rel, blob in after_files.items():
+        if "cell=" not in rel:
+            continue  # _SUCCESS etc.
+        cell = int(rel.split("cell=")[1].split(os.sep)[0])
+        if cell not in victim_cells:
+            assert before_files[rel] == blob
+
+    # search never returns a victim
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    res = ann_search(spark, idx, q, k=10, n_probe=8)
+    assert not {r["neighbor_id"] for r in res.collect()} & victim_ids
+
+    # ghost replay: deleting the same ids again is a no-op
+    meta2 = delete_from_ann_index(spark, idx, victims)
+    assert meta2["n_vectors"] == 270
+    assert snapshot(codes_dir) == after_files
+
+    # delete-then-re-add the same vectors == the original codes
+    add_to_ann_index(
+        spark, idx, emb.filter(F.col("vec_id").isin(list(victim_ids)))
+    )
+    assert load_ann_meta(idx)["n_vectors"] == 300
+    roundtrip = {
+        r["vec_id"]: (r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(codes_dir).collect()
+    }
+    assert roundtrip == before_codes
+
+    # emptying refused, index untouched
+    allids = spark.createDataFrame(
+        [(i,) for i in range(300)], "vec_id long"
+    )
+    with _pytest.raises(ValueError, match="empties"):
+        delete_from_ann_index(spark, idx, allids)
+    assert load_ann_meta(idx)["n_vectors"] == 300
+
+    # CLI
+    vict_p = str(tmp_path / "victims")
+    victims.write.parquet(vict_p)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_pipeline.py", "--mode", "ann-delete",
+         "--index", idx, "--delete-ids", vict_p],
+    )
+    run_pipeline.main()
+    assert ">>> ann index pruned; now 270 vectors" in capsys.readouterr().out

@@ -423,3 +423,86 @@ def add_to_ann_index(
     with open(f"{index_dir}/meta.json", "w") as fh:
         json.dump(meta, fh)
     return meta
+
+
+def delete_from_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    vec_ids: DataFrame,
+) -> dict:
+    """Deletion repair for the persistent IVF+PQ index — the missing
+    third verb of its lifecycle (build / add / delete), matching
+    ``delete_from_text_index`` and ``delete_from_knn_graph``.
+
+    ``vec_ids`` is an id relation (one column named like the index's
+    ``id_col``). Victim rows drop from the cell-partitioned codes
+    table; ONLY cells that actually contain a victim rewrite (victim
+    cells come from one bounded distinct over the codes' partition
+    column — at most n_cells values), and untouched cell directories
+    keep their files byte-for-byte. Centroids and codebooks stay
+    FROZEN (the same contract as ``add_to_ann_index``: re-fitting
+    would re-bucket the survivors). Because PQ codes are per-vector
+    independent, the pruned table IS the survivors' index under the
+    frozen model — deleting a batch and re-adding the same vectors
+    reproduces the original codes exactly (re-encoding under frozen
+    codebooks is deterministic; test-pinned), and no re-ranking is
+    needed (unlike the kNN graph, the index stores no cross-vector
+    edges).
+
+    Ids with no codes row are IGNORED (the ``delete_from_knn_graph``
+    convention — a replayed deletion batch is idempotent, and unlike
+    the text index there is no per-doc constant whose decrement an
+    unknown id would corrupt). Deleting every remaining vector is
+    refused BEFORE any rewrite — remove the index directory instead.
+    The id relation broadcasts: deletion batches are operationally
+    bounded; a corpus-scale purge should rebuild over the survivors.
+    """
+    import shutil
+
+    meta = load_ann_meta(index_dir)
+    id_col = meta["id_col"]
+    codes_path = f"{index_dir}/codes.parquet"
+    codes = spark.read.parquet(codes_path)
+
+    ids = vec_ids.select(id_col).distinct()
+    if ids.limit(1).count() == 0:
+        return meta
+    victims = codes.join(F.broadcast(ids), id_col, "left_semi")
+    n_found = victims.count()
+    if n_found == 0:
+        return meta  # pure ghost replay — nothing to rewrite
+    n_after = int(meta["n_vectors"]) - n_found
+    if n_after <= 0:
+        raise ValueError(
+            "delete_from_ann_index: deletion empties the index — "
+            "remove the index directory instead of pruning every row"
+        )
+
+    touched = sorted(
+        r["cell"] for r in victims.select("cell").distinct().collect()
+    )
+    survivors = codes.filter(F.col("cell").isin(touched)).join(
+        F.broadcast(ids), id_col, "left_anti"
+    )
+    tmp = f"{codes_path}.__tmp"
+    (
+        survivors.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    # tmp fully on disk — now swap the victim cells only (a cell
+    # whose every vector was deleted has no tmp dir and simply
+    # disappears; searches probing it read an empty relation)
+    for c in touched:
+        live = f"{codes_path}/cell={c}"
+        fresh = f"{tmp}/cell={c}"
+        shutil.rmtree(live, ignore_errors=True)
+        if os.path.isdir(fresh):
+            os.rename(fresh, live)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    meta["n_vectors"] = n_after
+    with open(f"{index_dir}/meta.json", "w") as fh:
+        json.dump(meta, fh)
+    return meta
