@@ -1638,7 +1638,7 @@ def main() -> None:
             tokens_col = "n_tokens"
         assigned = shuffled_shards(
             docs, n_shards=args.n_shards, seed=args.shuffle_seed,
-            id_col=id_col,
+            id_col=id_col, validate=True,
         )
         # one shuffle total: the row_number window already hash-
         # partitioned on shard, so the partitioned write reuses it;

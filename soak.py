@@ -2018,6 +2018,102 @@ def shard_export_soak(
     }
 
 
+def bloom_decontam_scale_soak(
+    spark,
+    n_train: int = 1_000_000,
+    n_eval: int = 50_000,
+    n: int = 5,
+) -> dict:
+    """Scale A/B for the two ngram_decontaminate strategies at an
+    eval-suite size where the raw-hash broadcast starts to hurt:
+    ~1.8M distinct eval windows (n_eval docs x 36 windows) against
+    n_train synthetic training docs (~36M train windows).
+
+    The corpus is constructed so ground truth is KNOWN by design:
+    train tokens live in a 't'-prefixed vocabulary, eval tokens in an
+    'e'-prefixed one, and every 100th train doc carries a verbatim
+    10-token span copied from a deterministic eval doc — so the
+    flagged set must equal exactly the planted ids under BOTH
+    strategies (no organic cross-vocabulary n-gram can exist).
+    Gates: broadcast output == bloom output == planted set; walls
+    recorded for the trade curve (bloom pays k extra map-side joins
+    to shrink the broadcast from ~1.8M 16-byte hashes to a
+    <=bloom_bits/64-row word table)."""
+    from pyspark.sql import functions as F
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.quality import (
+        ngram_decontaminate,
+    )
+
+    V = 5000
+    doc_len = 40
+
+    # token = hash(doc, position) mod V — NOT a linear recurrence: with
+    # tok = a*doc + b*pos, consecutive tokens differ by the constant b,
+    # so a whole n-gram window is determined by its first token and the
+    # "1.8M-window" suite collapses to V distinct windows (measured —
+    # the first version of this section did exactly that). Hash-mixed
+    # tokens make windows independent 5-tuples over V symbols, so the
+    # distinct-window count is ~n_eval * 36 as designed.
+    def tok_train(i, j):
+        return F.concat(F.lit("t"), F.pmod(F.hash(i, j), F.lit(V)))
+
+    def tok_eval(e, j):
+        return F.concat(
+            F.lit("e"), F.pmod(F.hash(e, j, F.lit(999)), F.lit(V))
+        )
+
+    idxs = F.sequence(F.lit(0), F.lit(doc_len - 1))
+    ev_docs = spark.range(n_eval).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(idxs, lambda j: tok_eval(F.col("id"), j)), " "
+        ).alias("text"),
+    )
+    planted = F.col("id") % 100 == 0
+    ev_of = (F.col("id") / 100).cast("long") % n_eval
+    tr_docs = spark.range(n_train).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                idxs,
+                lambda j: F.when(
+                    planted & j.between(15, 24),
+                    tok_eval(ev_of, j - 15 + 10),
+                ).otherwise(tok_train(F.col("id"), j)),
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+    expected = n_train // 100
+    out = {
+        "n_train": n_train,
+        "n_eval": n_eval,
+        "ngram": n,
+        "planted_docs": expected,
+    }
+    results = {}
+    for label, kwargs in (
+        ("broadcast", {"strategy": "broadcast"}),
+        ("bloom", {"strategy": "bloom", "bloom_bits": 1 << 24}),
+    ):
+        t0 = time.perf_counter()
+        rows = ngram_decontaminate(
+            tr_docs, ev_docs, n=n, **kwargs
+        ).collect()
+        out[f"wall_{label}_sec"] = round(time.perf_counter() - t0, 2)
+        results[label] = {
+            (r["doc_id"], r["n_shared_ngrams"]) for r in rows
+        }
+        out[f"n_flagged_{label}"] = len(rows)
+    out["strategies_equal"] = results["broadcast"] == results["bloom"]
+    out["flagged_equals_planted"] = {
+        d for d, _ in results["broadcast"]
+    } == {i for i in range(0, n_train, 100)}
+    return out
+
+
 def drift_soak(spark, base_dir: str, cand_dir: str, n_cells: int = 32) -> dict:
     """Scale row for embedding-space drift monitoring (round 10):
     per-cell occupancy PSI + centroid-shift cosine between two
@@ -2501,6 +2597,16 @@ def main() -> None:
         or row["max_rel_spread"] > 0.05
     ):
         anomalies.append("shard_export")
+    checkpoint()
+
+    # Round 10: bloom vs broadcast decontamination A/B at ~1.8M eval
+    # windows / ~36M train windows; gates: both strategies flag
+    # exactly the planted doc set.
+    row = bloom_decontam_scale_soak(spark)
+    result["bloom_decontam_scale"] = row
+    print("bloom decontam scale:", json.dumps(row), flush=True)
+    if not row["strategies_equal"] or not row["flagged_equals_planted"]:
+        anomalies.append("bloom_decontam_scale")
     checkpoint()
 
     result["anomalies"] = anomalies

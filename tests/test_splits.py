@@ -610,3 +610,32 @@ def test_verify_shards_detects_corruption(spark, tmp_path, capsys, monkeypatch):
     shutil.rmtree(victim_dir)
     rows = {r["shard"]: r for r in verify_shards(spark, out).collect()}
     assert not rows[2]["ok"] and rows[2]["n_docs"] is None
+
+
+def test_shuffled_shards_validate_rejects_duplicate_ids(spark):
+    """validate=True refuses duplicate ids (their relative pos is
+    partition-order luck, breaking replay); the default stays lazy."""
+    import pytest
+
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.splits import (
+        shuffled_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="duplicate ids"):
+        shuffled_shards(df, n_shards=2, validate=True)
+    # clean input validates through unchanged
+    clean = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    v = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffled_shards(clean, n_shards=2, validate=True).collect()
+    }
+    nv = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffled_shards(clean, n_shards=2).collect()
+    }
+    assert v == nv

@@ -326,6 +326,7 @@ def shuffled_shards(
     id_col: str = "doc_id",
     shard_col: str = "shard",
     pos_col: str = "pos",
+    validate: bool = False,
 ) -> DataFrame:
     """Deterministic corpus shuffle + shard assignment — the last mile
     of a training-data pipeline: tokenized/packed rows leave the engine
@@ -365,6 +366,26 @@ def shuffled_shards(
         raise ValueError(
             f"shuffled_shards: n_shards must be >= 1, got {n_shards}"
         )
+    if validate:
+        # two rows with one id shuffle-key identically, and their
+        # relative pos assignment is partition-order luck — the replay
+        # guarantee silently breaks. One eager agg; the CLI always
+        # validates (the --update-graph convention), library callers
+        # opt in.
+        dup = (
+            docs.groupBy(id_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"shuffled_shards: id {dup[0][id_col]!r} appears "
+                f"{dup[0]['count']} times — duplicate ids make the "
+                "within-shard order nondeterministic between the "
+                "copies; run exact_dedup (or drop duplicates) first"
+            )
     key = F.md5(
         F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
     )
