@@ -135,22 +135,36 @@ def remove_dup_spans(
     )
     w = window_tokens
     starts = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.transform(
-            F.col("__toks"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))
-        ),
-        lambda s: ~F.exists(
-            starts,
-            lambda st: (st <= s["i"]) & (s["i"] < st + F.lit(w)),
-        ),
-    )
-    return toks.join(removals, id_col, "left").select(
+
+    def keep_filter(toks_col: Column) -> Column:
+        return F.filter(
+            F.transform(
+                toks_col, lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+            ),
+            lambda s: ~F.exists(
+                starts,
+                lambda st: (st <= s["i"]) & (s["i"] < st + F.lit(w)),
+            ),
+        )
+
+    # Bind the filtered token array ONCE (singleton-array transform):
+    # the projection below references it twice (rebuild + size), and
+    # Catalyst neither CSEs inside HOF lambdas nor codegen-caches
+    # CodegenFallback HOF subtrees, so the naive form runs the whole
+    # per-token exists() filter twice per row.
+    kept = F.transform(F.array(F.col("__toks")), keep_filter)[0]
+    staged = toks.join(removals, id_col, "left").select(
         id_col,
-        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(
-            "text_dedup"
-        ),
+        kept.alias("__kept"),
         F.size("__toks").cast("long").alias("n_tokens"),
-        (F.size("__toks") - F.size(kept)).cast("long").alias(
+    )
+    return staged.select(
+        id_col,
+        F.array_join(
+            F.transform("__kept", lambda s: s["t"]), " "
+        ).alias("text_dedup"),
+        "n_tokens",
+        (F.col("n_tokens") - F.size("__kept")).cast("long").alias(
             "n_tokens_removed"
         ),
     )
