@@ -1821,3 +1821,40 @@ def test_dup_span_token_mask_equivalence(spark):
 
     with pytest.raises(ValueError, match="min_copies"):
         dup_span_token_mask(df, "text", "doc_id", min_copies=0)
+
+
+def test_precomputed_spans_actually_used(spark):
+    """The spans= parameter must USE the caller's relation, not silently
+    rebuild substring_dup_spans (the documented contract for sharing
+    one persisted span table across the removal and masking actions).
+    Pin it at the plan level: a persisted spans relation must appear as
+    an InMemoryTableScan inside remove_dup_spans' plan — impossible if
+    the operator rebuilds the span subtree from df."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.dedup import (
+        remove_dup_spans,
+        substring_dup_spans,
+    )
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro {boiler} outro words here"),
+            (2, f"other {boiler} tail"),
+            (3, "nothing shared in this one at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pre = substring_dup_spans(df, "text", "doc_id", 8).persist()
+    try:
+        pre.count()  # materialize the cache
+        out = remove_dup_spans(df, "text", "doc_id", 8, spans=pre)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan, plan[:2000]
+        # and the result is identical to the self-built path
+        a = {(r["doc_id"], r["text_dedup"], r["n_tokens_removed"])
+             for r in out.collect()}
+        b = {(r["doc_id"], r["text_dedup"], r["n_tokens_removed"])
+             for r in remove_dup_spans(df, "text", "doc_id", 8).collect()}
+        assert a == b
+    finally:
+        pre.unpersist()

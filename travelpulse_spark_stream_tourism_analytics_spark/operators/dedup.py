@@ -192,9 +192,14 @@ def _dup_span_removals(
         )
     w = window_tokens
     keep_col = f"keep_{id_col}"
-    spans = substring_dup_spans(df, text_col, id_col, w).filter(
-        F.col("n_copies") >= min_copies
-    )
+    # Honor a caller-precomputed span table (the documented sharing
+    # contract for materializing removal + mask as separate actions:
+    # precompute substring_dup_spans once, persist, pass it to both).
+    # The min_copies filter applies either way, so a caller-supplied
+    # unfiltered table behaves identically to the self-built one.
+    if spans is None:
+        spans = substring_dup_spans(df, text_col, id_col, w)
+    spans = spans.filter(F.col("n_copies") >= min_copies)
     n_part = df.sparkSession.sparkContext.defaultParallelism
     toks = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col), words_of(F.col(text_col)).alias("__toks")

@@ -56,6 +56,36 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # Bound driver-side status/listener retention. The defaults
+        # retain 1000 SQL executions (each holding the full physical
+        # plan graph + per-operator metrics — multi-MB apiece for this
+        # engine's merged union plans) and 1000 jobs / 100k tasks. A
+        # long-lived driver that has executed a few hundred queries
+        # accumulates GBs of live listener state; profiled on this
+        # box, that state made HOF-heavy queries intermittently run
+        # 2-6x their fresh-session steady state (headline bench total
+        # 71 s -> 43 s with retention bounded, every entry back at its
+        # isolated steady state — OPTIMIZATION_r10.md "Bench-context
+        # JVM degradation"). Production-relevant for any long-running
+        # driver (streaming topologies, query servers), not a
+        # local-mode tune; env-overridable for operators who want
+        # deeper history for debugging.
+        .config(
+            "spark.sql.ui.retainedExecutions",
+            os.environ.get("SPARK_GRAFT_RETAINED_EXECUTIONS", "16"),
+        )
+        .config(
+            "spark.ui.retainedJobs",
+            os.environ.get("SPARK_GRAFT_RETAINED_JOBS", "200"),
+        )
+        .config(
+            "spark.ui.retainedStages",
+            os.environ.get("SPARK_GRAFT_RETAINED_STAGES", "200"),
+        )
+        .config(
+            "spark.ui.retainedTasks",
+            os.environ.get("SPARK_GRAFT_RETAINED_TASKS", "2000"),
+        )
         # NOTE: deliberately NOT disabling
         # spark.sql.streaming.statefulOperator.checkCorrectness — the
         # engine's streaming shapes are all supported forms, and the
