@@ -505,10 +505,60 @@ def test_audio_clip_search_joins_broadcast(spark):
 def test_docs_text_profile_is_shuffle_free(spark):
     """The per-document profile (incl. the round-6 Gopher repetition
     masses — sorted-run folds, not explode+groupBy) must stay ONE
-    map-side projection pipeline: no Exchange anywhere in the plan."""
+    map-side projection pipeline: no Exchange anywhere in the plan.
+    (Pinned at SF_SMOKE, below the coarse-scan-repair row threshold —
+    the at-scale/no-op shape; the repair's local trigger is pinned in
+    test_docs_text_profile_repairs_coarse_scan.)"""
     plan = plan_of(spark, "docs_text_profile")
     assert "Exchange" not in plan
     assert "Scan parquet" in plan  # sanity: plan rendered fully
+
+
+def test_docs_text_profile_repairs_coarse_scan(spark, tmp_path):
+    """The profile is the most expression-heavy map-side projection in
+    the catalog, so it opts into repair_coarse_scan (round 10): a
+    >=2000-doc corpus arriving as ONE row group must plan a
+    round-robin repartition (else the whole profile serializes onto
+    one core — measured 4.4 s vs 0.9 s at sf0.1), carrying ONLY the
+    pruned columns. Values are unchanged by partitioning: every column
+    is a per-row projection."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from travelpulse_spark_stream_tourism_analytics_spark.plans import (
+        text_queries,
+    )
+
+    d = tmp_path / "fix"
+    d.mkdir()
+    n = 2500
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(n)),
+                "source": ["s"] * n,
+                "lang": ["en"] * n,
+                "n_chars": [11] * n,
+                "text": ["hello world"] * n,
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    df = text_queries.docs_text_profile(spark, str(d))
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "RoundRobinPartitioning" in plan, plan[:1500]
+    # still one scan, no joins, no hash exchange (tree section only —
+    # the formatted details repeat each node's header)
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Join" not in tree
+    assert "hashpartitioning" not in plan
 
 
 def test_remove_dup_spans_plan_shape(spark):

@@ -1295,9 +1295,57 @@ def graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     The trade graph is built ONCE and passed into every arm — calling
     the arm wrappers bare would re-persist the same scoped cache site
     four times, evicting each previous arm's cache and re-deriving the
-    4-table join per arm (round-6 review finding)."""
-    fused = supplier_customer_rank_variants(spark, sf_dir)
+    4-table join per arm (round-6 review finding).
+
+    The five arm CONSTRUCTIONS overlap on driver threads (round 10,
+    guide §2.6 "overlap independent jobs"): the iterative arms (fused
+    ranks, LPA, kcore, HyperBall) each run eager per-round jobs
+    (localCheckpoint / seed-count collects) during DataFrame BUILD,
+    and serially those jobs leave most of the cluster idle — measured
+    at sf0.1 the serial build phase was 9-10 s against a ~5 s critical
+    path (the fused power iteration). The shared trade-graph cache is
+    materialized BEFORE the threads start so concurrent arms read the
+    cache instead of racing to compute it; each arm touches only its
+    own scoped_persist sites; per-arm results are deterministic and
+    the union order is fixed, so output is bit-identical to the serial
+    build (the arm outputs are the same DataFrames either way)."""
+    from pyspark import InheritableThread
+
     trade = _nation_trade_graph(spark, sf_dir)
+    # count() on the PERSISTED trade relation materializes the full
+    # cache (the honest barrier — un-persisted counts prune columns),
+    # so the concurrent arms below never race to build it.
+    trade.count()
+
+    built: dict[str, DataFrame] = {}
+    errors: dict[str, BaseException] = {}
+
+    def _build(key, fn):
+        try:
+            built[key] = fn()
+        except BaseException as e:  # surface on the caller thread
+            errors[key] = e
+
+    builders = {
+        "fused": lambda: supplier_customer_rank_variants(spark, sf_dir),
+        "triangles": lambda: nation_trade_triangles(spark, sf_dir, trade),
+        "lpa": lambda: nation_trade_lpa(spark, sf_dir, trade),
+        "kcore": lambda: nation_trade_kcore(spark, sf_dir, trade),
+        "hyperball": lambda: nation_trade_hyperball(spark, sf_dir, trade),
+    }
+    threads = [
+        InheritableThread(target=_build, args=(k, fn))
+        for k, fn in builders.items()
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        key, err = next(iter(errors.items()))
+        raise RuntimeError(f"graph_suite: {key} arm failed") from err
+
+    fused = built["fused"]
     parts = [
         fused.select(
             F.lit("pagerank").alias("component"),
@@ -1309,22 +1357,22 @@ def graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             F.col("rank_tr").alias("metric"),
         ),
-        nation_trade_triangles(spark, sf_dir, trade).select(
+        built["triangles"].select(
             F.lit("triangles").alias("component"),
             "node",
             F.col("n_triangles").cast("double").alias("metric"),
         ),
-        nation_trade_lpa(spark, sf_dir, trade).select(
+        built["lpa"].select(
             F.lit("lpa").alias("component"),
             "node",
             F.col("label").cast("double").alias("metric"),
         ),
-        nation_trade_kcore(spark, sf_dir, trade).select(
+        built["kcore"].select(
             F.lit("kcore14").alias("component"),
             "node",
             F.lit(1.0).alias("metric"),
         ),
-        nation_trade_hyperball(spark, sf_dir, trade).select(
+        built["hyperball"].select(
             F.lit("hyperball").alias("component"),
             "node",
             F.col("harmonic").alias("metric"),

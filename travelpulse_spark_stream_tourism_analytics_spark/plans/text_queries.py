@@ -39,6 +39,7 @@ from travelpulse_spark_stream_tourism_analytics_spark.operators._cache import (
 from travelpulse_spark_stream_tourism_analytics_spark.plans.catalog import (
     load_table,
     query,
+    repair_coarse_scan,
 )
 
 # DuckDB mirrors of words_of / word_ngrams(3)
@@ -2559,8 +2560,24 @@ def docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole profile is map-side and scales embarrassingly.
     Subsumes the r1 queries docs_token_stats +
     docs_bpe_token_counts + docs_fingerprint + docs_simhash +
-    docs_lang_id."""
+    docs_lang_id.
+
+    The profile is the most expression-heavy map-side projection in
+    the catalog (n-gram builds at three widths + sorted-run folds +
+    ~20 regex passes per document), so it opts into the coarse-scan
+    repair (plans/catalog.py repair_coarse_scan): a corpus arriving as
+    fewer row groups than cores — the local single-file bench fixture
+    reads as ONE task, serializing the whole profile onto one core —
+    gets a round-robin repartition carrying only the pruned columns;
+    on real multi-row-group data (any 100 TB layout) it is a no-op and
+    the plan stays shuffle-free. min_rows=2000 because the per-row
+    cost here is milliseconds, not the microseconds the 90k default is
+    calibrated for (measured at sf0.1: 4.4 s -> see
+    OPTIMIZATION_r10.md)."""
     docs = load_table(spark, sf_dir, "documents")
+    docs = repair_coarse_scan(
+        spark, docs, f"{sf_dir}/documents.parquet", min_rows=2000
+    )
     stop = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "in", "to", "is"]])
     stage1 = docs.select(
         "doc_id", "lang", "n_chars", "text",
