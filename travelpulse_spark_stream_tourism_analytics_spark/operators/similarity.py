@@ -950,6 +950,50 @@ def _validated_cents(
     return cents, assignment
 
 
+def _cell_struct_array_sql(cents, vec_sql: str, nv_sql: str) -> str:
+    """Render the per-centroid ``(cosine, -cell_id)`` struct array —
+    the plan-constant assignment's core expression — as ONE SQL string
+    for a single ``F.expr`` parse.
+
+    Semantically identical to the per-cell Python construction
+    (``F.struct(cosine(vec, F.array(*lits), norm_a=nv), F.lit(-cell))``
+    — same zip_with/aggregate fold order, same round scale, double
+    literals rendered with ``repr`` which round-trips bitwise through
+    the SQL parser's D-suffix doubles), but built in one py4j round
+    trip instead of ~55 per centroid: profiled at 8 cells x 64 dims
+    the lambda-heavy Python construction spent 1.2-1.7 s of driver
+    wall in py4j socket reads per build, and at the 1,024-cell
+    ``_MAX_PLAN_CELLS`` bound it would be minutes — the parser path
+    is flat in cell count (guide §4-style boundary cost, on the
+    driver instead of the executor)."""
+
+    import math
+
+    def _dot(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+            "(acc, x) -> acc + x)"
+        )
+
+    def _dlit(x) -> str:
+        x = float(x)
+        if math.isfinite(x):
+            return repr(x) + "D"  # repr round-trips doubles bitwise
+        return f"CAST('{x}' AS DOUBLE)"  # inf/-inf/nan
+
+    structs = []
+    for row in cents:
+        cent = "array(" + ", ".join(_dlit(x) for x in row["sv"]) + ")"
+        cos = (
+            f"round({_dot(vec_sql, cent)} / "
+            f"({nv_sql} * sqrt({_dot(cent, cent)})), 6)"
+        )
+        structs.append(
+            f"named_struct('c', {cos}, 'neg_cell', {-int(row['cell_id'])})"
+        )
+    return "array(" + ", ".join(structs) + ")"
+
+
 def _flat_assigned(
     emb: DataFrame,
     id_col: str,
@@ -976,23 +1020,12 @@ def _flat_assigned(
             )
         # descending (cosine, -cell) structs: element 1 is the
         # vector's own cell (same convention as semantic_dedup's
-        # array_max), the first n_probe are its probe set
+        # array_max), the first n_probe are its probe set. Built as a
+        # single SQL parse — see _cell_struct_array_sql.
         ranked_cells = F.reverse(
             F.array_sort(
-                F.array(
-                    *[
-                        F.struct(
-                            cosine(
-                                F.col(vec_col),
-                                F.array(
-                                    *[F.lit(float(x)) for x in row["sv"]]
-                                ),
-                                norm_a=F.col("__nv"),
-                            ).alias("c"),
-                            F.lit(-int(row["cell_id"])).alias("neg_cell"),
-                        )
-                        for row in cents
-                    ]
+                F.expr(
+                    _cell_struct_array_sql(cents, f"`{vec_col}`", "`__nv`")
                 )
             )
         )
@@ -1684,21 +1717,10 @@ def semantic_dedup(
             )
         # Row self-norm computed ONCE per vector (not once per
         # centroid); each centroid's self-dot is a constant Catalyst
-        # folds away.
+        # folds away. Built as a single SQL parse — see
+        # _cell_struct_array_sql.
         best = F.array_max(
-            F.array(
-                *[
-                    F.struct(
-                        cosine(
-                            F.col(vec_col),
-                            F.array(*[F.lit(float(x)) for x in row["sv"]]),
-                            norm_a=F.col("__nv"),
-                        ).alias("c"),
-                        F.lit(-int(row["cell_id"])).alias("neg_cell"),
-                    )
-                    for row in cents
-                ]
-            )
+            F.expr(_cell_struct_array_sql(cents, f"`{vec_col}`", "`__nv`"))
         )
         assigned = (
             emb.withColumn(

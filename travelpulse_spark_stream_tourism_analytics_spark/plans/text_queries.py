@@ -3669,14 +3669,6 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate squared L2 for pq_adc. Rounded to 1e-6 BEFORE ranking
     on all sides so summation-order ulps cannot flip orderings.
     Constituents: embedding_knn + embedding_ivf_seeded_knn above."""
-    brute = embedding_knn(spark, sf_dir).select(
-        F.lit("brute").alias("variant"), "query_id", "neighbor_id",
-        F.col("cosine").alias("score"),
-    )
-    ivf = embedding_ivf_seeded_knn(spark, sf_dir).select(
-        F.lit("ivf_seeded").alias("variant"), "query_id", "neighbor_id",
-        F.col("cosine").alias("score"),
-    )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", similarity.as_double_vec(F.col("embedding")).alias("v")
     )
@@ -3686,12 +3678,6 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    int8 = similarity.brute_force_knn(
-        qcorpus, queries, "vec_id", "query_id", "v", k=5
-    ).select(
-        F.lit("int8_corpus").alias("variant"), "query_id", "neighbor_id",
-        F.col("cosine").alias("score"),
     )
     # SemDedup branch (operators/similarity.semantic_dedup): planted
     # exact copies — same corpus trick as embedding_lsh_neardups —
@@ -3712,23 +3698,7 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = sem_corpus.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
     )
-    sem = similarity.semantic_dedup(
-        sem_corpus, "vec_id", "v", seeds, min_cosine=0.99
-    ).select(
-        F.lit("semdedup").alias("variant"),
-        F.col("vec_id").alias("query_id"),
-        F.col("dup_of").alias("neighbor_id"),
-        F.col("cosine").alias("score"),
-    )
     codes = similarity.pq_encode(emb, "vec_id", "v", _PQ_BOOKS, dist_round=6)
-    pq = similarity.pq_search_adc(
-        codes, _PQ_BOOKS, queries, "vec_id", "query_id", k=5, table_round=6
-    ).select(
-        F.lit("pq_adc").alias("variant"),
-        "query_id",
-        "neighbor_id",
-        F.col("adc_dist").alias("score"),
-    )
     # knn_graph branch (round 9, VERDICT r8 item 7): the distributed
     # corpus-wide kNN graph (similarity.ivf_knn_graph — round 8's
     # flagship, previously pinned only bit-for-bit vs brute force)
@@ -3736,41 +3706,8 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8-cell quantizer, 2-of-8 probe, top-3 per vector. EVERY corpus
     # vector is a query — no driver-side query collect.
     kg_corpus = emb.filter(F.col("vec_id") < 400)
-    kg = similarity.ivf_knn_graph(
-        kg_corpus,
-        "vec_id",
-        "v",
-        kg_corpus.filter(F.col("vec_id") < 8).select(
-            F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
-        ),
-        k=3,
-        n_probe=2,
-    ).select(
-        F.lit("knn_graph").alias("variant"),
-        F.col("vec_id").alias("query_id"),
-        "neighbor_id",
-        F.col("cosine").alias("score"),
-    )
-    # knn_graph_2l branch (round 9): the coarse-then-fine assignment
-    # path (similarity.two_level_knn_graph — the quantizer stays a
-    # DataFrame) at FULL coarse probe width, where it must equal flat
-    # IVF bit-for-bit; k/n_probe differ from the kg branch so the two
-    # paths produce distinct row sets.
-    kg2 = similarity.two_level_knn_graph(
-        kg_corpus,
-        "vec_id",
-        "v",
-        kg_corpus.filter(F.col("vec_id") < 8).select(
-            F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
-        ),
-        k=2,
-        n_probe=3,
-        n_coarse_probe=10_000,  # clamps to the coarse count: exact
-    ).select(
-        F.lit("knn_graph_2l").alias("variant"),
-        F.col("vec_id").alias("query_id"),
-        "neighbor_id",
-        F.col("cosine").alias("score"),
+    kg_seeds = lambda: kg_corpus.filter(F.col("vec_id") < 8).select(  # noqa: E731
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("sv")
     )
     # semantic_contam branch (round 9): embedding-space benchmark
     # decontamination (similarity.semantic_decontaminate — the eval
@@ -3785,38 +3722,141 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + 2000000).alias("vec_id"), "v"
         )
     )
-    contam = similarity.semantic_decontaminate(
-        contam_train, contam_eval, "vec_id", "v", min_cosine=0.35
-    ).select(
-        F.lit("semantic_contam").alias("variant"),
-        F.col("vec_id").alias("query_id"),
-        F.col("matched_eval_id").alias("neighbor_id"),
-        F.col("cosine").alias("score"),
-    )
-    # filtered_pre / filtered_post branches (round 10,
-    # similarity.filtered_knn): metadata-filtered vector search — the
-    # vector-DB operation ("nearest neighbors, but only label=2").
-    # prefilter is exact over the filtered corpus (the predicate
-    # pushes into the scan); postfilter reuses an UNFILTERED k*4
-    # shortlist then filters and re-ranks — the index-reusing strategy
-    # whose recall caveat (may return fewer than k) is part of the
-    # pinned semantics, replayed exactly by the SQL twin.
     embl = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         similarity.as_double_vec(F.col("embedding")).alias("v"),
         "label",
     )
-    fpre = similarity.filtered_knn(
-        embl, queries, "vec_id", "query_id", F.col("label") == 2,
-        vec_col="v", k=5, strategy="prefilter",
-    ).select(
+    # Branch constructions overlap on driver threads (guide §2.6
+    # "overlap independent jobs"; the same round-10 pattern as
+    # graph_suite's arm builds): five constructors run EAGER
+    # driver-side jobs at build time (semantic_dedup / ivf_knn_graph
+    # centroid collects, two_level's fine count + coarse collect,
+    # decontam's bounded eval-size check, pq_search_adc's bounded
+    # query collect) and the lazy ones still pay serial py4j
+    # round-trip chatter — serially the build dominated the entry's
+    # plan_build wall. Each constructor touches only its own
+    # scoped_persist site, the operator results are deterministic, and
+    # the union order below is fixed — output identical to the serial
+    # build.
+    from pyspark import InheritableThread
+
+    built: dict = {}
+    errors: dict = {}
+
+    def _build(key, fn):
+        try:
+            built[key] = fn()
+        except BaseException as e:  # surface on the caller thread
+            errors[key] = e
+
+    builders = {
+        "brute": lambda: embedding_knn(spark, sf_dir),
+        "ivf": lambda: embedding_ivf_seeded_knn(spark, sf_dir),
+        "int8": lambda: similarity.brute_force_knn(
+            qcorpus, queries, "vec_id", "query_id", "v", k=5
+        ),
+        "sem": lambda: similarity.semantic_dedup(
+            sem_corpus, "vec_id", "v", seeds, min_cosine=0.99
+        ),
+        "pq": lambda: similarity.pq_search_adc(
+            codes, _PQ_BOOKS, queries, "vec_id", "query_id", k=5,
+            table_round=6,
+        ),
+        "kg": lambda: similarity.ivf_knn_graph(
+            kg_corpus, "vec_id", "v", kg_seeds(), k=3, n_probe=2
+        ),
+        # knn_graph_2l (round 9): the coarse-then-fine assignment path
+        # (similarity.two_level_knn_graph — the quantizer stays a
+        # DataFrame) at FULL coarse probe width, where it must equal
+        # flat IVF bit-for-bit; k/n_probe differ from the kg branch so
+        # the two paths produce distinct row sets.
+        "kg2": lambda: similarity.two_level_knn_graph(
+            kg_corpus, "vec_id", "v", kg_seeds(), k=2, n_probe=3,
+            n_coarse_probe=10_000,  # clamps to the coarse count: exact
+        ),
+        "contam": lambda: similarity.semantic_decontaminate(
+            contam_train, contam_eval, "vec_id", "v", min_cosine=0.35
+        ),
+        # filtered_pre / filtered_post (round 10,
+        # similarity.filtered_knn): metadata-filtered vector search —
+        # the vector-DB operation ("nearest neighbors, but only
+        # label=2"). prefilter is exact over the filtered corpus (the
+        # predicate pushes into the scan); postfilter reuses an
+        # UNFILTERED k*4 shortlist then filters and re-ranks — the
+        # index-reusing strategy whose may-return-fewer-than-k caveat
+        # is part of the pinned semantics, replayed exactly by the SQL
+        # twin.
+        "fpre": lambda: similarity.filtered_knn(
+            embl, queries, "vec_id", "query_id", F.col("label") == 2,
+            vec_col="v", k=5, strategy="prefilter",
+        ),
+        "fpost": lambda: similarity.filtered_knn(
+            embl, queries, "vec_id", "query_id", F.col("label") == 2,
+            vec_col="v", k=5, strategy="postfilter", oversample=4,
+        ),
+    }
+    threads = [
+        InheritableThread(target=_build, args=(key, fn))
+        for key, fn in builders.items()
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        key, err = next(iter(errors.items()))
+        raise RuntimeError(
+            f"embedding_knn_variants: {key} branch build failed"
+        ) from err
+
+    brute = built["brute"].select(
+        F.lit("brute").alias("variant"), "query_id", "neighbor_id",
+        F.col("cosine").alias("score"),
+    )
+    ivf = built["ivf"].select(
+        F.lit("ivf_seeded").alias("variant"), "query_id", "neighbor_id",
+        F.col("cosine").alias("score"),
+    )
+    int8 = built["int8"].select(
+        F.lit("int8_corpus").alias("variant"), "query_id", "neighbor_id",
+        F.col("cosine").alias("score"),
+    )
+    sem = built["sem"].select(
+        F.lit("semdedup").alias("variant"),
+        F.col("vec_id").alias("query_id"),
+        F.col("dup_of").alias("neighbor_id"),
+        F.col("cosine").alias("score"),
+    )
+    pq = built["pq"].select(
+        F.lit("pq_adc").alias("variant"),
+        "query_id",
+        "neighbor_id",
+        F.col("adc_dist").alias("score"),
+    )
+    kg = built["kg"].select(
+        F.lit("knn_graph").alias("variant"),
+        F.col("vec_id").alias("query_id"),
+        "neighbor_id",
+        F.col("cosine").alias("score"),
+    )
+    kg2 = built["kg2"].select(
+        F.lit("knn_graph_2l").alias("variant"),
+        F.col("vec_id").alias("query_id"),
+        "neighbor_id",
+        F.col("cosine").alias("score"),
+    )
+    contam = built["contam"].select(
+        F.lit("semantic_contam").alias("variant"),
+        F.col("vec_id").alias("query_id"),
+        F.col("matched_eval_id").alias("neighbor_id"),
+        F.col("cosine").alias("score"),
+    )
+    fpre = built["fpre"].select(
         F.lit("filtered_pre").alias("variant"), "query_id", "neighbor_id",
         F.col("cosine").alias("score"),
     )
-    fpost = similarity.filtered_knn(
-        embl, queries, "vec_id", "query_id", F.col("label") == 2,
-        vec_col="v", k=5, strategy="postfilter", oversample=4,
-    ).select(
+    fpost = built["fpost"].select(
         F.lit("filtered_post").alias("variant"), "query_id", "neighbor_id",
         F.col("cosine").alias("score"),
     )
