@@ -70,8 +70,14 @@ def connected_components(
             .agg(F.min("vc").alias("comp"))
             .select(F.col("u").alias("node"), "comp")
         )
+        # LAZY checkpoint + the changed-count action below = ONE job
+        # per round (guide §1.2: fewer driver-side jobs in iterative
+        # loops): the count materializes the checkpoint blocks as a
+        # side effect, where an eager checkpoint ran its own job first
+        # and the count a second. Blocks land before any later round
+        # re-reads new_assign, so lineage is truncated identically.
         try:
-            new_assign = new_assign.localCheckpoint(eager=True)
+            new_assign = new_assign.localCheckpoint(eager=False)
         except Exception:
             new_assign = new_assign.persist()
         changed = (
@@ -177,8 +183,13 @@ def connected_components_star(
     prev = None
     for _ in range(max_iterations):
         edges = _small_star(_large_star(edges))
+        # LAZY checkpoint: the checksum action materializes the
+        # checkpoint blocks in the SAME job (one job per round, not
+        # two — guide §1.2). The next round's references then read the
+        # cached blocks exactly as with the eager form; the checksum
+        # value — and so the convergence decision — is unchanged.
         try:
-            edges = edges.localCheckpoint(eager=True)
+            edges = edges.localCheckpoint(eager=False)
         except Exception:
             edges = edges.persist()
         cur = _checksum(edges)
