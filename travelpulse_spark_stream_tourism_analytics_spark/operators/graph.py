@@ -449,12 +449,15 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
         nxt = e.join(
             keep.select(F.col("node").alias("a")), "a", "left_semi"
         ).join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+        # one JOB per round: the LAZY checkpoint's blocks materialize
+        # inside the count action (an eager checkpoint ran its own job
+        # first and the count a second — components.py precedent);
+        # this round's count is next round's n_prev, and the next
+        # round's four references to e read the cached blocks
         try:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = nxt.localCheckpoint(eager=False)
         except Exception:  # pragma: no cover
             nxt = nxt.persist()
-        # one action per round: this round's count is next round's
-        # n_prev (the previous round already materialized e)
         n_next = nxt.count()
         e = nxt
         fixed = n_next == n_prev
