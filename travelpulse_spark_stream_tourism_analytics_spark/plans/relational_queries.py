@@ -1311,12 +1311,6 @@ def graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     build (the arm outputs are the same DataFrames either way)."""
     from pyspark import InheritableThread
 
-    trade = _nation_trade_graph(spark, sf_dir)
-    # count() on the PERSISTED trade relation materializes the full
-    # cache (the honest barrier — un-persisted counts prune columns),
-    # so the concurrent arms below never race to build it.
-    trade.count()
-
     built: dict[str, DataFrame] = {}
     errors: dict[str, BaseException] = {}
 
@@ -1326,18 +1320,33 @@ def graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         except BaseException as e:  # surface on the caller thread
             errors[key] = e
 
+    # The fused power iteration is the build's CRITICAL PATH and does
+    # not read the nation-trade graph — start its thread BEFORE the
+    # trade-cache barrier so the barrier's materialization job
+    # overlaps the first rank iterations instead of preceding them.
+    fused_t = InheritableThread(
+        target=_build,
+        args=("fused", lambda: supplier_customer_rank_variants(spark, sf_dir)),
+    )
+    fused_t.start()
+
+    trade = _nation_trade_graph(spark, sf_dir)
+    # count() on the PERSISTED trade relation materializes the full
+    # cache (the honest barrier — un-persisted counts prune columns),
+    # so the concurrent arms below never race to build it.
+    trade.count()
+
     builders = {
-        "fused": lambda: supplier_customer_rank_variants(spark, sf_dir),
         "triangles": lambda: nation_trade_triangles(spark, sf_dir, trade),
         "lpa": lambda: nation_trade_lpa(spark, sf_dir, trade),
         "kcore": lambda: nation_trade_kcore(spark, sf_dir, trade),
         "hyperball": lambda: nation_trade_hyperball(spark, sf_dir, trade),
     }
-    threads = [
+    threads = [fused_t] + [
         InheritableThread(target=_build, args=(k, fn))
         for k, fn in builders.items()
     ]
-    for t in threads:
+    for t in threads[1:]:
         t.start()
     for t in threads:
         t.join()
