@@ -415,3 +415,55 @@ def test_jpeg_block_constant_roundtrip_property(bw, bh, vals):
         by, bx = divmod(i, bw)
         expect[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
     assert (px == expect).all()
+
+
+# --- round-10 optimization pins -------------------------------------------
+# _cell_struct_array_sql renders the plan-constant cell assignment as
+# ONE SQL parse (py4j round-trip removal, OPTIMIZATION_r10.md). The
+# property: the SQL-rendered expression equals the per-cell
+# F.lit/F.struct construction BIT-FOR-BIT on arbitrary-magnitude
+# doubles — repr's shortest round-trip rendering must survive the SQL
+# parser's D-suffix literal path for every value.
+@SETTINGS
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e12, max_value=1e12,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=4, max_size=4,
+    ),
+    st.lists(
+        st.floats(min_value=-2.0, max_value=2.0, allow_nan=False),
+        min_size=4, max_size=4,
+    ),
+)
+def test_cell_struct_sql_matches_python_construction(spark, cent, vec):
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.similarity import (
+        _cell_struct_array_sql,
+        cosine,
+        dot,
+    )
+
+    if not any(x != 0.0 for x in cent) or not any(x != 0.0 for x in vec):
+        return  # zero-norm inputs are refused upstream by contract
+    cents = [{"cell_id": 7, "sv": cent}]
+    df = spark.createDataFrame([(vec,)], "v array<double>").select(
+        "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("__nv")
+    )
+    old = df.select(
+        F.array(
+            F.struct(
+                cosine(
+                    F.col("v"),
+                    F.array(*[F.lit(float(x)) for x in cent]),
+                    norm_a=F.col("__nv"),
+                ).alias("c"),
+                F.lit(-7).alias("neg_cell"),
+            )
+        ).alias("a")
+    ).collect()[0]["a"]
+    new = df.select(
+        F.expr(_cell_struct_array_sql(cents, "`v`", "`__nv`")).alias("a")
+    ).collect()[0]["a"]
+    assert [tuple(r) for r in old] == [tuple(r) for r in new]

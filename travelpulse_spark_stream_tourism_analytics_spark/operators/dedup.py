@@ -607,7 +607,7 @@ def simhash16_expr(distinct_words: Column) -> Column:
     md5s = F.transform(distinct_words, lambda w: F.md5(w))
     bit_sums_expr = F.aggregate(
         md5s,
-        F.array(*[F.lit(0) for _ in range(16)]),
+        F.lit([0] * 16),
         lambda acc, h: F.zip_with(acc, parities(h), lambda a, p: a + p),
     )
 
@@ -683,7 +683,7 @@ def simhash64_expr(distinct_words: Column) -> Column:
 
     bit_sums_expr = F.aggregate(
         hashes,
-        F.array(*[F.lit(0) for _ in range(64)]),
+        F.lit([0] * 64),
         lambda acc, h: F.zip_with(acc, parities(h), lambda a, p: a + p),
     )
 

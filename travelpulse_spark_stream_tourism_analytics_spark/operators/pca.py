@@ -94,10 +94,10 @@ def pca_project(
     """Append ``out_col`` = the k-dim projection of ``vec_col`` onto
     the fitted components (centered; each coordinate rounded at
     ``scale`` so downstream rankings are engine-stable)."""
-    mean_lit = F.array(*[F.lit(x) for x in model.mean])
+    mean_lit = F.lit([float(x) for x in model.mean])
     centered = F.zip_with(F.col(vec_col), mean_lit, lambda a, b: a - b)
     coords = [
-        F.round(dot(centered, F.array(*[F.lit(w) for w in comp])), scale)
+        F.round(dot(centered, F.lit([float(w) for w in comp])), scale)
         for comp in model.components
     ]
     return emb.withColumn(out_col, F.array(*coords))
@@ -118,11 +118,11 @@ def pca_whiten(
     components."""
     import math
 
-    mean_lit = F.array(*[F.lit(x) for x in model.mean])
+    mean_lit = F.lit([float(x) for x in model.mean])
     centered = F.zip_with(F.col(vec_col), mean_lit, lambda a, b: a - b)
     coords = [
         F.round(
-            dot(centered, F.array(*[F.lit(w) for w in comp]))
+            dot(centered, F.lit([float(w) for w in comp]))
             / F.lit(math.sqrt(max(var, eps))),
             scale,
         )

@@ -96,7 +96,7 @@ def as_double_vec(col: Column) -> Column:
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket key: one char per hyperplane ('1' if v·p >= 0)."""
     bits = [
-        F.when(dot(vec, F.array(*[F.lit(w) for w in p])) >= 0, F.lit("1")).otherwise(
+        F.when(dot(vec, F.lit(list(p))) >= 0, F.lit("1")).otherwise(
             F.lit("0")
         )
         for p in planes
@@ -418,7 +418,7 @@ def lsh_neardup_pairs_multiprobe(
     directions via the symmetric fan-out), never all-pairs.
     """
     dots = F.array(
-        *[dot(F.col(vec_col), F.array(*[F.lit(w) for w in p])) for p in planes]
+        *[dot(F.col(vec_col), F.lit(list(p))) for p in planes]
     )
     n_planes = len(planes)
 

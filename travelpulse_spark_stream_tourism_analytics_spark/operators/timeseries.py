@@ -54,7 +54,7 @@ def pattern_matches(
     embedded as a literal array — a plan constant like LSH planes.
     """
     m = len(pattern)
-    q = F.array(*[F.lit(float(x)) for x in _znorm_literal(pattern)])
+    q = F.lit([float(x) for x in _znorm_literal(pattern)])
 
     series = (
         events.select(key_col, ts_col, value_col)
