@@ -1678,8 +1678,55 @@ def nation_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = nation_keys_except(spark, sf_dir).select(
         F.lit("except").alias("set_op"), "nationkey"
     )
+    # The iterative graph arms (LPA, kcore, HyperBall) run eager
+    # per-round localCheckpoint jobs at BUILD time; serially those
+    # jobs leave the cluster mostly idle (round 10, guide §2.6 —
+    # the graph_suite pattern). Materialize the shared trade cache
+    # first (the honest full-cache barrier: un-persisted counts prune
+    # columns) so concurrent arms read it instead of racing to
+    # compute it, then overlap the arm builds on InheritableThreads.
+    # Each arm touches only its own checkpoint/persist sites; the
+    # assembly and union order below are unchanged, so output is
+    # bit-identical to the serial build (driver-oracled).
+    from pyspark import InheritableThread
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        hyperball,
+        kcore,
+        triangle_counts,
+    )
+
     trade = _nation_trade_graph(spark, sf_dir)
-    communities = label_propagation(undirect(trade), iterations=3).select(
+    trade.count()
+    thr = _median_thresholded(trade)
+
+    built: dict[str, DataFrame] = {}
+    errors: dict[str, BaseException] = {}
+
+    def _build(key, fn):
+        try:
+            built[key] = fn()
+        except BaseException as exc:  # surface on the caller thread
+            errors[key] = exc
+
+    builders = {
+        "lpa": lambda: label_propagation(undirect(trade), iterations=3),
+        "triangles": lambda: triangle_counts(trade),
+        "kcore": lambda: kcore(thr, k=14),
+        "hyperball": lambda: hyperball(thr, max_t=3),
+    }
+    threads = [
+        InheritableThread(target=_build, args=(k, fn))
+        for k, fn in builders.items()
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        key, err = next(iter(errors.items()))
+        raise RuntimeError(f"nation_key_set_ops: {key} arm failed") from err
+
+    communities = built["lpa"].select(
         F.concat(F.lit("lpa_"), F.col("label")).alias("set_op"),
         F.col("node").cast("bigint").alias("nationkey"),
     )
@@ -1687,11 +1734,7 @@ def nation_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts over the same trade graph (operators/graph.py
     # triangle_counts, degree-oriented node-iterator) — the count rides
     # in the tag so the 2-column entry schema pins every node's value.
-    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
-        triangle_counts,
-    )
-
-    triangles = triangle_counts(trade).select(
+    triangles = built["triangles"].select(
         F.concat(F.lit("tri_"), F.col("n_triangles").cast("string")).alias(
             "set_op"
         ),
@@ -1706,17 +1749,11 @@ def nation_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounds at sf0.01); the hb tag quantizes HyperBall's truncated
     # harmonic in-centrality (floor(h*1e9)) plus the exact in-ball
     # reach — exact here because 25 nodes keep the HLL in coupon mode.
-    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
-        hyperball,
-        kcore,
-    )
-
-    thr = _median_thresholded(trade)
-    core = kcore(thr, k=14).select(
+    core = built["kcore"].select(
         F.lit("kcore_14").alias("set_op"),
         F.col("node").cast("bigint").alias("nationkey"),
     )
-    hb = hyperball(thr, max_t=3).select(
+    hb = built["hyperball"].select(
         F.concat(
             F.lit("hb_"),
             F.floor(F.col("harmonic") * F.lit(1e9))

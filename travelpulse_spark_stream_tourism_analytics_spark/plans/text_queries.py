@@ -2041,8 +2041,79 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         lm_score_docs,
         unigram_lm,
     )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.retrieval import (
+        bm25_rank,
+        rrf_fuse,
+    )
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.sketches import (
+        merge_sketches,
+        read_sketch,
+        term_count_sketches,
+    )
 
-    tfidf = tfidf_top_keywords(docs, top_k=3).select(
+    # Several branch constructors run EAGER driver jobs at BUILD time
+    # (the unigram-LM vocabulary collects, BM25 corpus stats, both
+    # count-min sketch builds, the exact top-20 collect, tf-idf's doc
+    # count) — serially they cost ~5-6 s at sf0.1 with the cluster
+    # mostly idle between jobs. Build those leaves on
+    # InheritableThreads (round 10, guide §2.6 "overlap independent
+    # jobs" — the graph_suite / embedding_knn_variants plan_build
+    # pattern): every thread owns an independent relation with no
+    # shared cache site, the assembly below and the union order are
+    # unchanged, so the entry's output is bit-identical to the serial
+    # build (oracle-pinned at sf0.01/sf0.001).
+    from pyspark import InheritableThread
+
+    eps = 0.001
+    bm25_queries = spark.createDataFrame(
+        [(0, "spark hash join"), (1, "dup window sort"),
+         (2, "slow scan batch query")],
+        "query_id long, query_text string",
+    )
+    qdocs = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+
+    built: dict[str, object] = {}
+    errors: dict[str, BaseException] = {}
+
+    def _build(key, fn):
+        try:
+            built[key] = fn()
+        except BaseException as e:  # surface on the caller thread
+            errors[key] = e
+
+    builders = {
+        "tfidf": lambda: tfidf_top_keywords(docs, top_k=3),
+        "target_lm": lambda: unigram_lm(docs.filter(F.col("doc_id") < 100)),
+        "raw_lm": lambda: unigram_lm(docs),
+        "cms_per_source": lambda: term_count_sketches(
+            docs, "source", eps=eps, seed=42
+        ).collect(),
+        "cms_whole": lambda: term_count_sketches(
+            docs.withColumn("source", F.lit("all")), "source",
+            eps=eps, seed=42,
+        ).collect(),
+        "cms_top20": lambda: (
+            agg.orderBy(F.desc("n_occurrences"), F.asc("term"))
+            .limit(20).collect()
+        ),
+        "bm25": lambda: bm25_rank(docs, bm25_queries, top_n=10),
+        "lex_bm25": lambda: bm25_rank(docs, qdocs, top_n=11),
+    }
+    threads = [
+        InheritableThread(target=_build, args=(k, fn))
+        for k, fn in builders.items()
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        key, err = next(iter(errors.items()))
+        raise RuntimeError(f"docs_top_terms: {key} builder failed") from err
+
+    tfidf = built["tfidf"].select(
         F.lit("tfidf").alias("branch"),
         "term",
         "doc_id",
@@ -2050,7 +2121,7 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").alias("n_docs"),
         F.col("tfidf").alias("score"),
     )
-    target_lm = unigram_lm(docs.filter(F.col("doc_id") < 100))
+    target_lm = built["target_lm"]
     scored = lm_score_docs(docs, target_lm)
     lm = scored.select(
         F.lit("lm").alias("branch"),
@@ -2097,7 +2168,7 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the trusted-target LM over the whole-corpus raw LM — one token
     # pass against both broadcast vocabularies.
     dsir = lm_ops.importance_weights(
-        docs, target_lm, unigram_lm(docs)
+        docs, target_lm, built["raw_lm"]
     ).select(
         F.lit("dsir").alias("branch"),
         F.lit(None).cast("string").alias("term"),
@@ -2138,27 +2209,11 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computed with the pure-Python wire-format reader (Connect-safe,
     # no _jvm). Sketch binaries and the 20-term list are KB-scale
     # driver-side monitoring scalars, like the IVF recall verdict.
-    from travelpulse_spark_stream_tourism_analytics_spark.operators.sketches import (
-        merge_sketches,
-        read_sketch,
-        term_count_sketches,
-    )
-
-    eps = 0.001
-    per_source = term_count_sketches(docs, "source", eps=eps, seed=42).collect()
+    per_source = built["cms_per_source"]
     merged = merge_sketches([bytes(r["sketch"]) for r in per_source])
     n_total = sum(r["n_terms"] for r in per_source)
-    whole = read_sketch(
-        bytes(
-            term_count_sketches(
-                docs.withColumn("source", F.lit("all")), "source",
-                eps=eps, seed=42,
-            ).collect()[0]["sketch"]
-        )
-    )
-    top20 = (
-        agg.orderBy(F.desc("n_occurrences"), F.asc("term")).limit(20).collect()
-    )
+    whole = read_sketch(bytes(built["cms_whole"][0]["sketch"]))
+    top20 = built["cms_top20"]
     cms_rows = []
     for r in top20:
         est_w = whole.estimate_count(r["term"])
@@ -2209,17 +2264,7 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_docs = rank. Postings are the SAME (doc, term) shuffle tf-idf
     # pays; queries broadcast; per-term contributions round at 1e-6
     # and sum as DECIMAL so the score is summation-order independent.
-    from travelpulse_spark_stream_tourism_analytics_spark.operators.retrieval import (
-        bm25_rank,
-        rrf_fuse,
-    )
-
-    bm25_queries = spark.createDataFrame(
-        [(0, "spark hash join"), (1, "dup window sort"),
-         (2, "slow scan batch query")],
-        "query_id long, query_text string",
-    )
-    bm25 = bm25_rank(docs, bm25_queries, top_n=10).select(
+    bm25 = built["bm25"].select(
         F.lit("bm25").alias("branch"),
         F.concat(F.lit("q"), F.col("query_id").cast("string")).alias("term"),
         "doc_id",
@@ -2236,14 +2281,11 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector ranking is exact cosine top-10 of the matching embedding
     # (doc_id == vec_id in this corpus). n_occurrences = systems
     # ranking the doc, n_docs = fused rank.
-    qdocs = docs.filter(F.col("doc_id") < 3).select(
-        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
-    )
     rrf_w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
     lex = (
-        bm25_rank(docs, qdocs, top_n=11)
+        built["lex_bm25"]
         .filter(F.col("doc_id") != F.col("query_id"))
         .withColumn("rank", F.row_number().over(rrf_w).cast("long"))
         .filter(F.col("rank") <= 10)
