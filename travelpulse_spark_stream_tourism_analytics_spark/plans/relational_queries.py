@@ -989,6 +989,13 @@ def graph_rank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     output arms via the scoped persist in
     ``supplier_customer_rank_variants``."""
     fused = supplier_customer_rank_variants(spark, sf_dir)
+    # Materialize the scoped persist before the two top-50 arms read
+    # it: inside the single union job both arms race to populate the
+    # lazy cache and duplicate part of the final-round work (A/B at
+    # sf0.1: 8.5-9.1 s -> 7.2-8.1 s with the count barrier, round 10).
+    # count() on a PERSISTED relation caches the full rows (un-persisted
+    # counts would prune columns); results are unchanged.
+    fused.count()
 
     def rank_arm(rank_col: str, scope: str) -> DataFrame:
         return (

@@ -2012,6 +2012,15 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion join is (queries x top_n x systems)-bounded regardless of
     corpus size."""
     docs = load_table(spark, sf_dir, "documents")
+    # NOT opted into repair_coarse_scan (round 10, measured): each
+    # branch's tokenize does read the single-row-group fixture as one
+    # task (the langid count stage alone is 3.0-3.5 s in isolation),
+    # but the union executes all ~11 branches' scans CONCURRENTLY in
+    # one job, so the cluster is already full at entry level —
+    # interleaved A/B at sf0.1 read 5.9-6.6 s without the repair vs
+    # 6.5-7.8 s with it (the round-robin exchange of the full text
+    # corpus is pure overhead here, unlike docs_text_profile's single
+    # fused projection).
     terms = docs.select(
         "doc_id", F.explode(words_of(F.col("text"))).alias("term")
     )
