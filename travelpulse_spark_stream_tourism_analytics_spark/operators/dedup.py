@@ -635,28 +635,30 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     JVM-side but Spark-specific, so this path is pytest-checked against
     the brute-force Hamming definition rather than DuckDB-oracled.
     """
-    from functools import reduce
-
     w = df.repartition(F.col(id_col)).select(
         F.col(id_col),
         F.explode(F.array_distinct(words_of(F.col(text_col)))).alias("w"),
     )
-    h = F.xxhash64("w")
+    # The 64 per-bit sums and the 64-term majority OR-chain are
+    # rendered as SQL text parsed in O(few) py4j round trips instead
+    # of ~900 Column-API calls (round 10 — the plan-constant
+    # _cell_struct_array_sql lesson; DataFrame CONSTRUCTION was 1.6 s
+    # of pure driver socket chatter per call). All-integer ops, so the
+    # parsed expressions are bit-identical to the Column-built ones
+    # (sum((h >> j) & 1) per bit; case-when majority, left-associated
+    # |), pinned by the brute-force Hamming parity tests.
     bit_sums = [
-        F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1))).alias(f"s{j}")
+        F.expr(f"sum((shiftright(xxhash64(w), {j}) & 1))").alias(f"s{j}")
         for j in range(64)
     ]
     agg = w.groupBy(id_col).agg(F.count("*").alias("n_words"), *bit_sums)
-    bits = [
-        F.shiftleft(
-            F.when(F.col(f"s{j}") * 2 > F.col("n_words"), F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long"),
-            j,
+    simhash = F.expr(
+        " | ".join(
+            f"shiftleft(cast((case when (s{j} * 2) > n_words then 1 "
+            f"else 0 end) as bigint), {j})"
+            for j in range(64)
         )
-        for j in range(64)
-    ]
-    simhash = reduce(lambda acc, b: acc.bitwiseOR(b), bits)
+    )
     return agg.select(F.col(id_col), simhash.alias("simhash"))
 
 

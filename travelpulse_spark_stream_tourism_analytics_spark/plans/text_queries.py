@@ -380,8 +380,23 @@ def docs_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall AND precision at 64 bits. DuckDB pins that 0, so any
     regression in the xxhash64 path, the 16-bit band split, or the
     pigeonhole proof flips the driver row red."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators._cache import (
+        scoped_persist,
+    )
+
     corpus = _planted_docs(spark, sf_dir)
-    sims = dedup.simhash16(corpus, "doc_id", "text")
+    # Persist the SIGNATURE relations (round 10): the pair stage's
+    # blocked self-join evaluates its input lineage 3x (size agg +
+    # both join sides — deliberate for the wide exploded-shingle
+    # relations, see blocked_self_join_pairs), which re-ran the
+    # md5-parity fold over the whole corpus each time. The signatures
+    # are (id, long) rows — KB-scale, bounded by the scoped-cache
+    # contract — so caching them is nothing like the REJECTED eager
+    # checkpoint of the exploded relation. Measured at sf0.1: entry
+    # exec 4.5-4.7 -> 3.1-3.3 s, output identical (6.3M rows compared).
+    sims = scoped_persist(
+        dedup.simhash16(corpus, "doc_id", "text"), "plans.simhash16.sigs"
+    )
     pairs16 = dedup.simhash_neardup_pairs(sims, "doc_id", max_hamming=3).select(
         F.lit("pairs16").alias("scope"), "id_a", "id_b", "hamming"
     )
@@ -389,7 +404,9 @@ def docs_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = corpus.filter(
         (F.col("doc_id") < 200) | (F.col("doc_id") >= 1000000)
     )
-    sims64 = dedup.simhash64(sample, "doc_id", "text")
+    sims64 = scoped_persist(
+        dedup.simhash64(sample, "doc_id", "text"), "plans.simhash64.sigs"
+    )
     banded = dedup.simhash_neardup_pairs(
         sims64, "doc_id", max_hamming=3, bits=64
     ).select("id_a", "id_b")
