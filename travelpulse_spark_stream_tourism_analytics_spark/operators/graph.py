@@ -196,7 +196,7 @@ def pagerank_multi(
     )
     if not small:
         # explicit count: AQE coalesces a bare repartition(col) on
-        # byte-small input to ONE partition (see .claude verify notes)
+        # byte-small input to ONE partition, serializing per-row work
         e = scoped_persist(e.repartition(n_part, "src"), cache_site)
     # One eager pass: node set + every variant's seed flag, then a
     # single agg for each |S∩V| (replaces k driver jobs; each seed set
@@ -331,7 +331,9 @@ def pagerank_multi(
     return ranks.select("node", *names)
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, cache_site: str = "graph.triangles.oriented"
+) -> DataFrame:
     """``(node, n_triangles)`` — exact per-node triangle counts via the
     degree-oriented node-iterator (Schank & Wagner 2005; the
     MapReduce/GraphX standard). Triangle density is a classic graph
@@ -351,6 +353,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     (q, r) against the oriented edge list. All-integer, deterministic
     (degree ties break on the node id), exact cross-engine parity by
     construction.
+
+    ``cache_site``: two CONCURRENT callers must not share a
+    scoped_persist site (the second build would evict the first's
+    oriented-edge cache mid-read — scoped_persist now fails loudly on
+    that); pass a per-caller site when builds can overlap, as
+    ``pagerank_multi`` callers already do.
     """
     e = (
         edges.select(
@@ -378,7 +386,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(first, F.col("b")).otherwise(F.col("a")).alias("v"),
     )
-    o = scoped_persist(o, "graph.triangles.oriented")
+    o = scoped_persist(o, cache_site)
     wedges = (
         o.alias("o1")
         .join(
