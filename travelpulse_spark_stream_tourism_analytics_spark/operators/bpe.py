@@ -49,11 +49,16 @@ def chars_of(col: Column) -> Column:
 
 
 def word_counts(
-    docs: DataFrame, text_col: str = "text"
+    docs: DataFrame, text_col: str = "text", tokens_col: str | None = None
 ) -> DataFrame:
-    """(word, wc) — the one corpus-sized aggregation of BPE training."""
+    """(word, wc) — the one corpus-sized aggregation of BPE training.
+
+    ``tokens_col`` names a pre-tokenized array<string> column to use
+    instead of tokenizing ``text_col`` (the shared-tokenize contract —
+    see operators/lm.py ``_tok_expr``)."""
+    tok = F.col(tokens_col) if tokens_col else words_of(F.col(text_col))
     return (
-        docs.select(F.explode(words_of(F.col(text_col))).alias("word"))
+        docs.select(F.explode(tok).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("wc"))
     )

@@ -30,6 +30,7 @@ def tfidf_top_keywords(
     id_col: str = "doc_id",
     text_col: str = "text",
     top_k: int = 3,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Top-k terms per document by smoothed tf-idf.
 
@@ -38,11 +39,13 @@ def tfidf_top_keywords(
     ties break on the term string. Deterministic and engine-portable —
     the DuckDB twin in tests/test_text_quality.py reproduces it
     hash-exactly.
-    """
+
+    ``tokens_col`` names a pre-tokenized array<string> column to use
+    instead of tokenizing ``text_col`` (the shared-tokenize contract —
+    see operators/lm.py ``_tok_expr``)."""
     n_docs = docs.select(id_col).distinct().count()
-    terms = docs.select(
-        F.col(id_col), F.explode(words_of(F.col(text_col))).alias("term")
-    )
+    tok = F.col(tokens_col) if tokens_col else words_of(F.col(text_col))
+    terms = docs.select(F.col(id_col), F.explode(tok).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(df_), "term").select(

@@ -25,8 +25,21 @@ from travelpulse_spark_stream_tourism_analytics_spark.functions.text import (
 )
 
 
+def _tok_expr(text_col: str, tokens_col: str | None):
+    """Token-array expression: ``tokens_col`` names a PRE-TOKENIZED
+    array<string> column (the shared-tokenize contract — callers that
+    fan one corpus into several token consumers materialize
+    ``words_of(text)`` once and pass it in, so N operators cost one
+    tokenize pass instead of N); otherwise tokenize ``text_col``
+    inline. Same values either way — ``words_of`` is deterministic."""
+    return F.col(tokens_col) if tokens_col else words_of(F.col(text_col))
+
+
 def unigram_lm(
-    trusted: DataFrame, text_col: str = "text", alpha: float = 0.5
+    trusted: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Train the unigram table: (term, logp) with add-alpha smoothing.
 
@@ -36,7 +49,7 @@ def unigram_lm(
     term = NULL so scorers can coalesce a lookup miss to it.
     """
     counts = (
-        trusted.select(F.explode(words_of(F.col(text_col))).alias("term"))
+        trusted.select(F.explode(_tok_expr(text_col, tokens_col)).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("n"))
     )
@@ -59,6 +72,7 @@ def lm_score_docs(
     lm: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document mean negative log-likelihood (lower = more fluent
     under the trusted corpus — CCNet keeps the low-NLL head). Returns
@@ -67,7 +81,7 @@ def lm_score_docs(
         F.col("logp").alias("__unk_logp")
     )
     toks = docs.select(
-        F.col(id_col), F.explode(words_of(F.col(text_col))).alias("term")
+        F.col(id_col), F.explode(_tok_expr(text_col, tokens_col)).alias("term")
     )
     scored = (
         toks.join(F.broadcast(lm.filter(F.col("term").isNotNull())), "term", "left")
@@ -89,6 +103,7 @@ def importance_weights(
     raw_lm: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """DSIR-shaped data selection (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): per-document
@@ -111,7 +126,7 @@ def importance_weights(
         F.col("logp").alias("__r_unk")
     )
     toks = docs.select(
-        F.col(id_col), F.explode(words_of(F.col(text_col))).alias("term")
+        F.col(id_col), F.explode(_tok_expr(text_col, tokens_col)).alias("term")
     )
     joined = (
         toks.join(

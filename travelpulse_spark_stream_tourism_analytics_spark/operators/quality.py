@@ -181,6 +181,7 @@ def ngram_decontaminate(
     strategy: str = "broadcast",
     bloom_bits: int = 1 << 24,
     bloom_hashes: int = 4,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """TEXT-side benchmark decontamination: flag every training
     document sharing at least ``min_shared`` distinct ``n``-gram token
@@ -248,18 +249,30 @@ def ngram_decontaminate(
         )
 
     def doc_windows(df: DataFrame) -> DataFrame:
+        # tokens_col: pre-tokenized array<string> (shared-tokenize
+        # contract, operators/lm.py _tok_expr) — both sides' window
+        # build skips the regex tokenize when the caller already paid
+        # for it once.
+        tok = F.col(tokens_col) if tokens_col else words_of(F.col(text_col))
         return df.select(
             F.col(id_col),
             F.explode(
-                F.array_distinct(word_ngrams(words_of(F.col(text_col)), n))
+                F.array_distinct(word_ngrams(tok, n))
             ).alias("__ng"),
         ).select(id_col, F.md5("__ng").alias("__h"))
 
     ev = doc_windows(eval_docs).select(
         F.col(id_col).alias("__eval_id"), "__h"
     )
-    par = train.sparkSession.sparkContext.defaultParallelism
-    tr = doc_windows(train.repartition(par))
+    if tokens_col:
+        # pre-tokenized callers own the layout (the shared tokens
+        # relation is built at cluster width before it is persisted);
+        # a repartition here would re-shuffle the token arrays for
+        # nothing
+        tr = doc_windows(train)
+    else:
+        par = train.sparkSession.sparkContext.defaultParallelism
+        tr = doc_windows(train.repartition(par))
 
     if strategy == "bloom":
         m = int(bloom_bits)

@@ -60,6 +60,7 @@ def bm25_rank(
     k1: float = 1.2,
     b: float = 0.75,
     top_n: int = 10,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-query BM25 top-n over a document corpus.
 
@@ -83,9 +84,17 @@ def bm25_rank(
     corpus-sized. N and avgdl are computed by one bounded 1-row
     aggregate at plan-build time and folded in as literals — same
     plan-constant treatment as tf-idf's N and the LSH hyperplanes.
+
+    ``tokens_col`` names a pre-tokenized array<string> column of
+    ``docs`` to use instead of tokenizing ``text_col`` (the
+    shared-tokenize contract — see operators/lm.py ``_tok_expr``).
+    Query-side tokenization is unchanged (queries are bounded).
     """
+    doc_tok = (
+        F.col(tokens_col) if tokens_col else words_of(F.col(text_col))
+    )
     toks = docs.select(
-        F.col(id_col), words_of(F.col(text_col)).alias("__toks")
+        F.col(id_col), doc_tok.alias("__toks")
     ).select(id_col, "__toks", F.size("__toks").alias("__dl"))
     # one bounded 1-row aggregate: corpus size + total token count.
     # avgdl = exact int/int double division — identical in any engine.

@@ -44,14 +44,18 @@ def term_count_sketches(
     eps: float = 0.001,
     confidence: float = 0.99,
     seed: int = 42,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """One count-min sketch of the term stream per ``group_col`` value
     — (group, sketch binary, n_terms). Map-side explode, one shuffle
     with partial (sketch) aggregation; each sketch is O(1/eps *
-    ln(1/(1-confidence))) bytes regardless of corpus size."""
-    terms = docs.select(
-        F.col(group_col), F.explode(words_of(F.col(text_col))).alias("term")
-    )
+    ln(1/(1-confidence))) bytes regardless of corpus size.
+
+    ``tokens_col`` names a pre-tokenized array<string> column to use
+    instead of tokenizing ``text_col`` (the shared-tokenize contract —
+    see operators/lm.py ``_tok_expr``)."""
+    tok = F.col(tokens_col) if tokens_col else words_of(F.col(text_col))
+    terms = docs.select(F.col(group_col), F.explode(tok).alias("term"))
     return terms.groupBy(group_col).agg(
         F.count_min_sketch(
             "term", F.lit(eps), F.lit(confidence), F.lit(seed)

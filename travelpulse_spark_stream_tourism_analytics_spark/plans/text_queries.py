@@ -2029,17 +2029,38 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion join is (queries x top_n x systems)-bounded regardless of
     corpus size."""
     docs = load_table(spark, sf_dir, "documents")
-    # NOT opted into repair_coarse_scan (round 10, measured): each
-    # branch's tokenize does read the single-row-group fixture as one
-    # task (the langid count stage alone is 3.0-3.5 s in isolation),
-    # but the union executes all ~11 branches' scans CONCURRENTLY in
-    # one job, so the cluster is already full at entry level —
-    # interleaved A/B at sf0.1 read 5.9-6.6 s without the repair vs
-    # 6.5-7.8 s with it (the round-robin exchange of the full text
-    # corpus is pure overhead here, unlike docs_text_profile's single
-    # fused projection).
-    terms = docs.select(
-        "doc_id", F.explode(words_of(F.col("text"))).alias("term")
+    # Shared tokenize (round 11, VERDICT r10 item 1): the ~11
+    # word-token branches (term agg, tfidf, both unigram LMs, DSIR
+    # scoring, both count-min sketches, BM25 x2, BPE pairs, contam
+    # windows) each re-tokenized the corpus inside their own union
+    # subtree — at sf0.1 the concurrent scans hid the cost, but at
+    # 100 TB that is ~11 redundant decode+tokenize passes over the
+    # corpus, the worst scan amplification in the catalog. Materialize
+    # ``(doc_id, source, __toks)`` ONCE behind a scoped_persist
+    # (MEMORY_AND_DISK — at scale this is the tokenized corpus, which
+    # spills rather than OOMs; it replaces 11 full corpus scans) and
+    # pass it into every branch constructor via the operators'
+    # ``tokens_col`` contract (the ``spans=`` sharing precedent).
+    # repair_coarse_scan widens the single-row-group local fixture so
+    # the one tokenize pass is not serialized onto one core; on any
+    # real multi-row-group layout it is a no-op. The count() barrier
+    # materializes the cache BEFORE the threaded eager builders start
+    # (the graph_rank_entities lesson: concurrent first readers race
+    # to populate a lazy cache and duplicate the tokenize work).
+    # Tokens are byte-identical to each branch's former inline
+    # ``words_of(text)`` — oracle-pinned at sf0.01/sf0.001.
+    # Branches NOT on word tokens keep their own scans: langid (char
+    # 3-gram profiles of raw text), qdocs/rrf (raw query text +
+    # embeddings).
+    toks_rel = scoped_persist(
+        repair_coarse_scan(
+            spark, docs, f"{sf_dir}/documents.parquet", min_rows=2000
+        ).select("doc_id", "source", words_of(F.col("text")).alias("__toks")),
+        "text.top_terms.tokens",
+    )
+    toks_rel.count()
+    terms = toks_rel.select(
+        "doc_id", F.explode(F.col("__toks")).alias("term")
     )
     agg = terms.groupBy("term").agg(
         F.count("*").alias("n_occurrences"),
@@ -2101,31 +2122,40 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     built: dict[str, object] = {}
-    errors: dict[str, BaseException] = {}
+    errors: dict[str, Exception] = {}
 
     def _build(key, fn):
         try:
             built[key] = fn()
-        except BaseException as e:  # surface on the caller thread
+        except Exception as e:  # surface on the caller thread;
+            # KeyboardInterrupt/SystemExit propagate (ADVICE r10)
             errors[key] = e
 
     builders = {
-        "tfidf": lambda: tfidf_top_keywords(docs, top_k=3),
-        "target_lm": lambda: unigram_lm(docs.filter(F.col("doc_id") < 100)),
-        "raw_lm": lambda: unigram_lm(docs),
+        "tfidf": lambda: tfidf_top_keywords(
+            toks_rel, top_k=3, tokens_col="__toks"
+        ),
+        "target_lm": lambda: unigram_lm(
+            toks_rel.filter(F.col("doc_id") < 100), tokens_col="__toks"
+        ),
+        "raw_lm": lambda: unigram_lm(toks_rel, tokens_col="__toks"),
         "cms_per_source": lambda: term_count_sketches(
-            docs, "source", eps=eps, seed=42
+            toks_rel, "source", eps=eps, seed=42, tokens_col="__toks"
         ).collect(),
         "cms_whole": lambda: term_count_sketches(
-            docs.withColumn("source", F.lit("all")), "source",
-            eps=eps, seed=42,
+            toks_rel.withColumn("source", F.lit("all")), "source",
+            eps=eps, seed=42, tokens_col="__toks",
         ).collect(),
         "cms_top20": lambda: (
             agg.orderBy(F.desc("n_occurrences"), F.asc("term"))
             .limit(20).collect()
         ),
-        "bm25": lambda: bm25_rank(docs, bm25_queries, top_n=10),
-        "lex_bm25": lambda: bm25_rank(docs, qdocs, top_n=11),
+        "bm25": lambda: bm25_rank(
+            toks_rel, bm25_queries, top_n=10, tokens_col="__toks"
+        ),
+        "lex_bm25": lambda: bm25_rank(
+            toks_rel, qdocs, top_n=11, tokens_col="__toks"
+        ),
     }
     threads = [
         InheritableThread(target=_build, args=(k, fn))
@@ -2136,8 +2166,10 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in threads:
         t.join()
     if errors:
-        key, err = next(iter(errors.items()))
-        raise RuntimeError(f"docs_top_terms: {key} builder failed") from err
+        raise RuntimeError(
+            "docs_top_terms: builder failed: "
+            + "; ".join(f"{k}: {e!r}" for k, e in errors.items())
+        ) from next(iter(errors.values()))
 
     tfidf = built["tfidf"].select(
         F.lit("tfidf").alias("branch"),
@@ -2148,7 +2180,7 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tfidf").alias("score"),
     )
     target_lm = built["target_lm"]
-    scored = lm_score_docs(docs, target_lm)
+    scored = lm_score_docs(toks_rel, target_lm, tokens_col="__toks")
     lm = scored.select(
         F.lit("lm").alias("branch"),
         F.lit(None).cast("string").alias("term"),
@@ -2176,12 +2208,22 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_language_profiles,
     )
 
+    # langid works on raw CHARACTER 3-grams, so it cannot ride the
+    # shared word-token cache — but its per-row work (explode ~L
+    # substrings per doc + partial agg) is the entry's exec-side
+    # critical path (branch-isolated A/B at sf0.1: 4.4-5.0 s exec vs
+    # <= 2 s for every other branch), and on the single-row-group
+    # local fixture it all ran as ONE scan task. Widen the scan for
+    # both legs (no-op on any real multi-row-group layout).
+    docs_wide = repair_coarse_scan(
+        spark, docs, f"{sf_dir}/documents.parquet", min_rows=2000
+    )
     lid_prof = train_language_profiles(
-        docs.filter(F.col("doc_id") < 250).select("lang", "text"),
+        docs_wide.filter(F.col("doc_id") < 250).select("lang", "text"),
         top_k=100,
     )
     langid = classify_language(
-        docs.filter(F.col("doc_id") >= 250), lid_prof, top_k=100
+        docs_wide.filter(F.col("doc_id") >= 250), lid_prof, top_k=100
     ).select(
         F.lit("langid").alias("branch"),
         F.col("lang").alias("term"),
@@ -2194,7 +2236,7 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the trusted-target LM over the whole-corpus raw LM — one token
     # pass against both broadcast vocabularies.
     dsir = lm_ops.importance_weights(
-        docs, target_lm, built["raw_lm"]
+        toks_rel, target_lm, built["raw_lm"], tokens_col="__toks"
     ).select(
         F.lit("dsir").alias("branch"),
         F.lit(None).cast("string").alias("term"),
@@ -2215,11 +2257,12 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     contam = ngram_decontaminate(
-        docs.filter(F.col("doc_id") >= 20),
-        docs.filter(F.col("doc_id") < 20),
+        toks_rel.filter(F.col("doc_id") >= 20),
+        toks_rel.filter(F.col("doc_id") < 20),
         "doc_id",
         "text",
         n=3,
+        tokens_col="__toks",
     ).select(
         F.lit("contam").alias("branch"),
         F.lit(None).cast("string").alias("term"),
@@ -2266,7 +2309,7 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_counts,
     )
 
-    syms = word_counts(docs).select(
+    syms = word_counts(toks_rel, tokens_col="__toks").select(
         chars_of(F.col("word")).alias("syms"), "wc"
     )
     bpe = (
@@ -3815,7 +3858,8 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build(key, fn):
         try:
             built[key] = fn()
-        except BaseException as e:  # surface on the caller thread
+        except Exception as e:  # surface on the caller thread;
+            # KeyboardInterrupt/SystemExit propagate (ADVICE r10)
             errors[key] = e
 
     builders = {
@@ -3873,10 +3917,10 @@ def embedding_knn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in threads:
         t.join()
     if errors:
-        key, err = next(iter(errors.items()))
         raise RuntimeError(
-            f"embedding_knn_variants: {key} branch build failed"
-        ) from err
+            "embedding_knn_variants: branch build failed: "
+            + "; ".join(f"{k}: {e!r}" for k, e in errors.items())
+        ) from next(iter(errors.values()))
 
     brute = built["brute"].select(
         F.lit("brute").alias("variant"), "query_id", "neighbor_id",
