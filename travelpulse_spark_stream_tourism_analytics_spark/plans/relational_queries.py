@@ -805,6 +805,26 @@ def supplier_customer_trustrank(
     )
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Arm-boundary lineage truncation (round 11, VERDICT r10 item 4):
+    the iterative arms' results are tiny (O(|V|) rows) but their lazy
+    plans re-inline the whole iteration tree into every consumer —
+    graph_rank_entities' two top-50 arms formatted to 16k plan lines /
+    1621 rendered scans, and the analyzer re-walks that tree on every
+    run. An eager localCheckpoint materializes the rows once (inside
+    the arm's own build, which already runs eager per-round jobs) and
+    replaces the plan with a LogicalRDD — results are byte-identical
+    (the checkpoint stores the computed rows; oracle-pinned). Fallback
+    mirrors kcore/components: persist + count truncates nothing but
+    keeps consumers reading the cache."""
+    try:
+        return df.localCheckpoint(eager=True)
+    except Exception:  # pragma: no cover - checkpoint dir unavailable
+        df = df.persist()
+        df.count()
+        return df
+
+
 def supplier_customer_rank_variants(
     spark: SparkSession, sf_dir: str, iterations: int = 4
 ) -> DataFrame:
@@ -812,10 +832,14 @@ def supplier_customer_rank_variants(
     fused power-iteration loop over one cached edge relation
     (pagerank_multi) — half the per-iteration joins/shuffles of running
     the two variants separately, bit-identical output columns
-    (``rank_pr``, ``rank_tr``)."""
-    from travelpulse_spark_stream_tourism_analytics_spark.operators._cache import (
-        scoped_persist,
-    )
+    (``rank_pr``, ``rank_tr``).
+
+    The tiny (node, 2 doubles) result is returned LINEAGE-TRUNCATED
+    (round 11): both catalog arms plus graph_suite's two component
+    arms re-inlined the full 4-iteration tree otherwise (and the old
+    scoped_persist + caller count() pattern was fragile — another call
+    to this constructor before execution evicted the site, silently
+    discarding the materialization; ADVICE r10 item 4)."""
     from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
         pagerank_multi,
     )
@@ -825,10 +849,7 @@ def supplier_customer_rank_variants(
         {"rank_pr": None, "rank_tr": _trusted_supplier_seeds(spark, sf_dir)},
         iterations=iterations,
     )
-    # both catalog arms (top-50 by each column) read the fused ranks;
-    # persisting the tiny (node, 2 doubles) result keeps the
-    # 4-iteration lineage from evaluating once per arm
-    return scoped_persist(fused, "graph.rank_variants.result")
+    return _truncate_lineage(fused)
 
 
 def _trustrank_ctes(iters: int = 4) -> str:
@@ -988,14 +1009,14 @@ def graph_rank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined shuffle per iteration, shared across the two
     output arms via the scoped persist in
     ``supplier_customer_rank_variants``."""
+    # supplier_customer_rank_variants returns the fused ranks already
+    # MATERIALIZED behind an eager localCheckpoint (round 11): the two
+    # top-50 arms read a LogicalRDD instead of re-inlining the
+    # 4-iteration tree (16k formatted plan lines -> ~100), and the
+    # round-10 count() barrier + its cache-eviction fragility
+    # (ADVICE r10 item 4) are gone — the checkpoint cannot be evicted
+    # by another scoped_persist call.
     fused = supplier_customer_rank_variants(spark, sf_dir)
-    # Materialize the scoped persist before the two top-50 arms read
-    # it: inside the single union job both arms race to populate the
-    # lazy cache and duplicate part of the final-round work (A/B at
-    # sf0.1: 8.5-9.1 s -> 7.2-8.1 s with the count barrier, round 10).
-    # count() on a PERSISTED relation caches the full rows (un-persisted
-    # counts would prune columns); results are unchanged.
-    fused.count()
 
     def rank_arm(rank_col: str, scope: str) -> DataFrame:
         return (
@@ -1317,14 +1338,18 @@ def graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the union order is fixed, so output is bit-identical to the serial
     build (the arm outputs are the same DataFrames either way)."""
     from pyspark import InheritableThread
+    from travelpulse_spark_stream_tourism_analytics_spark.operators.graph import (
+        triangle_counts,
+    )
 
     built: dict[str, DataFrame] = {}
-    errors: dict[str, BaseException] = {}
+    errors: dict[str, Exception] = {}
 
     def _build(key, fn):
         try:
             built[key] = fn()
-        except BaseException as e:  # surface on the caller thread
+        except Exception as e:  # surface on the caller thread;
+            # KeyboardInterrupt/SystemExit propagate (ADVICE r10)
             errors[key] = e
 
     # The fused power iteration is the build's CRITICAL PATH and does
@@ -1343,8 +1368,17 @@ def graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the concurrent arms below never race to build it.
     trade.count()
 
+    # triangles is lineage-truncated at the arm boundary (round 11):
+    # its plan otherwise re-inlines the oriented-edge cache (and the
+    # trade lineage under it) three times into the union; the eager
+    # checkpoint also moves its three shuffles into the threaded build
+    # where they overlap the other arms' per-round jobs. Per-caller
+    # cache_site: a concurrent triangle build elsewhere must not share
+    # the oriented-edge site (ADVICE r10 item 2).
     builders = {
-        "triangles": lambda: nation_trade_triangles(spark, sf_dir, trade),
+        "triangles": lambda: _truncate_lineage(
+            triangle_counts(trade, cache_site="graph.triangles.suite")
+        ),
         "lpa": lambda: nation_trade_lpa(spark, sf_dir, trade),
         "kcore": lambda: nation_trade_kcore(spark, sf_dir, trade),
         "hyperball": lambda: nation_trade_hyperball(spark, sf_dir, trade),
@@ -1358,8 +1392,10 @@ def graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in threads:
         t.join()
     if errors:
-        key, err = next(iter(errors.items()))
-        raise RuntimeError(f"graph_suite: {key} arm failed") from err
+        raise RuntimeError(
+            "graph_suite: arm build failed: "
+            + "; ".join(f"{k}: {e!r}" for k, e in errors.items())
+        ) from next(iter(errors.values()))
 
     fused = built["fused"]
     parts = [
@@ -1707,17 +1743,22 @@ def nation_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = _median_thresholded(trade)
 
     built: dict[str, DataFrame] = {}
-    errors: dict[str, BaseException] = {}
+    errors: dict[str, Exception] = {}
 
     def _build(key, fn):
         try:
             built[key] = fn()
-        except BaseException as exc:  # surface on the caller thread
+        except Exception as exc:  # surface on the caller thread;
+            # KeyboardInterrupt/SystemExit propagate (ADVICE r10)
             errors[key] = exc
 
+    # triangles: lineage-truncated + per-caller oriented-edge cache
+    # site, same rationale as graph_suite (round 11).
     builders = {
         "lpa": lambda: label_propagation(undirect(trade), iterations=3),
-        "triangles": lambda: triangle_counts(trade),
+        "triangles": lambda: _truncate_lineage(
+            triangle_counts(trade, cache_site="graph.triangles.setops")
+        ),
         "kcore": lambda: kcore(thr, k=14),
         "hyperball": lambda: hyperball(thr, max_t=3),
     }
@@ -1730,8 +1771,10 @@ def nation_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in threads:
         t.join()
     if errors:
-        key, err = next(iter(errors.items()))
-        raise RuntimeError(f"nation_key_set_ops: {key} arm failed") from err
+        raise RuntimeError(
+            "nation_key_set_ops: arm build failed: "
+            + "; ".join(f"{k}: {e!r}" for k, e in errors.items())
+        ) from next(iter(errors.values()))
 
     communities = built["lpa"].select(
         F.concat(F.lit("lpa_"), F.col("label")).alias("set_op"),
