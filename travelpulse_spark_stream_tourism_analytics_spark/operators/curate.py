@@ -264,6 +264,13 @@ def curate_corpus(
     )
     unique = redacted.join(keep, id_col, "left_semi")
     if fuzzy:
+        # The fuzzy path reads ``unique`` three times (the score
+        # lookup, the shingle explode feeding the LSH pair build, and
+        # the post-winner chunking input at exec) across SEPARATE
+        # actions — without a persist the exact-dedup shuffle and the
+        # signals-cache scan re-run per consumer (round 11, guide §5
+        # cache discipline; measured ~0.5-1 s per recompute at sf0.1).
+        unique = scoped_persist(unique, "curate.unique")
         scores = gated.select(id_col, "quality_score").join(
             unique.select(id_col), id_col, "left_semi"
         )
