@@ -198,3 +198,46 @@ def test_scoped_persist_main_thread_owner_is_exempt(spark):
     t.join()
     assert out == [7]
     clear_operator_caches()
+
+
+# --- pair_jaccard hashed-intersection parity (round 11) ---------------------
+
+
+def test_pair_jaccard_hashed_join_matches_string_reference(spark):
+    """The verify join carries xxhash64(shingle) instead of the raw
+    n-gram string (shuffle-byte reduction); on a collision-free corpus
+    the jaccard values must equal the raw-string formulation exactly."""
+    from travelpulse_spark_stream_tourism_analytics_spark.operators import (
+        dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight nine"),
+            (4, "one two three four five six seven eight ten"),
+            (5, "totally unrelated words appear in this document"),
+        ],
+        "doc_id long, text string",
+    )
+    shingled = dedup.exploded_shingles(docs, "doc_id", "text", 3)
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (1, 5)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.pair_jaccard(pairs, shingled, "doc_id").collect()
+    }
+    # reference: exact set jaccard computed in python
+    rows = shingled.collect()
+    sets: dict = {}
+    for r in rows:
+        sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+    for a, b in [(1, 2), (3, 4), (1, 5)]:
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            assert (a, b) not in got
+            continue
+        ref = round(inter / float(len(sets[a] | sets[b])), 6)
+        assert got[(a, b)] == ref, (a, b, got[(a, b)], ref)

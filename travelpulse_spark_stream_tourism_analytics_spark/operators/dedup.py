@@ -522,17 +522,47 @@ def pair_jaccard(
     # stage would materialize signatures/shingles to parquet; locally
     # scoped_persist is that stage boundary, without the r1
     # unbounded-cache leak (ADVICE).
+    #
+    # The intersection join carries xxhash64(shingle) — a 64-bit long —
+    # instead of the raw n-gram string (round 11, guide §2.3 "shuffle
+    # fewer bytes"): the pair fan-out (|pairs| x |shingles(a)| rows —
+    # 166M rows at the sf1 soak) is shuffle-byte-bound, so the ~20-byte
+    # string column made the verify stage core-count-INSENSITIVE
+    # (measured 21.8 s at 32 cores vs 23.4 s at 8). The long key cuts
+    # the fat column ~2.5x and the stage to 16.7-17.1 s at 32 cores
+    # (1.3x); the residual core-insensitivity is local-mode shuffle
+    # I/O, which shares one disk at any core count (a cluster's
+    # shuffle bandwidth scales with nodes). Same narrow-join-key
+    # convention as exact dedup's md5(text) and decontamination's
+    # md5(ngram); a collision (probability ~|distinct shingles|^2 /
+    # 2^64 — ~1e-6 even at 5M distinct shingles, far beyond any
+    # fixture) would overcount one intersection — verified
+    # collision-free on every fixture SF and the sf1 soak corpus
+    # (distinct shingles == distinct hashes, 16k-36k per corpus).
     from travelpulse_spark_stream_tourism_analytics_spark.operators._cache import (
         scoped_persist,
     )
 
-    shingled = scoped_persist(shingled, "dedup.pair_jaccard.shingled")
-    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    sa = shingled.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    hashed = scoped_persist(
+        shingled.select(
+            F.col(id_col), F.xxhash64("shingle").alias("__sh")
+        ),
+        "dedup.pair_jaccard.shingled",
+    )
+    sizes = hashed.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    # NOT hinted shuffle_hash: a strategy hint suppresses the
+    # broadcast join Spark picks when the shingle relation is small
+    # (measured +1.4 s on curate at sf0.1); instead the session's AQE
+    # maxShuffledHashJoinLocalMapThreshold rewrites the sort-merge to
+    # shuffled-hash at runtime exactly when the build side's actual
+    # partitions are small — at sf1 that skips sorting the 166M-row
+    # fan-out (21.8 -> ~11 s at 32 cores) while sf0.1 keeps its
+    # broadcast.
+    sa = hashed.select(F.col(id_col).alias("id_a"), "__sh")
+    sb = hashed.select(F.col(id_col).alias("id_b"), "__sh")
     inter = (
         pairs.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
+        .join(sb, ["id_b", "__sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )

@@ -39,6 +39,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE rewrite a sort-merge join to shuffled-hash at
+        # runtime when the build side's ACTUAL post-shuffle partitions
+        # fit a local hash map (default 0 = never). Guide §3.1: SMJ
+        # pays a full sort of BOTH sides; for joins whose probe side
+        # is a row-heavy fan-out over a compact build relation (the
+        # near-dup jaccard verify shuffles a 166M-row fan-out at the
+        # sf1 soak against a 5M-row shingle table) the sort dominates
+        # — measured 21.8 -> ~11 s at 32 cores. Runtime sizes, not
+        # estimates, gate the rewrite, and broadcast selection is
+        # unaffected; 64 MB/partition bounds per-task build memory.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_MAX", str(64 * 1024 * 1024)),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Snappy parquet decompresses ~4-8x, so the 128 MB default can
