@@ -223,9 +223,11 @@ def test_merged_topn_keeps_take_ordered(spark):
 def test_graph_rank_entities_shares_one_fused_computation(spark):
     """The round-8 split-out entry must not UNDO the fused-rank win:
     both output arms (graph_pagerank + graph_trustrank) read the ONE
-    scoped-persisted pagerank_multi result — the second arm's subtree
-    is an InMemoryTableScan over the same cache, never a second
-    4-iteration rank lineage."""
+    materialized pagerank_multi result. Since round 11 that result is
+    an eager localCheckpoint (lineage truncated at the arm boundary —
+    VERDICT r10 item 4), so both arms scan the SAME checkpointed RDD
+    and the 4-iteration rank lineage (per-iteration joins + quantized
+    decimal aggs) appears NOWHERE in the entry's plan."""
     from travelpulse_spark_stream_tourism_analytics_spark.operators._cache import (
         clear_operator_caches,
     )
@@ -234,14 +236,16 @@ def test_graph_rank_entities_shares_one_fused_computation(spark):
     clear_operator_caches()
     try:
         plan = plan_of(spark, "graph_rank_entities")
-        # two arms, both served from the persisted fused result
-        assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
-        # the expensive rank lineage (per-iteration joins + decimal
-        # aggs) must sit INSIDE the cached relation: the outer plan
-        # holds only the cache scans, top-50 sorts, and the union
+        # two arms, both served from the one checkpointed fused result
+        assert plan.count("Scan ExistingRDD") >= 2, plan[:2000]
+        # the expensive rank lineage must be fully truncated: no
+        # per-iteration decimal aggregation, no Exchange anywhere —
+        # the plan is two top-50 arms over one LogicalRDD plus the
+        # union
         tree = plan.split("== Physical Plan ==")[1]
-        outer = tree.split("InMemoryRelation")[0]
-        assert "decimal(38,0)" not in outer
+        assert "decimal(38,0)" not in tree
+        assert "Exchange" not in tree
+        assert tree.count("TakeOrderedAndProject") >= 2
     finally:
         clear_operator_caches()
 

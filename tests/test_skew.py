@@ -102,7 +102,14 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
         joined = fact.join(dim, "k")
         assert len(joined.collect()) == 600_000
         plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "SortMergeJoin(skew=true)" in plan, plan
+        # round 11: the session's maxShuffledHashJoinLocalMapThreshold
+        # lets AQE also rewrite the sort-merge to shuffled-hash here
+        # (the dim build side is tiny) — the skew split fires on
+        # EITHER strategy; what this test pins is the split itself.
+        assert (
+            "SortMergeJoin(skew=true)" in plan
+            or "ShuffledHashJoin(skew=true)" in plan
+        ), plan
         assert "AQEShuffleRead coalesced and skewed" in plan, plan
     finally:
         for k, v in prev.items():
